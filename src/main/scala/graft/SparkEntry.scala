@@ -1,13 +1,207 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{MetadataOps, Where}
+import graft.operators.Rankers
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is an operator from SURVEY §2 bound to the
+  * driver testdata; `oracleSql` holds its DuckDB twin (same column names,
+  * same values — the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
+  import Where.{SStr, SLong, SDouble}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("s_topk_window")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation baseline (B-layer shape checks) ----
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          count(lit(1)).as("count_order")
+        )
+    }),
+
+    // ---- M-layer: the constrained WHERE grammar over metadata (M3) ----
+    "m_where_eq_and" -> ((s, dir) => {
+      MetadataOps.whereCondition(
+        t(s, dir, "customer"), "c_custkey",
+        "c_mktsegment = ? AND c_acctbal > ?",
+        Seq(SStr("BUILDING"), SDouble(1000.0)))
+    }),
+    "m_where_like_in" -> ((s, dir) => {
+      MetadataOps.get(
+        t(s, dir, "part"), "p_partkey",
+        Some(("p_name LIKE ? OR p_brand IN (?, ?)",
+          Seq(SStr("%widget%"), SStr("Brand#3"), SStr("Brand#17")))),
+        None, None
+      ).select("p_partkey", "p_name", "p_brand")
+    }),
+    "m_where_between" -> ((s, dir) => {
+      MetadataOps.whereCondition(
+        t(s, dir, "orders"), "o_orderkey",
+        "o_orderdate BETWEEN ? AND ? AND o_orderpriority IN (?, ?)",
+        Seq(SStr("1998-01-01"), SStr("1998-12-31"),
+          SStr("1-URGENT"), SStr("2-HIGH")))
+    }),
+    // M4: REGEXP backed by java.util.regex (rlike)
+    "m_where_regexp" -> ((s, dir) => {
+      MetadataOps.whereCondition(
+        t(s, dir, "documents"), "doc_id",
+        "text REGEXP ? AND NOT lang = ?",
+        Seq(SStr("spark (group|join)"), SStr("zh")))
+    }),
+    "m_where_null_not" -> ((s, dir) => {
+      MetadataOps.whereCondition(
+        t(s, dir, "events"), "event_id",
+        "props IS NOT NULL AND NOT event_type = ?",
+        Seq(SStr("error")))
+    }),
+    // M6 get_distinct_strings
+    "m_get_distinct" -> ((s, dir) =>
+      MetadataOps.distinctStrings(t(s, dir, "customer"), "c_mktsegment")),
+    // M9 count
+    "m_count" -> ((s, dir) => MetadataOps.count(t(s, dir, "lineitem"))),
+    // M7 update_where
+    "m_update_where" -> ((s, dir) => {
+      MetadataOps.updateWhere(
+        t(s, dir, "customer"),
+        "c_acctbal > ? AND c_mktsegment != ?",
+        Seq(SDouble(4000.0), SStr("MACHINERY")),
+        Map("c_mktsegment" -> lit("PREMIUM"))
+      ).select("c_custkey", "c_mktsegment")
+    }),
+    // M8/U5: delete + dense re-sequencing (the _subset_ invariant)
+    "m_delete_reseq" -> ((s, dir) => {
+      MetadataOps.deleteAndResequence(
+        t(s, dir, "customer"), "c_custkey",
+        col("c_acctbal") < 500.0
+      ).select("new_id", "old_c_custkey", "c_name")
+    }),
+    // U6 FIFO eviction
+    "u_evict_fifo" -> ((s, dir) => {
+      MetadataOps.evictOldest(t(s, dir, "documents"), "doc_id", 400L)
+        .select(col("new_id"), col("doc_id").as("old_id"), col("lang"))
+    }),
+
+    // ---- S-layer relational shapes ----
+    // S2/S8: per-group top-k selection with deterministic tie-break
+    "s_topk_window" -> ((s, dir) => {
+      Rankers.topKPerGroup(
+        t(s, dir, "orders"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3
+      ).withColumn("rank", col("rank").cast("long"))
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    }),
+    // S6: two-stage approx->exact funnel cut
+    "s_funnel_cut" -> ((s, dir) => {
+      Rankers.funnel(
+        t(s, dir, "events").select("event_type", "event_id", "value", "ts_ns"),
+        Seq(col("event_type")),
+        approxOrder = Seq(col("value").desc, col("event_id").asc),
+        exactOrder = Seq(col("ts_ns").desc, col("event_id").asc),
+        nFull = 64, topK = 8
+      ).withColumn("rank", col("rank").cast("long"))
+        .select("event_type", "rank", "event_id", "value")
+    }),
+
+    // ---- B8: IVF posting-list build (sorted+deduped ids per code) ----
+    "b8_ivf_build" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("code"))
+        .agg(sort_array(collect_set(col("l_orderkey"))).as("doc_ids"))
+    }),
+
+    // ---- streaming shape: tumbling-window aggregation over events ----
+    "st_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+        .select(
+          unix_timestamp(col("window.start")).as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "m_where_eq_and" ->
+      "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0",
+    "m_where_like_in" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%widget%' OR p_brand IN ('Brand#3', 'Brand#17')""".stripMargin,
+    "m_where_between" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderdate BETWEEN '1998-01-01' AND '1998-12-31'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+    "m_where_regexp" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(text, 'spark (group|join)') AND NOT lang = 'zh'""".stripMargin,
+    "m_where_null_not" ->
+      "SELECT event_id FROM events WHERE props IS NOT NULL AND NOT event_type = 'error'",
+    "m_get_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
+    "m_count" -> "SELECT count(*) AS n FROM lineitem",
+    "m_update_where" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 4000.0 AND c_mktsegment <> 'MACHINERY'
+        |       THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "m_delete_reseq" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS new_id,
+        |  c_custkey AS old_c_custkey, c_name
+        |FROM customer WHERE NOT (c_acctbal < 500.0)""".stripMargin,
+    "u_evict_fifo" ->
+      """WITH n AS (SELECT greatest(count(*) - 400, 0) AS ev FROM documents)
+        |SELECT doc_id - (SELECT ev FROM n) AS new_id, doc_id AS old_id, lang
+        |FROM documents WHERE doc_id >= (SELECT ev FROM n)""".stripMargin,
+    "s_topk_window" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+    "s_funnel_cut" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY epoch_ns(ts) DESC, event_id) AS rank
+        |  FROM (
+        |    SELECT * FROM (
+        |      SELECT event_type, event_id, value, ts,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) AS r1
+        |      FROM events) WHERE r1 <= 64)
+        |) WHERE rank <= 8""".stripMargin,
+    "b8_ivf_build" ->
+      """SELECT l_suppkey AS code,
+        |  list_sort(list_distinct(list(l_orderkey))) AS doc_ids
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "st_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,91 @@
+package graft.core
+
+/** Late-interaction (ColBERT / PLAID) scoring kernels.
+  *
+  * `maxsim(q, d) = sum over query tokens of max over doc tokens of q·d`,
+  * with non-finite per-token maxima dropped from the sum — semantics of
+  * next-plaid/src/maxsim.rs:270-314 (f32 accumulation, NaN-safe max).
+  *
+  * Pure JVM; used inside Aggregators / mapPartitions on grouped
+  * `Array[Array[Float]]` columns so multi-vector docs never need a full
+  * token-level explode+shuffle on the exact-rerank path.
+  */
+object MaxSim {
+
+  @inline def dot(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** NaN-safe "better" comparison: a candidate NaN never replaces a finite
+    * max (maxsim.rs is_score_better semantics). */
+  @inline private def better(cand: Float, cur: Float): Boolean =
+    !cand.isNaN && (cur.isNaN || cand > cur)
+
+  def score(query: Array[Array[Float]], doc: Array[Array[Float]]): Float = {
+    var total = 0.0f
+    var qi = 0
+    while (qi < query.length) {
+      var maxSim = Float.NegativeInfinity
+      var di = 0
+      while (di < doc.length) {
+        val sim = dot(query(qi), doc(di))
+        if (better(sim, maxSim)) maxSim = sim
+        di += 1
+      }
+      if (!maxSim.isInfinite && !maxSim.isNaN) total += maxSim
+      qi += 1
+    }
+    total
+  }
+
+  /** Approximate (codes-only) MaxSim: per query token take the max centroid
+    * score over the doc's code set (search.rs:305-324). `centroidScores` is
+    * the per-query-token score row indexed by centroid code. */
+  def approxScore(centroidScores: Array[Array[Float]], docCodes: Array[Int]): Float = {
+    var total = 0.0f
+    var qi = 0
+    while (qi < centroidScores.length) {
+      val row = centroidScores(qi)
+      var maxSim = Float.NegativeInfinity
+      var ci = 0
+      while (ci < docCodes.length) {
+        val sim = row(docCodes(ci))
+        if (better(sim, maxSim)) maxSim = sim
+        ci += 1
+      }
+      if (!maxSim.isInfinite && !maxSim.isNaN) total += maxSim
+      qi += 1
+    }
+    total
+  }
+
+  def l2Normalize(v: Array[Float]): Array[Float] = {
+    var sumSq = 0.0f
+    var i = 0
+    while (i < v.length) { sumSq += v(i) * v(i); i += 1 }
+    val norm = math.max(math.sqrt(sumSq.toDouble).toFloat, 1e-12f)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) / norm; i += 1 }
+    out
+  }
+
+  /** Cosine similarity in double precision (deterministic sequential sum). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dotD = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dotD += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dotD / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

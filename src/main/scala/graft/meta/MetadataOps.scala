@@ -1,0 +1,127 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** The metadata-store surface (reference filtering.rs public API M1-M9),
+  * re-expressed as pure DataFrame transformations over an arbitrary
+  * metadata table with a dense id column (`_subset_` ≡ `idCol`).
+  *
+  * Everything here is declarative so Catalyst pushes filters/pruning into
+  * the parquet scan; nothing shuffles except the operations whose
+  * semantics require it (dense re-sequencing).
+  */
+object MetadataOps {
+
+  /** M3/M4 `where_condition`: validated-grammar condition + params →
+    * filtered ids. The grammar validator runs first (API-parity security
+    * semantics, filtering.rs:107-614); the rendered predicate is handed
+    * to Catalyst, which pushes it down to the scan. */
+  def whereCondition(
+      df: DataFrame,
+      idCol: String,
+      cond: String,
+      params: Seq[Where.Param]
+  ): DataFrame = {
+    val pred = Where.toSparkSql(cond, params, df.columns.toSeq)
+    df.filter(expr(pred)).select(col(idCol))
+  }
+
+  /** M5 `get`: full rows by condition and/or id list with LIMIT. */
+  def get(
+      df: DataFrame,
+      idCol: String,
+      cond: Option[(String, Seq[Where.Param])],
+      ids: Option[Seq[Long]],
+      limit: Option[Int]
+  ): DataFrame = {
+    var out = df
+    cond.foreach { case (c, ps) =>
+      out = out.filter(expr(Where.toSparkSql(c, ps, df.columns.toSeq)))
+    }
+    ids.foreach(list => out = out.filter(col(idCol).isin(list: _*)))
+    limit.map(out.limit).getOrElse(out)
+  }
+
+  /** M6 `get_distinct_strings`: distinct non-null values of a column. */
+  def distinctStrings(df: DataFrame, column: String): DataFrame =
+    df.select(col(column)).where(col(column).isNotNull).distinct()
+
+  /** M9 `count`. */
+  def count(df: DataFrame): DataFrame =
+    df.agg(F.count(lit(1)).as("n"))
+
+  /** M7 `update_where`: SET assignments where condition holds; pure
+    * column math (Delta UPDATE at storage level, projection here). */
+  def updateWhere(
+      df: DataFrame,
+      cond: String,
+      params: Seq[Where.Param],
+      assignments: Map[String, Column]
+  ): DataFrame = {
+    val pred = expr(Where.toSparkSql(cond, params, df.columns.toSeq))
+    assignments.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(pred, v).otherwise(col(c)))
+    }
+  }
+
+  /** M8/U5 delete + dense re-sequencing: drop rows whose id is in
+    * `deleteIds` (or matching `cond`), renumber survivors 0..N-1 by old id
+    * order. The dense-id invariant is core to the reference (metadata
+    * `_subset_`/FTS alignment, index.rs:1826-1843).
+    *
+    * NOTE scale: a single global row_number() is a one-partition sort. At
+    * 100 TB use `denseResequenceScalable` below; kept here because the
+    * oracle needs exactly this semantics. */
+  def deleteAndResequence(df: DataFrame, idCol: String, deletePred: Column): DataFrame = {
+    val survivors = df.filter(!deletePred)
+    val w = Window.orderBy(col(idCol))
+    survivors
+      .withColumn("new_id", row_number().over(w).cast("long") - 1)
+      .withColumnRenamed(idCol, s"old_$idCol")
+  }
+
+  /** Scalable dense re-sequencing: per-range-partition counts broadcast as
+    * offsets, so no global single-partition sort. new_id = #survivors with
+    * smaller old id. Equivalent to `row_number()-1` ordered by old id,
+    * but shuffle-free beyond a repartitionByRange. */
+  def denseResequenceScalable(df: DataFrame, idCol: String, numRanges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(numRanges, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    // spark_partition_id is stable after repartitionByRange+sort
+    val withPart = ranged.withColumn("_part", spark_partition_id())
+    val counts = withPart.groupBy("_part").agg(F.count(lit(1)).as("_cnt"))
+    val offsets = counts
+      .withColumn(
+        "_offset",
+        coalesce(
+          sum(col("_cnt")).over(
+            Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("_part", "_offset")
+    val wLocal = Window.partitionBy(col("_part")).orderBy(col(idCol))
+    withPart
+      .join(broadcast(offsets), "_part")
+      .withColumn("new_id", col("_offset") + row_number().over(wLocal).cast("long") - 1)
+      .drop("_part", "_offset")
+  }
+
+  /** U6 FIFO eviction: if count > maxDocuments, drop the oldest ids
+    * 0..n_evict-1 and shift survivors down by n_evict (ids stay dense).
+    * The evict count is a scalar aggregate, not a collect-over-rows. */
+  def evictOldest(df: DataFrame, idCol: String, maxDocuments: Long): DataFrame = {
+    val n = df.agg(
+      greatest(F.count(lit(1)) - lit(maxDocuments), lit(0L)).as("_evict")
+    )
+    df.crossJoin(broadcast(n))
+      .filter(col(idCol) >= col("_evict"))
+      .withColumn("new_id", col(idCol) - col("_evict"))
+      .drop("_evict")
+  }
+}

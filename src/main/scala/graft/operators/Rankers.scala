@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranking / top-k operators shared by the search funnel (S2/S6/S8), the
+  * colgrep ranking layer (C6), and the fusion pipeline.
+  *
+  * All per-group top-k cuts are window `row_number()` with a deterministic
+  * tie-break — Catalyst plans these as partial top-k per partition (window
+  * group limit pushdown in Spark 4), so no global sort materializes.
+  */
+object Rankers {
+
+  /** Per-group top-k with deterministic tie-break columns. Emits `rankCol`
+    * (1-based). Mirrors the reference's partial-sort selection
+    * (search.rs:405-409, select_nth_unstable semantics). */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCols: Seq[Column],
+      k: Int,
+      rankCol: String = "rank"
+  ): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** The reference's two-stage score funnel (S6, search.rs:460-469): cut to
+    * `nFull` candidates by approximate score, then rerank the survivors by
+    * exact score and keep `topK`. */
+  def funnel(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      approxOrder: Seq[Column],
+      exactOrder: Seq[Column],
+      nFull: Int,
+      topK: Int
+  ): DataFrame = {
+    val stage1 = topKPerGroup(df, groupCols, approxOrder, nFull, "_approx_rank")
+    topKPerGroup(stage1.drop("_approx_rank"), groupCols, exactOrder, topK)
+  }
+
+  /** C6 path-noise penalty (colgrep/src/ranking.rs:32-39): multiplicative
+    * score penalty by path class — tests 0.30, compat 0.50, examples 0.70. */
+  def pathPenalty(pathCol: Column): Column =
+    when(pathCol.rlike("(^|/)(tests?|__tests__|testing)(/|_|\\.|$)|_test\\.|\\.test\\."), lit(0.30))
+      .when(pathCol.rlike("(^|/)(compat|legacy|deprecated)(/|_|\\.|$)"), lit(0.50))
+      .when(pathCol.rlike("(^|/)(examples?|samples?|demos?)(/|_|\\.|$)"), lit(0.70))
+      .otherwise(lit(1.0))
+}

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs graft.Verify (Spark) on a given sf dir, then runs each oracle SQL in
+DuckDB over the same parquet tables and compares: schema (column names),
+row count, and values (exact + tolerant float compare), after sorting
+columns by name and rows by all columns.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+SKIP = "--skip-verify" in sys.argv
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}']
+    env = dict(**__import__("os").environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(cmd, cwd="/root/repo", env=env,
+                       capture_output=True, text=True, timeout=1800)
+    sys.stdout.write("\n".join(
+        l for l in r.stdout.splitlines()
+        if "[verify]" in l or "error" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-2000:])
+        sys.exit(1)
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+                else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    if not SKIP:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = OUT / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = norm(pd.read_parquet(spark_dir))
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        exact = True
+        mismatch = None
+        for c in got.columns:
+            for i, (a, b) in enumerate(zip(got[c], want[c])):
+                if not values_equal(a, b):
+                    exact = False
+                    mismatch = (c, i, a, b)
+                    break
+            if mismatch:
+                break
+        # bit-exactness probe (the driver hashes values)
+        bitexact = all(
+            got[c].equals(want[c]) or
+            (got[c].dtype == want[c].dtype == "float64" and
+             (got[c].fillna(0) == want[c].fillna(0)).all())
+            for c in got.columns)
+        if exact:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)"
+                  + ("" if bitexact else "  [WARN not bit-exact]"))
+        else:
+            n_fail += 1
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: value mismatch col={c} row={i}: {a!r} != {b!r}")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
