@@ -128,6 +128,51 @@ object SparkEntry {
         .agg(sort_array(collect_set(col("l_orderkey"))).as("doc_ids"))
     }),
 
+    // ---- vector layer ----
+    // S5/S7 MaxSim semantics, SQL-expressible twin: sum over query tokens
+    // of max over doc tokens of the (double) dot product.
+    "v_maxsim_exact" -> ((s, dir) => {
+      val dtok = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+      val qtok = dtok.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("query_id"), col("vec_id").as("qv"),
+          col("embedding").as("qemb"))
+      val pairs = broadcast(qtok).crossJoin(dtok)
+        .withColumn("sim",
+          aggregate(
+            zip_with(col("qemb"), col("embedding"),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x))
+      pairs
+        .groupBy("query_id", "doc_id", "qv").agg(max("sim").as("best"))
+        .groupBy("query_id", "doc_id").agg(round(sum("best"), 3).as("score"))
+    }),
+    // Full B1->S8 pipeline (k-means, residual codec, IVF, funnel search).
+    // Not SQL-expressible; driver rows-check only — the real oracle is
+    // IndexSearchSpec's brute-force comparison.
+    "v_index_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_idx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val queries = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"), col("embeddings"))
+      new graft.search.Searcher(idx)
+        .search(queries, graft.search.SearchParams(
+          topK = 5, nFullScores = 400, centroidScoreThreshold = None))
+        .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
+          round(col("score"), 3).as("score"))
+    }),
+
     // ---- streaming shape: tumbling-window aggregation over events ----
     "st_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -199,6 +244,21 @@ object SparkEntry {
       """SELECT l_suppkey AS code,
         |  list_sort(list_distinct(list(l_orderkey))) AS doc_ids
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "v_maxsim_exact" ->
+      """WITH dtok AS (
+        |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id, embedding
+        |  FROM embeddings),
+        |qtok AS (SELECT doc_id AS query_id, vec_id AS qv, embedding AS qemb
+        |         FROM dtok WHERE doc_id < 2),
+        |pairs AS (
+        |  SELECT q.query_id, d.doc_id, q.qv,
+        |    list_sum(list_transform(range(1, len(q.qemb) + 1),
+        |      i -> q.qemb[i]::DOUBLE * d.embedding[i]::DOUBLE)) AS sim
+        |  FROM qtok q CROSS JOIN dtok d),
+        |m AS (SELECT query_id, doc_id, qv, max(sim) AS best
+        |      FROM pairs GROUP BY 1, 2, 3)
+        |SELECT query_id, doc_id, round(sum(best), 3) AS score
+        |FROM m GROUP BY 1, 2""".stripMargin,
     "st_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value

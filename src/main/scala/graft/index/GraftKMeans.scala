@@ -1,0 +1,161 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed Lloyd's k-means over a token DataFrame.
+  *
+  * Why not MLlib KMeans: its kmeans|| init and unordered float reduction
+  * are not reproducible run-to-run; the reference demands seeded
+  * determinism (seed 42 everywhere, kmeans.rs:278). Design:
+  *
+  *  - doc sampling and init-point selection use `xxhash64(id, seed)`
+  *    ordering — a pure function of the data, independent of partition
+  *    layout (unlike `rand(seed)`);
+  *  - assignment runs in mapPartitions against broadcast centroids
+  *    (the B4 GEMM, scalar-JIT form);
+  *  - per-cluster means accumulate in Double after `repartition(code)` +
+  *    `sortWithinPartitions(code, doc_id, tok)`, so every run folds the
+  *    same values in the same order — bit-stable sums;
+  *  - empty clusters keep their previous centroid; final centroids are
+  *    L2-normalized with the 1e-12 floor (kmeans.rs:414-419).
+  *
+  * Scale: K*dim floats travel driver<->executors once per iteration
+  * (4 iterations default); the training set is the reference's bounded
+  * sample (≤ K * maxPointsPerCentroid tokens), not the full corpus.
+  */
+object GraftKMeans {
+
+  /** Reference sampling heuristic (kmeans.rs:273-276). */
+  def numSampleDocs(numDocs: Long): Long =
+    math.min((1.0 + 16.0 * math.sqrt(120.0 * numDocs)).toLong, numDocs)
+
+  /** Reference K heuristic (kmeans.rs:304-309). */
+  def numPartitions(estimatedTotalTokens: Double): Int =
+    math.pow(2.0, math.floor(math.log(16.0 * math.sqrt(estimatedTotalTokens)) / math.log(2.0))).toInt
+
+  /** Train centroids on a token table `(doc_id, tok, vec: array<float>)`.
+    * Returns flattened [K*dim] row-major centroids. */
+  def train(
+      spark: SparkSession,
+      tokens: DataFrame,
+      dim: Int,
+      k: Int,
+      iters: Int,
+      seed: Long,
+      maxPointsPerCentroid: Int
+  ): Array[Float] = {
+    import spark.implicits._
+
+    // Bound the training set like the reference's max_points_per_centroid:
+    // keep the k*maxPoints tokens with smallest hash (deterministic).
+    val capped = tokens
+      .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed)))
+      .orderBy("_h")
+      .limit(k * maxPointsPerCentroid)
+      .select("doc_id", "tok", "vec")
+      .cache()
+    val nTrain = capped.count()
+    val kEff = math.min(k.toLong, nTrain).toInt
+    require(kEff > 0, "cannot compute 0 centroids")
+
+    // Init: first kEff tokens in hash order.
+    var centroids: Array[Float] = flatten(
+      capped
+        .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
+        .orderBy(col("_h"), col("doc_id"), col("tok"))
+        .limit(kEff)
+        .select("vec")
+        .as[Array[Float]]
+        .collect(),
+      dim
+    )
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = capped
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions { rows =>
+          val cents = bc.value
+          val kNow = cents.length / dim
+          rows.map { case (docId, tok, vec) =>
+            (nearestEuclidean(cents, kNow, dim, vec), docId, tok, vec)
+          }
+        }
+        .toDF("code", "doc_id", "tok", "vec")
+
+      // Deterministic per-cluster mean: all rows of a code land in one
+      // partition, folded in (code, doc_id, tok) order with Double sums.
+      val partials = assigned
+        .repartition(col("code"))
+        .sortWithinPartitions("code", "doc_id", "tok")
+        .as[(Int, Long, Int, Array[Float])]
+        .mapPartitions { rows =>
+          val sums = scala.collection.mutable.LinkedHashMap
+            .empty[Int, (Array[Double], Long)]
+          rows.foreach { case (code, _, _, vec) =>
+            val (acc, n) = sums.getOrElseUpdate(code, (new Array[Double](dim), 0L))
+            var i = 0
+            while (i < dim) { acc(i) += vec(i); i += 1 }
+            sums(code) = (acc, n + 1)
+          }
+          sums.iterator.map { case (code, (acc, n)) => (code, acc, n) }
+        }
+        .collect()
+
+      val next = centroids.clone()
+      partials.foreach { case (code, acc, n) =>
+        var i = 0
+        while (i < dim) { next(code * dim + i) = (acc(i) / n).toFloat; i += 1 }
+      }
+      bc.destroy()
+      centroids = next
+      it += 1
+    }
+    capped.unpersist()
+    normalizeRows(centroids, dim)
+    centroids
+  }
+
+  private def flatten(rows: Array[Array[Float]], dim: Int): Array[Float] = {
+    val out = new Array[Float](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      System.arraycopy(rows(i), 0, out, i * dim, dim)
+      i += 1
+    }
+    out
+  }
+
+  private[index] def nearestEuclidean(
+      cents: Array[Float], k: Int, dim: Int, vec: Array[Float]): Int = {
+    var best = 0
+    var bestDist = Float.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0f
+      val off = c * dim
+      var i = 0
+      while (i < dim) { val d = vec(i) - cents(off + i); s += d * d; i += 1 }
+      if (s < bestDist) { best = c; bestDist = s }
+      c += 1
+    }
+    best
+  }
+
+  private def normalizeRows(flat: Array[Float], dim: Int): Unit = {
+    val k = flat.length / dim
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var sumSq = 0.0
+      var i = 0
+      while (i < dim) { sumSq += flat(off + i).toDouble * flat(off + i); i += 1 }
+      val norm = math.max(math.sqrt(sumSq), 1e-12).toFloat
+      i = 0
+      while (i < dim) { flat(off + i) /= norm; i += 1 }
+      c += 1
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexConfig, MultiVectorIndex}
+import graft.search.{Searcher, SearchParams}
+
+/** End-to-end index build + search funnel, verified against brute-force
+  * exact MaxSim (the reference's own oracle design, SURVEY §5) plus
+  * seeded-determinism and artifact-shape checks. */
+class IndexSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Multi-vector docs from the embeddings fixture: 5 consecutive vectors
+    * per doc (dense doc_ids 0..N/5-1), L2-normalized tokens. */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb
+      .select((col("vec_id") / 5).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (docId, vecId, v) => (docId, vecId, graft.core.MaxSim.l2Normalize(v)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+  }
+
+  lazy val indexPath: String = {
+    val p = "/tmp/graft_test_index"
+    MultiVectorIndex.build(spark, docs, p, IndexConfig(numPartitionsOverride = Some(32)))
+    p
+  }
+
+  test("index build: artifact shapes + manifest") {
+    val idx = new MultiVectorIndex(spark, indexPath)
+    assert(idx.numDocuments == 100)
+    assert(idx.dim == 64)
+    assert(idx.manifest("num_embeddings").toLong == 500)
+    val codec = idx.codec
+    assert(codec.numCentroids == 32)
+    assert(codec.quantizer.bucketCutoffs.length == 15)
+    assert(codec.quantizer.bucketWeights.length == 16)
+    // every token encoded, residual width = dim*nbits/8 = 32 bytes
+    val tok = idx.tokens
+    assert(tok.count() == 500)
+    import spark.implicits._
+    val width = tok.select(length(col("residual"))).distinct().as[Int].collect()
+    assert(width.toSeq == Seq(64 * 4 / 8))
+    // IVF covers all codes present in tokens; posting lists sorted+distinct
+    val badIvf = idx.ivf
+      .select(col("doc_ids"), array_sort(array_distinct(col("doc_ids"))).as("s"))
+      .filter(col("doc_ids") =!= col("s"))
+    assert(badIvf.count() == 0)
+    // doclens
+    assert(idx.doclens.agg(sum("len")).collect()(0).getLong(0) == 500)
+  }
+
+  test("index build is deterministic: same seed => identical tokens table") {
+    val p2 = "/tmp/graft_test_index_rerun"
+    MultiVectorIndex.build(spark, docs, p2, IndexConfig(numPartitionsOverride = Some(32)))
+    val a = spark.read.parquet(s"$indexPath/tokens").orderBy("doc_id", "tok")
+    val b = spark.read.parquet(s"$p2/tokens").orderBy("doc_id", "tok")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val ca = MultiVectorIndex.loadCodec(spark, indexPath)
+    val cb = MultiVectorIndex.loadCodec(spark, p2)
+    assert(ca.centroids.sameElements(cb.centroids))
+    assert(ca.quantizer.bucketCutoffs.sameElements(cb.quantizer.bucketCutoffs))
+  }
+
+  test("search funnel matches brute-force top-k on quantized index") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    // generous funnel (small corpus): probe wide so approx stage can't
+    // drop the true top docs
+    val got = searcher
+      .search(queries, SearchParams(topK = 5, nIvfProbe = 8, nFullScores = 400,
+        centroidScoreThreshold = None))
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = searcher.bruteForce(queries, topK = 5)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // self-retrieval sanity: each query's own doc ranks first
+    val top1 = want.filter(_._3 == 1).map(t => (t._1, t._2))
+    assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("subset pre-filter (S4) restricts results") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val subset = spark.range(50, 100).select(col("id").as("doc_id"))
+    val got = searcher
+      .search(queries, SearchParams(topK = 5, centroidScoreThreshold = None),
+        subset = Some(subset))
+      .select("doc_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(id => id >= 50 && id < 100))
+  }
+
+  test("reconstruction round-trips quantization (cosine > 0.9 to original)") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val ids = spark.range(0, 3).select(col("id").as("doc_id"))
+    val recon = searcher.reconstruct(ids)
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (d, t, v) => ((d, t), v) }.toMap
+    val orig = docs.filter(col("doc_id") < 3)
+      .select("doc_id", "embeddings")
+      .as[(Long, Array[Array[Float]])].collect()
+    for ((docId, emb) <- orig; (vec, tok) <- emb.zipWithIndex) {
+      val cos = graft.core.MaxSim.cosine(vec, recon((docId, tok)))
+      assert(cos > 0.9, s"doc $docId tok $tok cosine $cos")
+    }
+  }
+
+  test("rerank standalone scores and orders supplied docs") {
+    import spark.implicits._
+    val q = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id"), col("embeddings"))
+      .as[(Long, Array[Array[Float]])].collect()(0)._2
+    val searcher = new Searcher(new MultiVectorIndex(spark, indexPath))
+    val out = searcher.rerank(q, docs, topK = 3)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(7L) == 1) // self-match wins
+  }
+}
