@@ -128,6 +128,78 @@ object SparkEntry {
         .agg(sort_array(collect_set(col("l_orderkey"))).as("doc_ids"))
     }),
 
+    // ---- F-layer: full-text search + fusion ----
+    // F2/F3: unicode61 tokenization -> posting lists (term, doc_id, tf)
+    "f_tokenize_tf" -> ((s, dir) =>
+      graft.fts.Fts.buildPostings(t(s, dir, "documents"), "doc_id", "text")),
+    // F4: BM25 with FTS5 constants (k1=1.2 b=0.75, idf floor 1e-6), AND semantics
+    "f_bm25" -> ((s, dir) => {
+      val postings = graft.fts.Fts.buildPostings(t(s, dir, "documents"), "doc_id", "text")
+      graft.fts.Fts.search(s, postings, "spark join table", topK = 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // F7: reciprocal-rank fusion of two ranked lists
+    "f_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val sem = ev.withColumn("rank",
+          row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rank") <= 100).select(col("event_id").as("doc_id"), col("rank"))
+      val kw = ev.withColumn("rank",
+          row_number().over(Window.orderBy(col("ts_ns").desc, col("event_id"))))
+        .filter(col("rank") <= 100).select(col("event_id").as("doc_id"), col("rank"))
+      graft.fts.Hybrid.rrf(sem, kw, alpha = 0.5, topK = 20)
+        .select(col("doc_id").as("event_id"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // F8: relative-score (min-max) fusion
+    "f_relative_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val sem = ev.withColumn("r",
+          row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
+        .filter(col("r") <= 100)
+        .select(col("event_id").as("doc_id"), col("value").as("score"))
+      val kw = ev.withColumn("r",
+          row_number().over(Window.orderBy(col("ts_ns").desc, col("event_id"))))
+        .filter(col("r") <= 100)
+        .select(col("event_id").as("doc_id"), col("ts_ns").cast("double").as("score"))
+      graft.fts.Hybrid.relativeScore(sem, kw, alpha = 0.75, topK = 20)
+        .select(col("doc_id").as("event_id"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // F9/C5: hybrid orchestration — semantic MaxSim list fused with a
+    // subset-filtered BM25 list (fetch_k = 3*top_k, alpha = 0.75)
+    "h_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // semantic side: exact MaxSim of query 0 over embeddings-docs
+      val dtok = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+      val qtok = dtok.filter(col("doc_id") === 0)
+        .select(col("vec_id").as("qv"), col("embedding").as("qemb"))
+      val sem = broadcast(qtok).crossJoin(dtok)
+        .withColumn("sim",
+          aggregate(zip_with(col("qemb"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x))
+        .groupBy("doc_id", "qv").agg(max("sim").as("best"))
+        .groupBy("doc_id").agg(sum("best").as("score"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("r") <= 30).select("doc_id", "score")
+      // keyword side: BM25 restricted to the same id space (F5 subset)
+      val postings = graft.fts.Fts.buildPostings(t(s, dir, "documents"), "doc_id", "text")
+      val subset = t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id")
+      val kw = graft.fts.Fts.search(s, postings, "spark join", topK = 30,
+          subset = Some(subset))
+        .select("doc_id", "score")
+      graft.fts.Hybrid.relativeScore(sem, kw, alpha = 0.75, topK = 10)
+        .select(col("doc_id"), round(col("score"), 5).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- vector layer ----
     // S5/S7 MaxSim semantics, SQL-expressible twin: sum over query tokens
     // of max over doc tokens of the (double) dot product.
@@ -244,6 +316,118 @@ object SparkEntry {
       """SELECT l_suppkey AS code,
         |  list_sort(list_distinct(list(l_orderkey))) AS doc_ids
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "f_tokenize_tf" ->
+      """SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents) GROUP BY doc_id, term""".stripMargin,
+    "f_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1,2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark','join','table']) AS term),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM post
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    greatest(ln((s.n_docs - f.df + 0.5)/(f.df + 0.5)), 1e-6)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sco
+        |  FROM post p JOIN q USING(term) JOIN dfq f USING(term)
+        |  JOIN dl d USING(doc_id) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nm
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(score, 4) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM agg WHERE nm = 3 QUALIFY rank <= 20""".stripMargin,
+    "f_rrf_fusion" ->
+      """WITH sem AS (
+        |  SELECT event_id AS doc_id,
+        |    row_number() OVER (ORDER BY value DESC, event_id) AS rank
+        |  FROM events QUALIFY rank <= 100),
+        |kw AS (
+        |  SELECT event_id AS doc_id,
+        |    row_number() OVER (ORDER BY epoch_ns(ts) DESC, event_id) AS rank
+        |  FROM events QUALIFY rank <= 100),
+        |fused AS (
+        |  SELECT doc_id,
+        |    coalesce(0.5/(60 + s.rank), 0) + coalesce(0.5/(60 + k.rank), 0) AS score
+        |  FROM sem s FULL OUTER JOIN kw k USING (doc_id))
+        |SELECT doc_id AS event_id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM fused QUALIFY rank <= 20""".stripMargin,
+    "f_relative_fusion" ->
+      """WITH sem AS (
+        |  SELECT event_id AS doc_id, value AS score
+        |  FROM events QUALIFY row_number() OVER (ORDER BY value DESC, event_id) <= 100),
+        |kw AS (
+        |  SELECT event_id AS doc_id, epoch_ns(ts)::DOUBLE AS score
+        |  FROM events QUALIFY row_number() OVER (ORDER BY epoch_ns(ts) DESC, event_id) <= 100),
+        |ns AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |         THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |              (max(score) OVER () - min(score) OVER ()) END AS s_sem FROM sem),
+        |nk AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |         THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |              (max(score) OVER () - min(score) OVER ()) END AS s_kw FROM kw),
+        |fused AS (
+        |  SELECT doc_id, 0.75 * coalesce(s_sem, 0) + 0.25 * coalesce(s_kw, 0) AS score
+        |  FROM ns FULL OUTER JOIN nk USING (doc_id))
+        |SELECT doc_id AS event_id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM fused QUALIFY rank <= 20""".stripMargin,
+    "h_hybrid_search" ->
+      """WITH dtok AS (
+        |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id, embedding
+        |  FROM embeddings),
+        |qtok AS (SELECT vec_id AS qv, embedding AS qemb FROM dtok WHERE doc_id = 0),
+        |pairs AS (
+        |  SELECT d.doc_id, q.qv,
+        |    list_sum(list_transform(range(1, len(q.qemb) + 1),
+        |      i -> q.qemb[i]::DOUBLE * d.embedding[i]::DOUBLE)) AS sim
+        |  FROM qtok q CROSS JOIN dtok d),
+        |sem0 AS (SELECT doc_id, sum(best) AS score FROM (
+        |  SELECT doc_id, qv, max(sim) AS best FROM pairs GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |sem AS (SELECT doc_id, score FROM sem0
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 30),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1,2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark','join']) AS term),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM post
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    greatest(ln((s.n_docs - f.df + 0.5)/(f.df + 0.5)), 1e-6)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sco
+        |  FROM post p JOIN q USING(term) JOIN dfq f USING(term)
+        |  JOIN dl d USING(doc_id) CROSS JOIN stats s
+        |  WHERE p.doc_id < 100),
+        |kwagg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nm
+        |          FROM sc GROUP BY doc_id),
+        |kw AS (SELECT doc_id, score FROM kwagg WHERE nm = 2
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 30),
+        |ns AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |         THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |              (max(score) OVER () - min(score) OVER ()) END AS s_sem FROM sem),
+        |nk AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |         THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |              (max(score) OVER () - min(score) OVER ()) END AS s_kw FROM kw),
+        |fused AS (
+        |  SELECT doc_id, 0.75 * coalesce(s_sem, 0) + 0.25 * coalesce(s_kw, 0) AS score
+        |  FROM ns FULL OUTER JOIN nk USING (doc_id))
+        |SELECT doc_id, round(score, 5) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM fused QUALIFY rank <= 10""".stripMargin,
     "v_maxsim_exact" ->
       """WITH dtok AS (
         |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id, embedding

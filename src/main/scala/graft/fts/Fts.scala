@@ -1,0 +1,116 @@
+package graft.fts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tokenizers
+
+/** Full-text search over a document DataFrame: posting-list build (F3) and
+  * BM25 scoring (F4) with SQLite-FTS5 semantics — k1=1.2, b=0.75,
+  * numerator tf*(k1+1), idf = ln((N-df+0.5)/(df+0.5)) floored at 1e-6
+  * (reference: next-plaid/src/text_search.rs:1246-1271 riding on FTS5).
+  *
+  * The posting table `(term, doc_id, tf)` is the Spark replacement for the
+  * FTS5 virtual table; at 100 TB it partitions by term hash and BM25 is
+  * one broadcast (query terms) + one shuffle (groupBy doc).
+  */
+object Fts {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  val tokenizeUnicode61 = udf((s: String) =>
+    if (s == null) Seq.empty[String] else Tokenizers.unicode61(s))
+  val tokenizeTrigram = udf((s: String) =>
+    if (s == null) Seq.empty[String] else Tokenizers.trigram(s))
+  val tokenizeIdentifierAware = udf((s: String) =>
+    if (s == null) Seq.empty[String] else Tokenizers.tokenizeIdentifiers(s))
+
+  def tokenizer(name: String) = name match {
+    case "unicode61"        => tokenizeUnicode61
+    case "trigram"          => tokenizeTrigram
+    case "identifier_aware" => tokenizeIdentifierAware
+  }
+
+  /** F3 index build: `(term, doc_id, tf)` postings from
+    * `docs(idCol, textCol)`. */
+  def buildPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String = "unicode61"
+  ): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokenizer(tokenizerName)(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Doc length table `(doc_id, dl)` from postings. */
+  def docLengths(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** F4 BM25 search. `andSemantics=true` = FTS5 implicit AND
+    * (sanitize_fts5_query, text_search.rs:949-969); false = OR
+    * (identifier-aware path, :982-993). Optional F5 subset restriction.
+    * Returns (doc_id, score) — higher is better (bm25() negation applied).
+    */
+  def bm25(
+      spark: SparkSession,
+      postings: DataFrame,
+      queryTerms: Seq[String],
+      andSemantics: Boolean = true,
+      subset: Option[DataFrame] = None
+  ): DataFrame = {
+    import spark.implicits._
+    val doclens0 = docLengths(postings)
+    val doclens = subset match {
+      case Some(sub) => doclens0.join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
+      case None      => doclens0
+    }
+    // global stats as a broadcast scalar row (stays lazy, no collect)
+    val stats = doclens0.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val terms = queryTerms.distinct.toDF("term")
+    // df over the full corpus (FTS5 computes idf on the whole table;
+    // subset filtering restricts candidates, not statistics)
+    val dfTable = postings
+      .join(broadcast(terms), "term")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = postings
+      .join(broadcast(terms), "term")
+      .join(broadcast(dfTable), "term")
+      .join(doclens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        greatest(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)),
+          lit(1e-6)))
+      .withColumn("s",
+        col("idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("s").as("score"), count(lit(1)).as("n_matched"))
+    val filtered =
+      if (andSemantics) scored.filter(col("n_matched") === queryTerms.distinct.length)
+      else scored
+    filtered.select("doc_id", "score")
+  }
+
+  /** BM25 top-k with rank (deterministic tie-break by doc_id). */
+  def search(
+      spark: SparkSession,
+      postings: DataFrame,
+      query: String,
+      topK: Int,
+      tokenizerName: String = "unicode61",
+      subset: Option[DataFrame] = None
+  ): DataFrame = {
+    val terms =
+      if (tokenizerName == "identifier_aware") Tokenizers.sanitizeQueryTermsOr(query)
+      else Tokenizers.sanitizeQueryTerms(query)
+    val andSem = tokenizerName != "identifier_aware"
+    val scored = bm25(spark, postings, terms, andSem, subset)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+}
