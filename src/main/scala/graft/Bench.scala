@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every declared query against
+  * SPARK_GRAFT_SF_DIR, prints ONE machine-readable JSON line and also
+  * writes it to bench.json (sbt's [info] stdout prefix made round 1's
+  * output unparseable). Failures are recorded per query in an `errors`
+  * map — never silently folded into the total as a fast time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/session warm-up so the first measured query doesn't absorb
+    // executor/codegen startup (q1 carried ~5s of it in round 1).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
 }

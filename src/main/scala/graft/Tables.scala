@@ -20,6 +20,9 @@ object Tables {
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      // integer division: `/` would promote the ~1.7e18 nanos to double
+      // (2^53-exact range exceeded) and can shift a row across an hour
+      // bucket boundary vs the oracle's exact arithmetic
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

@@ -42,6 +42,30 @@ object MaxSim {
     total
   }
 
+  /** MaxSim with double-precision dot products and sum — used on the exact
+    * rerank path so the declared queries hash-match the DuckDB oracle's
+    * double arithmetic (sequential fold in token order on both sides). */
+  def scoreDouble(query: Array[Array[Float]], doc: Array[Array[Float]]): Double = {
+    var total = 0.0
+    var qi = 0
+    while (qi < query.length) {
+      var maxSim = Double.NegativeInfinity
+      var di = 0
+      while (di < doc.length) {
+        val q = query(qi); val d = doc(di)
+        var s = 0.0
+        var i = 0
+        val n = math.min(q.length, d.length)
+        while (i < n) { s += q(i).toDouble * d(i).toDouble; i += 1 }
+        if (!s.isNaN && (maxSim.isNaN || s > maxSim)) maxSim = s
+        di += 1
+      }
+      if (!maxSim.isInfinite && !maxSim.isNaN) total += maxSim
+      qi += 1
+    }
+    total
+  }
+
   /** Approximate (codes-only) MaxSim: per query token take the max centroid
     * score over the doc's code set (search.rs:305-324). `centroidScores` is
     * the per-query-token score row indexed by centroid code. */

@@ -110,10 +110,15 @@ object Tokenizers {
     out.toSeq
   }
 
-  /** FTS5 query sanitization: each term double-quoted, implicit AND
-    * (text_search.rs:949-969). We return the term list; AND/OR policy is
-    * applied by the BM25 search operator. */
-  def sanitizeQueryTerms(query: String): Seq[String] = unicode61(query)
+  /** FTS5 operator words stripped by the reference's sanitizer. */
+  private val Fts5Operators = Set("and", "or", "not", "near")
+
+  /** FTS5 query sanitization: each term double-quoted, implicit AND;
+    * bare operator words (AND/OR/NOT/NEAR) are dropped so they are never
+    * required as literal terms (text_search.rs:949-969). We return the
+    * term list; AND/OR policy is applied by the BM25 search operator. */
+  def sanitizeQueryTerms(query: String): Seq[String] =
+    unicode61(query).filterNot(Fts5Operators.contains)
 
   /** Identifier-aware query terms, OR semantics (text_search.rs:982-993). */
   def sanitizeQueryTermsOr(query: String): Seq[String] =

@@ -2,7 +2,6 @@ package graft.fts
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tokenizers
 
@@ -110,7 +109,7 @@ object Fts {
       else Tokenizers.sanitizeQueryTerms(query)
     val andSem = tokenizerName != "identifier_aware"
     val scored = bm25(spark, postings, terms, andSem, subset)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+    graft.operators.Rankers.topKGlobal(
+      scored, Seq(col("score").desc, col("doc_id").asc), topK)
   }
 }

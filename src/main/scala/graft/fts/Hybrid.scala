@@ -2,7 +2,6 @@ package graft.fts
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Hybrid (semantic + keyword) fusion as DataFrame column math —
   * distributed twins of the reference's list-fusion kernels
@@ -47,10 +46,9 @@ object Hybrid {
       .select(col("doc_id"), col(outCol))
   }
 
-  private def topByScore(fused: DataFrame, topK: Int): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-  }
+  private def topByScore(fused: DataFrame, topK: Int): DataFrame =
+    graft.operators.Rankers.topKGlobal(
+      fused, Seq(col("score").desc, col("doc_id").asc), topK)
 
   /** F9 over-fetch rule for hybrid mode (handlers/search.rs:289-293). */
   def fetchK(topK: Int): Int = topK * 3

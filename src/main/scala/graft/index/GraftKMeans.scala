@@ -47,27 +47,36 @@ object GraftKMeans {
   ): Array[Float] = {
     import spark.implicits._
 
-    // Bound the training set like the reference's max_points_per_centroid:
-    // keep the k*maxPoints tokens with smallest hash (deterministic).
-    val capped = tokens
-      .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed)))
-      .orderBy("_h")
-      .limit(k * maxPointsPerCentroid)
-      .select("doc_id", "tok", "vec")
-      .cache()
+    // Bound the training set like the reference's max_points_per_centroid.
+    // No global sort: hash-threshold sampling — keep tokens whose
+    // xxhash64 bucket falls under the target fraction. Deterministic
+    // (pure function of the data, independent of partitioning) and
+    // shuffle-free; sample size is approximate, which the heuristic
+    // tolerates. Long arithmetic: k * maxPoints overflows Int for large K.
+    val nTotal = tokens.count()
+    val cap = k.toLong * maxPointsPerCentroid
+    val capped = (if (nTotal <= cap) tokens.select("doc_id", "tok", "vec")
+      else {
+        val keepPerMillion = math.max((cap.toDouble / nTotal * 1e6).toLong, 1L)
+        tokens
+          .filter(pmod(xxhash64(col("doc_id"), col("tok"), lit(seed)), lit(1000000L))
+            < lit(keepPerMillion))
+          .select("doc_id", "tok", "vec")
+      }).cache()
     val nTrain = capped.count()
     val kEff = math.min(k.toLong, nTrain).toInt
     require(kEff > 0, "cannot compute 0 centroids")
 
-    // Init: first kEff tokens in hash order.
+    // Init: the kEff tokens with smallest (hash, doc_id, tok) — a bounded
+    // per-partition heap selection (RDD.takeOrdered), not a total sort.
     var centroids: Array[Float] = flatten(
       capped
         .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
-        .orderBy(col("_h"), col("doc_id"), col("tok"))
-        .limit(kEff)
-        .select("vec")
-        .as[Array[Float]]
-        .collect(),
+        .select("_h", "doc_id", "tok", "vec")
+        .as[(Long, Long, Int, Array[Float])]
+        .rdd
+        .takeOrdered(kEff)(Ordering.by(t => (t._1, t._2, t._3)))
+        .map(_._4),
       dim
     )
 

@@ -35,15 +35,16 @@ final class MultiVectorIndex(val spark: SparkSession, val path: String) {
   lazy val tokens: DataFrame = spark.read.parquet(s"$path/tokens")
   lazy val ivf: DataFrame = spark.read.parquet(s"$path/ivf")
   lazy val doclens: DataFrame = spark.read.parquet(s"$path/doclens")
+  /** Build artifact `(doc_id, codes: array<int>)` — see build(). */
+  lazy val docCodes: DataFrame = spark.read.parquet(s"$path/doc_codes")
 
   lazy val manifest: Map[String, String] = {
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/manifest.json")),
-      "UTF-8")
-    txt.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
-      val Array(k, v) = kv.split(":", 2)
-      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.stripPrefix("\"").stripSuffix("\"")
-    }.toMap
+    val node = MultiVectorIndex.jsonMapper.readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/manifest.json")))
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+    b.result()
   }
 
   lazy val codec: Codec = MultiVectorIndex.loadCodec(spark, path)
@@ -78,16 +79,22 @@ object MultiVectorIndex {
     val numTokens = tokens.count()
 
     // --- B1: sample docs, estimate K, train centroids -------------------
+    // Hash-threshold doc sampling (no global sort; see GraftKMeans.train).
     val nSampleDocs = GraftKMeans.numSampleDocs(numDocs)
-    val sampledDocIds = docs
-      .select(col("doc_id"), xxhash64(col("doc_id"), lit(cfg.seed)).as("_h"))
-      .orderBy("_h", "doc_id")
-      .limit(nSampleDocs.toInt)
-      .select("doc_id")
-    val sampleTokens = tokens.join(broadcast(sampledDocIds), "doc_id")
-      .select("doc_id", "tok", "vec")
-    val totalSampleTokens = sampleTokens.count()
-    val avgTokensPerDoc = totalSampleTokens.toDouble / nSampleDocs
+    val sampleTokens = (if (nSampleDocs >= numDocs) tokens
+      else {
+        val keepPerMillion =
+          math.max((nSampleDocs.toDouble / numDocs * 1e6).toLong, 1L)
+        tokens.filter(
+          pmod(xxhash64(col("doc_id"), lit(cfg.seed)), lit(1000000L))
+            < lit(keepPerMillion))
+      }).select("doc_id", "tok", "vec")
+    val sampleStats = sampleTokens
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+      .collect()(0)
+    val totalSampleTokens = sampleStats.getLong(0)
+    val actualSampleDocs = math.max(sampleStats.getLong(1), 1L)
+    val avgTokensPerDoc = totalSampleTokens.toDouble / actualSampleDocs
     val estTotalTokens = avgTokensPerDoc * numDocs
     val k = math.min(
       cfg.numPartitionsOverride.getOrElse(GraftKMeans.numPartitions(estTotalTokens)).toLong,
@@ -101,10 +108,13 @@ object MultiVectorIndex {
     // heldout = min(5% of tokens, 50k) (index.rs:182-287)
     val heldoutN = math.min((numTokens * 0.05).toLong.max(1L), cfg.heldoutMax.toLong).toInt
     val centBc = spark.sparkContext.broadcast(centroids)
+    val heldoutKeepPerMillion =
+      math.min(math.max((heldoutN.toDouble / numTokens * 1e6).toLong, 1L), 1000000L)
     val heldoutResiduals: Array[Array[Float]] = tokens
-      .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(cfg.seed + 2)))
-      .orderBy("_h", "doc_id", "tok")
-      .limit(heldoutN)
+      .filter(pmod(xxhash64(col("doc_id"), col("tok"), lit(cfg.seed + 2)), lit(1000000L))
+        < lit(heldoutKeepPerMillion))
+      // deterministic order for the quantile/average folds below
+      .orderBy("doc_id", "tok")
       .select("vec").as[Array[Float]]
       .mapPartitions { vecs =>
         val cents = centBc.value
@@ -170,9 +180,22 @@ object MultiVectorIndex {
       .agg(count(lit(1)).as("len"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
 
+    // --- doc_codes: per-doc code array, persisted at build time so search
+    // sessions never re-shuffle the tokens table to derive it (the S5
+    // approximate-scoring input; one groupBy here instead of one per
+    // Searcher instance).
+    tokensOut
+      .groupBy("doc_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("tok"), col("code")))),
+          x => x.getField("code")
+        ).as("codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/doc_codes")
+
     // --- codec + manifest -------------------------------------------------
     saveCodec(spark, path, codec)
-    val manifest = Seq(
+    writeManifest(path, Map(
       "nbits" -> cfg.nbits.toString,
       "embedding_dim" -> dim.toString,
       "num_documents" -> numDocs.toString,
@@ -180,11 +203,7 @@ object MultiVectorIndex {
       "num_partitions" -> k.toString,
       "avg_doclen" -> (numTokens.toDouble / numDocs).toString,
       "seed" -> cfg.seed.toString
-    ).map { case (a, b) => s""""$a": "$b"""" }.mkString("{", ", ", "}")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/manifest.json"),
-      manifest.getBytes("UTF-8"))
+    ))
 
     tokens.unpersist()
     centBc.destroy()
@@ -209,6 +228,18 @@ object MultiVectorIndex {
     if (best < 0) 0 else best
   }
 
+  /** Jackson (bundled with Spark) — real JSON, not string splitting. */
+  private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def writeManifest(path: String, kv: Map[String, String]): Unit = {
+    val node = jsonMapper.createObjectNode()
+    kv.foreach { case (k, v) => node.put(k, v) }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      jsonMapper.writeValueAsBytes(node))
+  }
+
   def saveCodec(spark: SparkSession, path: String, codec: Codec): Unit = {
     import spark.implicits._
     val k = codec.numCentroids
@@ -218,17 +249,20 @@ object MultiVectorIndex {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
     val q = codec.quantizer
-    val json = Seq(
-      s""""nbits": ${q.nbits}""",
-      s""""dim": ${codec.dim}""",
-      s""""cluster_threshold": ${codec.clusterThreshold}""",
-      s""""bucket_cutoffs": [${q.bucketCutoffs.mkString(",")}]""",
-      s""""bucket_weights": [${q.bucketWeights.mkString(",")}]""",
-      s""""avg_residual": [${codec.avgResidual.mkString(",")}]"""
-    ).mkString("{", ", ", "}")
+    val node = jsonMapper.createObjectNode()
+    node.put("nbits", q.nbits)
+    node.put("dim", codec.dim)
+    node.put("cluster_threshold", codec.clusterThreshold)
+    def putArr(name: String, arr: Array[Float]): Unit = {
+      val a = node.putArray(name)
+      arr.foreach(a.add)
+    }
+    putArr("bucket_cutoffs", q.bucketCutoffs)
+    putArr("bucket_weights", q.bucketWeights)
+    putArr("avg_residual", codec.avgResidual)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/codec.json"), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(s"$path/codec.json"), jsonMapper.writeValueAsBytes(node))
   }
 
   def loadCodec(spark: SparkSession, path: String): Codec = {
@@ -240,20 +274,17 @@ object MultiVectorIndex {
     rows.zipWithIndex.foreach { case (v, i) =>
       System.arraycopy(v, 0, flat, i * dim, dim)
     }
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/codec.json")),
-      "UTF-8")
+    val node = jsonMapper.readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/codec.json")))
     def arr(key: String): Array[Float] = {
-      val m = s""""$key": \\[([^\\]]*)\\]""".r.findFirstMatchIn(txt).get
-      m.group(1).split(",").filter(_.nonEmpty).map(_.toFloat)
+      val n = node.get(key)
+      Array.tabulate(n.size())(i => n.get(i).floatValue())
     }
-    def scalar(key: String): String =
-      s""""$key": ([^,}]+)""".r.findFirstMatchIn(txt).get.group(1).trim
     Codec(
       dim, flat,
-      new Quantizer(scalar("nbits").toInt, arr("bucket_cutoffs"), arr("bucket_weights")),
+      new Quantizer(node.get("nbits").intValue(), arr("bucket_cutoffs"), arr("bucket_weights")),
       arr("avg_residual"),
-      scalar("cluster_threshold").toFloat
+      node.get("cluster_threshold").floatValue()
     )
   }
 }

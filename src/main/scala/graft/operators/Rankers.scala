@@ -42,6 +42,22 @@ object Rankers {
     topKPerGroup(stage1.drop("_approx_rank"), groupCols, exactOrder, topK)
   }
 
+  /** Global top-k with a 1-based `rank` column. `orderBy().limit(k)` plans
+    * as TakeOrderedAndProject (bounded per-partition priority queues — no
+    * single-partition sort of the full input); the rank window then runs
+    * over ≤ k rows only. Replaces round 1's unpartitioned-window
+    * anti-pattern (`WindowExec: No Partition Defined` over the corpus). */
+  def topKGlobal(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      k: Int,
+      rankCol: String = "rank"
+  ): DataFrame = {
+    val top = df.orderBy(orderCols: _*).limit(k)
+    top.withColumn(rankCol,
+      row_number().over(Window.partitionBy(lit(0)).orderBy(orderCols: _*)))
+  }
+
   /** C6 path-noise penalty (colgrep/src/ranking.rs:32-39): multiplicative
     * score penalty by path class — tests 0.30, compat 0.50, examples 0.70. */
   def pathPenalty(pathCol: Column): Column =

@@ -23,21 +23,20 @@ final case class SearchParams(
   * the final per-query top-k window).
   *
   * Queries are collected and broadcast (a query batch is small — tens to
-  * thousands of rows); the index side stays fully distributed.
+  * thousands of rows); the index side stays fully distributed. The
+  * query-token × centroid score matrices (the S1 GEMM) are computed ONCE
+  * in a tiny stage over the query batch and broadcast, then reused by S2
+  * probing and S5 approximate scoring — the reference computes this
+  * matrix once per query too (search.rs:345); recomputing it per
+  * partition would be P× redundant GEMM work.
   */
 final class Searcher(index: MultiVectorIndex) {
   private val spark: SparkSession = index.spark
   import spark.implicits._
 
-  /** doc -> codes array, derived from the tokens table (cached). */
-  private lazy val docCodes: DataFrame = index.tokens
-    .groupBy("doc_id")
-    .agg(
-      transform(
-        array_sort(collect_list(struct(col("tok"), col("code")))),
-        x => x.getField("code")
-      ).as("codes"))
-    .cache()
+  /** doc -> codes array; persisted at build time (no per-session shuffle
+    * of the tokens table — the biggest table in the index). */
+  private lazy val docCodes: DataFrame = index.docCodes
 
   /** Full funnel. `queries(query_id: long, embeddings: array<array<float>>)`;
     * optional `subset(doc_id)` pre-filter (S4). Returns
@@ -70,48 +69,65 @@ final class Searcher(index: MultiVectorIndex) {
       case None => params.nIvfProbe
     }
 
-    // S1+S2: per query token, top-nProbe centroids (partial selection),
-    // with the max-token-score-per-centroid threshold filter.
-    val thresholdLocal = params.centroidScoreThreshold.getOrElse(Float.NegativeInfinity)
+    // S1: per-query centroid-score matrices, computed once in a tiny
+    // distributed stage and collected (Q × n_tokens × K floats; for K
+    // beyond ~100k switch to the reference's sparse candidate-codes-only
+    // variant, search.rs:256-302).
     val dimLocal = dim
     val kLocal = k
-    val nProbeLocal = nProbe
-    val probed: DataFrame = spark.sparkContext
-      .parallelize(queryMap.keys.toSeq.sorted, math.min(queryMap.size, 32).max(1))
-      .flatMap { qid =>
-        val cents = codecBc.value.centroids
-        val emb = queriesBc.value(qid)
-        // per-centroid max token score (for the threshold), plus per-token
-        // top-nProbe partial selection (search.rs:388-428)
-        val perToken = emb.map { qvec =>
-          val scores = new Array[Float](kLocal)
-          var c = 0
-          while (c < kLocal) {
-            var s = 0.0f
-            val off = c * dimLocal
-            var i = 0
-            while (i < dimLocal) { s += cents(off + i) * qvec(i); i += 1 }
-            scores(c) = s
-            c += 1
+    val qids = queryMap.keys.toSeq.sorted
+    val scoreMatrices: scala.collection.Map[Long, Array[Array[Float]]] =
+      spark.sparkContext
+        .parallelize(qids, math.min(qids.size, 32).max(1))
+        .map { qid =>
+          val cents = codecBc.value.centroids
+          val emb = queriesBc.value(qid)
+          val m = emb.map { qvec =>
+            val row = new Array[Float](kLocal)
+            var c = 0
+            while (c < kLocal) {
+              var s = 0.0f
+              val off = c * dimLocal
+              var i = 0
+              while (i < dimLocal) { s += cents(off + i) * qvec(i); i += 1 }
+              row(c) = s
+              c += 1
+            }
+            row
           }
-          scores
+          (qid, m)
         }
-        val selected = scala.collection.mutable.Map.empty[Int, Float]
-        perToken.foreach { scores =>
-          Searcher.topNIndices(scores, nProbeLocal).foreach { c =>
-            val cur = selected.getOrElse(c, Float.NegativeInfinity)
-            if (scores(c) > cur) selected(c) = scores(c)
+        .collectAsMap()
+    val scoresBc = spark.sparkContext.broadcast(
+      scoreMatrices.toMap: Map[Long, Array[Array[Float]]])
+
+    // S2: per token top-nProbe centroids (bounded-heap partial selection);
+    // threshold filter keeps a centroid if its max score across ALL query
+    // tokens meets it (search.rs:417-425 — not just the tokens that
+    // selected it). Driver-side: the matrices are already here.
+    val thresholdLocal = params.centroidScoreThreshold.getOrElse(Float.NegativeInfinity)
+    val probedPairs: Seq[(Long, Int)] = qids.flatMap { qid =>
+      val m = scoreMatrices(qid)
+      val selected = scala.collection.mutable.Set.empty[Int]
+      m.foreach { row => Searcher.topNIndices(row, nProbe).foreach(selected += _) }
+      selected.iterator
+        .filter { c =>
+          var maxAll = Float.NegativeInfinity
+          var t = 0
+          while (t < m.length) {
+            val s = m(t)(c)
+            if (!s.isNaN && s > maxAll) maxAll = s
+            t += 1
           }
+          maxAll >= thresholdLocal
         }
-        selected.iterator
-          .filter { case (_, maxScore) => maxScore >= thresholdLocal }
-          .map { case (code, _) => (qid, code) }
-      }
-      .toDF("query_id", "code")
+        .map(c => (qid, c)).toSeq
+    }
+    val probed: DataFrame = probedPairs.toDF("query_id", "code")
 
     // S3: gather IVF lists, dedup candidates.
-    val candidates0 = probed
-      .join(index.ivf.hint("shuffle_hash"), "code")
+    val candidates0 = index.ivf
+      .join(broadcast(probed), "code")
       .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
       .distinct()
 
@@ -121,34 +137,16 @@ final class Searcher(index: MultiVectorIndex) {
       case None      => candidates0
     }
 
-    // S5: approximate (codes-only) MaxSim per candidate.
+    // S5: approximate (codes-only) MaxSim per candidate, reusing the
+    // broadcast score matrices (no per-partition recompute).
     val approx = candidates
       .join(docCodes, "doc_id")
+      .select("doc_id", "query_id", "codes")
       .as[(Long, Long, Array[Int])]
       .mapPartitions { rows =>
-        val codecV = codecBc.value
-        val cents = codecV.centroids
-        val kNow = codecV.numCentroids
-        val dimNow = codecV.dim
-        // memoize per-query centroid-score matrices within the partition
-        val memo = scala.collection.mutable.Map.empty[Long, Array[Array[Float]]]
+        val scores = scoresBc.value
         rows.map { case (docId, qid, codes) =>
-          val scores = memo.getOrElseUpdate(qid, {
-            queriesBc.value(qid).map { qvec =>
-              val row = new Array[Float](kNow)
-              var c = 0
-              while (c < kNow) {
-                var s = 0.0f
-                val off = c * dimNow
-                var i = 0
-                while (i < dimNow) { s += cents(off + i) * qvec(i); i += 1 }
-                row(c) = s
-                c += 1
-              }
-              row
-            }
-          })
-          (qid, docId, MaxSim.approxScore(scores, codes))
+          (qid, docId, MaxSim.approxScore(scores(qid), codes))
         }
       }
       .toDF("query_id", "doc_id", "approx_score")
@@ -160,13 +158,15 @@ final class Searcher(index: MultiVectorIndex) {
     val nDecompress = math.max(params.nFullScores / 4, params.topK)
     val survivors = approx
       .withColumn("_r", row_number().over(wApprox))
-      .filter(col("_r") <= math.max(params.nFullScores, nDecompress))
       .filter(col("_r") <= nDecompress)
-      .drop("_r", "approx_score")
+      .select("query_id", "doc_id")
 
-    // S7: exact MaxSim on decompressed survivors.
-    val exact = survivors
-      .join(index.tokens, "doc_id")
+    // S7: exact MaxSim on decompressed survivors. Survivors are tiny
+    // (≤ queries × n_full/4 rows) — broadcast them so the tokens join
+    // never shuffles the tokens table. Double-precision scoring so the
+    // declared oracle queries hash-match DuckDB's arithmetic.
+    val exact = index.tokens
+      .join(broadcast(survivors), "doc_id")
       .groupBy("query_id", "doc_id")
       .agg(collect_list(struct(col("tok"), col("code"), col("residual"))).as("toks"))
       .as[(Long, Long, Array[(Int, Int, Array[Byte])])]
@@ -176,7 +176,7 @@ final class Searcher(index: MultiVectorIndex) {
           val docEmb = toks.sortBy(_._1).map { case (_, code, packed) =>
             codecV.decode(code, packed)
           }
-          (qid, docId, MaxSim.score(queriesBc.value(qid), docEmb))
+          (qid, docId, MaxSim.scoreDouble(queriesBc.value(qid), docEmb))
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -194,6 +194,7 @@ final class Searcher(index: MultiVectorIndex) {
     val codecBc = spark.sparkContext.broadcast(index.codec)
     index.tokens
       .join(broadcast(docIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id", "tok", "code", "residual")
       .as[(Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
         val c = codecBc.value
@@ -211,10 +212,10 @@ final class Searcher(index: MultiVectorIndex) {
     val scored = docs
       .select("doc_id", "embeddings")
       .as[(Long, Array[Array[Float]])]
-      .map { case (docId, emb) => (docId, MaxSim.score(qBc.value, emb)) }
+      .map { case (docId, emb) => (docId, MaxSim.scoreDouble(qBc.value, emb)) }
       .toDF("doc_id", "score")
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+    graft.operators.Rankers.topKGlobal(
+      scored, Seq(col("score").desc, col("doc_id").asc), topK)
   }
 
   /** Brute-force exact search (the in-repo oracle for funnel recall —
@@ -237,7 +238,7 @@ final class Searcher(index: MultiVectorIndex) {
           val docEmb = toks.sortBy(_._1).map { case (_, code, packed) =>
             c.decode(code, packed)
           }
-          qs.iterator.map { case (qid, q) => (qid, docId, MaxSim.score(q, docEmb)) }
+          qs.iterator.map { case (qid, q) => (qid, docId, MaxSim.scoreDouble(q, docEmb)) }
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -248,7 +249,7 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
-  private[search] def topNIndices(scores: Array[Float], n: Int): Array[Int] = {
+  private[graft] def topNIndices(scores: Array[Float], n: Int): Array[Int] = {
     if (n >= scores.length) return scores.indices.toArray
     // bounded selection: maintain a small min-heap of (score, idx)
     val heap = new java.util.PriorityQueue[(Float, Int)](
