@@ -67,44 +67,36 @@ object MetadataOps {
     }
   }
 
-  /** M8/U5 delete + dense re-sequencing: drop rows whose id is in
-    * `deleteIds` (or matching `cond`), renumber survivors 0..N-1 by old id
-    * order. The dense-id invariant is core to the reference (metadata
-    * `_subset_`/FTS alignment, index.rs:1826-1843).
-    *
-    * NOTE scale: a single global row_number() is a one-partition sort. At
-    * 100 TB use `denseResequenceScalable` below; kept here because the
-    * oracle needs exactly this semantics. */
+  /** M8/U5 delete + dense re-sequencing: drop rows matching `deletePred`,
+    * renumber survivors 0..N-1 by old id order. The dense-id invariant is
+    * core to the reference (metadata `_subset_`/FTS alignment,
+    * index.rs:1826-1843). Runs on the range-partitioned scalable path —
+    * no single global row_number() sort. */
   def deleteAndResequence(df: DataFrame, idCol: String, deletePred: Column): DataFrame = {
     val survivors = df.filter(!deletePred)
-    val w = Window.orderBy(col(idCol))
-    survivors
-      .withColumn("new_id", row_number().over(w).cast("long") - 1)
+    val numRanges = df.sparkSession.sessionState.conf.numShufflePartitions
+    denseResequenceScalable(survivors, idCol, numRanges)
       .withColumnRenamed(idCol, s"old_$idCol")
   }
 
-  /** Scalable dense re-sequencing: per-range-partition counts broadcast as
-    * offsets, so no global single-partition sort. new_id = #survivors with
-    * smaller old id. Equivalent to `row_number()-1` ordered by old id,
-    * but shuffle-free beyond a repartitionByRange. */
+  /** Scalable dense re-sequencing: per-range-partition counts are
+    * collected (numRanges scalars) and prefix-summed on the driver, then
+    * broadcast-joined back as offsets. new_id = #survivors with smaller
+    * old id — identical to `row_number()-1` ordered by old id, but the
+    * only data-scale shuffle is the repartitionByRange, and every window
+    * is partition-local. */
   def denseResequenceScalable(df: DataFrame, idCol: String, numRanges: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val ranged = df.repartitionByRange(numRanges, col(idCol))
       .sortWithinPartitions(col(idCol))
     // spark_partition_id is stable after repartitionByRange+sort
     val withPart = ranged.withColumn("_part", spark_partition_id())
     val counts = withPart.groupBy("_part").agg(F.count(lit(1)).as("_cnt"))
-    val offsets = counts
-      .withColumn(
-        "_offset",
-        coalesce(
-          sum(col("_cnt")).over(
-            Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
-          ),
-          lit(0L)
-        )
-      )
-      .select("_part", "_offset")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+      .toDF("_part", "_offset")
     val wLocal = Window.partitionBy(col("_part")).orderBy(col(idCol))
     withPart
       .join(broadcast(offsets), "_part")

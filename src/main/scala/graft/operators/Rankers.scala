@@ -54,8 +54,16 @@ object Rankers {
       rankCol: String = "rank"
   ): DataFrame = {
     val top = df.orderBy(orderCols: _*).limit(k)
-    top.withColumn(rankCol,
-      row_number().over(Window.partitionBy(lit(0)).orderBy(orderCols: _*)))
+    // rank via zipWithIndex over the already-globally-sorted ≤k rows — a
+    // window would need a partition spec ({} = the round-1 warning;
+    // lit(0) folds away to the same), and zipWithIndex preserves
+    // partition-then-row order, which after orderBy+limit IS the rank.
+    val spark = top.sparkSession
+    val schema = top.schema.add(rankCol, org.apache.spark.sql.types.IntegerType, nullable = false)
+    val ranked = top.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i.toInt + 1))
+    }
+    spark.createDataFrame(ranked, schema)
   }
 
   /** C6 path-noise penalty (colgrep/src/ranking.rs:32-39): multiplicative
