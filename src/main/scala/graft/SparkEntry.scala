@@ -256,6 +256,61 @@ object SparkEntry {
           round(col("score"), 3).as("score"))
     }),
 
+    // ---- P-layer: LLM training-data pipeline operators (greenfield
+    // additions per SURVEY §2.9/§7 step 7 — dedup, similarity, text
+    // analysis, multimodal; all oracle-twinned) ----
+    "p_exact_dedup" -> ((s, dir) =>
+      graft.pipeline.Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
+    "p_minhash_sig" -> ((s, dir) => {
+      val sh = graft.pipeline.Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      graft.pipeline.Dedup.minhashSignatures(sh, 8)
+        .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
+    }),
+    "p_lsh_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    "p_ngram_jaccard" -> ((s, dir) =>
+      graft.pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, maxShingleDf = 20, minJaccard = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    "p_simhash" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    "p_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      graft.pipeline.Similarity.bruteForceTopK(emb, qs, 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+    "p_text_stats" -> ((s, dir) =>
+      graft.pipeline.TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars").cast("long"), col("n_words").cast("long"),
+          col("n_digits").cast("long"), col("n_punct").cast("long"), col("avg_word_len"))),
+    "p_quality" -> ((s, dir) =>
+      graft.pipeline.TextStats.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    "p_token_count" -> ((s, dir) =>
+      graft.pipeline.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens").cast("long"),
+          col("n_bpe_tokens").cast("long"))),
+    "p_lang_id" -> ((s, dir) =>
+      graft.pipeline.TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "p_fingerprint" -> ((s, dir) =>
+      graft.pipeline.TextStats.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    "p_multimodal_stats" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.synthesizeFromText(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.pipeline.Multimodal.payloadStats(media)
+        .select(col("doc_id"), col("n_bytes").cast("long"), col("format"), col("checksum"))
+    }),
+    "p_frame_sample" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.synthesizeFromText(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.pipeline.Multimodal.frameSamplePlan(media, everyK = 7)
+        .select(col("doc_id"), col("frame_idx").cast("long"))
+    }),
+
     // ---- streaming shape: tumbling-window aggregation over events ----
     "st_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -454,6 +509,154 @@ object SparkEntry {
         |      FROM pairs GROUP BY 1, 2, 3)
         |SELECT query_id, doc_id, round(sum(best), 3) AS score
         |FROM m GROUP BY 1, 2""".stripMargin,
+    "p_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "p_minhash_sig" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |p AS (SELECT unnest(range(0, 8)) AS perm),
+        |h AS (SELECT doc_id, perm,
+        |  ('0x' || substr(md5(sh || '#' || perm), 1, 15))::BIGINT AS h
+        |  FROM sh CROSS JOIN p)
+        |SELECT doc_id, perm, min(h) AS minhash FROM h GROUP BY 1, 2""".stripMargin,
+    "p_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |p AS (SELECT unnest(range(0, 16)) AS perm),
+        |hh AS (SELECT doc_id, perm,
+        |  ('0x' || substr(md5(sh || '#' || perm), 1, 15))::BIGINT AS h
+        |  FROM sh CROSS JOIN p),
+        |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 4 AS band,
+        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "p_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+        |  WHERE df <= 20 AND df >= 2),
+        |rs AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM rs x JOIN rs y USING (sh) WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "p_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, tf,
+        |  ('0x' || substr(md5(term || '#0'), 1, 15))::BIGINT AS h FROM post),
+        |bits AS (SELECT unnest(range(0, 48)) AS bit),
+        |c AS (SELECT doc_id, bit,
+        |  sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM hh CROSS JOIN bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+        |FROM c GROUP BY 1""".stripMargin,
+    "p_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qemb
+        |  FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.query_id, d.vec_id,
+        |  list_sum(list_transform(range(1, len(q.qemb) + 1),
+        |    i -> q.qemb[i]::DOUBLE * d.embedding[i]::DOUBLE)) /
+        |  greatest(sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(d.embedding, x -> x::DOUBLE * x::DOUBLE))),
+        |    1e-12) AS cosine
+        |  FROM q CROSS JOIN embeddings d)
+        |SELECT query_id, vec_id, round(cosine, 4) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        |FROM pairs QUALIFY rank <= 10""".stripMargin,
+    "p_text_stats" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(t) AS n_words,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |  round(list_sum(list_transform(t, x -> length(x)))::DOUBLE /
+        |    greatest(len(t), 1), 4) AS avg_word_len
+        |FROM b""".stripMargin,
+    "p_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  least(len(t)::DOUBLE / 50.0, 1.0) AS lensat,
+        |  1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
+        |    greatest(length(text), 1), 1.0) AS punct,
+        |  0.5 + 0.5 * least(len(list_filter(t,
+        |    x -> list_contains(['the','and','of','to','a','is'], x)))::DOUBLE * 10.0 /
+        |    greatest(len(t), 1), 1.0) AS stop
+        |  FROM b)
+        |SELECT doc_id, round(lensat * punct * stop, 4) AS quality FROM c""".stripMargin,
+    "p_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "p_lang_id" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  len(list_filter(t, x -> list_contains(['the','and','of','to','a','is'], x))) AS en,
+        |  len(list_filter(t, x -> list_contains(['le','la','et','les','des','dans'], x))) AS fr,
+        |  len(list_filter(t, x -> list_contains(['der','die','und','das','mit','ist'], x))) AS de,
+        |  len(list_filter(t, x -> list_contains(['el','los','que','para','con','una'], x))) AS es
+        |  FROM b)
+        |SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh'
+        |  WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+        |  WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+        |  WHEN de >= es AND de > 0 THEN 'de'
+        |  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM h""".stripMargin,
+    "p_fingerprint" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> ('0x' || substr(md5(t || '#0'), 1, 15))::BIGINT % 1000000007) AS hs
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN len(hs) = 0 THEN NULL
+        |  ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
+        |  END AS fingerprint FROM b""".stripMargin,
+    "p_multimodal_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN unhex('89504E470D0A1A0A')
+        |        ELSE unhex('FFD8FFE0') END || encode(text)) AS payload
+        |  FROM documents)
+        |SELECT doc_id, octet_length(payload) AS n_bytes,
+        |  CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'wav'
+        |       WHEN substr(hex(payload), 9, 8) = '66747970' THEN 'mp4'
+        |       ELSE 'unknown' END AS format,
+        |  md5(hex(payload)) AS checksum
+        |FROM m""".stripMargin,
+    "p_frame_sample" ->
+      """SELECT doc_id,
+        |  unnest(range(0, (doc_id % 10) * 10 + 10, 7)) AS frame_idx
+        |FROM documents""".stripMargin,
     "v_index_search" ->
       """WITH recon AS (
         |  SELECT doc_id, tok, vec

@@ -137,6 +137,23 @@ object GraftKMeans {
     out
   }
 
+  /** Argmax dot product — with L2-normalized centroids (train() output)
+    * this is the cosine-nearest centroid for any input scale. */
+  def nearestCosine(cents: Array[Float], k: Int, dim: Int, vec: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Float.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0f
+      val off = c * dim
+      var i = 0
+      while (i < dim) { s += cents(off + i) * vec(i); i += 1 }
+      if (!s.isNaN && s > bestScore) { best = c; bestScore = s }
+      c += 1
+    }
+    best
+  }
+
   private[index] def nearestEuclidean(
       cents: Array[Float], k: Int, dim: Int, vec: Array[Float]): Int = {
     var best = 0

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * These are greenfield additions over the reference engine (SURVEY §2.9 /
+  * §7 step 7): exact dedup, MinHash+LSH near-dedup, SimHash, and n-gram
+  * Jaccard similarity join. Design rules for 100 TB:
+  *
+  *  - candidate generation is ALWAYS a bucketed equi-join (band hash or
+  *    shared rare shingle) — never an all-pairs crossJoin;
+  *  - every hash is a pure builtin-function expression
+  *    (md5/conv/substr — whole-stage codegen, no UDFs), so the DuckDB
+  *    oracle can replay the exact same bytes;
+  *  - heavy explodes (doc × shingle × permutation) flow through partial
+  *    (map-side) aggregation before any shuffle, so shuffled volume is
+  *    docs × numPerm, not tokens × numPerm.
+  */
+object Dedup {
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5(s + "#" + salt).
+    * Fits a positive BIGINT on both Spark and DuckDB
+    * (`('0x' || substr(md5(..),1,15))::BIGINT`). */
+  def hash60(c: Column, salt: Column): Column =
+    conv(substring(md5(concat(c, lit("#"), salt.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Canonical text normalization for exact dedup: lowercase, trim,
+    * collapse whitespace runs. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedup: group by normalized-text hash, keep the smallest doc id
+    * per group. One shuffle (groupBy hash) with map-side combine. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), md5(normText(col(textCol))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word `n`-gram shingles per doc: `(doc_id, sh)`. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"CASE WHEN size(toks) < $n THEN array() " +
+            s"ELSE transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n))) END"
+        )).as("sh"))
+      .distinct()
+
+  /** MinHash signatures `(doc_id, perm, minhash)`: permutation i's hash of
+    * a shingle is hash60(sh, i); the signature entry is the min over the
+    * doc's shingles. The doc×shingle×perm explode is reduced map-side by
+    * the partial min before the (doc_id, perm) shuffle. */
+  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame =
+    sh
+      .select(col("doc_id"), col("sh"),
+        explode(expr(s"sequence(0, ${numPerm - 1})")).as("perm"))
+      .withColumn("h", hash60(col("sh"), col("perm")))
+      .groupBy("doc_id", "perm")
+      .agg(min("h").as("minhash"))
+
+  /** LSH banding: `(doc_id, band, band_sig)` — band_sig is the md5 of the
+    * comma-joined signature rows of that band (perm order). Docs agreeing
+    * on any full band collide in that band's bucket. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", expr(s"perm div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(perm, minhash))), x -> cast(x.minhash AS string))")
+      )).as("band_sig"))
+
+  /** Candidate pairs from band-bucket collisions: a self equi-join on
+    * (band, band_sig) — the shuffle key is the bucket, so only docs
+    * sharing a bucket ever meet. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given pairs:
+    * `|A ∩ B| / (|A| + |B| − |A ∩ B|)`. Intersections come from an
+    * equi-join on the shingle value restricted to candidate docs. */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dedup: shingle → sign → band → bucket join →
+    * exact-Jaccard verify → threshold. */
+  def minhashDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+    val pairs = candidatePairs(lshBands(minhashSignatures(sh, numPerm), rowsPerBand))
+    jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash fingerprint over unigram term frequencies, `bits` wide
+    * (≤ 62 to stay in a signed BIGINT). Bit b of term-hash contributes
+    * +tf / −tf to component b; the fingerprint sets bits with a positive
+    * component sum. The doc×term×bit explode is reduced map-side. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash60(col("term"), lit(0)))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("bit"),
+        expr("CASE WHEN (h div shiftleft(1L, bit)) % 2 = 1 THEN tf ELSE -tf END").as("c"))
+      .groupBy("doc_id", "bit")
+      .agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("simhash"))
+
+  /** n-gram Jaccard similarity join without LSH: candidates are doc pairs
+    * sharing at least one *rare* shingle (document frequency ≤
+    * `maxShingleDf` — the frequent-shingle cap is the scale guard that
+    * keeps the self-join from going quadratic on stop-shingles), then
+    * exact Jaccard over the full shingle sets. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxShingleDf: Int = 20,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+      .select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val pairs = rareSh.select(col("sh"), col("doc_id").as("a"))
+      .join(rareSh.select(col("sh"), col("doc_id").as("b")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.GraftKMeans
+import graft.operators.Rankers
+
+/** Embedding similarity search over a single-vector-per-row table
+  * `(vec_id: long, embedding: array<float>)`.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline
+  *    (broadcast queries × full scan; linear in corpus size);
+  *  - IVF path ([[buildIvf]] + [[annTopK]]) — the 100 TB path: seeded
+  *    k-means coarse quantizer, per-vector centroid assignment table,
+  *    probe the top-`nProbe` centroids per query and score only those
+  *    partitions' vectors. Candidate volume drops by ~K/nProbe; the
+  *    assignment table is the only shuffle at build, and search is a
+  *    broadcast semi-join (no shuffle of the corpus).
+  *
+  * Doc-vs-doc near-dedup ([[cosineDedupPairs]]) runs every corpus vector
+  * as a query through the IVF path — a bucketed join via the shared
+  * centroid code, never an all-pairs product.
+  */
+object Similarity {
+
+  /** Cosine as a codegen'd builtin expression over float arrays (cast to
+    * double per element — the DuckDB twin does the same). Assumes
+    * pre-normalized or uses full cosine when `normalize`. */
+  private def dotExpr = expr(
+    "aggregate(zip_with(qemb, embedding, (a, b) -> cast(a AS double) * cast(b AS double)), " +
+      "cast(0.0 AS double), (acc, x) -> acc + x)")
+
+  private def normExpr(c: String) = expr(
+    s"sqrt(aggregate($c, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))")
+
+  /** Exact cosine top-k: `queries(query_id, qemb)` × `docs(vec_id,
+    * embedding)`, per-query top-k with deterministic tie-break. */
+  def bruteForceTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries.select("query_id", "qemb"))
+      .crossJoin(docs.select("vec_id", "embedding"))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+    Rankers.topKPerGroup(
+      scored.select("query_id", "vec_id", "cosine"),
+      Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
+  }
+
+  /** IVF build: seeded deterministic k-means over the embeddings +
+    * assignment table `(vec_id, code)`. Returns (centroids, assignDf). */
+  def buildIvf(
+      spark: SparkSession,
+      docs: DataFrame,
+      dim: Int,
+      numCentroids: Int,
+      seed: Long = 42L,
+      iters: Int = 4): (Array[Float], DataFrame) = {
+    import spark.implicits._
+    val tokens = docs.select(col("vec_id").as("doc_id"), lit(0).as("tok"),
+      col("embedding").as("vec"))
+    val centroids = GraftKMeans.train(
+      spark, tokens, dim, numCentroids, iters, seed, maxPointsPerCentroid = 256)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = docs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        val k = cents.length / dim
+        rows.map { case (id, v) =>
+          (id, GraftKMeans.nearestCosine(cents, k, dim, v))
+        }
+      }
+      .toDF("vec_id", "code")
+    (centroids, assign)
+  }
+
+  /** ANN top-k through the IVF: per query score all K centroids (tiny),
+    * keep top-`nProbe` codes, gather candidates via the assignment
+    * table (broadcast probe join), exact cosine only on candidates. */
+  def annTopK(
+      spark: SparkSession,
+      docs: DataFrame,
+      centroids: Array[Float],
+      assign: DataFrame,
+      dim: Int,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select("query_id", "qemb").as[(Long, Array[Float])].collect()
+    val kCent = centroids.length / dim
+    val probed = qs.toSeq.flatMap { case (qid, q) =>
+      val scores = new Array[Float](kCent)
+      var c = 0
+      while (c < kCent) {
+        var s = 0.0f; var i = 0
+        while (i < dim) { s += centroids(c * dim + i) * q(i); i += 1 }
+        scores(c) = s; c += 1
+      }
+      graft.search.Searcher.topNIndices(scores, nProbe).map(code => (qid, code))
+    }.toDF("query_id", "code")
+    val candidates = assign.join(broadcast(probed), "code")
+      .select("query_id", "vec_id")
+    val scored = candidates
+      .join(docs.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(queries.select("query_id", "qemb")), "query_id")
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+    Rankers.topKPerGroup(
+      scored.select("query_id", "vec_id", "cosine"),
+      Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
+  }
+
+  /** Embedding-cosine near-dedup: pairs of corpus vectors sharing an IVF
+    * cell (bucketed self-join on the centroid code) with cosine ≥
+    * `minCosine`. For recall across cell borders raise `numCentroids`
+    * probing via multi-assign; this single-assign form is the standard
+    * scalable first pass. */
+  def cosineDedupPairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      dim: Int,
+      numCentroids: Int,
+      minCosine: Double,
+      seed: Long = 42L): DataFrame = {
+    val (_, assign) = buildIvf(spark, docs, dim, numCentroids, seed)
+    val withEmb = assign.join(docs.select("vec_id", "embedding"), "vec_id")
+    val a = withEmb.select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"))
+    val b = withEmb.select(col("code"), col("vec_id").as("b"), col("embedding"))
+    a.join(b, "code")
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: per-document
+  * statistics, quality scoring, token counting, stopword-marker language
+  * identification, and rolling-hash fingerprinting.
+  *
+  * Everything is built from codegen'd builtin expressions (regexp /
+  * array lambdas) — one narrow projection per doc, no shuffle at all, so
+  * the operators stream at parquet-scan speed at any scale and each has
+  * an exact DuckDB twin.
+  */
+object TextStats {
+
+  /** Marker stopwords per language (distinctive function words; the CJK
+    * script check handles zh). Deterministic priority en>fr>de>es on
+    * ties. */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "mit", "ist"),
+    "es" -> Seq("el", "los", "que", "para", "con", "una")
+  )
+
+  private def toks(textCol: String): Column =
+    expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")
+
+  /** Per-doc statistics: lengths, word counts, character-class ratios,
+    * average word length. All ratios double, rounded for oracle
+    * stability. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("_toks", toks(textCol))
+      .select(
+        col(idCol).as("doc_id"),
+        length(col(textCol)).as("n_chars"),
+        size(col("_toks")).as("n_words"),
+        length(regexp_replace(col(textCol), "[^0-9]", "")).as("n_digits"),
+        length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).as("n_punct"),
+        round(
+          expr("aggregate(_toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
+            greatest(size(col("_toks")), lit(1)).cast("double"), 4)
+          .as("avg_word_len")
+      )
+
+  /** Quality score in [0,1]: length saturation × (1 − punctuation ratio)
+    * × stopword-coverage bonus. A heuristic filter column, replicated
+    * exactly by the oracle. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = Markers("en").map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("_toks", toks(textCol))
+      .select(
+        col(idCol).as("doc_id"),
+        round(
+          least(size(col("_toks")).cast("double") / 50.0, lit(1.0)) *
+            (lit(1.0) - least(
+              length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).cast("double") /
+                greatest(length(col(textCol)), lit(1)).cast("double"),
+              lit(1.0))) *
+            (lit(0.5) + lit(0.5) * least(
+              expr(s"size(filter(_toks, t -> array_contains(array($en), t)))")
+                .cast("double") * 10.0 /
+                greatest(size(col("_toks")), lit(1)).cast("double"),
+              lit(1.0))),
+          4).as("quality")
+      )
+  }
+
+  /** Token counting: whitespace-separated words plus a BPE-ish count
+    * (letter runs, single digits, single punctuation marks — the shape of
+    * byte-pair pretokenizers). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      expr(s"size(regexp_extract_all(`$textCol`, '[^\\\\s]+', 0))").as("n_ws_tokens"),
+      expr(s"size(regexp_extract_all(`$textCol`, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0))")
+        .as("n_bpe_tokens")
+    )
+
+  /** Language identification: CJK script presence → zh, else the marker
+    * list with the most hits (en>fr>de>es priority), else 'und'. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hits(lang: String): Column = {
+      val lst = Markers(lang).map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(_toks, t -> array_contains(array($lst), t)))")
+    }
+    docs
+      .withColumn("_toks", toks(textCol))
+      .withColumn("_cjk",
+        length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")))
+      .withColumn("_en", hits("en")).withColumn("_fr", hits("fr"))
+      .withColumn("_de", hits("de")).withColumn("_es", hits("es"))
+      .select(
+        col(idCol).as("doc_id"),
+        when(col("_cjk") > 0, "zh")
+          .when(col("_en") >= col("_fr") && col("_en") >= col("_de")
+            && col("_en") >= col("_es") && col("_en") > 0, "en")
+          .when(col("_fr") >= col("_de") && col("_fr") >= col("_es")
+            && col("_fr") > 0, "fr")
+          .when(col("_de") >= col("_es") && col("_de") > 0, "de")
+          .when(col("_es") > 0, "es")
+          .otherwise("und").as("lang_pred")
+      )
+  }
+
+  /** Rolling polynomial fingerprint over the word sequence:
+    * fold(h_1, (acc, h_i) -> (acc*31 + h_i) mod 1e9+7) where h_i is the
+    * 60-bit term hash reduced mod 1e9+7. Matches DuckDB's `list_reduce`
+    * no-initial-value fold exactly. Word-order sensitive (unlike the
+    * bag-of-words MinHash), so it fingerprints near-identical prose. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("_hs",
+        expr(s"transform(regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0), " +
+          "t -> cast(conv(substr(md5(concat(t, '#0')), 1, 15), 16, 10) AS bigint) % 1000000007)"))
+      .select(
+        col(idCol).as("doc_id"),
+        when(size(col("_hs")) === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "aggregate(slice(_hs, 2, greatest(size(_hs) - 1, 0)), element_at(_hs, 1), " +
+              "(acc, x) -> (acc * 31 + x) % 1000000007)"))
+          .as("fingerprint")
+      )
+}
