@@ -98,6 +98,25 @@ object SparkEntry {
         .select(col("new_id"), col("doc_id").as("old_id"), col("lang"))
     }),
 
+    // U4: IVF patch-after-append — merging the incoming batch's postings
+    // into the old lists (full-outer join on code, only affected codes
+    // change) must equal the full re-aggregation. Relational twin of the
+    // reference's in-place IVF patch (update.rs:771-1244).
+    "u_append_ivf" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("code"), col("l_orderkey").as("doc_id"))
+      val base = li.filter(col("doc_id") % 10 =!= 0)
+      val incoming = li.filter(col("doc_id") % 10 === 0)
+      val ivfOld = base.groupBy("code").agg(sort_array(collect_set("doc_id")).as("doc_ids"))
+      val newPost = incoming.groupBy("code").agg(sort_array(collect_set("doc_id")).as("new_ids"))
+      ivfOld.join(newPost, Seq("code"), "full_outer")
+        .select(col("code"),
+          array_join(transform(sort_array(array_distinct(concat(
+            coalesce(col("doc_ids"), array().cast("array<bigint>")),
+            coalesce(col("new_ids"), array().cast("array<bigint>"))))),
+            x => x.cast("string")), ",").as("doc_ids"))
+    }),
+
     // ---- S-layer relational shapes ----
     // S2/S8: per-group top-k selection with deterministic tie-break
     "s_topk_window" -> ((s, dir) => {
@@ -360,6 +379,10 @@ object SparkEntry {
       """WITH n AS (SELECT greatest(count(*) - 400, 0) AS ev FROM documents)
         |SELECT doc_id - (SELECT ev FROM n) AS new_id, doc_id AS old_id, lang
         |FROM documents WHERE doc_id >= (SELECT ev FROM n)""".stripMargin,
+    "u_append_ivf" ->
+      """SELECT l_suppkey AS code,
+        |  array_to_string(list_sort(list_distinct(list(l_orderkey))), ',') AS doc_ids
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
     "s_topk_window" ->
       """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

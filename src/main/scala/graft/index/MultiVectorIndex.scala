@@ -68,6 +68,21 @@ object MultiVectorIndex {
 
     val numDocs = docs.count()
     require(numDocs > 0, "empty document set")
+
+    // Keep the raw embeddings while the corpus is small enough for the
+    // start-from-scratch rebuild path (index.rs:964-969, threshold 999);
+    // clear any stale update-lifecycle state from a previous build.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    Seq("buffer", "last_delete_map").foreach { t =>
+      val p = java.nio.file.Paths.get(s"$path/$t")
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+    if (numDocs <= UpdateConfigDefaults.StartFromScratch) {
+      Updater.rewrite(docs.select("doc_id", "embeddings"), s"$path/raw_docs")
+    }
     val dim = docs
       .select(element_at(col("embeddings"), 1).as("v"))
       .limit(1).as[Array[Float]].collect()(0).length

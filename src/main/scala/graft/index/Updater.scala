@@ -1,0 +1,313 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.MetadataOps
+
+/** Incremental index lifecycle — the reference's main write path
+  * (`MmapIndex::update` dispatcher index.rs:1431-1591, append
+  * update.rs:771-1244, outliers update.rs:490-608, centroid expansion
+  * update.rs:621-751, delete delete.rs:66-273, metadata/FTS sync
+  * index.rs:1805-1848), re-expressed over the parquet index tables.
+  *
+  * Table rewrites follow the reference's temp-file + atomic-rename
+  * discipline (utils.rs:16-60): the new version is fully materialized to
+  * `<table>_tmp` (which forces the read of the old version) and then
+  * swapped in. Appends are pure parquet-file additions — no rewrite of
+  * existing data. The IVF "patch" is a merge of the old posting lists
+  * with the new docs' postings (full-outer join on code) — only affected
+  * codes change, exactly like the reference's in-place patch.
+  */
+object UpdateConfigDefaults {
+  /** Reference thresholds (update.rs:75-108). */
+  val StartFromScratch = 999
+  val BufferSize = 100
+}
+
+final case class UpdateConfig(
+    startFromScratch: Int = UpdateConfigDefaults.StartFromScratch,
+    bufferSize: Int = UpdateConfigDefaults.BufferSize,
+    maxPointsPerCentroid: Int = 256,
+    seed: Long = 42L,
+    kmeansIters: Int = 4
+)
+
+object Updater {
+
+  // ---------- filesystem helpers (temp + rename discipline) ----------
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
+  /** Materialize `df` to `<dir>_tmp` (forcing the read of the current
+    * version), then atomically swap it in. */
+  private[index] def rewrite(df: DataFrame, dir: String): Unit = {
+    val tmp = dir + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    deleteRecursively(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir))
+  }
+
+  private def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+
+  private def emptyLongArray = array().cast("array<bigint>")
+
+  // ---------- U2: outlier detection ----------
+
+  /** Tokens whose squared distance to the nearest centroid exceeds
+    * `cluster_threshold²` (update.rs:490-608). `tokens(doc_id, tok,
+    * vec)`. */
+  def findOutliers(spark: SparkSession, tokens: DataFrame, codec: Codec): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codec)
+    val t2 = codec.clusterThreshold * codec.clusterThreshold
+    tokens.select("doc_id", "tok", "vec")
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { rows =>
+        val c = bc.value
+        rows.filter { case (_, _, vec) => c.minDistanceSq(vec) > t2 }
+      }
+      .toDF("doc_id", "tok", "vec")
+  }
+
+  // ---------- U3: centroid expansion ----------
+
+  /** Cluster the outliers with `k = max(1, ceil(n / maxPoints)) * 4`
+    * (update.rs:621-751) and append the new centroids to the codebook.
+    * Existing codes stay valid — the codebook only grows at the end. */
+  def expandCentroids(
+      spark: SparkSession,
+      outliers: DataFrame,
+      codec: Codec,
+      cfg: UpdateConfig): Codec = {
+    val n = outliers.count()
+    if (n == 0) return codec
+    val k = (math.max(1L, (n + cfg.maxPointsPerCentroid - 1) / cfg.maxPointsPerCentroid) * 4)
+      .min(n).toInt
+    val newCents = GraftKMeans.train(
+      spark, outliers, codec.dim, k, cfg.kmeansIters, cfg.seed, cfg.maxPointsPerCentroid)
+    codec.copy(centroids = codec.centroids ++ newCents)
+  }
+
+  // ---------- U4: append ----------
+
+  /** Append `newDocs(doc_id: 0..n-1 local, embeddings)` to the index:
+    * encode with the current codec, add token/doclen/doc_codes rows
+    * (pure file appends), and patch the IVF by merging the new postings
+    * into the affected codes only. */
+  def append(
+      spark: SparkSession,
+      idx: MultiVectorIndex,
+      newDocs: DataFrame,
+      codecOverride: Option[Codec] = None): MultiVectorIndex = {
+    import spark.implicits._
+    val path = idx.path
+    val codec = codecOverride.getOrElse(idx.codec)
+    val offset = idx.numDocuments
+    val nNew = newDocs.count()
+    if (nNew == 0) return idx
+
+    val codecBc = spark.sparkContext.broadcast(codec)
+    val newTokens = newDocs
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        posexplode(col("embeddings")).as(Seq("tok", "vec")))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { rows =>
+        val c = codecBc.value
+        rows.map { case (docId, tok, vec) =>
+          val (code, packed) = c.encode(vec)
+          (docId, tok, code, packed)
+        }
+      }
+      .toDF("doc_id", "tok", "code", "residual")
+      .cache()
+    val nNewTokens = newTokens.count()
+
+    newTokens.write.mode(SaveMode.Append).parquet(s"$path/tokens")
+    newTokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .write.mode(SaveMode.Append).parquet(s"$path/doclens")
+    newTokens.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("tok"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .write.mode(SaveMode.Append).parquet(s"$path/doc_codes")
+
+    // IVF patch: merge new postings into affected codes (update.rs IVF
+    // patch semantics — untouched codes pass through unchanged).
+    val newPost = newTokens.groupBy("code")
+      .agg(sort_array(collect_set("doc_id")).as("new_ids"))
+    val merged = idx.ivf.join(newPost, Seq("code"), "full_outer")
+      .select(col("code"),
+        sort_array(array_distinct(concat(
+          coalesce(col("doc_ids"), emptyLongArray),
+          coalesce(col("new_ids"), emptyLongArray)))).as("doc_ids"))
+    rewrite(merged, s"$path/ivf")
+
+    if (codecOverride.isDefined) MultiVectorIndex.saveCodec(spark, path, codec)
+
+    val m = idx.manifest
+    MultiVectorIndex.writeManifest(path, m ++ Map(
+      "num_documents" -> (offset + nNew).toString,
+      "num_embeddings" -> (m("num_embeddings").toLong + nNewTokens).toString,
+      "num_partitions" -> codec.numCentroids.toString,
+      "avg_doclen" -> ((m("num_embeddings").toLong + nNewTokens).toDouble / (offset + nNew)).toString
+    ))
+    newTokens.unpersist()
+    new MultiVectorIndex(spark, path)
+  }
+
+  // ---------- U5: delete + dense re-sequencing ----------
+
+  /** Remove docs and renumber the survivors densely 0..N-1 in old-id
+    * order — the `_subset_`/FTS alignment invariant (index.rs:1826-1843).
+    * The IVF is regenerated from the renumbered token pairs: in Spark the
+    * re-agg IS the reference's binary-search renumber patch — same
+    * (code, doc) pairs, one shuffle keyed by code. Returns the new index;
+    * the old→new id mapping is written to `<path>/last_delete_map` for
+    * metadata/FTS sync (U7). */
+  def delete(spark: SparkSession, idx: MultiVectorIndex, deleteIds: Seq[Long]): MultiVectorIndex = {
+    import spark.implicits._
+    val path = idx.path
+    val del = deleteIds.toDF("doc_id")
+    val survivors = idx.doclens.select("doc_id")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val numRanges = spark.sessionState.conf.numShufflePartitions
+    val mapping = MetadataOps.denseResequenceScalable(survivors, "doc_id", numRanges)
+      .select(col("doc_id"), col("new_id"))
+    rewrite(mapping, s"$path/last_delete_map")
+    val mapDf = spark.read.parquet(s"$path/last_delete_map")
+
+    val tokens2 = idx.tokens.join(broadcast(mapDf), "doc_id")
+      .select(col("new_id").as("doc_id"), col("tok"), col("code"), col("residual"))
+    rewrite(tokens2, s"$path/tokens")
+    val tokensOut = spark.read.parquet(s"$path/tokens")
+
+    rewrite(idx.doclens.join(broadcast(mapDf), "doc_id")
+      .select(col("new_id").as("doc_id"), col("len")), s"$path/doclens")
+    rewrite(idx.docCodes.join(broadcast(mapDf), "doc_id")
+      .select(col("new_id").as("doc_id"), col("codes")), s"$path/doc_codes")
+    rewrite(tokensOut.groupBy("code")
+      .agg(sort_array(collect_set("doc_id")).as("doc_ids")), s"$path/ivf")
+
+    // buffer + raw docs cleanup (delete.rs:286-430)
+    Seq("buffer", "raw_docs").foreach { t =>
+      if (exists(s"$path/$t")) {
+        rewrite(spark.read.parquet(s"$path/$t").join(broadcast(mapDf), "doc_id")
+          .select(col("new_id").as("doc_id"), col("embeddings")), s"$path/$t")
+      }
+    }
+
+    val nDocs = idx.numDocuments - deleteIds.distinct.length
+    val nEmb = tokensOut.count()
+    val m = idx.manifest
+    MultiVectorIndex.writeManifest(path, m ++ Map(
+      "num_documents" -> nDocs.toString,
+      "num_embeddings" -> nEmb.toString,
+      "avg_doclen" -> (if (nDocs == 0) "0" else (nEmb.toDouble / nDocs).toString)
+    ))
+    new MultiVectorIndex(spark, path)
+  }
+
+  /** U7: apply the index delete's id re-sequencing to a metadata table —
+    * same old→new mapping (join on the id column), so `_subset_` ≡
+    * doc_id stays aligned with the index after [[delete]]. */
+  def syncMetadataDelete(
+      spark: SparkSession, idx: MultiVectorIndex,
+      meta: DataFrame, idCol: String): DataFrame = {
+    val mapDf = spark.read.parquet(s"${idx.path}/last_delete_map")
+      .select(col("doc_id").as(idCol), col("new_id"))
+    meta.join(broadcast(mapDf), idCol)
+      .drop(idCol)
+      .withColumnRenamed("new_id", idCol)
+  }
+
+  // ---------- U1: 3-mode dispatcher ----------
+
+  /** The reference's update dispatcher (index.rs:1431-1591):
+    *  - current index ≤ `startFromScratch` docs → full rebuild from the
+    *    kept raw embeddings plus the new docs (same seed ⇒ identical to
+    *    having built the union directly);
+    *  - buffer not yet full → cheap append (U4) + buffer the new docs;
+    *  - buffer full → drop the buffered docs from the index, expand the
+    *    codebook on the outlier tokens of buffer ∪ new (U2+U3), and
+    *    re-append buffer ∪ new under the expanded codec.
+    */
+  def update(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      cfg: UpdateConfig = UpdateConfig()): MultiVectorIndex = {
+    if (!exists(s"$path/manifest.json")) {
+      return MultiVectorIndex.build(spark, newDocs, path,
+        IndexConfig(seed = cfg.seed, kmeansIters = cfg.kmeansIters,
+          maxPointsPerCentroid = cfg.maxPointsPerCentroid))
+    }
+    val idx = new MultiVectorIndex(spark, path)
+    val n0 = idx.numDocuments
+
+    if (n0 <= cfg.startFromScratch && exists(s"$path/raw_docs")) {
+      // mode 1: full rebuild from raw embeddings (index.rs:964-969)
+      val raw = spark.read.parquet(s"$path/raw_docs")
+      val all = raw.select("doc_id", "embeddings")
+        .unionByName(newDocs.select((col("doc_id") + lit(n0)).as("doc_id"), col("embeddings")))
+      rewrite(all, s"$path/raw_docs_in")
+      val allIn = spark.read.parquet(s"$path/raw_docs_in")
+      val out = MultiVectorIndex.build(spark, allIn, path,
+        IndexConfig(seed = cfg.seed, kmeansIters = cfg.kmeansIters,
+          maxPointsPerCentroid = cfg.maxPointsPerCentroid))
+      deleteRecursively(java.nio.file.Paths.get(s"$path/raw_docs_in"))
+      out
+    } else {
+      val bufPath = s"$path/buffer"
+      val buffered: Option[DataFrame] =
+        if (exists(bufPath)) Some(spark.read.parquet(bufPath)) else None
+      val bufLen = buffered.map(_.count()).getOrElse(0L)
+      val nNew = newDocs.count()
+
+      if (bufLen + nNew < cfg.bufferSize) {
+        // mode 2: cheap append + grow the buffer (update.rs:132-263)
+        val idx2 = append(spark, idx, newDocs)
+        val newGlobal = newDocs.select((col("doc_id") + lit(idx.numDocuments)).as("doc_id"),
+          col("embeddings"))
+        newGlobal.write.mode(SaveMode.Append).parquet(bufPath)
+        idx2
+      } else {
+        // mode 3: buffer full — delete buffered docs, expand centroids on
+        // outliers of buffer ∪ new, re-append everything. The combined
+        // batch is staged to disk FIRST: delete() rewrites the buffer
+        // table, so nothing may lazily read it afterwards.
+        val bufferIds = buffered.map(_.select("doc_id").collect().map(_.getLong(0)).toSeq)
+          .getOrElse(Seq.empty)
+        val bufLocal = buffered.map { b =>
+          // buffered ids were the index suffix: delete keeps earlier ids
+          // stable, so relabel buffer locally 0..bufLen-1 in old order
+          MetadataOps.denseResequenceScalable(
+            b, "doc_id", spark.sessionState.conf.numShufflePartitions)
+            .select(col("new_id").as("doc_id"), col("embeddings"))
+        }
+        val combined = bufLocal match {
+          case Some(b) => b.unionByName(
+            newDocs.select((col("doc_id") + lit(bufLen)).as("doc_id"), col("embeddings")))
+          case None => newDocs.select("doc_id", "embeddings")
+        }
+        rewrite(combined, s"$path/pending")
+        val idxDel = if (bufferIds.nonEmpty) delete(spark, idx, bufferIds) else idx
+        val pending = spark.read.parquet(s"$path/pending")
+        val tokens = pending.select(col("doc_id"),
+          posexplode(col("embeddings")).as(Seq("tok", "vec")))
+        val outliers = findOutliers(spark, tokens, idxDel.codec)
+        val codec2 = expandCentroids(spark, outliers, idxDel.codec, cfg)
+        val idx3 = append(spark, idxDel, pending,
+          codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None)
+        deleteRecursively(java.nio.file.Paths.get(bufPath))
+        deleteRecursively(java.nio.file.Paths.get(s"$path/pending"))
+        idx3
+      }
+    }
+  }
+}

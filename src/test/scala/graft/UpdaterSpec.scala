@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{MultiVectorIndex, UpdateConfig, Updater}
+import graft.search.{SearchParams, Searcher}
+
+/** Incremental update lifecycle (U1-U5, U7), mirroring the reference's
+  * add → search → delete → re-add integration workflows
+  * (next-plaid/tests/filtering_integration.rs). */
+class UpdaterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** 100 multi-vector docs (5 normalized tokens each) from the sf0.001
+    * embeddings fixture. */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") / 5).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+      .cache()
+  }
+
+  private def freshPath(name: String): String = {
+    val p = s"/tmp/graft_upd_$name"
+    val dir = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    p
+  }
+
+  private def exhaustive = SearchParams(
+    topK = 1, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+    centroidScoreThreshold = None)
+
+  private def top1(idx: MultiVectorIndex, queryDocs: DataFrame): Map[Long, Long] =
+    new Searcher(idx).search(queryDocs, exhaustive)
+      .select("query_id", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def tokenSet(idx: MultiVectorIndex): Set[(Long, Int, Int, Seq[Byte])] =
+    idx.tokens.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq))
+      .toSet
+
+  private def ivfMatchesTokens(idx: MultiVectorIndex): Unit = {
+    val expect = idx.tokens.groupBy("code")
+      .agg(sort_array(collect_set("doc_id")).as("doc_ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val got = idx.ivf.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got === expect)
+  }
+
+  test("U1 rebuild mode: updating a small index equals building the union directly") {
+    val pathA = freshPath("rebuild_a")
+    val pathB = freshPath("rebuild_b")
+    val d90 = docs.filter(col("doc_id") < 90)
+    val d10 = docs.filter(col("doc_id") >= 90)
+      .withColumn("doc_id", col("doc_id") - 90)
+    MultiVectorIndex.build(spark, d90, pathA)
+    val updated = Updater.update(spark, pathA, d10)
+    val direct = MultiVectorIndex.build(spark, docs, pathB)
+    assert(updated.numDocuments === 100L)
+    assert(tokenSet(updated) === tokenSet(direct))
+    ivfMatchesTokens(updated)
+  }
+
+  test("U1 append+buffer then expansion: docs stay searchable through both modes") {
+    val path = freshPath("buffer")
+    val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 6)
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 50), path)
+
+    // mode 2: cheap append (4 < bufferSize)
+    val batch1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 54)
+      .withColumn("doc_id", col("doc_id") - 50)
+    val idx1 = Updater.update(spark, path, batch1, cfg)
+    assert(idx1.numDocuments === 54L)
+    assert(spark.read.parquet(s"$path/buffer").count() === 4L)
+    // appended docs are immediately searchable under their global ids
+    val q1 = docs.filter(col("doc_id") === 52)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx1, q1) === Map(52L -> 52L))
+    ivfMatchesTokens(idx1)
+
+    // mode 3: buffer full (4 + 4 >= 6) -> delete buffered, expand, re-append
+    val batch2 = docs.filter(col("doc_id") >= 54 && col("doc_id") < 58)
+      .withColumn("doc_id", col("doc_id") - 54)
+    val idx2 = Updater.update(spark, path, batch2, cfg)
+    assert(idx2.numDocuments === 58L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/buffer")))
+    val q2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 58)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx2, q2) === (50L until 58L).map(i => i -> i).toMap)
+    ivfMatchesTokens(idx2)
+  }
+
+  test("U2/U3: outliers of far-away vectors trigger centroid expansion") {
+    val path = freshPath("expand")
+    import spark.implicits._
+    val idx = MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 50), path)
+    val k0 = idx.codec.numCentroids
+    // a token orthogonal-ish to the corpus: one-hot on the last dim
+    val far = Array.fill(64)(0.0f); far(63) = 1.0f
+    val farTokens = Seq((0L, 0, far)).toDF("doc_id", "tok", "vec")
+    val outliers = Updater.findOutliers(spark, farTokens, idx.codec)
+    val expanded = Updater.expandCentroids(spark, outliers, idx.codec, UpdateConfig())
+    if (outliers.count() > 0) {
+      assert(expanded.numCentroids > k0)
+      // old prefix unchanged — existing codes stay valid
+      assert(expanded.centroids.take(k0 * 64).toSeq === idx.codec.centroids.toSeq)
+    } else {
+      assert(expanded.numCentroids === k0)
+    }
+  }
+
+  test("U5 delete renumbers densely and keeps search + IVF consistent; U7 syncs metadata") {
+    import spark.implicits._
+    val path = freshPath("delete")
+    val idx0 = MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 20), path)
+    val idx1 = Updater.delete(spark, idx0, Seq(3L, 7L, 15L))
+    assert(idx1.numDocuments === 17L)
+    val ids = idx1.doclens.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 17L))
+    ivfMatchesTokens(idx1)
+
+    // old doc 4 is new doc 3 (one deleted id below it)
+    val q = docs.filter(col("doc_id") === 4)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx1, q) === Map(4L -> 3L))
+
+    // U7: metadata follows the same mapping
+    val meta = (0L until 20L).map(i => (i, s"title_$i")).toDF("doc_id", "title")
+    val synced = Updater.syncMetadataDelete(spark, idx1, meta, "doc_id")
+    assert(synced.count() === 17L)
+    val m = synced.collect().map(r => r.getAs[String]("title") -> r.getAs[Long]("doc_id")).toMap
+    assert(m("title_4") === 3L)
+    assert(m("title_19") === 16L)
+    assert(!m.contains("title_3") && !m.contains("title_7") && !m.contains("title_15"))
+  }
+
+  test("delete then re-add keeps the dense-id invariant (integration cycle)") {
+    val path = freshPath("cycle")
+    val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 30), path)
+    val idx1 = Updater.delete(spark, new MultiVectorIndex(spark, path), Seq(0L, 29L))
+    assert(idx1.numDocuments === 28L)
+    val readd = docs.filter(col("doc_id") < 2) // any two docs, local ids 0,1
+    val idx2 = Updater.update(spark, path, readd, cfg)
+    assert(idx2.numDocuments === 30L)
+    val ids = idx2.doclens.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 30L))
+    ivfMatchesTokens(idx2)
+  }
+}
