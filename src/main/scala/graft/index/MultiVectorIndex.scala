@@ -12,7 +12,11 @@ final case class IndexConfig(
     maxPointsPerCentroid: Int = 256,
     seed: Long = 42L,
     numPartitionsOverride: Option[Int] = None,
-    heldoutMax: Int = 50000
+    heldoutMax: Int = 50000,
+    /** E3 hierarchical (Ward) pooling factor applied to each doc's token
+      * bag before encoding (next-plaid-onnx pool_document_embeddings);
+      * 1 = off. */
+    poolFactor: Int = 1
 )
 
 /** A multi-vector (late-interaction) index as a set of parquet tables:
@@ -66,29 +70,33 @@ object MultiVectorIndex {
   ): MultiVectorIndex = {
     import spark.implicits._
 
-    val numDocs = docs.count()
+    // E3: optional Ward pooling of each doc's token bag (partition-local,
+    // no shuffle; the rebuild path re-pools from the already-pooled raw
+    // docs, which is a no-op at the same factor).
+    val docsIn =
+      if (cfg.poolFactor <= 1) docs
+      else docs.select("doc_id", "embeddings")
+        .as[(Long, Array[Array[Float]])]
+        .map { case (id, emb) => (id, graft.core.Ward.poolDocument(emb, cfg.poolFactor)) }
+        .toDF("doc_id", "embeddings")
+
+    val numDocs = docsIn.count()
     require(numDocs > 0, "empty document set")
 
     // Keep the raw embeddings while the corpus is small enough for the
     // start-from-scratch rebuild path (index.rs:964-969, threshold 999);
     // clear any stale update-lifecycle state from a previous build.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    Seq("buffer", "last_delete_map").foreach { t =>
-      val p = java.nio.file.Paths.get(s"$path/$t")
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-      }
-    }
+    Seq("buffer", "last_delete_map").foreach(t => graft.util.Fs.deleteRecursively(s"$path/$t"))
     if (numDocs <= UpdateConfigDefaults.StartFromScratch) {
-      Updater.rewrite(docs.select("doc_id", "embeddings"), s"$path/raw_docs")
+      graft.util.Fs.rewrite(docsIn.select("doc_id", "embeddings"), s"$path/raw_docs")
     }
     val dim = docs
       .select(element_at(col("embeddings"), 1).as("v"))
       .limit(1).as[Array[Float]].collect()(0).length
 
     // Token table (narrow explode; no shuffle).
-    val tokens = docs
+    val tokens = docsIn
       .select(col("doc_id"), posexplode(col("embeddings")).as(Seq("tok", "vec")))
       .cache()
     val numTokens = tokens.count()

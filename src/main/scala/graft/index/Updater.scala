@@ -35,26 +35,7 @@ final case class UpdateConfig(
 
 object Updater {
 
-  // ---------- filesystem helpers (temp + rename discipline) ----------
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
-  }
-
-  /** Materialize `df` to `<dir>_tmp` (forcing the read of the current
-    * version), then atomically swap it in. */
-  private[index] def rewrite(df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir))
-  }
-
-  private def exists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+  import graft.util.Fs.{deleteRecursively, exists, rewrite}
 
   private def emptyLongArray = array().cast("array<bigint>")
 
@@ -260,7 +241,7 @@ object Updater {
       val out = MultiVectorIndex.build(spark, allIn, path,
         IndexConfig(seed = cfg.seed, kmeansIters = cfg.kmeansIters,
           maxPointsPerCentroid = cfg.maxPointsPerCentroid))
-      deleteRecursively(java.nio.file.Paths.get(s"$path/raw_docs_in"))
+      deleteRecursively(s"$path/raw_docs_in")
       out
     } else {
       val bufPath = s"$path/buffer"
@@ -304,8 +285,8 @@ object Updater {
         val codec2 = expandCentroids(spark, outliers, idxDel.codec, cfg)
         val idx3 = append(spark, idxDel, pending,
           codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None)
-        deleteRecursively(java.nio.file.Paths.get(bufPath))
-        deleteRecursively(java.nio.file.Paths.get(s"$path/pending"))
+        deleteRecursively(bufPath)
+        deleteRecursively(s"$path/pending")
         idx3
       }
     }

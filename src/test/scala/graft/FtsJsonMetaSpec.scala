@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fts.FtsIndex
+import graft.meta.JsonMeta
+
+/** F3 persisted-FTS lifecycle (build/search/delete/update_rows/rebuild,
+  * mirroring fts_integration.rs:45-425), F1 metadata_to_text, and M1/M2
+  * JSON metadata create/append with schema evolution. */
+class FtsJsonMetaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def fresh(name: String): String = {
+    val p = s"/tmp/graft_fts_test_$name"
+    graft.util.Fs.deleteRecursively(p)
+    p
+  }
+
+  test("FTS lifecycle: build, search, delete+renumber, update_rows, rebuild") {
+    val d = docsDf(
+      0L -> "spark joins big tables",
+      1L -> "duck ponds and rivers",
+      2L -> "spark streams and rivers",
+      3L -> "unrelated words entirely")
+    val path = fresh("life")
+    val idx = FtsIndex.build(spark, d, "doc_id", "text", path)
+    assert(graft.util.Fs.exists(s"$path/postings"))
+
+    val hits = idx.search("spark", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(0L, 2L))
+
+    // delete doc 1 -> ids renumber densely (2->1, 3->2)
+    val idx2 = FtsIndex.delete(idx, Seq(1L))
+    val ids = idx2.doclens.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(0L, 1L, 2L))
+    val hits2 = idx2.search("rivers", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits2 === Set(1L)) // old doc 2 under its new id
+
+    // update_rows: rewrite doc 0's text; old terms gone, new terms found
+    val idx3 = FtsIndex.updateRows(idx2, docsDf(0L -> "completely fresh content"), "doc_id", "text")
+    assert(idx3.search("joins", topK = 10).count() === 0)
+    assert(idx3.search("fresh", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L))
+
+    // rebuild from source equals a fresh build
+    val src = docsDf(0L -> "completely fresh content", 1L -> "spark streams and rivers",
+      2L -> "unrelated words entirely")
+    val idx4 = FtsIndex.rebuild(idx3, src, "doc_id", "text")
+    val fresh2 = FtsIndex.build(spark, src, "doc_id", "text", fresh("life_b"))
+    val p1 = idx4.postings.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val p2 = fresh2.postings.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(p1 === p2)
+  }
+
+  test("metadataToText concatenates string/number leaves recursively in field order") {
+    assert(FtsIndex.metadataToText("""{"a": "x", "b": {"c": 2, "d": [3, "y"]}}""") === "x 2 3 y")
+    assert(FtsIndex.metadataToText("""{"k": 69}""") === "69")
+    assert(FtsIndex.metadataToText("""{"flag": true, "n": null, "s": "hi"}""") === "hi")
+    assert(FtsIndex.metadataToText(null) === null)
+    assert(FtsIndex.metadataToText("not json") === "")
+  }
+
+  test("JsonMeta.create infers types per the reference mapping and assigns dense ids") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, """{"name": "a", "n": 1, "x": 1.5, "ok": true, "nested": {"k": 1}}"""),
+      (20L, """{"name": "b", "n": 2, "x": 2.5, "ok": false, "nested": {"k": 2}}""")
+    ).toDF("order", "json")
+    val out = JsonMeta.create(spark, rows)
+    val schema = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("n") === "long")
+    assert(schema("x") === "double")
+    assert(schema("ok") === "long")     // bool -> INTEGER per filtering.rs:634-650
+    assert(schema("nested") === "string") // object -> JSON text
+    assert(schema("_subset_") === "long")
+    val r = out.orderBy("_subset_").collect()
+    assert(r.map(_.getAs[Long]("_subset_")).toSeq === Seq(0L, 1L))
+    assert(r(0).getAs[Long]("ok") === 1L)
+    assert(r(1).getAs[Long]("ok") === 0L)
+    assert(r(0).getAs[String]("nested") === """{"k":1}""")
+  }
+
+  test("JsonMeta.append auto-adds new columns and widens long to double") {
+    import spark.implicits._
+    val base = JsonMeta.create(spark,
+      Seq((1L, """{"a": 1, "b": "x"}"""), (2L, """{"a": 2, "b": "y"}""")).toDF("order", "json"))
+    val appended = JsonMeta.append(spark, base,
+      Seq((3L, """{"a": 2.5, "b": "z", "c": 7}""")).toDF("order", "json"))
+    val schema = appended.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("a") === "double") // long widened to double
+    assert(schema("c") === "long")   // auto-added column
+    val rows = appended.orderBy("_subset_").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("_subset_")).toSeq === Seq(0L, 1L, 2L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("c"))) // null for pre-existing rows
+    assert(rows(2).getAs[Long]("c") === 7L)
+    assert(rows(2).getAs[Double]("a") === 2.5)
+  }
+}
