@@ -360,6 +360,21 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx").cast("long"))
     }),
 
+    // C6: colgrep ranking boosts/penalties as pure column math — path
+    // class penalty (tests .30 / compat .50 / examples .70), path-stem
+    // and definition-name boosts (ranking.rs:32-39, 191-384)
+    "c6_path_penalty" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("path",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("tests/"), col("source"), lit(".py")))
+          .when(pmod(col("doc_id"), lit(7)) === 0, concat(lit("examples/"), col("source"), lit(".py")))
+          .when(pmod(col("doc_id"), lit(11)) === 0, concat(lit("compat/"), col("source"), lit(".py")))
+          .otherwise(concat(lit("src/"), col("source"), lit(".py"))))
+      d.select(col("doc_id"), col("path"),
+        round(col("n_chars") * Rankers.pathPenalty(col("path")), 2).as("penalized"),
+        round(Rankers.pathStemBoost(Seq("src3", "spark"), col("path")) *
+          Rankers.definitionNameBoost(Seq("src5"), col("source")), 3).as("boost"))
+    }),
+
     // ---- streaming shape: tumbling-window aggregation over events ----
     "st_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -741,6 +756,20 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    "c6_path_penalty" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'tests/' || source || '.py'
+        |       WHEN doc_id % 7 = 0 THEN 'examples/' || source || '.py'
+        |       WHEN doc_id % 11 = 0 THEN 'compat/' || source || '.py'
+        |       ELSE 'src/' || source || '.py' END AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        |  round(n_chars * CASE WHEN doc_id % 5 = 0 THEN 0.30
+        |    WHEN doc_id % 7 = 0 THEN 0.70
+        |    WHEN doc_id % 11 = 0 THEN 0.50 ELSE 1.0 END, 2) AS penalized,
+        |  round(CASE WHEN source = 'src3' THEN 1.25 ELSE 1.0 END *
+        |        CASE WHEN source = 'src5' THEN 1.5 ELSE 1.0 END, 3) AS boost
+        |FROM d""".stripMargin,
     "st_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value

@@ -52,4 +52,45 @@ object Hybrid {
 
   /** F9 over-fetch rule for hybrid mode (handlers/search.rs:289-293). */
   def fetchK(topK: Int): Int = topK * 3
+
+  /** C5 over-fetch rule for code search (colgrep/src/index/mod.rs:
+    * 4111-4114): fetch_k = min(max(20·top_k, 200), N). */
+  def fetchKCode(topK: Int, numDocs: Long): Int =
+    math.min(math.max(20L * topK, 200L), numDocs).toInt
+
+  // ---- grouped (per-query) variants for batched hybrid search ----
+
+  /** F7 RRF per query: inputs `(query_id, doc_id, rank)`. */
+  def rrfGrouped(sem: DataFrame, kw: DataFrame, alpha: Double, topK: Int): DataFrame = {
+    val s = sem.select(col("query_id"), col("doc_id"),
+      (lit(alpha) / (lit(RrfK) + col("rank"))).as("s_sem"))
+    val k = kw.select(col("query_id"), col("doc_id"),
+      (lit(1.0 - alpha) / (lit(RrfK) + col("rank"))).as("s_kw"))
+    val fused = s.join(k, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score", coalesce(col("s_sem"), lit(0.0)) + coalesce(col("s_kw"), lit(0.0)))
+      .select("query_id", "doc_id", "score")
+    graft.operators.Rankers.topKPerGroup(fused, Seq(col("query_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
+
+  /** F8 relative-score fusion per query: inputs `(query_id, doc_id,
+    * score)`, min-max normalized within each query's list. */
+  def relativeScoreGrouped(sem: DataFrame, kw: DataFrame, alpha: Double, topK: Int): DataFrame = {
+    def norm(list: DataFrame, out: String): DataFrame = {
+      val stats = list.groupBy("query_id")
+        .agg(min("score").as("_min"), max("score").as("_max"))
+      list.join(stats, "query_id")
+        .withColumn(out,
+          when(col("_max") === col("_min"), lit(1.0))
+            .otherwise((col("score") - col("_min")) / (col("_max") - col("_min"))))
+        .select(col("query_id"), col("doc_id"), col(out))
+    }
+    val fused = norm(sem, "s_sem").join(norm(kw, "s_kw"), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        lit(alpha) * coalesce(col("s_sem"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("s_kw"), lit(0.0)))
+      .select("query_id", "doc_id", "score")
+    graft.operators.Rankers.topKPerGroup(fused, Seq(col("query_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
 }

@@ -45,6 +45,22 @@ object MetadataOps {
     limit.map(out.limit).getOrElse(out)
   }
 
+  /** M5 hydration (`get` with row_to_json_value, filtering.rs:2374-2425):
+    * rows rendered as JSON objects — binary columns become base64 (Spark's
+    * JSON writer does exactly the reference's BLOB→base64), nested values
+    * stay JSON. Returns `(idCol, json)`. */
+  def getJson(
+      df: DataFrame,
+      idCol: String,
+      cond: Option[(String, Seq[Where.Param])],
+      ids: Option[Seq[Long]],
+      limit: Option[Int]
+  ): DataFrame = {
+    val rows = get(df, idCol, cond, ids, limit)
+    rows.select(col(idCol),
+      to_json(struct(rows.columns.map(col): _*)).as("json"))
+  }
+
   /** M6 `get_distinct_strings`: distinct non-null values of a column. */
   def distinctStrings(df: DataFrame, column: String): DataFrame =
     df.select(col(column)).where(col(column).isNotNull).distinct()
