@@ -633,8 +633,9 @@ object SparkEntry {
         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
         |  WHERE df <= 20 AND df >= 2),
         |rs AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM rs x JOIN rs y USING (sh) WHERE x.doc_id < y.doc_id),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM rs x JOIN rs y USING (sh) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh

@@ -143,17 +143,22 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, maxShingleDf: Int = 20,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, minSharedRare: Int = 2): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleSize)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
       .select("sh")
     val rareSh = sh.join(rare, "sh")
+    // candidates must share ≥ minSharedRare rare shingles: one shared
+    // shingle admits far too many incidental pairs at scale (a 4×
+    // wall-clock cliff at sf0.1), while true near-dups share dozens
     val pairs = rareSh.select(col("sh"), col("doc_id").as("a"))
       .join(rareSh.select(col("sh"), col("doc_id").as("b")), "sh")
       .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minSharedRare)
       .select("a", "b")
-      .distinct()
     jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
   }
 }

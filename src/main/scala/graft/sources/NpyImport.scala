@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Codec, MultiVectorIndex}
+
+/** B11: import a reference-format (fast-plaid / nextplaid) index
+  * directory into the parquet layout (mmap.rs:1757-1889 conversion,
+  * dtype handling mmap.rs:428-658; directory contract index.rs:373-528).
+  *
+  * The `.npy` format is the public NumPy spec: `\x93NUMPY` magic, a
+  * Python-dict header with descr/fortran_order/shape, then raw
+  * little-endian data. Supported dtypes mirror the reference loaders:
+  * f4, f2 (→f32), i8/i4 (→long), u1.
+  */
+object NpyImport {
+
+  final case class Npy(shape: Seq[Int], descr: String, data: ByteBuffer)
+
+  def readNpy(path: String): Npy = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    require(bytes.length > 10 && bytes(0) == 0x93.toByte &&
+      new String(bytes, 1, 5, "ASCII") == "NUMPY", s"not an npy file: $path")
+    val major = bytes(6)
+    val (headerLen, headerOff) =
+      if (major == 1) (ByteBuffer.wrap(bytes, 8, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt, 10)
+      else (ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt, 12)
+    val header = new String(bytes, headerOff, headerLen, "ASCII")
+    val descr = "'descr'\\s*:\\s*'([^']+)'".r.findFirstMatchIn(header).get.group(1)
+    val fortran = "'fortran_order'\\s*:\\s*(True|False)".r
+      .findFirstMatchIn(header).get.group(1) == "True"
+    require(!fortran, s"fortran_order unsupported: $path")
+    val shape = "'shape'\\s*:\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header).get.group(1)
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val data = ByteBuffer.wrap(bytes, headerOff + headerLen,
+      bytes.length - headerOff - headerLen).order(ByteOrder.LITTLE_ENDIAN)
+    Npy(shape, descr.stripPrefix("<").stripPrefix("|"), data)
+  }
+
+  /** IEEE 754 half → float (the reference's f16 conversion path). */
+  private def halfToFloat(h: Short): Float = {
+    val sign = (h >> 15) & 1
+    val exp = (h >> 10) & 0x1f
+    val frac = h & 0x3ff
+    val f =
+      if (exp == 0) math.pow(2, -14) * (frac / 1024.0)
+      else if (exp == 0x1f) { if (frac == 0) Double.PositiveInfinity else Double.NaN }
+      else math.pow(2, exp - 15) * (1.0 + frac / 1024.0)
+    (if (sign == 1) -f else f).toFloat
+  }
+
+  def floats(npy: Npy): Array[Float] = {
+    val n = npy.shape.product
+    val out = new Array[Float](n)
+    val buf = npy.data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    npy.descr match {
+      case "f4" => var i = 0; while (i < n) { out(i) = buf.getFloat; i += 1 }
+      case "f2" => var i = 0; while (i < n) { out(i) = halfToFloat(buf.getShort); i += 1 }
+      case d    => throw new IllegalArgumentException(s"dtype $d not a float type")
+    }
+    out
+  }
+
+  def longs(npy: Npy): Array[Long] = {
+    val n = npy.shape.product
+    val out = new Array[Long](n)
+    val buf = npy.data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    npy.descr match {
+      case "i8" => var i = 0; while (i < n) { out(i) = buf.getLong; i += 1 }
+      case "i4" => var i = 0; while (i < n) { out(i) = buf.getInt.toLong; i += 1 }
+      case d    => throw new IllegalArgumentException(s"dtype $d not an int type")
+    }
+    out
+  }
+
+  def bytes2d(npy: Npy): Array[Array[Byte]] = {
+    require(npy.descr == "u1", s"expected u1, got ${npy.descr}")
+    require(npy.shape.length == 2, "expected 2-d residuals")
+    val Seq(rows, cols) = npy.shape
+    val buf = npy.data.duplicate()
+    Array.fill(rows) { val r = new Array[Byte](cols); buf.get(r); r }
+  }
+
+  /** Write an npy (v1) file — used by round-trip tests and export. */
+  def writeNpy(path: String, descr: String, shape: Seq[Int], payload: Array[Byte]): Unit = {
+    val shapeStr =
+      if (shape.length == 1) s"(${shape.head},)" else shape.mkString("(", ", ", ")")
+    var header = s"{'descr': '<$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val total = 10 + header.length + 1
+    val pad = (64 - total % 64) % 64
+    header = header + (" " * pad) + "\n"
+    val out = ByteBuffer.allocate(10 + header.length + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0x93.toByte).put("NUMPY".getBytes("ASCII")).put(1.toByte).put(0.toByte)
+    out.putShort(header.length.toShort).put(header.getBytes("ASCII")).put(payload)
+    Files.write(Paths.get(path), out.array())
+  }
+
+  /** Import a reference index directory (centroids/cutoffs/weights/
+    * avg_residual/cluster_threshold npy, per-chunk codes/residuals npy +
+    * doclens json, plan.json) into the parquet index layout at
+    * `outPath`. Returns the imported index. */
+  def importIndex(spark: SparkSession, refDir: String, outPath: String): MultiVectorIndex = {
+    import spark.implicits._
+    val mapper = MultiVectorIndex.jsonMapper
+
+    val centroids = floats(readNpy(s"$refDir/centroids.npy"))
+    val centShape = readNpy(s"$refDir/centroids.npy").shape
+    val dim = centShape(1)
+    val cutoffs = floats(readNpy(s"$refDir/bucket_cutoffs.npy"))
+    val weights = floats(readNpy(s"$refDir/bucket_weights.npy"))
+    val avgResidual = floats(readNpy(s"$refDir/avg_residual.npy"))
+    val threshold = floats(readNpy(s"$refDir/cluster_threshold.npy"))(0)
+    val plan = mapper.readTree(Files.readAllBytes(Paths.get(s"$refDir/plan.json")))
+    val nbits = plan.get("nbits").asInt()
+    val numChunks = plan.get("num_chunks").asInt()
+
+    val codec = Codec(dim, centroids,
+      new graft.core.Quantizer(nbits, cutoffs, weights), avgResidual, threshold)
+    MultiVectorIndex.saveCodec(spark, outPath, codec)
+
+    // chunks: doc ids are dense in chunk order; token rows carry the
+    // packed residual bytes unchanged
+    var docOffset = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Array[Byte])]
+    (0 until numChunks).foreach { k =>
+      val codes = longs(readNpy(s"$refDir/$k.codes.npy"))
+      val residuals = bytes2d(readNpy(s"$refDir/$k.residuals.npy"))
+      val doclens = {
+        val node = mapper.readTree(Files.readAllBytes(Paths.get(s"$refDir/doclens.$k.json")))
+        Array.tabulate(node.size())(i => node.get(i).asLong())
+      }
+      var t = 0
+      doclens.zipWithIndex.foreach { case (len, d) =>
+        var tok = 0
+        while (tok < len) {
+          rows += ((docOffset + d, tok, codes(t).toInt, residuals(t)))
+          t += 1; tok += 1
+        }
+      }
+      docOffset += doclens.length
+    }
+    val tokens = rows.toSeq.toDF("doc_id", "tok", "code", "residual")
+    tokens
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .sortWithinPartitions("doc_id", "tok")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/tokens")
+    val tokensOut = spark.read.parquet(s"$outPath/tokens")
+    tokensOut.groupBy("code").agg(sort_array(collect_set("doc_id")).as("doc_ids"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/ivf")
+    tokensOut.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/doclens")
+    tokensOut.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("tok"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/doc_codes")
+    MultiVectorIndex.writeManifest(outPath, Map(
+      "nbits" -> nbits.toString,
+      "embedding_dim" -> dim.toString,
+      "num_documents" -> docOffset.toString,
+      "num_embeddings" -> rows.length.toString,
+      "num_partitions" -> (centroids.length / dim).toString,
+      "avg_doclen" -> (if (docOffset == 0) "0" else (rows.length.toDouble / docOffset).toString),
+      "seed" -> "42"))
+    new MultiVectorIndex(spark, outPath)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CodeUnits
+import graft.search.SearchParams
+import graft.sources.NpyImport
+
+/** C1/C2/C7/C8 colgrep application operators and B11 npy index import. */
+class CodeUnitsNpySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val pySource =
+    """import os
+      |
+      |MAX_SIZE = 100
+      |
+      |def parse_header(data):
+      |    check(data)
+      |    return data[0]
+      |
+      |class Reader:
+      |    def read(self):
+      |        return parse_header(self.buf)
+      |""".stripMargin
+
+  test("C1: extractUnits finds functions, classes, constants with line spans and calls") {
+    val units = CodeUnits.extractUnits("lib/io/FileReader.py", pySource)
+    val byName = units.map(u => u.name -> u).toMap
+    assert(byName.contains("MAX_SIZE") && byName("MAX_SIZE").kind === "constant")
+    assert(byName("parse_header").kind === "function")
+    assert(byName("parse_header").calls.contains("check"))
+    assert(byName("Reader").kind === "class")
+    assert(byName("parse_header").startLine === 5)
+    assert(units.forall(u => u.endLine >= u.startLine))
+    // no definitions -> one raw_code unit
+    val raw = CodeUnits.extractUnits("notes.txt", "just some text\nmore")
+    assert(raw.length === 1 && raw.head.kind === "raw_code")
+  }
+
+  test("C2: embedText builds the header form and normalizes the path") {
+    val u = CodeUnits.extractUnits("lib/io/FileReader.py", pySource)
+      .find(_.name == "parse_header").get
+    val txt = CodeUnits.embedText(u)
+    assert(txt.startsWith("# Function: parse_header\n"))
+    assert(txt.contains("Calls: check"))
+    assert(txt.contains("File: lib io File Reader py"))
+    assert(txt.contains("def parse_header"))
+    // raw code units are code-only (embed.rs:115-119)
+    val raw = CodeUnits.extractUnits("notes.txt", "plain text").head
+    assert(CodeUnits.embedText(raw) === "plain text")
+  }
+
+  test("C7: diffState detects new, changed, and deleted files") {
+    import spark.implicits._
+    val files = Seq(("a.py", "v2"), ("b.py", "same"), ("new.py", "x")).toDF("path", "source")
+    val state = Seq(("a.py", "v1"), ("b.py", "same"), ("gone.py", "y"))
+      .toDF("path", "source")
+      .select(col("path"), xxhash64(col("source")).as("content_hash"))
+    val (changed, deleted) = CodeUnits.diffState(files, state)
+    assert(changed.select("path").collect().map(_.getString(0)).toSet === Set("a.py", "new.py"))
+    assert(deleted.collect().map(_.getString(0)).toSet === Set("gone.py"))
+  }
+
+  test("C8: env overrides map onto SearchParams") {
+    val p = CodeUnits.envSearchParams(SearchParams(), Map(
+      "COLGREP_N_IVF_PROBE" -> "32",
+      "COLGREP_N_FULL_SCORES" -> "8192",
+      "COLGREP_CENTROID_SCORE_THRESHOLD" -> "0.25"))
+    assert(p.nIvfProbe === 32 && p.nFullScores === 8192)
+    assert(p.centroidScoreThreshold === Some(0.25f))
+    val unchanged = CodeUnits.envSearchParams(SearchParams(), Map.empty)
+    assert(unchanged === SearchParams())
+  }
+
+  test("B11: npy round-trip and reference-layout index import searches identically") {
+    import spark.implicits._
+    // npy scalar round-trips
+    val f = Array(1.5f, -2.25f, 0.0f)
+    val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    f.foreach(bb.putFloat)
+    NpyImport.writeNpy("/tmp/graft_t.npy", "f4", Seq(3), bb.array())
+    assert(NpyImport.floats(NpyImport.readNpy("/tmp/graft_t.npy")).toSeq === f.toSeq)
+
+    // build a small index, export its artifacts in the reference npy/json
+    // layout, re-import, and compare search results
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") / 5).cast("long").as("doc_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+      .filter(col("doc_id") < 20)
+    val srcPath = "/tmp/graft_npy_src"
+    val refDir = "/tmp/graft_npy_ref"
+    val impPath = "/tmp/graft_npy_imp"
+    Seq(srcPath, refDir, impPath).foreach(graft.util.Fs.deleteRecursively)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(refDir))
+    val idx = graft.index.MultiVectorIndex.build(spark, docs, srcPath)
+    val codec = idx.codec
+    val dim = codec.dim
+
+    def writeFloats(name: String, arr: Array[Float], shape: Seq[Int]): Unit = {
+      val b = java.nio.ByteBuffer.allocate(arr.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      arr.foreach(b.putFloat)
+      NpyImport.writeNpy(s"$refDir/$name", "f4", shape, b.array())
+    }
+    writeFloats("centroids.npy", codec.centroids, Seq(codec.numCentroids, dim))
+    writeFloats("bucket_cutoffs.npy", codec.quantizer.bucketCutoffs,
+      Seq(codec.quantizer.bucketCutoffs.length))
+    writeFloats("bucket_weights.npy", codec.quantizer.bucketWeights,
+      Seq(codec.quantizer.bucketWeights.length))
+    writeFloats("avg_residual.npy", codec.avgResidual, Seq(dim))
+    writeFloats("cluster_threshold.npy", Array(codec.clusterThreshold), Seq(1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$refDir/plan.json"),
+      s"""{"nbits": ${codec.quantizer.nbits}, "num_chunks": 1}""".getBytes)
+
+    val toks = idx.tokens.orderBy("doc_id", "tok").collect()
+    val codes = toks.map(_.getInt(2).toLong)
+    val cb = java.nio.ByteBuffer.allocate(codes.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    codes.foreach(cb.putLong)
+    NpyImport.writeNpy(s"$refDir/0.codes.npy", "i8", Seq(codes.length), cb.array())
+    val resRows = toks.map(_.getAs[Array[Byte]](3))
+    val rb = java.nio.ByteBuffer.allocate(resRows.length * resRows(0).length)
+    resRows.foreach(rb.put)
+    NpyImport.writeNpy(s"$refDir/0.residuals.npy", "u1",
+      Seq(resRows.length, resRows(0).length), rb.array())
+    val doclens = idx.doclens.orderBy("doc_id").collect().map(_.getLong(1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$refDir/doclens.0.json"),
+      doclens.mkString("[", ",", "]").getBytes)
+
+    val imported = NpyImport.importIndex(spark, refDir, impPath)
+    assert(imported.numDocuments === 20L)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val p = SearchParams(topK = 5, nIvfProbe = Int.MaxValue,
+      nFullScores = 1 << 22, centroidScoreThreshold = None)
+    val a = new graft.search.Searcher(idx).search(qs, p)
+      .select("query_id", "doc_id", "rank").collect().toSet
+    val b = new graft.search.Searcher(imported).search(qs, p)
+      .select("query_id", "doc_id", "rank").collect().toSet
+    assert(a === b)
+  }
+}
