@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{MultiVectorIndex, UpdateConfig}
+import graft.search.{SearchParams, Searcher}
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming ingestion: micro-batches flow through the U1
+  * dispatcher; windowed aggregation with watermark compiles to a valid
+  * streaming plan. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") / 5).cast("long").as("doc_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+  }
+
+  test("streamed micro-batches build the same searchable index via the dispatcher") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val path = "/tmp/graft_stream_idx"
+    val ckpt = "/tmp/graft_stream_ckpt"
+    graft.util.Fs.deleteRecursively(path)
+    graft.util.Fs.deleteRecursively(ckpt)
+
+    val rows = docs.filter(col("doc_id") < 30)
+      .as[(Long, Array[Array[Float]])].collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, Array[Array[Float]])]
+    // two micro-batches: docs 0..19, then 20..29 (local ids in each batch)
+    stream.addData(rows.take(20).toSeq)
+    val writer = StreamingIngest.indexSink(
+      stream.toDF().toDF("doc_id", "embeddings"), path,
+      UpdateConfig(), checkpoint = Some(ckpt))
+    StreamingIngest.runOnce(writer)
+    stream.addData(rows.drop(20).map { case (id, e) => (id - 20, e) }.toSeq)
+    StreamingIngest.runOnce(StreamingIngest.indexSink(
+      stream.toDF().toDF("doc_id", "embeddings"), path,
+      UpdateConfig(), checkpoint = Some(ckpt)))
+
+    val idx = new MultiVectorIndex(spark, path)
+    assert(idx.numDocuments === 30L)
+    // every doc searchable under its arrival-order id
+    val qs = docs.filter(col("doc_id") === 25)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val hit = new Searcher(idx).search(qs, SearchParams(
+      topK = 1, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+      centroidScoreThreshold = None)).collect()
+    assert(hit.head.getAs[Long]("doc_id") === 25L)
+  }
+
+  test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedAgg(streamDf)
+    assert(agg.isStreaming)
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:45:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 11:05:00")
+    stream.addData(Seq((t0, "a", 1.0), (t1, "a", 2.0), (t2, "b", 5.0)))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("win_agg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("2026-01-01 10:00:00.0", "a", 2L, 3.0),
+      ("2026-01-01 11:00:00.0", "b", 1L, 5.0)))
+  }
+}
