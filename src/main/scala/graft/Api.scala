@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fts.FtsIndex
+import graft.index.{IndexConfig, MultiVectorIndex, UpdateConfig, Updater}
+import graft.meta.{JsonMeta, MetadataOps, Where}
+import graft.search.{HybridParams, HybridSearch, SearchParams, Searcher}
+
+/** The driver-API facade — batch equivalents of every
+  * next-plaid-api route (SURVEY §2.8, next-plaid-api/src/main.rs:322-505),
+  * so a reference user maps each REST call onto one method. An "index"
+  * is a directory holding the vector tables, the FTS artifact, and the
+  * metadata table, kept aligned on the dense doc-id space:
+  *
+  * {{{
+  * POST   /indices                    -> GraftIndex.create
+  * POST   /indices/{n}/documents      -> addDocuments (U1 dispatcher)
+  * POST   /indices/{n}/search         -> search / searchFiltered / hybrid
+  * GET    /indices/{n}                -> info
+  * PUT    /indices/{n}/config         -> setMaxDocuments (U6 eviction)
+  * DELETE /indices/{n}/documents      -> deleteDocuments (ids or condition)
+  * DELETE /indices/{n}                -> drop
+  *  .../metadata{,/count,/query,/get,/update}  -> metadata* methods
+  * POST   /rerank                     -> rerank
+  * }}}
+  */
+final class GraftIndex private (val spark: SparkSession, val path: String) {
+
+  def index: MultiVectorIndex = new MultiVectorIndex(spark, path)
+  def ftsIndex: FtsIndex = new FtsIndex(spark, s"$path/fts")
+  private def metaPath = s"$path/meta"
+
+  def metadata: DataFrame = spark.read.parquet(metaPath)
+
+  // ---- info (GET /indices/{name}) ----
+  def info: Map[String, String] = index.manifest
+
+  def count: Long = index.numDocuments
+
+  // ---- documents (POST /indices/{name}/documents, /update) ----
+
+  /** Add docs (local ids 0..n-1) with optional JSON metadata rows (same
+    * order); updates vector index, metadata table, and FTS in lock-step
+    * (index.rs:1719-1761 semantics). */
+  def addDocuments(
+      docs: DataFrame,
+      metaJson: Option[DataFrame] = None,
+      cfg: UpdateConfig = UpdateConfig()): GraftIndex = {
+    val before = if (graft.util.Fs.exists(s"$path/manifest.json")) count else 0L
+    Updater.update(spark, path, docs, cfg)
+    metaJson.foreach { rows =>
+      val created = JsonMeta.create(spark, rows)
+        .withColumn("_subset_", col("_subset_") + lit(before))
+      val merged =
+        if (graft.util.Fs.exists(metaPath)) {
+          val existing = metadata
+          val allCols = (existing.columns ++ created.columns.filterNot(existing.columns.contains)).toSeq
+          def align(df: DataFrame) = df.select(allCols.map(c =>
+            (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
+          align(existing).unionByName(align(created))
+        } else created
+      graft.util.Fs.rewrite(merged, metaPath)
+    }
+    // FTS sync: metadata_to_text over the full table (rebuild keeps the
+    // posting table aligned with the dense id space)
+    if (graft.util.Fs.exists(metaPath)) {
+      val m = metadata
+      val texts = m.select(col("_subset_").as("doc_id"),
+        FtsIndex.metadataToTextUdf(to_json(struct(
+          m.columns.filterNot(_ == "_subset_").map(col): _*))).as("text"))
+      FtsIndex.build(spark, texts, "doc_id", "text", s"$path/fts")
+    }
+    this
+  }
+
+  // ---- search (POST /indices/{name}/search, /search/filtered) ----
+
+  def search(queries: DataFrame, params: SearchParams = SearchParams()): DataFrame =
+    new Searcher(index).search(queries, params)
+
+  def searchFiltered(
+      queries: DataFrame,
+      cond: String, condParams: Seq[Where.Param],
+      params: SearchParams = SearchParams()): DataFrame = {
+    val subset = MetadataOps.whereCondition(metadata, "_subset_", cond, condParams)
+      .withColumnRenamed("_subset_", "doc_id")
+    new Searcher(index).search(queries, params, Some(subset))
+  }
+
+  def hybrid(
+      queries: DataFrame, textQuery: String,
+      params: HybridParams = HybridParams(),
+      cond: Option[(String, Seq[Where.Param])] = None): DataFrame = {
+    val filter = cond.map { case (c, ps) =>
+      (metadata.withColumnRenamed("_subset_", "doc_id"), c, ps)
+    }
+    HybridSearch.search(spark, index, ftsIndex, queries, textQuery, params, filter)
+  }
+
+  // ---- metadata routes ----
+
+  def metadataQuery(cond: String, params: Seq[Where.Param]): DataFrame =
+    MetadataOps.whereCondition(metadata, "_subset_", cond, params)
+
+  def metadataGet(cond: Option[(String, Seq[Where.Param])],
+      ids: Option[Seq[Long]], limit: Option[Int]): DataFrame =
+    MetadataOps.getJson(metadata, "_subset_", cond, ids, limit)
+
+  def metadataUpdateWhere(cond: String, params: Seq[Where.Param],
+      assignments: Map[String, org.apache.spark.sql.Column]): GraftIndex = {
+    graft.util.Fs.rewrite(
+      MetadataOps.updateWhere(metadata, cond, params, assignments), metaPath)
+    this
+  }
+
+  // ---- delete (DELETE /indices/{name}/documents) ----
+
+  /** Delete by ids or by condition; vector tables, metadata, and FTS all
+    * renumber through the same dense mapping (U5 + U7). */
+  def deleteDocuments(
+      ids: Option[Seq[Long]] = None,
+      cond: Option[(String, Seq[Where.Param])] = None): GraftIndex = {
+    val toDelete: Seq[Long] = (ids, cond) match {
+      case (Some(list), _) => list
+      case (None, Some((c, ps))) =>
+        MetadataOps.whereCondition(metadata, "_subset_", c, ps)
+          .collect().map(_.getLong(0)).toSeq
+      case _ => Seq.empty
+    }
+    if (toDelete.isEmpty) return this
+    Updater.delete(spark, index, toDelete)
+    if (graft.util.Fs.exists(metaPath)) {
+      graft.util.Fs.rewrite(
+        Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
+    }
+    if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
+      FtsIndex.delete(ftsIndex, toDelete)
+    }
+    this
+  }
+
+  // ---- config (PUT /indices/{name}/config: max_documents → U6) ----
+
+  def enforceMaxDocuments(maxDocuments: Long): GraftIndex = {
+    val n = count
+    if (n > maxDocuments) {
+      val evict = (0L until (n - maxDocuments)).toSeq
+      deleteDocuments(ids = Some(evict))
+    }
+    this
+  }
+
+  // ---- rerank (POST /rerank) ----
+
+  def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame =
+    new Searcher(index).rerank(query, docs, topK)
+
+  // ---- drop (DELETE /indices/{name}) ----
+
+  def drop(): Unit = graft.util.Fs.deleteRecursively(path)
+}
+
+object GraftIndex {
+
+  /** POST /indices — create from an initial doc batch. */
+  def create(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      metaJson: Option[DataFrame] = None,
+      cfg: IndexConfig = IndexConfig()): GraftIndex = {
+    MultiVectorIndex.build(spark, docs, path, cfg)
+    val gi = new GraftIndex(spark, path)
+    metaJson.foreach { rows =>
+      graft.util.Fs.rewrite(JsonMeta.create(spark, rows), s"$path/meta")
+      val m = gi.metadata
+      val texts = m.select(col("_subset_").as("doc_id"),
+        FtsIndex.metadataToTextUdf(to_json(struct(
+          m.columns.filterNot(_ == "_subset_").map(col): _*))).as("text"))
+      FtsIndex.build(spark, texts, "doc_id", "text", s"$path/fts")
+    }
+    gi
+  }
+
+  /** GET /indices/{name} — open an existing index directory. */
+  def open(spark: SparkSession, path: String): GraftIndex =
+    new GraftIndex(spark, path)
+}

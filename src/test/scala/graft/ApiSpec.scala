@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.Where
+import graft.search.SearchParams
+
+/** End-to-end API facade workflow, mirroring the reference's REST test
+  * suites (next-plaid-api/tests/integration_tests.rs, test_api.py):
+  * create with metadata → search → filtered search → hybrid → metadata
+  * ops → delete by condition → dense-id alignment → eviction. */
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") / 5).cast("long").as("doc_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+      .cache()
+  }
+
+  private def metaJsonFor(ids: Seq[Long], offsetLabel: Int = 0): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"""{"title": "doc $i", "group": ${i % 3 + offsetLabel}, "lang": "en"}"""))
+      .toDF("order", "json")
+  }
+
+  private def exhaustive = SearchParams(
+    topK = 3, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+    centroidScoreThreshold = None)
+
+  test("full workflow: create → search → filter → hybrid → metadata → delete → evict") {
+    val path = "/tmp/graft_api_idx"
+    graft.util.Fs.deleteRecursively(path)
+    val d30 = docs.filter(col("doc_id") < 30)
+    val gi = GraftIndex.create(spark, path, d30, Some(metaJsonFor(0L until 30L)))
+
+    assert(gi.count === 30L)
+    assert(gi.info("embedding_dim") === "64")
+    assert(gi.metadata.count() === 30L)
+
+    // plain search: each doc retrieves itself first
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val top = gi.search(qs, exhaustive).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+
+    // filtered search via the WHERE surface on metadata
+    val filtered = gi.searchFiltered(qs, "group = ?", Seq(Where.SLong(1)), exhaustive)
+    assert(filtered.select("doc_id").collect().map(_.getLong(0)).forall(_ % 3 === 1))
+
+    // hybrid mode over the metadata-backed FTS (titles are "doc N")
+    val hy = gi.hybrid(qs, "doc 7", graft.search.HybridParams(topK = 3,
+      searchParams = exhaustive))
+    assert(hy.groupBy("query_id").count().collect().forall(_.getLong(1) === 3L))
+
+    // metadata query / get / update_where
+    assert(gi.metadataQuery("group = ?", Seq(Where.SLong(0))).count() === 10L)
+    val got = gi.metadataGet(Some(("title = ?", Seq(Where.SStr("doc 7")))), None, None).collect()
+    assert(got.length === 1 && got(0).getString(1).contains(""""group":1"""))
+    gi.metadataUpdateWhere("group = ?", Seq(Where.SLong(2)),
+      Map("lang" -> lit("fr")))
+    assert(gi.metadata.filter(col("lang") === "fr").count() === 10L)
+
+    // delete by condition: group = 0 (ids 0,3,6,...,27)
+    gi.deleteDocuments(cond = Some(("group = ?", Seq(Where.SLong(0)))))
+    assert(gi.count === 20L)
+    assert(gi.metadata.count() === 20L)
+    // dense alignment: metadata ids = 0..19, and vector/doclens agree
+    val metaIds = gi.metadata.select("_subset_").collect().map(_.getLong(0)).sorted
+    assert(metaIds.toSeq === (0L until 20L))
+    val docIds = gi.index.doclens.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(docIds.toSeq === (0L until 20L))
+    // old doc 1 (group 1) is now id 0; its metadata moved with it
+    val title0 = gi.metadata.filter(col("_subset_") === 0).collect()(0).getAs[String]("title")
+    assert(title0 === "doc 1")
+    // FTS followed the same renumbering
+    val ftsIds = gi.ftsIndex.doclens.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ftsIds.toSeq === (0L until 20L))
+
+    // eviction (PUT config max_documents)
+    gi.enforceMaxDocuments(15L)
+    assert(gi.count === 15L)
+    assert(gi.metadata.count() === 15L)
+
+    // rerank endpoint
+    val q = docs.filter(col("doc_id") === 5).select("embeddings")
+      .collect()(0)
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+      .map(_.toArray).toArray
+    val rr = gi.rerank(q, d30.limit(10), topK = 3)
+    assert(rr.count() === 3L)
+
+    gi.drop()
+    assert(!graft.util.Fs.exists(path))
+  }
+}
