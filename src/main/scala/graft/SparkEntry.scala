@@ -202,11 +202,9 @@ object SparkEntry {
           col("vec_id"), col("embedding"))
       val qtok = dtok.filter(col("doc_id") === 0)
         .select(col("vec_id").as("qv"), col("embedding").as("qemb"))
+      graft.functions.ArrayMath.register(s)
       val sem = broadcast(qtok).crossJoin(dtok)
-        .withColumn("sim",
-          aggregate(zip_with(col("qemb"), col("embedding"),
-            (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim", expr("dot_f(qemb, embedding)"))
         .groupBy("doc_id", "qv").agg(max("sim").as("best"))
         .groupBy("doc_id").agg(sum("best").as("score"))
         .orderBy(col("score").desc, col("doc_id").asc).limit(30)
@@ -234,12 +232,9 @@ object SparkEntry {
       val qtok = dtok.filter(col("doc_id") < 2)
         .select(col("doc_id").as("query_id"), col("vec_id").as("qv"),
           col("embedding").as("qemb"))
+      graft.functions.ArrayMath.register(s)
       val pairs = broadcast(qtok).crossJoin(dtok)
-        .withColumn("sim",
-          aggregate(
-            zip_with(col("qemb"), col("embedding"),
-              (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim", expr("dot_f(qemb, embedding)"))
       pairs
         .groupBy("query_id", "doc_id", "qv").agg(max("sim").as("best"))
         .groupBy("query_id", "doc_id").agg(round(sum("best"), 3).as("score"))

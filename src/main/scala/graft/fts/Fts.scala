@@ -33,16 +33,23 @@ object Fts {
   }
 
   /** F3 index build: `(term, doc_id, tf)` postings from
-    * `docs(idCol, textCol)`. */
+    * `docs(idCol, textCol)`. The unicode61 path uses the builtin
+    * regexp tokenizer (`[\p{L}\p{Nd}]+` ≡ Character.isLetterOrDigit
+    * runs, codegen'd — no UDF object round-trip on the corpus-wide hot
+    * path); trigram/identifier-aware keep the JVM-kernel UDFs. */
   def buildPostings(
       docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String = "unicode61"
-  ): DataFrame =
+  ): DataFrame = {
+    val terms =
+      if (tokenizerName == "unicode61")
+        expr(s"regexp_extract_all(lower(`$textCol`), '[\\\\p{L}\\\\p{Nd}]+', 0)")
+      else tokenizer(tokenizerName)(col(textCol))
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(tokenizer(tokenizerName)(col(textCol))).as("term"))
+      .select(col(idCol).as("doc_id"), explode(terms).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Doc length table `(doc_id, dl)` from postings. */
   def docLengths(postings: DataFrame): DataFrame =

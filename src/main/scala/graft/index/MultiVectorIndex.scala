@@ -197,24 +197,24 @@ object MultiVectorIndex {
       .agg(sort_array(collect_set("doc_id")).as("doc_ids"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/ivf")
 
-    // --- doclens ----------------------------------------------------------
-    tokensOut
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("len"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
-
-    // --- doc_codes: per-doc code array, persisted at build time so search
-    // sessions never re-shuffle the tokens table to derive it (the S5
-    // approximate-scoring input; one groupBy here instead of one per
-    // Searcher instance).
-    tokensOut
+    // --- doclens + doc_codes: one per-doc aggregation (single shuffle)
+    // feeds both artifacts. doc_codes is persisted at build time so
+    // search sessions never re-shuffle the tokens table to derive the
+    // S5 approximate-scoring input.
+    val perDoc = tokensOut
       .groupBy("doc_id")
       .agg(
+        count(lit(1)).as("len"),
         transform(
           array_sort(collect_list(struct(col("tok"), col("code")))),
           x => x.getField("code")
         ).as("codes"))
+      .cache()
+    perDoc.select("doc_id", "len")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    perDoc.select("doc_id", "codes")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/doc_codes")
+    perDoc.unpersist()
 
     // --- codec + manifest -------------------------------------------------
     saveCodec(spark, path, codec)

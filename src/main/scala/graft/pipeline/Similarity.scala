@@ -25,19 +25,17 @@ import graft.operators.Rankers
   */
 object Similarity {
 
-  /** Cosine as a codegen'd builtin expression over float arrays (cast to
-    * double per element — the DuckDB twin does the same). Assumes
-    * pre-normalized or uses full cosine when `normalize`. */
-  private def dotExpr = expr(
-    "aggregate(zip_with(qemb, embedding, (a, b) -> cast(a AS double) * cast(b AS double)), " +
-      "cast(0.0 AS double), (acc, x) -> acc + x)")
+  /** Cosine via the native codegen'd `dot_f` expression
+    * (graft.functions.DotF — no intermediate product arrays, same
+    * left-to-right double accumulation as the DuckDB twin). */
+  private def dotExpr = expr("dot_f(qemb, embedding)")
 
-  private def normExpr(c: String) = expr(
-    s"sqrt(aggregate($c, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))")
+  private def normExpr(c: String) = expr(s"sqrt(dot_f($c, $c))")
 
   /** Exact cosine top-k: `queries(query_id, qemb)` × `docs(vec_id,
     * embedding)`, per-query top-k with deterministic tie-break. */
   def bruteForceTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.ArrayMath.register(docs.sparkSession)
     val scored = broadcast(queries.select("query_id", "qemb"))
       .crossJoin(docs.select("vec_id", "embedding"))
       .withColumn("cosine",
@@ -88,6 +86,7 @@ object Similarity {
       k: Int,
       nProbe: Int): DataFrame = {
     import spark.implicits._
+    graft.functions.ArrayMath.register(spark)
     val qs: Array[(Long, Array[Float])] = queries
       .select("query_id", "qemb").as[(Long, Array[Float])].collect()
     val kCent = centroids.length / dim
@@ -125,6 +124,7 @@ object Similarity {
       numCentroids: Int,
       minCosine: Double,
       seed: Long = 42L): DataFrame = {
+    graft.functions.ArrayMath.register(spark)
     val (_, assign) = buildIvf(spark, docs, dim, numCentroids, seed)
     val withEmb = assign.join(docs.select("vec_id", "embedding"), "vec_id")
     val a = withEmb.select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"))
