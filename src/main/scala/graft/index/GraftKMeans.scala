@@ -80,47 +80,83 @@ object GraftKMeans {
       dim
     )
 
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = capped
+    // Small training sets run Lloyd's entirely on the driver: the
+    // distributed path folds each cluster's vectors in (doc_id, tok)
+    // order within its single post-repartition partition, so a local
+    // fold over rows sorted by (code, doc_id, tok) produces bit-equal
+    // Double sums — one collect instead of 4 shuffle rounds of tiny
+    // jobs. Above the threshold the distributed path takes over.
+    val localMaxFloats = 8L << 20
+    if (nTrain * dim <= localMaxFloats) {
+      val rows = capped
+        .orderBy("doc_id", "tok")
         .as[(Long, Int, Array[Float])]
-        .mapPartitions { rows =>
-          val cents = bc.value
-          val kNow = cents.length / dim
-          rows.map { case (docId, tok, vec) =>
-            (nearestEuclidean(cents, kNow, dim, vec), docId, tok, vec)
-          }
+        .collect()
+      var it = 0
+      while (it < iters) {
+        val kNow = centroids.length / dim
+        val assigned = rows.map { case (docId, tok, vec) =>
+          (nearestEuclidean(centroids, kNow, dim, vec), docId, tok, vec)
         }
-        .toDF("code", "doc_id", "tok", "vec")
-
-      // Deterministic per-cluster mean: all rows of a code land in one
-      // partition, folded in (code, doc_id, tok) order with Double sums.
-      val partials = assigned
-        .repartition(col("code"))
-        .sortWithinPartitions("code", "doc_id", "tok")
-        .as[(Int, Long, Int, Array[Float])]
-        .mapPartitions { rows =>
-          val sums = scala.collection.mutable.LinkedHashMap
-            .empty[Int, (Array[Double], Long)]
-          rows.foreach { case (code, _, _, vec) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Long)]
+        assigned.sortBy { case (code, docId, tok, _) => (code, docId, tok) }
+          .foreach { case (code, _, _, vec) =>
             val (acc, n) = sums.getOrElseUpdate(code, (new Array[Double](dim), 0L))
             var i = 0
             while (i < dim) { acc(i) += vec(i); i += 1 }
             sums(code) = (acc, n + 1)
           }
-          sums.iterator.map { case (code, (acc, n)) => (code, acc, n) }
+        val next = centroids.clone()
+        sums.foreach { case (code, (acc, n)) =>
+          var i = 0
+          while (i < dim) { next(code * dim + i) = (acc(i) / n).toFloat; i += 1 }
         }
-        .collect()
-
-      val next = centroids.clone()
-      partials.foreach { case (code, acc, n) =>
-        var i = 0
-        while (i < dim) { next(code * dim + i) = (acc(i) / n).toFloat; i += 1 }
+        centroids = next
+        it += 1
       }
-      bc.destroy()
-      centroids = next
-      it += 1
+    } else {
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assigned = capped
+          .as[(Long, Int, Array[Float])]
+          .mapPartitions { rows =>
+            val cents = bc.value
+            val kNow = cents.length / dim
+            rows.map { case (docId, tok, vec) =>
+              (nearestEuclidean(cents, kNow, dim, vec), docId, tok, vec)
+            }
+          }
+          .toDF("code", "doc_id", "tok", "vec")
+
+        // Deterministic per-cluster mean: all rows of a code land in one
+        // partition, folded in (code, doc_id, tok) order with Double sums.
+        val partials = assigned
+          .repartition(col("code"))
+          .sortWithinPartitions("code", "doc_id", "tok")
+          .as[(Int, Long, Int, Array[Float])]
+          .mapPartitions { rows =>
+            val sums = scala.collection.mutable.LinkedHashMap
+              .empty[Int, (Array[Double], Long)]
+            rows.foreach { case (code, _, _, vec) =>
+              val (acc, n) = sums.getOrElseUpdate(code, (new Array[Double](dim), 0L))
+              var i = 0
+              while (i < dim) { acc(i) += vec(i); i += 1 }
+              sums(code) = (acc, n + 1)
+            }
+            sums.iterator.map { case (code, (acc, n)) => (code, acc, n) }
+          }
+          .collect()
+
+        val next = centroids.clone()
+        partials.foreach { case (code, acc, n) =>
+          var i = 0
+          while (i < dim) { next(code * dim + i) = (acc(i) / n).toFloat; i += 1 }
+        }
+        bc.destroy()
+        centroids = next
+        it += 1
+      }
     }
     capped.unpersist()
     normalizeRows(centroids, dim)

@@ -76,28 +76,31 @@ final class Searcher(index: MultiVectorIndex) {
     val dimLocal = dim
     val kLocal = k
     val qids = queryMap.keys.toSeq.sorted
-    val scoreMatrices: scala.collection.Map[Long, Array[Array[Float]]] =
-      spark.sparkContext
-        .parallelize(qids, math.min(qids.size, 32).max(1))
-        .map { qid =>
-          val cents = codecBc.value.centroids
-          val emb = queriesBc.value(qid)
-          val m = emb.map { qvec =>
-            val row = new Array[Float](kLocal)
-            var c = 0
-            while (c < kLocal) {
-              var s = 0.0f
-              val off = c * dimLocal
-              var i = 0
-              while (i < dimLocal) { s += cents(off + i) * qvec(i); i += 1 }
-              row(c) = s
-              c += 1
-            }
-            row
-          }
-          (qid, m)
+    def scoreOne(emb: Array[Array[Float]], cents: Array[Float]): Array[Array[Float]] =
+      emb.map { qvec =>
+        val row = new Array[Float](kLocal)
+        var c = 0
+        while (c < kLocal) {
+          var s = 0.0f
+          val off = c * dimLocal
+          var i = 0
+          while (i < dimLocal) { s += cents(off + i) * qvec(i); i += 1 }
+          row(c) = s
+          c += 1
         }
-        .collectAsMap()
+        row
+      }
+    // Small batches score on the driver (a per-element GEMM of a few
+    // queries is microseconds — a Spark job would be pure overhead);
+    // large batches run as one tiny distributed stage.
+    val scoreMatrices: scala.collection.Map[Long, Array[Array[Float]]] =
+      if (qids.size <= 64)
+        qids.map(qid => qid -> scoreOne(queryMap(qid), codec.centroids)).toMap
+      else
+        spark.sparkContext
+          .parallelize(qids, math.min(qids.size, 32).max(1))
+          .map(qid => (qid, scoreOne(queriesBc.value(qid), codecBc.value.centroids)))
+          .collectAsMap()
     val scoresBc = spark.sparkContext.broadcast(
       scoreMatrices.toMap: Map[Long, Array[Array[Float]]])
 
