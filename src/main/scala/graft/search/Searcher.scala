@@ -108,23 +108,10 @@ final class Searcher(index: MultiVectorIndex) {
     // threshold filter keeps a centroid if its max score across ALL query
     // tokens meets it (search.rs:417-425 — not just the tokens that
     // selected it). Driver-side: the matrices are already here.
-    val thresholdLocal = params.centroidScoreThreshold.getOrElse(Float.NegativeInfinity)
     val probedPairs: Seq[(Long, Int)] = qids.flatMap { qid =>
-      val m = scoreMatrices(qid)
-      val selected = scala.collection.mutable.Set.empty[Int]
-      m.foreach { row => Searcher.topNIndices(row, nProbe).foreach(selected += _) }
-      selected.iterator
-        .filter { c =>
-          var maxAll = Float.NegativeInfinity
-          var t = 0
-          while (t < m.length) {
-            val s = m(t)(c)
-            if (!s.isNaN && s > maxAll) maxAll = s
-            t += 1
-          }
-          maxAll >= thresholdLocal
-        }
-        .map(c => (qid, c)).toSeq
+      Searcher.probeCentroids(
+        scoreMatrices(qid), nProbe, params.centroidScoreThreshold)
+        .map(c => (qid, c))
     }
     val probed: DataFrame = probedPairs.toDF("query_id", "code")
 
@@ -252,6 +239,32 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
+
+  /** S2 probe selection for one query: union of each token's
+    * top-`nProbe` centroids, then drop centroids whose max score across
+    * ALL query tokens is below the threshold (search.rs:388-428; the
+    * threshold looks at every token's score row, not only the tokens
+    * that selected the centroid). Returns sorted codes (deterministic). */
+  private[graft] def probeCentroids(
+      m: Array[Array[Float]], nProbe: Int,
+      threshold: Option[Float]): Seq[Int] = {
+    val t = threshold.getOrElse(Float.NegativeInfinity)
+    val selected = scala.collection.mutable.Set.empty[Int]
+    m.foreach { row => topNIndices(row, nProbe).foreach(selected += _) }
+    selected.iterator
+      .filter { c =>
+        var maxAll = Float.NegativeInfinity
+        var ti = 0
+        while (ti < m.length) {
+          val s = m(ti)(c)
+          if (!s.isNaN && s > maxAll) maxAll = s
+          ti += 1
+        }
+        maxAll >= t
+      }
+      .toSeq.sorted
+  }
+
   private[graft] def topNIndices(scores: Array[Float], n: Int): Array[Int] = {
     if (n >= scores.length) return scores.indices.toArray
     // bounded selection: maintain a small min-heap of (score, idx)

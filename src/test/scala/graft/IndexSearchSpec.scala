@@ -100,6 +100,49 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("centroid threshold keeps a centroid when ANY query token clears it (search.rs:417-425)") {
+    // token 0 selects c0 with 0.3 (below 0.4); token 1 selects c1 but
+    // scores 0.45 on c0 — the reference keeps c0 via token 1's score
+    val m = Array(Array(0.3f, 0.1f), Array(0.45f, 0.6f))
+    assert(Searcher.probeCentroids(m, nProbe = 1, Some(0.4f)) === Seq(0, 1))
+    // with no token reaching 0.4 on c0, it is dropped
+    val m2 = Array(Array(0.3f, 0.1f), Array(0.35f, 0.6f))
+    assert(Searcher.probeCentroids(m2, nProbe = 1, Some(0.4f)) === Seq(1))
+    // threshold off keeps everything selected
+    assert(Searcher.probeCentroids(m2, nProbe = 1, None) === Seq(0, 1))
+    // NaN scores never satisfy the threshold
+    val m3 = Array(Array(Float.NaN, 0.5f))
+    assert(Searcher.probeCentroids(m3, nProbe = 2, Some(0.4f)) === Seq(1))
+  }
+
+  test("default-parameter search (threshold 0.4 enabled) prunes soundly") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    // with topK >= corpus the output IS the scored candidate set, so
+    // thresholding must yield a subset (it only removes candidates)
+    val allWithT = searcher
+      .search(queries, SearchParams(topK = 200))
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val allNoT = searcher
+      .search(queries, SearchParams(topK = 200, centroidScoreThreshold = None))
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(allWithT.subsetOf(allNoT))
+    val withT = searcher
+      .search(queries, SearchParams(topK = 5)) // reference defaults incl. threshold Some(0.4)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // recall floor: synthetic random embeddings have low query-centroid
+    // cosines (unlike real ColBERT vectors), so 0.4 prunes aggressively
+    // here; 0.62 measured with the any-token semantics — the
+    // selecting-token-only bug scored strictly lower
+    val want = searcher.bruteForce(queries, topK = 5)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val recall = (withT & want).size.toDouble / want.size
+    assert(recall >= 0.5, s"default-path recall too low: $recall")
+  }
+
   test("subset pre-filter (S4) restricts results") {
     import spark.implicits._
     val idx = new MultiVectorIndex(spark, indexPath)
