@@ -328,6 +328,13 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // sign-random-projection LSH similarity join: bucketed candidate
+    // equi-join (never all-pairs), exact cosine on candidates, top-20 —
+    // the SQL-expressible twin of the IVF-bucketed ANN dedup path
+    "p_srp_join" -> ((s, dir) =>
+      graft.pipeline.Similarity.srpBucketJoinTopK(s, t(s, dir, "embeddings"), dim = 64)
+        .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"),
+          col("rank").cast("long").as("rank"))),
     "p_text_stats" -> ((s, dir) =>
       graft.pipeline.TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars").cast("long"), col("n_words").cast("long"),
@@ -665,6 +672,33 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
         |FROM pairs QUALIFY rank <= 10""".stripMargin,
+    "p_srp_join" ->
+      """WITH planes AS (
+        |  SELECT r, list_transform(range(0, 64),
+        |    j -> CASE WHEN (('0x' || substr(md5('rp' || r || '_' || j), 1, 15))::BIGINT % 2) = 1
+        |         THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS r)),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |      i -> e.embedding[i]::DOUBLE * p.h[i])) > 0
+        |      THEN (1::BIGINT << r) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+        |cand AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b FROM sigs x JOIN sigs y USING (bucket)
+        |  WHERE x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+        |    greatest(sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |      sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))),
+        |      1e-12) AS cosine
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+        |  JOIN embeddings eb ON eb.vec_id = c.b)
+        |SELECT a, b, round(cosine, 5) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, a, b) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 20""".stripMargin,
     "p_text_stats" ->
       """WITH b AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)

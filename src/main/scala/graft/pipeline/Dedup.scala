@@ -77,10 +77,18 @@ object Dedup {
 
   /** Candidate pairs from band-bucket collisions: a self equi-join on
     * (band, band_sig) — the shuffle key is the bucket, so only docs
-    * sharing a bucket ever meet. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("a"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("b"))
+    * sharing a bucket ever meet. Buckets above `maxBucketSize` are
+    * dropped (skew guard: a degenerate hot bucket — e.g. thousands of
+    * byte-identical docs, which exact dedup removes anyway — would
+    * otherwise go quadratic in the self-join). */
+  def candidatePairs(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
+    val ok = bands.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize && col("_n") >= 2)
+      .select("band", "band_sig")
+    val inOk = bands.join(ok, Seq("band", "band_sig"))
+    val a = inOk.select(col("band"), col("band_sig"), col("doc_id").as("a"))
+    val b = inOk.select(col("band"), col("band_sig"), col("doc_id").as("b"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("a") < col("b"))
       .select("a", "b")

@@ -112,6 +112,51 @@ object Similarity {
       Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
   }
 
+  /** Deterministic Rademacher hyperplane (±1 per dim) from md5 parity of
+    * `rp<r>_<j>` — byte-identical to the SQL formulation
+    * `('0x' || substr(md5('rp' || r || '_' || j), 1, 15))::BIGINT % 2`,
+    * so the DuckDB oracle regenerates the exact same planes. */
+  private[pipeline] def srpPlane(r: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      val hex = md.digest(s"rp${r}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0f else -1.0f
+    }
+  }
+
+  /** Sign-random-projection LSH similarity join: bucket = the `planes`
+    * sign bits of dot(v, hyperplane_r); candidates are pairs sharing a
+    * bucket (equi-join on the bucket key — the scalable alternative to
+    * an all-pairs product); exact cosine on candidates, global top-k.
+    * Fully expressible in SQL on both sides → oracle-checkable, unlike
+    * the k-means IVF variant. */
+  def srpBucketJoinTopK(
+      spark: SparkSession,
+      docs: DataFrame,
+      dim: Int,
+      planes: Int = 8,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    graft.functions.ArrayMath.register(spark)
+    val planesDf = (0 until planes).map(r => (r, srpPlane(r, dim))).toDF("r", "h")
+    val sigs = docs.select("vec_id", "embedding")
+      .crossJoin(broadcast(planesDf))
+      .withColumn("bit",
+        expr("CASE WHEN dot_f(embedding, h) > 0 THEN shiftleft(1L, r) ELSE 0L END"))
+      .groupBy("vec_id").agg(sum("bit").as("bucket"))
+    val withEmb = sigs.join(docs.select("vec_id", "embedding"), "vec_id")
+    val a = withEmb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("qemb"))
+    val b = withEmb.select(col("bucket"), col("vec_id").as("b"), col("embedding"))
+    val scored = a.join(b, "bucket")
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+      .select("a", "b", "cosine")
+    Rankers.topKGlobal(scored,
+      Seq(col("cosine").desc, col("a").asc, col("b").asc), topK)
+  }
+
   /** Embedding-cosine near-dedup: pairs of corpus vectors sharing an IVF
     * cell (bucketed self-join on the centroid code) with cosine ≥
     * `minCosine`. For recall across cell borders raise `numCentroids`
