@@ -184,8 +184,15 @@ object MultiVectorIndex {
       }
       .toDF("doc_id", "tok", "code", "residual")
 
+    // size the layout to the data: ~500k token rows per file keeps files
+    // in the efficient parquet range at any scale — no 32 near-empty
+    // files for a small corpus, no single giant file at 100 TB (capped
+    // by the session's shuffle parallelism)
+    val tokenParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (numTokens + 499999L) / 500000L)).toInt
     encoded
-      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .repartitionByRange(tokenParts, col("doc_id"))
       .sortWithinPartitions("doc_id", "tok")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/tokens")
 
@@ -210,6 +217,9 @@ object MultiVectorIndex {
           x => x.getField("code")
         ).as("codes"))
       .cache()
+    // AQE coalesces the small shuffle partitions of these aggregations
+    // on its own — no manual coalesce (which would collapse the agg's
+    // compute parallelism too)
     perDoc.select("doc_id", "len")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
     perDoc.select("doc_id", "codes")
