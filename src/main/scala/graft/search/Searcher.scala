@@ -59,7 +59,10 @@ final class Searcher(index: MultiVectorIndex) {
     val codecBc = spark.sparkContext.broadcast(codec)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
-    // with a subset filter, probe more centroids so recall holds.
+    // with a subset filter, probe more centroids so recall holds — and
+    // the eligible-centroid restriction (search.rs:350-364): only
+    // centroids that actually contain subset docs compete for the probe
+    // budget (derived from the doc_codes artifact, one small semi-join).
     val nProbe = subset match {
       case Some(sub) =>
         val subsetLen = math.max(sub.count(), 1L)
@@ -67,6 +70,14 @@ final class Searcher(index: MultiVectorIndex) {
           index.numDocuments / subsetLen, 1L)
         math.min(scaled, k.toLong).toInt
       case None => params.nIvfProbe
+    }
+    val eligible: Option[Array[Boolean]] = subset.map { sub =>
+      val mask = new Array[Boolean](k)
+      docCodes
+        .join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select(explode(col("codes")).as("code")).distinct()
+        .collect().foreach(r => mask(r.getInt(0)) = true)
+      mask
     }
 
     // S1: per-query centroid-score matrices, computed once in a tiny
@@ -110,7 +121,7 @@ final class Searcher(index: MultiVectorIndex) {
     // selected it). Driver-side: the matrices are already here.
     val probedPairs: Seq[(Long, Int)] = qids.flatMap { qid =>
       Searcher.probeCentroids(
-        scoreMatrices(qid), nProbe, params.centroidScoreThreshold)
+        scoreMatrices(qid), nProbe, params.centroidScoreThreshold, eligible)
         .map(c => (qid, c))
     }
     val probed: DataFrame = probedPairs.toDF("query_id", "code")
@@ -247,11 +258,30 @@ object Searcher {
     * that selected the centroid). Returns sorted codes (deterministic). */
   private[graft] def probeCentroids(
       m: Array[Array[Float]], nProbe: Int,
-      threshold: Option[Float]): Seq[Int] = {
+      threshold: Option[Float],
+      eligible: Option[Array[Boolean]] = None): Seq[Int] = {
     val t = threshold.getOrElse(Float.NegativeInfinity)
     val selected = scala.collection.mutable.Set.empty[Int]
-    m.foreach { row => topNIndices(row, nProbe).foreach(selected += _) }
+    // eligible-centroid restriction: ineligible columns are masked out
+    // of the per-token top-n selection so the probe budget goes to
+    // centroids that can produce candidates at all
+    val rows = eligible match {
+      case None => m
+      case Some(mask) => m.map { row =>
+        val masked = row.clone()
+        var c = 0
+        while (c < masked.length) {
+          if (!mask(c)) masked(c) = Float.NegativeInfinity
+          c += 1
+        }
+        masked
+      }
+    }
+    rows.foreach { row => topNIndices(row, nProbe).foreach(selected += _) }
     selected.iterator
+      // top-n of a masked row can still surface -inf placeholders when
+      // fewer than n centroids are eligible — drop them here
+      .filter(c => eligible.forall(_(c)))
       .filter { c =>
         var maxAll = Float.NegativeInfinity
         var ti = 0

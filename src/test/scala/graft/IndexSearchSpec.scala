@@ -113,6 +113,14 @@ class IndexSearchSpec extends AnyFunSuite {
     // NaN scores never satisfy the threshold
     val m3 = Array(Array(Float.NaN, 0.5f))
     assert(Searcher.probeCentroids(m3, nProbe = 2, Some(0.4f)) === Seq(1))
+    // eligible-centroid restriction (search.rs:350-364): the probe
+    // budget goes to eligible centroids only, and ineligible ones never
+    // leak through even with high scores
+    val m4 = Array(Array(0.9f, 0.5f, 0.45f))
+    assert(Searcher.probeCentroids(m4, nProbe = 1, None,
+      Some(Array(false, true, true))) === Seq(1))
+    assert(Searcher.probeCentroids(m4, nProbe = 3, Some(0.4f),
+      Some(Array(false, true, true))) === Seq(1, 2))
   }
 
   test("default-parameter search (threshold 0.4 enabled) prunes soundly") {
