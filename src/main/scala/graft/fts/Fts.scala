@@ -65,10 +65,13 @@ object Fts {
       postings: DataFrame,
       queryTerms: Seq[String],
       andSemantics: Boolean = true,
-      subset: Option[DataFrame] = None
+      subset: Option[DataFrame] = None,
+      doclensOpt: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
-    val doclens0 = docLengths(postings)
+    // persisted doclens (FtsIndex) avoids re-aggregating the postings per
+    // query AND carries parquet size stats, so Catalyst can auto-broadcast
+    val doclens0 = doclensOpt.getOrElse(docLengths(postings))
     val doclens = subset match {
       case Some(sub) => doclens0.join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
       case None      => doclens0
@@ -109,13 +112,14 @@ object Fts {
       query: String,
       topK: Int,
       tokenizerName: String = "unicode61",
-      subset: Option[DataFrame] = None
+      subset: Option[DataFrame] = None,
+      doclensOpt: Option[DataFrame] = None
   ): DataFrame = {
     val terms =
       if (tokenizerName == "identifier_aware") Tokenizers.sanitizeQueryTermsOr(query)
       else Tokenizers.sanitizeQueryTerms(query)
     val andSem = tokenizerName != "identifier_aware"
-    val scored = bm25(spark, postings, terms, andSem, subset)
+    val scored = bm25(spark, postings, terms, andSem, subset, doclensOpt)
     graft.operators.Rankers.topKGlobal(
       scored, Seq(col("score").desc, col("doc_id").asc), topK)
   }

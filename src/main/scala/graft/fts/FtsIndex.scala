@@ -30,9 +30,10 @@ final class FtsIndex(val spark: SparkSession, val path: String) {
     node.get("tokenizer").asText()
   }
 
-  /** F4/F5 search over the persisted postings. */
+  /** F4/F5 search over the persisted postings + doclens. */
   def search(query: String, topK: Int, subset: Option[DataFrame] = None): DataFrame =
-    Fts.search(spark, postings, query, topK, tokenizerName, subset)
+    Fts.search(spark, postings, query, topK, tokenizerName, subset,
+      doclensOpt = Some(doclens))
 }
 
 object FtsIndex {
@@ -42,10 +43,10 @@ object FtsIndex {
       docs: DataFrame, idCol: String, textCol: String,
       path: String,
       tokenizerName: String = "unicode61"): FtsIndex = {
-    val postings = Fts.buildPostings(docs, idCol, textCol, tokenizerName)
+    val postings = Fts.buildPostings(docs, idCol, textCol, tokenizerName).cache()
     Fs.rewrite(postings, s"$path/postings")
-    Fs.rewrite(spark.read.parquet(s"$path/postings")
-      .groupBy("doc_id").agg(sum("tf").as("dl")), s"$path/doclens")
+    Fs.rewrite(postings.groupBy("doc_id").agg(sum("tf").as("dl")), s"$path/doclens")
+    postings.unpersist()
     val node = graft.index.MultiVectorIndex.jsonMapper.createObjectNode()
     node.put("tokenizer", tokenizerName)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
