@@ -600,9 +600,13 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
-        |p AS (SELECT unnest(range(0, 8)) AS perm),
+        |p AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 8)) AS r)),
         |h AS (SELECT doc_id, perm,
-        |  ('0x' || substr(md5(sh || '#' || perm), 1, 15))::BIGINT AS h
+        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p)
         |SELECT doc_id, perm, min(h) AS minhash FROM h GROUP BY 1, 2""".stripMargin,
     "p_lsh_pairs" ->
@@ -610,9 +614,13 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
-        |p AS (SELECT unnest(range(0, 16)) AS perm),
+        |p AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS r)),
         |hh AS (SELECT doc_id, perm,
-        |  ('0x' || substr(md5(sh || '#' || perm), 1, 15))::BIGINT AS h
+        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p),
         |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 4 AS band,

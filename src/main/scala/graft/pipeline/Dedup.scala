@@ -52,17 +52,45 @@ object Dedup {
         )).as("sh"))
       .distinct()
 
-  /** MinHash signatures `(doc_id, perm, minhash)`: permutation i's hash of
-    * a shingle is hash60(sh, i); the signature entry is the min over the
-    * doc's shingles. The doc×shingle×perm explode is reduced map-side by
-    * the partial min before the (doc_id, perm) shuffle. */
-  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame =
+  /** Prime modulus for the universal-hash permutation family. */
+  val MinhashP = 2147483647L // 2^31 - 1
+
+  /** 60-bit md5-prefix hash of a string, computed driver-side — the
+    * byte-identical Scala twin of the SQL
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  private[pipeline] def md5num(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Universal-hash constants for permutation i: a_i ∈ [1, P−1],
+    * b_i ∈ [0, P−1], both derived from md5 so the DuckDB oracle
+    * regenerates them from the same formula. */
+  private[pipeline] def permConsts(numPerm: Int): (Seq[Long], Seq[Long]) = (
+    (0 until numPerm).map(i => md5num(s"mh_a$i") % (MinhashP - 1) + 1),
+    (0 until numPerm).map(i => md5num(s"mh_b$i") % MinhashP)
+  )
+
+  /** MinHash signatures `(doc_id, perm, minhash)`: ONE md5 per shingle
+    * (reduced mod P), then permutation i applies the universal hash
+    * `(a_i·h + b_i) mod P` — arithmetic instead of numPerm md5 rounds
+    * over every shingle (a 16× hash-count cliff at scale). The
+    * doc×shingle×perm explode is reduced map-side by the partial min
+    * before the (doc_id, perm) shuffle. */
+  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    val (as, bs) = permConsts(numPerm)
+    val aLit = s"array(${as.mkString("L,")}L)"
+    val bLit = s"array(${bs.mkString("L,")}L)"
     sh
-      .select(col("doc_id"), col("sh"),
+      .withColumn("base", pmod(hash60(col("sh"), lit(0)), lit(MinhashP)))
+      .select(col("doc_id"), col("base"),
         explode(expr(s"sequence(0, ${numPerm - 1})")).as("perm"))
-      .withColumn("h", hash60(col("sh"), col("perm")))
+      .withColumn("h", expr(
+        s"(element_at($aLit, perm + 1) * base + element_at($bLit, perm + 1)) % $MinhashP"))
       .groupBy("doc_id", "perm")
       .agg(min("h").as("minhash"))
+  }
 
   /** LSH banding: `(doc_id, band, band_sig)` — band_sig is the md5 of the
     * comma-joined signature rows of that band (perm order). Docs agreeing
