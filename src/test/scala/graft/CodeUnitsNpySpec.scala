@@ -69,6 +69,41 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(deleted.collect().map(_.getString(0)).toSet === Set("gone.py"))
   }
 
+  test("C7 full loop: CodeIndexer syncs units and FTS through file changes") {
+    import spark.implicits._
+    import graft.operators.CodeIndexer
+    val dir = "/tmp/graft_code_idx"
+    graft.util.Fs.deleteRecursively(dir)
+
+    val v1 = Seq(
+      ("a.py", "def parse_json(data):\n    return data\n"),
+      ("b.py", "def render_html(page):\n    return page\n")).toDF("path", "source")
+    val s1 = CodeIndexer.sync(spark, v1, dir)
+    assert(s1.changed === 2L && s1.deleted === 0L && s1.totalUnits === 2L)
+    val hit1 = CodeIndexer.ftsIndex(spark, dir).search("parse_json", 5)
+    assert(hit1.count() >= 1)
+
+    // unchanged sync is a no-op
+    val s2 = CodeIndexer.sync(spark, v1, dir)
+    assert(s2.changed === 0L && s2.deleted === 0L)
+
+    // modify a.py (new function name), drop b.py, add c.py
+    val v2 = Seq(
+      ("a.py", "def parse_yaml(data):\n    return data\n"),
+      ("c.py", "def fetch_rows(db):\n    return db\n")).toDF("path", "source")
+    val s3 = CodeIndexer.sync(spark, v2, dir)
+    assert(s3.changed === 2L && s3.deleted === 1L && s3.totalUnits === 2L)
+    val names = CodeIndexer.units(spark, dir).select("name").collect()
+      .map(_.getString(0)).toSet
+    assert(names === Set("parse_yaml", "fetch_rows"))
+    val fts = CodeIndexer.ftsIndex(spark, dir)
+    assert(fts.search("parse_yaml", 5).count() >= 1)
+    // identifier-aware search is OR-semantics, so query the sub-tokens
+    // unique to the removed versions
+    assert(fts.search("json", 5).count() === 0)
+    assert(fts.search("render", 5).count() === 0)
+  }
+
   test("C8: env overrides map onto SearchParams") {
     val p = CodeUnits.envSearchParams(SearchParams(), Map(
       "COLGREP_N_IVF_PROBE" -> "32",
