@@ -196,7 +196,12 @@ object SparkEntry {
     // F9/C5: hybrid orchestration — semantic MaxSim list fused with a
     // subset-filtered BM25 list (fetch_k = 3*top_k, alpha = 0.75)
     "h_hybrid_search" -> ((s, dir) => {
-      // semantic side: exact MaxSim of query 0 over embeddings-docs
+      // semantic side: exact MaxSim of ONE query over the embeddings
+      // table — the oracle-exact twin (linear in corpus × 5 query
+      // tokens). The production path is HybridSearch via the IVF funnel
+      // (candidates only; exercised by HybridColgrepSpec/ApiSpec) — an
+      // exact-math funnel twin would need its own recon dump like
+      // v_index_search, duplicating that query's machinery.
       val dtok = t(s, dir, "embeddings")
         .select((col("vec_id") / 5).cast("long").as("doc_id"),
           col("vec_id"), col("embedding"))
@@ -320,6 +325,9 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    // brute-force cosine top-k — the correctness baseline the ANN paths
+    // are unit-verified against (IVF probing + SRP buckets in
+    // Similarity; p_srp_join is the bucketed oracle-checked form)
     "p_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
