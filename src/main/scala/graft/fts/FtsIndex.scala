@@ -38,13 +38,24 @@ final class FtsIndex(val spark: SparkSession, val path: String) {
 
 object FtsIndex {
 
+  /** Postings are laid out range-partitioned + sorted by term, so a
+    * term-filtered scan (every BM25 query) prunes row groups via
+    * min/max stats instead of reading the whole table. AQE coalesces
+    * the range partitions when small. */
+  private def writePostings(spark: SparkSession, postings: DataFrame, path: String): Unit =
+    Fs.rewrite(
+      postings.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, col("term"))
+        .sortWithinPartitions("term", "doc_id"),
+      s"$path/postings")
+
   def build(
       spark: SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       path: String,
       tokenizerName: String = "unicode61"): FtsIndex = {
     val postings = Fts.buildPostings(docs, idCol, textCol, tokenizerName).cache()
-    Fs.rewrite(postings, s"$path/postings")
+    writePostings(spark, postings, path)
     Fs.rewrite(postings.groupBy("doc_id").agg(sum("tf").as("dl")), s"$path/doclens")
     postings.unpersist()
     val node = graft.index.MultiVectorIndex.jsonMapper.createObjectNode()
@@ -82,9 +93,9 @@ object FtsIndex {
       else survivors.select(col("doc_id"), col("doc_id").as("new_id"))
     Fs.rewrite(mapping, s"${idx.path}/delete_map")
     val mapDf = spark.read.parquet(s"${idx.path}/delete_map")
-    Fs.rewrite(idx.postings.join(broadcast(mapDf), "doc_id")
-      .select(col("new_id").as("doc_id"), col("term"), col("tf")),
-      s"${idx.path}/postings")
+    writePostings(spark, idx.postings.join(broadcast(mapDf), "doc_id")
+      .select(col("term"), col("new_id").as("doc_id"), col("tf")),
+      idx.path)
     Fs.rewrite(idx.doclens.join(broadcast(mapDf), "doc_id")
       .select(col("new_id").as("doc_id"), col("dl")), s"${idx.path}/doclens")
     new FtsIndex(spark, idx.path)
@@ -98,7 +109,7 @@ object FtsIndex {
     val changed = docs.select(col(idCol).as("doc_id")).distinct()
     val fresh = Fts.buildPostings(docs, idCol, textCol, idx.tokenizerName)
     val kept = idx.postings.join(broadcast(changed), Seq("doc_id"), "left_anti")
-    Fs.rewrite(kept.unionByName(fresh), s"${idx.path}/postings")
+    writePostings(spark, kept.unionByName(fresh), idx.path)
     Fs.rewrite(spark.read.parquet(s"${idx.path}/postings")
       .groupBy("doc_id").agg(sum("tf").as("dl")), s"${idx.path}/doclens")
     new FtsIndex(spark, idx.path)

@@ -98,6 +98,19 @@ class ApiSpec extends AnyFunSuite {
     assert(gi.count === 15L)
     assert(gi.metadata.count() === 15L)
 
+    // addDocuments (POST /documents): 5 more docs + metadata, appended
+    // after the current 15; index/metadata/FTS stay aligned
+    val extra = docs.filter(col("doc_id") >= 40 && col("doc_id") < 45)
+      .withColumn("doc_id", col("doc_id") - 40)
+    gi.addDocuments(extra, Some(metaJsonFor(0L until 5L, offsetLabel = 10)))
+    assert(gi.count === 20L)
+    assert(gi.metadata.count() === 20L)
+    val addedQ = docs.filter(col("doc_id") === 42)
+      .select(lit(0L).as("query_id"), col("embeddings"))
+    val addedHit = gi.search(addedQ, exhaustive.copy(topK = 1)).collect()
+    assert(addedHit.head.getAs[Long]("doc_id") === 17L) // 15 + local id 2
+    assert(gi.ftsIndex.doclens.count() === 20L)
+
     // rerank endpoint
     val q = docs.filter(col("doc_id") === 5).select("embeddings")
       .collect()(0)
