@@ -69,7 +69,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       val m = metadata
       val texts = m.select(col("_subset_").as("doc_id"),
         FtsIndex.metadataToTextUdf(to_json(struct(
-          m.columns.filterNot(_ == "_subset_").map(col): _*))).as("text"))
+          m.columns.filterNot(_ == "_subset_").toIndexedSeq.map(col): _*))).as("text"))
       FtsIndex.build(spark, texts, "doc_id", "text", s"$path/fts")
     }
     this
@@ -178,7 +178,7 @@ object GraftIndex {
       val m = gi.metadata
       val texts = m.select(col("_subset_").as("doc_id"),
         FtsIndex.metadataToTextUdf(to_json(struct(
-          m.columns.filterNot(_ == "_subset_").map(col): _*))).as("text"))
+          m.columns.filterNot(_ == "_subset_").toIndexedSeq.map(col): _*))).as("text"))
       FtsIndex.build(spark, texts, "doc_id", "text", s"$path/fts")
     }
     gi

@@ -132,7 +132,7 @@ object FtsIndex {
       if (n.isTextual) parts += n.asText()
       else if (n.isNumber) parts += n.numberValue().toString
       else if (n.isArray) { val it = n.elements(); while (it.hasNext) walk(it.next()) }
-      else if (n.isObject) { val it = n.fields(); while (it.hasNext) walk(it.next().getValue) }
+      else if (n.isObject) { val it = n.properties().iterator(); while (it.hasNext) walk(it.next().getValue) }
     }
     walk(node)
     parts.mkString(" ")

@@ -84,7 +84,7 @@ object ArrayMath {
     registrations.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.ArrayMath", null, name, usage, ""),
+        new ExpressionInfo("graft.functions.ArrayMath", "", name, usage, "", "", "", "", "", "", "built-in"),
         builder)
     }
 }
@@ -96,8 +96,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
-      new ExpressionInfo("graft.functions.ArrayMath", null, "dot_f",
-        "fused double-precision dot product of two float arrays", ""),
+      new ExpressionInfo("graft.functions.ArrayMath", "", "dot_f",
+        "fused double-precision dot product of two float arrays", "", "", "", "", "", "", "built-in"),
       { args: Seq[Expression] => DotF(args(0), args(1)) }))
   }
 }

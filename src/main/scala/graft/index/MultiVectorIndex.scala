@@ -45,7 +45,7 @@ final class MultiVectorIndex(val spark: SparkSession, val path: String) {
   lazy val manifest: Map[String, String] = {
     val node = MultiVectorIndex.jsonMapper.readTree(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/manifest.json")))
-    val it = node.fields()
+    val it = node.properties().iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
     b.result()

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core.{MaxSim, Ward}
+import graft.search.Searcher
+
+/** Property-based checks over the pure kernels (no SparkSession):
+  * selection, probing, Ward pooling, MaxSim, tokenization. */
+object KernelProperties extends Properties("kernels") {
+
+  private val floatGen = Gen.chooseNum(-10.0f, 10.0f)
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(1, 8).flatMap(d => Gen.listOfN(d, floatGen).map(_.toArray))
+
+  // ---- topNIndices: a correct bounded selection ----
+
+  property("topNIndices selects a maximal value set of the right size") =
+    forAll(Gen.nonEmptyListOf(floatGen), Gen.chooseNum(1, 12)) { (xs, n) =>
+      val arr = xs.toArray
+      val sel = Searcher.topNIndices(arr, n)
+      val selSet = sel.toSet
+      val unselected = arr.indices.filterNot(selSet)
+      Prop(sel.length == math.min(n, arr.length)) &&
+        Prop(sel.distinct.length == sel.length) &&
+        Prop(unselected.isEmpty || sel.isEmpty ||
+          sel.map(arr(_)).min >= unselected.map(arr(_)).max)
+    }
+
+  // ---- probeCentroids vs a naive reference ----
+
+  private val matrixGen: Gen[Array[Array[Float]]] = for {
+    k <- Gen.chooseNum(1, 10)
+    t <- Gen.chooseNum(1, 5)
+    rows <- Gen.listOfN(t, Gen.listOfN(k, floatGen).map(_.toArray))
+  } yield rows.toArray
+
+  property("probeCentroids is bounded by naive top-n (tie-tolerant) + any-token threshold") =
+    forAll(matrixGen, Gen.chooseNum(1, 5), Gen.chooseNum(-5.0f, 5.0f)) { (m, n, t) =>
+      val got = Searcher.probeCentroids(m, n, Some(t)).toSet
+      def nth(row: Array[Float]): Float = {
+        val sorted = row.sorted(Ordering[Float].reverse)
+        sorted(math.min(n, sorted.length) - 1)
+      }
+      // any index strictly above a row's nth value MUST be selected by
+      // that row; any selected index is >= some row's nth value
+      val mustSelect = m.flatMap { row =>
+        val v = nth(row); row.indices.filter(row(_) > v)
+      }.toSet
+      val maySelect = m.flatMap { row =>
+        val v = nth(row); row.indices.filter(row(_) >= v)
+      }.toSet
+      def passes(c: Int) = m.exists(row => !row(c).isNaN && row(c) >= t)
+      Prop(mustSelect.filter(passes).subsetOf(got)) &&
+        Prop(got.subsetOf(maySelect.filter(passes)))
+    }
+
+  property("probeCentroids honors the eligibility mask") =
+    forAll(matrixGen, Gen.chooseNum(1, 5)) { (m, n) =>
+      val k = m(0).length
+      val mask = Array.tabulate(k)(i => i % 2 == 0)
+      Searcher.probeCentroids(m, n, None, Some(mask)).forall(mask(_))
+    }
+
+  // ---- Ward pooling ----
+
+  private val docGen: Gen[Array[Array[Float]]] = for {
+    n <- Gen.chooseNum(2, 12)
+    dim <- Gen.chooseNum(2, 6)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray))
+  } yield vecs.toArray
+
+  property("Ward linkage: n-1 monotone merges ending with all leaves") =
+    forAll(docGen) { emb =>
+      val merges = Ward.linkage(Ward.pdistCosine(emb), emb.length)
+      Prop(merges.length == emb.length - 1) &&
+        Prop(merges.zip(merges.drop(1)).forall { case (a, b) => a.dist <= b.dist + 1e-9 }) &&
+        Prop(merges.isEmpty || merges.last.size == emb.length)
+    }
+
+  property("poolDocument yields ceil(n/f) clusters; factor 1 is identity") =
+    forAll(docGen, Gen.chooseNum(1, 5)) { (emb, f) =>
+      val out = Ward.poolDocument(emb, f)
+      val expect =
+        if (f <= 1) emb.length
+        else math.min(emb.length, math.max(1, (emb.length + f - 1) / f))
+      out.length == expect
+    }
+
+  // ---- MaxSim vs naive ----
+
+  property("scoreDouble equals the naive max-over-docs sum") =
+    forAll(Gen.nonEmptyListOf(vecGen), Gen.nonEmptyListOf(vecGen)) { (qs, ds) =>
+      val q = qs.toArray
+      val d = ds.toArray
+      val naive = q.map { qv =>
+        ds.map { dv =>
+          qv.zip(dv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        }.max
+      }.sum
+      math.abs(MaxSim.scoreDouble(q, d) - naive) < 1e-6
+    }
+
+  // ---- tokenizer invariants ----
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('-', '_', '.', ',', '!'))).map(_.mkString)
+
+  property("unicode61 tokens are exactly the maximal alnum runs, lowercased") =
+    forAll(textGen) { s =>
+      val viaRegex = "[A-Za-z0-9]+".r.findAllIn(s).map(_.toLowerCase).toList
+      graft.core.Tokenizers.unicode61(s).toList == viaRegex
+    }
+
+  property("trigram count is max(len-2, 0) over the lowercased text") =
+    forAll(textGen) { s =>
+      graft.core.Tokenizers.trigram(s).size == math.max(s.length - 2, 0)
+    }
+}
