@@ -21,8 +21,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/session warm-up so the first measured query doesn't absorb
-    // executor/codegen startup (q1 carried ~5s of it in round 1).
+    // executor/codegen startup (q1 carried ~5s of it in round 1), and a
+    // throwaway parquet write so committer/output-format init isn't
+    // attributed to whichever artifact-building query runs first.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(100L).write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

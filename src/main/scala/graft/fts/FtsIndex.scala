@@ -38,16 +38,12 @@ final class FtsIndex(val spark: SparkSession, val path: String) {
 
 object FtsIndex {
 
-  /** Postings are laid out range-partitioned + sorted by term, so a
-    * term-filtered scan (every BM25 query) prunes row groups via
-    * min/max stats instead of reading the whole table. AQE coalesces
-    * the range partitions when small. */
+  /** Postings files are sorted by term (partition-local — no extra
+    * shuffle beyond the build aggregation), so a term-filtered scan
+    * (every BM25 query) prunes parquet row groups via min/max term
+    * stats instead of reading the whole table. */
   private def writePostings(spark: SparkSession, postings: DataFrame, path: String): Unit =
-    Fs.rewrite(
-      postings.repartitionByRange(
-        spark.sessionState.conf.numShufflePartitions, col("term"))
-        .sortWithinPartitions("term", "doc_id"),
-      s"$path/postings")
+    Fs.rewrite(postings.sortWithinPartitions("term", "doc_id"), s"$path/postings")
 
   def build(
       spark: SparkSession,
