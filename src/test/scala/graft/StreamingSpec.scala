@@ -66,6 +66,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.head.getAs[Long]("doc_id") === 25L)
   }
 
+  test("streaming exact dedup passes only the first-seen text across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.firstSeen(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", "/tmp/graft_sdedup_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    stream.addData(Seq(
+      (0L, "alpha beta"), (1L, "Alpha  Beta"), (2L, "unique one")))
+    q.awaitTermination()
+    // batch 2: a repeat of batch 1's text plus a new one
+    stream.addData(Seq((3L, "ALPHA BETA"), (4L, "another text")))
+    val q2 = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out2")
+      .option("checkpointLocation", "/tmp/graft_sdedup_ckpt2_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val all = spark.table("dedup_out2").select("doc_id").collect().map(_.getLong(0)).toSet
+    // fresh checkpoint replays everything: 0 wins over 1 and 3 (same
+    // normalized text), 2 and 4 pass
+    assert(all === Set(0L, 2L, 4L))
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
