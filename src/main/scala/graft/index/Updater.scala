@@ -131,6 +131,17 @@ object Updater {
 
     if (codecOverride.isDefined) MultiVectorIndex.saveCodec(spark, path, codec)
 
+    // Keep raw_docs in sync with the reference's embeddings.npy contract
+    // (update.rs:265-360): appended while the corpus stays under the
+    // rebuild threshold, dropped once it grows past it — a stale raw
+    // table would make a later mode-1 rebuild silently lose these docs.
+    if (exists(s"$path/raw_docs")) {
+      if (offset + nNew <= UpdateConfigDefaults.StartFromScratch)
+        newDocs.select((col("doc_id") + lit(offset)).as("doc_id"), col("embeddings"))
+          .write.mode(SaveMode.Append).parquet(s"$path/raw_docs")
+      else deleteRecursively(s"$path/raw_docs")
+    }
+
     val m = idx.manifest
     MultiVectorIndex.writeManifest(path, m ++ Map(
       "num_documents" -> (offset + nNew).toString,

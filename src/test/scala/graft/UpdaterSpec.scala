@@ -155,6 +155,26 @@ class UpdaterSpec extends AnyFunSuite {
     assert(!m.contains("title_3") && !m.contains("title_7") && !m.contains("title_15"))
   }
 
+  test("append keeps raw_docs in sync so a later rebuild loses nothing") {
+    val path = freshPath("rawsync")
+    // force the append path despite a small corpus, then rebuild with
+    // default thresholds — the appended docs must survive the rebuild
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 10), path)
+    val idx1 = Updater.update(spark, path,
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 12)
+        .withColumn("doc_id", col("doc_id") - 10),
+      UpdateConfig(startFromScratch = 0, bufferSize = 1000))
+    assert(idx1.numDocuments === 12L)
+    assert(spark.read.parquet(s"$path/raw_docs").count() === 12L)
+    val idx2 = Updater.update(spark, path,
+      docs.filter(col("doc_id") === 12).withColumn("doc_id", lit(0L)))
+    assert(idx2.numDocuments === 13L)
+    val q = docs.filter(col("doc_id") === 11)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx2, q) === Map(11L -> 11L)) // appended doc survived the rebuild
+    ivfMatchesTokens(idx2)
+  }
+
   test("delete then re-add keeps the dense-id invariant (integration cycle)") {
     val path = freshPath("cycle")
     val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
