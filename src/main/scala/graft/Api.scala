@@ -118,25 +118,35 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   // ---- delete (DELETE /indices/{name}/documents) ----
 
   /** Delete by ids or by condition; vector tables, metadata, and FTS all
-    * renumber through the same dense mapping (U5 + U7). */
+    * renumber through the same dense mapping (U5 + U7). The deletion set
+    * stays a DataFrame end-to-end — a broad condition at scale never
+    * collects to the driver. */
   def deleteDocuments(
       ids: Option[Seq[Long]] = None,
       cond: Option[(String, Seq[Where.Param])] = None): GraftIndex = {
-    val toDelete: Seq[Long] = (ids, cond) match {
-      case (Some(list), _) => list
+    import spark.implicits._
+    val delDf: Option[DataFrame] = (ids, cond) match {
+      case (Some(list), _) =>
+        if (list.isEmpty) None else Some(list.toDF("doc_id"))
       case (None, Some((c, ps))) =>
-        MetadataOps.whereCondition(metadata, "_subset_", c, ps)
-          .collect().map(_.getLong(0)).toSeq
-      case _ => Seq.empty
+        Some(MetadataOps.whereCondition(metadata, "_subset_", c, ps)
+          .withColumnRenamed("_subset_", "doc_id"))
+      case _ => None
     }
-    if (toDelete.isEmpty) return this
-    Updater.delete(spark, index, toDelete)
-    if (graft.util.Fs.exists(metaPath)) {
-      graft.util.Fs.rewrite(
-        Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
-    }
-    if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
-      FtsIndex.delete(ftsIndex, toDelete)
+    delDf.filterNot(_.isEmpty).foreach { del =>
+      // materialize the set once: the metadata table it may derive from
+      // is rewritten below
+      graft.util.Fs.rewrite(del.select("doc_id"), s"$path/pending_delete")
+      val delStable = spark.read.parquet(s"$path/pending_delete")
+      Updater.deleteFrom(spark, index, delStable)
+      if (graft.util.Fs.exists(metaPath)) {
+        graft.util.Fs.rewrite(
+          Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
+      }
+      if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
+        FtsIndex.deleteFrom(ftsIndex, delStable)
+      }
+      graft.util.Fs.deleteRecursively(s"$path/pending_delete")
     }
     this
   }

@@ -77,10 +77,15 @@ object FtsIndex {
     * vector index deleted). */
   def delete(idx: FtsIndex, deleteIds: Seq[Long], renumber: Boolean = true): FtsIndex = {
     import idx.spark.implicits._
+    deleteFrom(idx, deleteIds.toDF("doc_id"), renumber)
+  }
+
+  /** DataFrame-native delete (deletion set never passes through the
+    * driver; mapping joins planned by size from the parquet stats). */
+  def deleteFrom(idx: FtsIndex, del: DataFrame, renumber: Boolean = true): FtsIndex = {
     val spark = idx.spark
-    val del = deleteIds.toDF("doc_id")
     val survivors = idx.doclens.select("doc_id")
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
     val mapping =
       if (renumber)
         graft.meta.MetadataOps.denseResequenceScalable(
@@ -89,10 +94,10 @@ object FtsIndex {
       else survivors.select(col("doc_id"), col("doc_id").as("new_id"))
     Fs.rewrite(mapping, s"${idx.path}/delete_map")
     val mapDf = spark.read.parquet(s"${idx.path}/delete_map")
-    writePostings(spark, idx.postings.join(broadcast(mapDf), "doc_id")
+    writePostings(spark, idx.postings.join(mapDf, "doc_id")
       .select(col("term"), col("new_id").as("doc_id"), col("tf")),
       idx.path)
-    Fs.rewrite(idx.doclens.join(broadcast(mapDf), "doc_id")
+    Fs.rewrite(idx.doclens.join(mapDf, "doc_id")
       .select(col("new_id").as("doc_id"), col("dl")), s"${idx.path}/doclens")
     new FtsIndex(spark, idx.path)
   }

@@ -164,24 +164,32 @@ object Updater {
     * metadata/FTS sync (U7). */
   def delete(spark: SparkSession, idx: MultiVectorIndex, deleteIds: Seq[Long]): MultiVectorIndex = {
     import spark.implicits._
+    deleteFrom(spark, idx, deleteIds.distinct.toDF("doc_id"))
+  }
+
+  /** DataFrame-native delete — the deletion set never passes through the
+    * driver, and the old→new mapping joins are planned by size (the
+    * mapping is re-read from parquet, so Catalyst broadcasts it only
+    * when it actually fits). `del(doc_id)`. */
+  def deleteFrom(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
     val path = idx.path
-    val del = deleteIds.toDF("doc_id")
     val survivors = idx.doclens.select("doc_id")
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
     val numRanges = spark.sessionState.conf.numShufflePartitions
     val mapping = MetadataOps.denseResequenceScalable(survivors, "doc_id", numRanges)
       .select(col("doc_id"), col("new_id"))
     rewrite(mapping, s"$path/last_delete_map")
     val mapDf = spark.read.parquet(s"$path/last_delete_map")
+    val nDocs = mapDf.count()
 
-    val tokens2 = idx.tokens.join(broadcast(mapDf), "doc_id")
+    val tokens2 = idx.tokens.join(mapDf, "doc_id")
       .select(col("new_id").as("doc_id"), col("tok"), col("code"), col("residual"))
     rewrite(tokens2, s"$path/tokens")
     val tokensOut = spark.read.parquet(s"$path/tokens")
 
-    rewrite(idx.doclens.join(broadcast(mapDf), "doc_id")
+    rewrite(idx.doclens.join(mapDf, "doc_id")
       .select(col("new_id").as("doc_id"), col("len")), s"$path/doclens")
-    rewrite(idx.docCodes.join(broadcast(mapDf), "doc_id")
+    rewrite(idx.docCodes.join(mapDf, "doc_id")
       .select(col("new_id").as("doc_id"), col("codes")), s"$path/doc_codes")
     rewrite(tokensOut.groupBy("code")
       .agg(sort_array(collect_set("doc_id")).as("doc_ids")), s"$path/ivf")
@@ -189,12 +197,11 @@ object Updater {
     // buffer + raw docs cleanup (delete.rs:286-430)
     Seq("buffer", "raw_docs").foreach { t =>
       if (exists(s"$path/$t")) {
-        rewrite(spark.read.parquet(s"$path/$t").join(broadcast(mapDf), "doc_id")
+        rewrite(spark.read.parquet(s"$path/$t").join(mapDf, "doc_id")
           .select(col("new_id").as("doc_id"), col("embeddings")), s"$path/$t")
       }
     }
 
-    val nDocs = idx.numDocuments - deleteIds.distinct.length
     val nEmb = tokensOut.count()
     val m = idx.manifest
     MultiVectorIndex.writeManifest(path, m ++ Map(
@@ -213,7 +220,7 @@ object Updater {
       meta: DataFrame, idCol: String): DataFrame = {
     val mapDf = spark.read.parquet(s"${idx.path}/last_delete_map")
       .select(col("doc_id").as(idCol), col("new_id"))
-    meta.join(broadcast(mapDf), idCol)
+    meta.join(mapDf, idCol)
       .drop(idCol)
       .withColumnRenamed("new_id", idCol)
   }

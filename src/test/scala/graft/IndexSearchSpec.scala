@@ -78,6 +78,24 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(ca.quantizer.bucketCutoffs.sameElements(cb.quantizer.bucketCutoffs))
   }
 
+  test("build is independent of the shuffle partition count (cluster-layout determinism)") {
+    import spark.implicits._
+    def tokensWith(parts: String, path: String): Set[(Long, Int, Int, Seq[Byte])] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        graft.util.Fs.deleteRecursively(path)
+        val idx = MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 40), path)
+        idx.tokens.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq))
+          .toSet
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = tokensWith("3", "/tmp/graft_det_a")
+    val b = tokensWith("16", "/tmp/graft_det_b")
+    assert(a === b)
+  }
+
   test("search funnel matches brute-force top-k on quantized index") {
     import spark.implicits._
     val idx = new MultiVectorIndex(spark, indexPath)
