@@ -156,8 +156,21 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   def enforceMaxDocuments(maxDocuments: Long): GraftIndex = {
     val n = count
     if (n > maxDocuments) {
-      val evict = (0L until (n - maxDocuments)).toSeq
-      deleteDocuments(ids = Some(evict))
+      // U6 FIFO eviction: the oldest ids are the dense prefix — the
+      // evict set is a range expression, never a driver-side list
+      graft.util.Fs.rewrite(
+        spark.range(n - maxDocuments).select(col("id").as("doc_id")),
+        s"$path/pending_delete")
+      val delStable = spark.read.parquet(s"$path/pending_delete")
+      Updater.deleteFrom(spark, index, delStable)
+      if (graft.util.Fs.exists(metaPath)) {
+        graft.util.Fs.rewrite(
+          Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
+      }
+      if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
+        FtsIndex.deleteFrom(ftsIndex, delStable)
+      }
+      graft.util.Fs.deleteRecursively(s"$path/pending_delete")
     }
     this
   }
