@@ -25,6 +25,7 @@ object MetadataOps {
       cond: String,
       params: Seq[Where.Param]
   ): DataFrame = {
+    Where.ensureUdfs(df.sparkSession)
     val pred = Where.toSparkSql(cond, params, df.columns.toSeq)
     df.filter(expr(pred)).select(col(idCol))
   }
@@ -37,6 +38,7 @@ object MetadataOps {
       ids: Option[Seq[Long]],
       limit: Option[Int]
   ): DataFrame = {
+    Where.ensureUdfs(df.sparkSession)
     var out = df
     cond.foreach { case (c, ps) =>
       out = out.filter(expr(Where.toSparkSql(c, ps, df.columns.toSeq)))
@@ -77,6 +79,7 @@ object MetadataOps {
       params: Seq[Where.Param],
       assignments: Map[String, Column]
   ): DataFrame = {
+    Where.ensureUdfs(df.sparkSession)
     val pred = expr(Where.toSparkSql(cond, params, df.columns.toSeq))
     assignments.foldLeft(df) { case (acc, (c, v)) =>
       acc.withColumn(c, when(pred, v).otherwise(col(c)))

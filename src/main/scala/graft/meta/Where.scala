@@ -164,7 +164,11 @@ object Where {
           case Kw("LIKE") =>
             expect(QMark); s"($quoted LIKE ${bind()})"
           case Kw("REGEXP") =>
-            expect(QMark); s"($quoted RLIKE ${bind()})"
+            // failure-as-no-match semantics (filtering.rs:2026-2031):
+            // rendered to the SafeRegex kernel, not RLIKE — an invalid or
+            // catastrophically-backtracking pattern returns 0 rows
+            // instead of throwing/hanging (see [[ensureUdfs]])
+            expect(QMark); s"(${UdfName}($quoted, ${bind()}))"
           case Kw("IS") =>
             if (peek.contains(Kw("NOT"))) { next(); expect(Kw("NULL")); s"($quoted IS NOT NULL)" }
             else { expect(Kw("NULL")); s"($quoted IS NULL)" }
@@ -199,6 +203,15 @@ object Where {
       throw WhereError(s"too many parameters: used $paramIdx of ${params.length}")
     rendered
   }
+
+  /** Session UDF backing the REGEXP operator. */
+  val UdfName = "graft_regexp"
+
+  /** Register the REGEXP kernel in the session (idempotent; every
+    * entry point that may evaluate a rendered condition calls this). */
+  def ensureUdfs(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register(UdfName,
+      (s: String, p: String) => SafeRegex.matches(s, p))
 
   private def renderParam(p: Param): String = p match {
     case SStr(v)    => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -127,10 +127,19 @@ object Dedup {
     * `|A ∩ B| / (|A| + |B| − |A ∩ B|)`. Intersections come from an
     * equi-join on the shingle value restricted to candidate docs. */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Restrict the shingle table to candidate docs ONCE (semi-join on the
+    // pair endpoints) and cache the restriction: candidate pairs are a
+    // tiny fraction of the corpus, so the a/b joins and the size
+    // aggregation below then touch |candidates| docs' shingles instead of
+    // re-scanning the full table twice.
+    val cand = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id")))
+      .distinct()
+    val shC = sh.join(cand, Seq("doc_id"), "left_semi").cache()
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(shC.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(shC.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
     inter

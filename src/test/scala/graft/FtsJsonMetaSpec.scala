@@ -109,4 +109,35 @@ class FtsJsonMetaSpec extends AnyFunSuite {
     assert(rows(2).getAs[Long]("c") === 7L)
     assert(rows(2).getAs[Double]("a") === 2.5)
   }
+
+  test("REGEXP failure-as-no-match: invalid and catastrophic patterns return 0 rows") {
+    import spark.implicits._
+    import graft.meta.{MetadataOps, SafeRegex, Where}
+    val df = Seq(
+      (0L, "spark joins big tables"),
+      (1L, "a" * 200 + "b") // long non-matching tail for the backtracker
+    ).toDF("doc_id", "text")
+
+    // valid pattern still matches (RLIKE-equivalent unanchored search)
+    val ok = MetadataOps.whereCondition(df, "doc_id", "text REGEXP ?",
+      Seq(Where.SStr("joins? big")))
+    assert(ok.collect().map(_.getLong(0)).toSet === Set(0L))
+
+    // invalid pattern: fancy-regex error -> no match, not an exception
+    // (filtering.rs:2026-2031)
+    val bad = MetadataOps.whereCondition(df, "doc_id", "text REGEXP ?",
+      Seq(Where.SStr("(unclosed[")))
+    assert(bad.count() === 0L)
+
+    // catastrophic backtracking: budget overrun -> no match for that row,
+    // and the query completes instead of hanging
+    val boom = MetadataOps.whereCondition(df, "doc_id", "text REGEXP ?",
+      Seq(Where.SStr("(a+)+$")))
+    assert(boom.count() === 0L)
+
+    // kernel-level checks
+    assert(SafeRegex.matches("hello world", "wor.d"))
+    assert(!SafeRegex.matches("hello", "(((("))
+    assert(!SafeRegex.matches(null, "x"))
+  }
 }
