@@ -71,14 +71,10 @@ object MultiVectorIndex {
     import spark.implicits._
 
     // E3: optional Ward pooling of each doc's token bag (partition-local,
-    // no shuffle; the rebuild path re-pools from the already-pooled raw
-    // docs, which is a no-op at the same factor).
-    val docsIn =
-      if (cfg.poolFactor <= 1) docs
-      else docs.select("doc_id", "embeddings")
-        .as[(Long, Array[Array[Float]])]
-        .map { case (id, emb) => (id, graft.core.Ward.poolDocument(emb, cfg.poolFactor)) }
-        .toDF("doc_id", "embeddings")
+    // no shuffle). raw_docs stores the POOLED embeddings, so the rebuild
+    // path must pass poolFactor=1 (pooling is not idempotent) — Updater
+    // handles that and re-records the original factor in the manifest.
+    val docsIn = poolDocs(spark, docs, cfg.poolFactor)
 
     val numDocs = docsIn.count()
     require(numDocs > 0, "empty document set")
@@ -235,12 +231,28 @@ object MultiVectorIndex {
       "num_embeddings" -> numTokens.toString,
       "num_partitions" -> k.toString,
       "avg_doclen" -> (numTokens.toDouble / numDocs).toString,
-      "seed" -> cfg.seed.toString
+      "seed" -> cfg.seed.toString,
+      // full build config, so later update-lifecycle rebuilds preserve
+      // the original geometry instead of silently reverting to defaults
+      "kmeans_iters" -> cfg.kmeansIters.toString,
+      "max_points_per_centroid" -> cfg.maxPointsPerCentroid.toString,
+      "pool_factor" -> cfg.poolFactor.toString
     ))
 
     tokens.unpersist()
     centBc.destroy()
     new MultiVectorIndex(spark, path)
+  }
+
+  /** E3 Ward pooling over a doc batch (partition-local; factor ≤ 1 or
+    * single-token docs pass through unchanged). */
+  private[graft] def poolDocs(spark: SparkSession, docs: DataFrame, poolFactor: Int): DataFrame = {
+    import spark.implicits._
+    if (poolFactor <= 1) docs
+    else docs.select("doc_id", "embeddings")
+      .as[(Long, Array[Array[Float]])]
+      .map { case (id, emb) => (id, graft.core.Ward.poolDocument(emb, poolFactor)) }
+      .toDF("doc_id", "embeddings")
   }
 
   private[index] def bestDot(

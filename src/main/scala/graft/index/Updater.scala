@@ -30,7 +30,11 @@ final case class UpdateConfig(
     bufferSize: Int = UpdateConfigDefaults.BufferSize,
     maxPointsPerCentroid: Int = 256,
     seed: Long = 42L,
-    kmeansIters: Int = 4
+    kmeansIters: Int = 4,
+    /** Used only when `update` creates the index (no manifest yet); an
+      * existing index's geometry always comes from its manifest. */
+    nbits: Int = 4,
+    poolFactor: Int = 1
 )
 
 object Updater {
@@ -86,7 +90,8 @@ object Updater {
       spark: SparkSession,
       idx: MultiVectorIndex,
       newDocs: DataFrame,
-      codecOverride: Option[Codec] = None): MultiVectorIndex = {
+      codecOverride: Option[Codec] = None,
+      refreshThreshold: Boolean = false): MultiVectorIndex = {
     import spark.implicits._
     val path = idx.path
     val codec = codecOverride.getOrElse(idx.codec)
@@ -95,6 +100,8 @@ object Updater {
     if (nNew == 0) return idx
 
     val codecBc = spark.sparkContext.broadcast(codec)
+    // rnorm = pre-quantization residual L2 norm, carried only for the
+    // optional threshold refresh below (same encode pass, no extra scan)
     val newTokens = newDocs
       .select((col("doc_id") + lit(offset)).as("doc_id"),
         posexplode(col("embeddings")).as(Seq("tok", "vec")))
@@ -102,15 +109,43 @@ object Updater {
       .mapPartitions { rows =>
         val c = codecBc.value
         rows.map { case (docId, tok, vec) =>
-          val (code, packed) = c.encode(vec)
-          (docId, tok, code, packed)
+          val code = c.assign(vec)
+          val dim = c.dim
+          val residual = new Array[Float](dim)
+          var s = 0.0
+          var i = 0
+          while (i < dim) {
+            residual(i) = vec(i) - c.centroids(code * dim + i)
+            s += residual(i).toDouble * residual(i)
+            i += 1
+          }
+          (docId, tok, code, c.quantizer.quantize(residual), math.sqrt(s).toFloat)
         }
       }
-      .toDF("doc_id", "tok", "code", "residual")
+      .toDF("doc_id", "tok", "code", "residual", "rnorm")
       .cache()
     val nNewTokens = newTokens.count()
 
-    newTokens.write.mode(SaveMode.Append).parquet(s"$path/tokens")
+    // U-threshold refresh (update.rs:385-427): new 0.75-quantile of the
+    // appended residual norms, blended with the old threshold weighted by
+    // embedding counts. The quantile is Spark's exact `percentile`
+    // (same (n-1)·q interpolation as the reference's utils.rs quantile) —
+    // distributed, never a driver-side norm collect.
+    val refreshedCodec: Option[Codec] =
+      if (!refreshThreshold || nNewTokens == 0) None
+      else {
+        val newQ = newTokens.agg(expr("percentile(rnorm, 0.75d)"))
+          .collect()(0).getDouble(0)
+        val oldTotal = idx.manifest("num_embeddings").toLong
+        val blended =
+          ((codec.clusterThreshold.toDouble * oldTotal + newQ * nNewTokens)
+            / (oldTotal + nNewTokens)).toFloat
+        Some(codec.copy(clusterThreshold = blended))
+      }
+    val finalCodec = refreshedCodec.getOrElse(codec)
+
+    newTokens.select("doc_id", "tok", "code", "residual")
+      .write.mode(SaveMode.Append).parquet(s"$path/tokens")
     newTokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .write.mode(SaveMode.Append).parquet(s"$path/doclens")
     newTokens.groupBy("doc_id")
@@ -129,7 +164,8 @@ object Updater {
           coalesce(col("new_ids"), emptyLongArray)))).as("doc_ids"))
     rewrite(merged, s"$path/ivf")
 
-    if (codecOverride.isDefined) MultiVectorIndex.saveCodec(spark, path, codec)
+    if (codecOverride.isDefined || refreshedCodec.isDefined)
+      MultiVectorIndex.saveCodec(spark, path, finalCodec)
 
     // Keep raw_docs in sync with the reference's embeddings.npy contract
     // (update.rs:265-360): appended while the corpus stays under the
@@ -239,28 +275,52 @@ object Updater {
   def update(
       spark: SparkSession,
       path: String,
-      newDocs: DataFrame,
+      newDocs0: DataFrame,
       cfg: UpdateConfig = UpdateConfig()): MultiVectorIndex = {
     if (!exists(s"$path/manifest.json")) {
-      return MultiVectorIndex.build(spark, newDocs, path,
-        IndexConfig(seed = cfg.seed, kmeansIters = cfg.kmeansIters,
-          maxPointsPerCentroid = cfg.maxPointsPerCentroid))
+      return MultiVectorIndex.build(spark, newDocs0, path,
+        IndexConfig(nbits = cfg.nbits, seed = cfg.seed,
+          kmeansIters = cfg.kmeansIters,
+          maxPointsPerCentroid = cfg.maxPointsPerCentroid,
+          poolFactor = cfg.poolFactor))
     }
     val idx = new MultiVectorIndex(spark, path)
     val n0 = idx.numDocuments
 
+    // An existing index's geometry comes from its manifest (the
+    // reference preserves plan.json config across updates) — an index
+    // built with nbits=2 or Ward pooling must not silently revert to
+    // defaults on the next update.
+    val m0 = idx.manifest
+    val baseCfg = IndexConfig(
+      nbits = m0.get("nbits").map(_.toInt).getOrElse(cfg.nbits),
+      kmeansIters = m0.get("kmeans_iters").map(_.toInt).getOrElse(cfg.kmeansIters),
+      maxPointsPerCentroid =
+        m0.get("max_points_per_centroid").map(_.toInt).getOrElse(cfg.maxPointsPerCentroid),
+      seed = m0.get("seed").map(_.toLong).getOrElse(cfg.seed),
+      poolFactor = m0.get("pool_factor").map(_.toInt).getOrElse(1))
+    // incoming docs are pooled like the original build batch; raw_docs
+    // and the buffer then always hold POOLED embeddings
+    val newDocs = MultiVectorIndex.poolDocs(spark, newDocs0, baseCfg.poolFactor)
+    val effCfg = cfg.copy(seed = baseCfg.seed, kmeansIters = baseCfg.kmeansIters,
+      maxPointsPerCentroid = baseCfg.maxPointsPerCentroid)
+
     if (n0 <= cfg.startFromScratch && exists(s"$path/raw_docs")) {
-      // mode 1: full rebuild from raw embeddings (index.rs:964-969)
+      // mode 1: full rebuild from raw embeddings (index.rs:964-969).
+      // raw_docs are already pooled — rebuild with poolFactor=1 (pooling
+      // is not idempotent), then re-record the original factor.
       val raw = spark.read.parquet(s"$path/raw_docs")
       val all = raw.select("doc_id", "embeddings")
         .unionByName(newDocs.select((col("doc_id") + lit(n0)).as("doc_id"), col("embeddings")))
       rewrite(all, s"$path/raw_docs_in")
       val allIn = spark.read.parquet(s"$path/raw_docs_in")
-      val out = MultiVectorIndex.build(spark, allIn, path,
-        IndexConfig(seed = cfg.seed, kmeansIters = cfg.kmeansIters,
-          maxPointsPerCentroid = cfg.maxPointsPerCentroid))
+      val out = MultiVectorIndex.build(spark, allIn, path, baseCfg.copy(poolFactor = 1))
+      if (baseCfg.poolFactor > 1) {
+        MultiVectorIndex.writeManifest(path,
+          out.manifest + ("pool_factor" -> baseCfg.poolFactor.toString))
+      }
       deleteRecursively(s"$path/raw_docs_in")
-      out
+      new MultiVectorIndex(spark, path)
     } else {
       val bufPath = s"$path/buffer"
       val buffered: Option[DataFrame] =
@@ -300,9 +360,13 @@ object Updater {
         val tokens = pending.select(col("doc_id"),
           posexplode(col("embeddings")).as(Seq("tok", "vec")))
         val outliers = findOutliers(spark, tokens, idxDel.codec)
-        val codec2 = expandCentroids(spark, outliers, idxDel.codec, cfg)
+        val codec2 = expandCentroids(spark, outliers, idxDel.codec, effCfg)
+        // the expansion path refreshes cluster_threshold from the
+        // re-appended batch's residual norms (index.rs:1555-1562 passes
+        // update_threshold=true only here, not on cheap appends)
         val idx3 = append(spark, idxDel, pending,
-          codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None)
+          codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None,
+          refreshThreshold = true)
         deleteRecursively(bufPath)
         deleteRecursively(s"$path/pending")
         idx3

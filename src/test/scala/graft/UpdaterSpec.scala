@@ -175,6 +175,84 @@ class UpdaterSpec extends AnyFunSuite {
     ivfMatchesTokens(idx2)
   }
 
+  test("U1 rebuild preserves manifest nbits/seed/pool_factor (no silent config reset)") {
+    import graft.index.IndexConfig
+    val path = freshPath("cfgkeep")
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 40), path,
+      IndexConfig(nbits = 2, seed = 7L, poolFactor = 2))
+    val idx0 = new MultiVectorIndex(spark, path)
+    assert(idx0.codec.quantizer.nbits === 2)
+    // docs have 5 tokens; poolFactor=2 pools to ceil(5/2)=3
+    assert(idx0.doclens.agg(max("len")).collect()(0).getLong(0) === 3L)
+
+    // default UpdateConfig would rebuild with nbits=4/no pooling if the
+    // manifest were ignored
+    val idx1 = Updater.update(spark, path,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 45)
+        .withColumn("doc_id", col("doc_id") - 40))
+    assert(idx1.numDocuments === 45L)
+    assert(idx1.manifest("nbits") === "2")
+    assert(idx1.manifest("seed") === "7")
+    assert(idx1.manifest("pool_factor") === "2")
+    assert(idx1.codec.quantizer.nbits === 2)
+    // every doc (old and newly appended) is pooled exactly once
+    assert(idx1.doclens.agg(max("len")).collect()(0).getLong(0) === 3L)
+    ivfMatchesTokens(idx1)
+
+    // append path (mode 2) also pools incoming docs by the manifest factor
+    val idx2 = Updater.update(spark, path,
+      docs.filter(col("doc_id") === 45).withColumn("doc_id", lit(0L)),
+      UpdateConfig(startFromScratch = 0, bufferSize = 1000))
+    assert(idx2.doclens.filter(col("doc_id") === 45).collect()(0).getLong(1) === 3L)
+  }
+
+  test("cluster threshold refreshes as a count-weighted blend on expansion appends") {
+    val path = freshPath("threfresh")
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 50), path)
+    val idx0 = new MultiVectorIndex(spark, path)
+    val t0 = idx0.codec.clusterThreshold
+    val oldTotal = idx0.manifest("num_embeddings").toLong
+
+    // drifted batch: far from every centroid -> large residual norms
+    import spark.implicits._
+    val dim = idx0.dim
+    val drifted = (0L until 4L).map { d =>
+      val emb = Array.tabulate(3) { t =>
+        val v = Array.fill(dim)(0.0f); v(dim - 1 - t.toInt) = 1.0f; v
+      }
+      (d, emb)
+    }.toDF("doc_id", "embeddings")
+
+    val idx1 = Updater.append(spark, idx0, drifted, refreshThreshold = true)
+    val t1 = idx1.codec.clusterThreshold
+
+    // expected: weighted blend of old threshold and the new batch's
+    // 0.75-quantile of residual norms (update.rs:385-427)
+    val codec = idx0.codec
+    val norms = drifted.select(posexplode(col("embeddings")).as(Seq("tok", "vec")))
+      .select("vec").as[Array[Float]].collect()
+      .map { vec =>
+        val code = codec.assign(vec)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val r = vec(i) - codec.centroids(code * dim + i); s += r * r; i += 1
+        }
+        math.sqrt(s).toFloat
+      }
+    val newQ = graft.core.Quantiles.quantile(norms, 0.75)
+    val nNew = norms.length
+    val expected = (t0 * oldTotal + newQ * nNew) / (oldTotal + nNew)
+    assert(math.abs(t1 - expected) / expected < 1e-4,
+      s"threshold $t1 != expected $expected (t0=$t0)")
+    assert(t1 > t0) // drifted batch must raise the outlier threshold
+
+    // cheap appends (mode 2) leave the threshold untouched
+    val idx2 = Updater.append(spark, idx1,
+      docs.filter(col("doc_id") === 50).withColumn("doc_id", lit(0L)))
+    assert(idx2.codec.clusterThreshold === t1)
+  }
+
   test("delete then re-add keeps the dense-id invariant (integration cycle)") {
     val path = freshPath("cycle")
     val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
