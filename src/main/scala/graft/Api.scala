@@ -43,7 +43,14 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
 
   /** Add docs (local ids 0..n-1) with optional JSON metadata rows (same
     * order); updates vector index, metadata table, and FTS in lock-step
-    * (index.rs:1719-1761 semantics). */
+    * (index.rs:1719-1761 semantics).
+    *
+    * Ingest is O(batch), not O(corpus): the metadata batch is a parquet
+    * APPEND when it introduces no new columns (the common case), and the
+    * FTS is patched with the new rows' postings only
+    * ([[FtsIndex.appendRows]]; text_search.rs:579-686 update_rows is the
+    * reference's incremental contract). Full rewrites happen only on
+    * schema evolution (metadata) and delete-renumber (FTS). */
   def addDocuments(
       docs: DataFrame,
       metaJson: Option[DataFrame] = None,
@@ -53,27 +60,46 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     metaJson.foreach { rows =>
       val created = JsonMeta.create(spark, rows)
         .withColumn("_subset_", col("_subset_") + lit(before))
-      val merged =
-        if (graft.util.Fs.exists(metaPath)) {
-          val existing = metadata
+      if (graft.util.Fs.exists(metaPath)) {
+        val existing = metadata
+        val existingTypes = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+        val createdTypes = created.schema.fields.map(f => f.name -> f.dataType).toMap
+        val sameShape = created.columns.forall(c =>
+          existingTypes.get(c).contains(createdTypes(c)))
+        if (sameShape) {
+          // O(batch) fast path: align to the existing column order (new
+          // batch may omit columns) and parquet-append — existing files
+          // untouched
+          created.select(existing.columns.toIndexedSeq.map(c =>
+            (if (created.columns.contains(c)) col(c)
+             else lit(null).cast(existingTypes(c))).as(c)): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metaPath)
+        } else {
+          // schema evolution (new column or widened type): full rewrite
           val allCols = (existing.columns ++ created.columns.filterNot(existing.columns.contains)).toSeq
           def align(df: DataFrame) = df.select(allCols.map(c =>
             (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
-          align(existing).unionByName(align(created))
-        } else created
-      graft.util.Fs.rewrite(merged, metaPath)
-    }
-    // FTS sync: metadata_to_text over the full table (rebuild keeps the
-    // posting table aligned with the dense id space)
-    if (graft.util.Fs.exists(metaPath)) {
-      val m = metadata
-      val texts = m.select(col("_subset_").as("doc_id"),
-        FtsIndex.metadataToTextUdf(to_json(struct(
-          m.columns.filterNot(_ == "_subset_").toIndexedSeq.map(col): _*))).as("text"))
-      FtsIndex.build(spark, texts, "doc_id", "text", s"$path/fts")
+          graft.util.Fs.rewrite(align(existing).unionByName(align(created)), metaPath)
+        }
+      } else graft.util.Fs.rewrite(created, metaPath)
+
+      // FTS patch: tokenize ONLY the new rows (ids are fresh, so this is
+      // a pure append); the one-time full build happens when metadata
+      // first appears on an index without an FTS artifact
+      if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
+        FtsIndex.appendRows(ftsIndex, textsOf(created), "doc_id", "text")
+      } else {
+        FtsIndex.build(spark, textsOf(metadata), "doc_id", "text", s"$path/fts")
+      }
     }
     this
   }
+
+  /** metadata_to_text rows `(doc_id, text)` for FTS sync. */
+  private def textsOf(m: DataFrame): DataFrame =
+    m.select(col("_subset_").as("doc_id"),
+      FtsIndex.metadataToTextUdf(to_json(struct(
+        m.columns.filterNot(_ == "_subset_").toIndexedSeq.map(col): _*))).as("text"))
 
   // ---- search (POST /indices/{name}/search, /search/filtered) ----
 
@@ -144,7 +170,10 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
           Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
       }
       if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
-        FtsIndex.deleteFrom(ftsIndex, delStable)
+        // the FTS follows the INDEX's old->new mapping — renumbering the
+        // FTS id set independently diverges when some docs lack metadata
+        FtsIndex.applyDeleteMapping(ftsIndex,
+          spark.read.parquet(s"$path/last_delete_map"))
       }
       graft.util.Fs.deleteRecursively(s"$path/pending_delete")
     }
@@ -168,7 +197,8 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
           Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
       }
       if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
-        FtsIndex.deleteFrom(ftsIndex, delStable)
+        FtsIndex.applyDeleteMapping(ftsIndex,
+          spark.read.parquet(s"$path/last_delete_map"))
       }
       graft.util.Fs.deleteRecursively(s"$path/pending_delete")
     }

@@ -102,6 +102,38 @@ object FtsIndex {
     new FtsIndex(spark, idx.path)
   }
 
+  /** Append postings for NEW doc ids (no collision with existing ids —
+    * the caller guarantees freshness, e.g. an `addDocuments` batch).
+    * Pure parquet file additions: postings and doclens of untouched docs
+    * are byte-identical afterwards, so ingest cost is O(batch), not
+    * O(corpus) (the reference's incremental FTS5 update_rows contract,
+    * text_search.rs:579-686). */
+  def appendRows(idx: FtsIndex, docs: DataFrame, idCol: String, textCol: String): FtsIndex = {
+    val fresh = Fts.buildPostings(docs, idCol, textCol, idx.tokenizerName)
+    fresh.sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Append).parquet(s"${idx.path}/postings")
+    fresh.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode(SaveMode.Append).parquet(s"${idx.path}/doclens")
+    new FtsIndex(idx.spark, idx.path)
+  }
+
+  /** Apply an externally-computed old→new doc-id mapping (inner join:
+    * unmapped docs are dropped). This is how the FTS follows the vector
+    * index's delete re-sequencing EXACTLY — renumbering the FTS's own id
+    * set independently diverges as soon as some docs have no metadata
+    * (the FTS id set is then a strict subset of the index ids).
+    * `mapping(doc_id, new_id)`. */
+  def applyDeleteMapping(idx: FtsIndex, mapping: DataFrame): FtsIndex = {
+    val spark = idx.spark
+    val mapDf = mapping.select(col("doc_id"), col("new_id"))
+    writePostings(spark, idx.postings.join(mapDf, "doc_id")
+      .select(col("term"), col("new_id").as("doc_id"), col("tf")),
+      idx.path)
+    Fs.rewrite(idx.doclens.join(mapDf, "doc_id")
+      .select(col("new_id").as("doc_id"), col("dl")), s"${idx.path}/doclens")
+    new FtsIndex(spark, idx.path)
+  }
+
   /** F3 update_rows: replace the postings of the given docs with their
     * new text — cost bounded by the changed rows only. `docs(doc_id,
     * text)`. */

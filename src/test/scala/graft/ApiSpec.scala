@@ -122,4 +122,79 @@ class ApiSpec extends AnyFunSuite {
     gi.drop()
     assert(!graft.util.Fs.exists(path))
   }
+
+  test("addDocuments ingest is O(batch): untouched FTS postings files byte-identical") {
+    import scala.jdk.CollectionConverters._
+    def files(dir: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toMap
+      finally s.close()
+    }
+    val path = "/tmp/graft_api_incr"
+    graft.util.Fs.deleteRecursively(path)
+    val gi = GraftIndex.create(spark, path,
+      docs.filter(col("doc_id") < 10), Some(metaJsonFor(0L until 10L)))
+    val postings0 = files(s"$path/fts/postings")
+    val meta0 = files(s"$path/meta")
+    val oldPostRows = gi.ftsIndex.postings.filter(col("doc_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // three successive batches: every prior postings/metadata file must
+    // survive untouched (pure appends — the O(batch) ingest contract)
+    for (b <- 0 until 3) {
+      val batch = docs.filter(col("doc_id") >= 10 + b * 5 && col("doc_id") < 15 + b * 5)
+        .withColumn("doc_id", col("doc_id") - (10 + b * 5))
+      gi.addDocuments(batch,
+        Some(metaJsonFor((10L + b * 5) until (15L + b * 5))),
+        graft.index.UpdateConfig(startFromScratch = 0, bufferSize = 1000))
+    }
+    val postings1 = files(s"$path/fts/postings")
+    val meta1 = files(s"$path/meta")
+    assert(postings0.toSet.subsetOf(postings1.toSet),
+      "existing postings files were rewritten by an append batch")
+    assert(meta0.toSet.subsetOf(meta1.toSet),
+      "existing metadata files were rewritten by an append batch")
+    // postings of untouched docs identical, new docs searchable
+    val oldPostRows1 = gi.ftsIndex.postings.filter(col("doc_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(oldPostRows1 === oldPostRows)
+    assert(gi.count === 25L)
+    assert(gi.metadata.count() === 25L)
+    assert(gi.ftsIndex.doclens.count() === 25L)
+    val hits = gi.ftsIndex.search("doc 12", topK = 5)
+    assert(hits.count() > 0)
+    gi.drop()
+  }
+
+  test("delete keeps FTS aligned with index ids when some docs lack metadata") {
+    val path = "/tmp/graft_api_gap"
+    graft.util.Fs.deleteRecursively(path)
+    // batch 1 (ids 0,1): NO metadata -> FTS ids are NOT a dense prefix
+    val gi = GraftIndex.create(spark, path, docs.filter(col("doc_id") < 2))
+    // batch 2 (ids 2,3): with metadata -> FTS covers only {2,3}
+    gi.addDocuments(
+      docs.filter(col("doc_id") >= 2 && col("doc_id") < 4)
+        .withColumn("doc_id", col("doc_id") - 2),
+      Some(metaJsonFor(2L until 4L)),
+      graft.index.UpdateConfig(startFromScratch = 0, bufferSize = 1000))
+    assert(gi.ftsIndex.doclens.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L))
+
+    // delete doc 0: index mapping is 1->0, 2->1, 3->2. An independent
+    // densification of the FTS's own id set would map 2->0, 3->1 (wrong).
+    gi.deleteDocuments(ids = Some(Seq(0L)))
+    assert(gi.count === 3L)
+    val ftsIds = gi.ftsIndex.doclens.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ftsIds === Seq(1L, 2L), s"FTS ids diverged from index mapping: $ftsIds")
+    // metadata moved with the same mapping
+    val metaIds = gi.metadata.select("_subset_").collect().map(_.getLong(0)).sorted.toSeq
+    assert(metaIds === Seq(1L, 2L))
+    // FTS hit for "doc 2"'s title resolves to its new index id 1
+    val hit = gi.ftsIndex.search("2", topK = 1).collect()
+    assert(hit.nonEmpty && hit.head.getLong(0) === 1L)
+    gi.drop()
+  }
 }
