@@ -72,9 +72,14 @@ object Fts {
     // persisted doclens (FtsIndex) avoids re-aggregating the postings per
     // query AND carries parquet size stats, so Catalyst can auto-broadcast
     val doclens0 = doclensOpt.getOrElse(docLengths(postings))
+    // F5 subset planned by size (one cheap count of the filter output):
+    // broad filters must not force a driver-sized broadcast
     val doclens = subset match {
-      case Some(sub) => doclens0.join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
-      case None      => doclens0
+      case Some(sub) =>
+        val ids = sub.select("doc_id")
+        doclens0.join(graft.util.Plan.broadcastIfBounded(ids, ids.count()),
+          Seq("doc_id"), "left_semi")
+      case None => doclens0
     }
     // global stats as a broadcast scalar row (stays lazy, no collect)
     val stats = doclens0.agg(

@@ -63,18 +63,24 @@ final class Searcher(index: MultiVectorIndex) {
     // the eligible-centroid restriction (search.rs:350-364): only
     // centroids that actually contain subset docs compete for the probe
     // budget (derived from the doc_codes artifact, one small semi-join).
-    val nProbe = subset match {
-      case Some(sub) =>
-        val subsetLen = math.max(sub.count(), 1L)
+    // The subset is counted ONCE (the count also drives probe scaling)
+    // and that count plans every subset join by size — a broad filter
+    // selecting 10⁹ ids must never be force-broadcast.
+    val subsetCounted: Option[(DataFrame, Long)] = subset.map { s =>
+      val ids = s.select("doc_id")
+      (ids, ids.count())
+    }
+    val nProbe = subsetCounted match {
+      case Some((_, n)) =>
         val scaled = params.nIvfProbe.toLong * math.max(
-          index.numDocuments / subsetLen, 1L)
+          index.numDocuments / math.max(n, 1L), 1L)
         math.min(scaled, k.toLong).toInt
       case None => params.nIvfProbe
     }
-    val eligible: Option[Array[Boolean]] = subset.map { sub =>
+    val eligible: Option[Array[Boolean]] = subsetCounted.map { case (ids, n) =>
       val mask = new Array[Boolean](k)
       docCodes
-        .join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
+        .join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
         .select(explode(col("codes")).as("code")).distinct()
         .collect().foreach(r => mask(r.getInt(0)) = true)
       mask
@@ -132,10 +138,11 @@ final class Searcher(index: MultiVectorIndex) {
       .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
       .distinct()
 
-    // S4: subset restriction.
-    val candidates = subset match {
-      case Some(sub) => candidates0.join(broadcast(sub.select("doc_id")), Seq("doc_id"), "left_semi")
-      case None      => candidates0
+    // S4: subset restriction (planned by the size computed above).
+    val candidates = subsetCounted match {
+      case Some((ids, n)) =>
+        candidates0.join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
+      case None => candidates0
     }
 
     // S5: approximate (codes-only) MaxSim per candidate, reusing the
@@ -162,12 +169,15 @@ final class Searcher(index: MultiVectorIndex) {
       .filter(col("_r") <= nDecompress)
       .select("query_id", "doc_id")
 
-    // S7: exact MaxSim on decompressed survivors. Survivors are tiny
-    // (≤ queries × n_full/4 rows) — broadcast them so the tokens join
-    // never shuffles the tokens table. Double-precision scoring so the
-    // declared oracle queries hash-match DuckDB's arithmetic.
+    // S7: exact MaxSim on decompressed survivors. Survivors are bounded
+    // by queries × n_full/4 rows — a driver-known bound, so the tokens
+    // join is planned from it: broadcast for typical batches (the tokens
+    // table never shuffles), shuffle join for mega-batches where the
+    // build side would not fit. Double-precision scoring so the declared
+    // oracle queries hash-match DuckDB's arithmetic.
+    val survivorsBound = qids.size.toLong * nDecompress
     val exact = index.tokens
-      .join(broadcast(survivors), "doc_id")
+      .join(graft.util.Plan.broadcastIfBounded(survivors, survivorsBound), "doc_id")
       .groupBy("query_id", "doc_id")
       .agg(collect_list(struct(col("tok"), col("code"), col("residual"))).as("toks"))
       .as[(Long, Long, Array[(Int, Int, Array[Byte])])]

@@ -183,6 +183,38 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(id => id >= 50 && id < 100))
   }
 
+  test("subset joins are planned by size: no broadcast above threshold, results unchanged") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val subset = spark.range(50, 100).select(col("id").as("doc_id"))
+    val params = SearchParams(topK = 5, centroidScoreThreshold = None)
+
+    def run() = searcher.search(queries, params, subset = Some(subset))
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Int)].collect().toSet
+
+    // helper semantics: hint only when the row bound fits the threshold
+    val dfBig = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val baseline = run()
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val hinted = graft.util.Plan.broadcastIfBounded(dfBig, 10L)
+      val unhinted = graft.util.Plan.broadcastIfBounded(dfBig, 1000L) // 1000*16 > 1024
+      val probe = spark.range(0, 10).select(col("id").as("doc_id"))
+      assert(probe.join(hinted, Seq("doc_id"), "left_semi")
+        .queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      assert(!probe.join(unhinted, Seq("doc_id"), "left_semi")
+        .queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+
+      // full funnel under a threshold that forbids every subset/survivor
+      // broadcast: same results as the broadcast-planned run
+      assert(run() === baseline)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+  }
+
   test("reconstruction round-trips quantization (cosine > 0.9 to original)") {
     import spark.implicits._
     val idx = new MultiVectorIndex(spark, indexPath)
