@@ -22,7 +22,7 @@ object MaxSim {
 
   /** NaN-safe "better" comparison: a candidate NaN never replaces a finite
     * max (maxsim.rs is_score_better semantics). */
-  @inline private def better(cand: Float, cur: Float): Boolean =
+  @inline private[graft] def better(cand: Float, cur: Float): Boolean =
     !cand.isNaN && (cur.isNaN || cand > cur)
 
   def score(query: Array[Array[Float]], doc: Array[Array[Float]]): Float = {

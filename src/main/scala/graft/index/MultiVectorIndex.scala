@@ -288,10 +288,15 @@ object MultiVectorIndex {
   def saveCodec(spark: SparkSession, path: String, codec: Codec): Unit = {
     import spark.implicits._
     val k = codec.numCentroids
+    // scale file count with codebook bytes (~32 MB/file): one file for
+    // toy K, but a 2^20×128-dim codebook (512 MB) splits so the sparse
+    // search path's distributed centroid pass parallelizes
+    val nParts = math.max(1L, k.toLong * codec.dim * 4 / (32L << 20)).toInt
     (0 until k)
       .map(c => (c, codec.centroid(c)))
       .toDF("code", "vec")
-      .coalesce(1)
+      .repartitionByRange(nParts, col("code"))
+      .sortWithinPartitions("code")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
     val q = codec.quantizer
     val node = jsonMapper.createObjectNode()
@@ -310,6 +315,22 @@ object MultiVectorIndex {
       java.nio.file.Paths.get(s"$path/codec.json"), jsonMapper.writeValueAsBytes(node))
   }
 
+  /** Load only the small codec scalars (quantizer buckets, avg residual,
+    * cluster threshold) — NOT the centroid codebook. The sparse search
+    * path uses this so a 2^20-centroid codebook never has to fit on the
+    * driver. */
+  def loadQuantizerMeta(path: String): (Quantizer, Array[Float], Float) = {
+    val node = jsonMapper.readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/codec.json")))
+    def arr(key: String): Array[Float] = {
+      val n = node.get(key)
+      Array.tabulate(n.size())(i => n.get(i).floatValue())
+    }
+    (new Quantizer(node.get("nbits").intValue(), arr("bucket_cutoffs"), arr("bucket_weights")),
+      arr("avg_residual"),
+      node.get("cluster_threshold").floatValue())
+  }
+
   def loadCodec(spark: SparkSession, path: String): Codec = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/codec")
@@ -319,17 +340,7 @@ object MultiVectorIndex {
     rows.zipWithIndex.foreach { case (v, i) =>
       System.arraycopy(v, 0, flat, i * dim, dim)
     }
-    val node = jsonMapper.readTree(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/codec.json")))
-    def arr(key: String): Array[Float] = {
-      val n = node.get(key)
-      Array.tabulate(n.size())(i => n.get(i).floatValue())
-    }
-    Codec(
-      dim, flat,
-      new Quantizer(node.get("nbits").intValue(), arr("bucket_cutoffs"), arr("bucket_weights")),
-      arr("avg_residual"),
-      node.get("cluster_threshold").floatValue()
-    )
+    val (quantizer, avgResidual, clusterThreshold) = loadQuantizerMeta(path)
+    Codec(dim, flat, quantizer, avgResidual, clusterThreshold)
   }
 }

@@ -13,7 +13,14 @@ final case class SearchParams(
     topK: Int = 10,
     nIvfProbe: Int = 8,
     nFullScores: Int = 4096,
-    centroidScoreThreshold: Option[Float] = Some(0.4f)
+    centroidScoreThreshold: Option[Float] = Some(0.4f),
+    /** Above this many centroids the funnel switches to the sparse
+      * formulation (search.rs:518-600 search_one_mmap_batched): probe
+      * selection becomes a distributed pass over the centroid table and
+      * approximate scoring a join over only the candidate docs' code
+      * union — no dense Q×K driver matrices, no driver codebook load.
+      * The reference batches at the same order of K. */
+    sparseCentroidThreshold: Int = 100000
 )
 
 /** Batch late-interaction search: the reference's per-query funnel
@@ -46,6 +53,8 @@ final class Searcher(index: MultiVectorIndex) {
       params: SearchParams = SearchParams(),
       subset: Option[DataFrame] = None
   ): DataFrame = {
+    if (index.manifest("num_partitions").toInt > params.sparseCentroidThreshold)
+      return searchSparse(queries, params, subset)
     val codec = index.codec
     val dim = codec.dim
     val k = codec.numCentroids
@@ -200,6 +209,187 @@ final class Searcher(index: MultiVectorIndex) {
       .filter(col("rank") <= params.topK)
   }
 
+  /** The sparse/batched funnel for large centroid counts
+    * (search.rs:518-600): result-identical to the dense path — probe
+    * selection uses the same per-token top-n + all-token threshold
+    * semantics, and approximate scoring covers every candidate doc's
+    * code (the code union of candidates spans all codes the dense
+    * per-doc max would look at). What changes is WHERE the work runs:
+    *
+    *  - S1/S2: one distributed pass over the centroid parquet table
+    *    with per-partition bounded heaps (the Spark twin of
+    *    ivf_probe_batched, search.rs:140-254) — no Q×K driver matrix,
+    *    no driver codebook load (only the small quantizer scalars).
+    *  - S5: per-(query,code) score vectors computed by joining the
+    *    candidate code union to the centroid table
+    *    (build_sparse_centroid_scores, search.rs:256-302), then an
+    *    elementwise-max aggregation per (query, doc).
+    *  - S7: survivors' tokens decode against centroid rows fetched by
+    *    join, not a broadcast codebook.
+    */
+  private def searchSparse(
+      queries: DataFrame,
+      params: SearchParams,
+      subset: Option[DataFrame]
+  ): DataFrame = {
+    import spark.implicits._
+    val dim = index.dim
+    val k = index.manifest("num_partitions").toInt
+    val (quantizer, _, _) = MultiVectorIndex.loadQuantizerMeta(index.path)
+    val quantBc = spark.sparkContext.broadcast(quantizer)
+
+    val queryMap: Map[Long, Array[Array[Float]]] = queries
+      .select("query_id", "embeddings")
+      .as[(Long, Array[Array[Float]])]
+      .collect()
+      .toMap
+    val queriesBc = spark.sparkContext.broadcast(queryMap)
+    val qids = queryMap.keys.toSeq.sorted
+    val maxTokens = queryMap.values.map(_.length).foldLeft(1)(math.max)
+
+    // S4 pre-computation: identical to the dense path
+    val subsetCounted: Option[(DataFrame, Long)] = subset.map { s =>
+      val ids = s.select("doc_id")
+      (ids, ids.count())
+    }
+    val nProbe = subsetCounted match {
+      case Some((_, n)) =>
+        val scaled = params.nIvfProbe.toLong * math.max(
+          index.numDocuments / math.max(n, 1L), 1L)
+        math.min(scaled, k.toLong).toInt
+      case None => params.nIvfProbe
+    }
+    val eligible: Option[Array[Boolean]] = subsetCounted.map { case (ids, n) =>
+      val mask = new Array[Boolean](k)
+      docCodes
+        .join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
+        .select(explode(col("codes")).as("code")).distinct()
+        .collect().foreach(r => mask(r.getInt(0)) = true)
+      mask
+    }
+
+    val centDf = spark.read.parquet(s"${index.path}/codec").select("code", "vec")
+
+    // S1/S2 distributed probe selection
+    val probed = Searcher.sparseProbe(
+      spark, centDf, queryMap, dim, nProbe, params.centroidScoreThreshold, eligible)
+
+    // S3: gather IVF lists, dedup candidates; probed is bounded by
+    // queries × tokens × nProbe distinct codes
+    val probedBound = qids.size.toLong * maxTokens * nProbe
+    val candidates0 = index.ivf
+      .join(graft.util.Plan.broadcastIfBounded(probed, probedBound), "code")
+      .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+      .distinct()
+    val candidates = subsetCounted match {
+      case Some((ids, n)) =>
+        candidates0.join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
+      case None => candidates0
+    }
+
+    // S5 sparse approximate scoring (search.rs:256-302): the candidate
+    // docs' distinct-code union joins the centroid table once for
+    // per-(query,code) score vectors; per-(query,doc) scores are an
+    // elementwise NaN-safe max then a token-order sum — arithmetic
+    // identical to MaxSim.approxScore over a dense matrix.
+    val dimLocal = dim
+    val candCodes = candidates
+      .join(docCodes, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        explode(array_distinct(col("codes"))).as("code"))
+    val svecs = candCodes.select("query_id", "code").distinct()
+      .join(centDf, "code")
+      .select("code", "query_id", "vec")
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = queriesBc.value
+        rows.map { case (code, qid, vec) =>
+          val emb = qs(qid)
+          val sv = new Array[Float](emb.length)
+          var ti = 0
+          while (ti < emb.length) {
+            val q = emb(ti)
+            var s = 0.0f
+            var i = 0
+            while (i < dimLocal) { s += vec(i) * q(i); i += 1 }
+            sv(ti) = s
+            ti += 1
+          }
+          (qid, code, sv)
+        }
+      }
+      .toDF("query_id", "code", "svec")
+    val approx = candCodes
+      .join(svecs, Seq("query_id", "code"))
+      .select(col("query_id"), col("doc_id"), col("svec"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey { case (qid, docId, _) => (qid, docId) }
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Array[Float])]) =>
+        val (qid, docId) = key
+        var maxes: Array[Float] = null
+        it.foreach { case (_, _, sv) =>
+          if (maxes == null) maxes = Array.fill(sv.length)(Float.NegativeInfinity)
+          var ti = 0
+          while (ti < sv.length) {
+            if (graft.core.MaxSim.better(sv(ti), maxes(ti))) maxes(ti) = sv(ti)
+            ti += 1
+          }
+        }
+        var total = 0.0f
+        var ti = 0
+        while (ti < maxes.length) {
+          val m = maxes(ti)
+          if (!m.isInfinite && !m.isNaN) total += m
+          ti += 1
+        }
+        (qid, docId, total)
+      }
+      .toDF("query_id", "doc_id", "approx_score")
+
+    // S6: funnel cut — same as dense
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_score").desc, col("doc_id").asc)
+    val nDecompress = math.max(params.nFullScores / 4, params.topK)
+    val survivors = approx
+      .withColumn("_r", row_number().over(wApprox))
+      .filter(col("_r") <= nDecompress)
+      .select("query_id", "doc_id")
+
+    // S7: survivors' tokens decode against centroid rows fetched by join
+    // (no broadcast codebook), then exact double-precision MaxSim
+    val survivorsBound = qids.size.toLong * nDecompress
+    val exact = index.tokens
+      .join(graft.util.Plan.broadcastIfBounded(survivors, survivorsBound), "doc_id")
+      .join(centDf, "code")
+      .select(col("query_id"), col("doc_id"), col("tok"), col("residual"), col("vec"))
+      .as[(Long, Long, Int, Array[Byte], Array[Float])]
+      .mapPartitions { rows =>
+        val qz = quantBc.value
+        rows.map { case (qid, docId, tok, packed, cent) =>
+          (qid, docId, tok, qz.decompress(packed, cent))
+        }
+      }
+      .toDF("query_id", "doc_id", "tok", "dvec")
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("tok"), col("dvec"))).as("toks"))
+      .as[(Long, Long, Array[(Int, Array[Float])])]
+      .mapPartitions { rows =>
+        val qs = queriesBc.value
+        rows.map { case (qid, docId, toks) =>
+          val docEmb = toks.sortBy(_._1).map(_._2)
+          (qid, docId, MaxSim.scoreDouble(qs(qid), docEmb))
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+
+    // S8: final top-k
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    exact
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= params.topK)
+  }
+
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
   def reconstruct(docIds: DataFrame): DataFrame = {
     val codecBc = spark.sparkContext.broadcast(index.codec)
@@ -260,6 +450,112 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
+
+  /** Distributed S1/S2 probe selection for large K — the Spark twin of
+    * ivf_probe_batched (search.rs:140-254): each centroid-table
+    * partition keeps per-(query,token) bounded heaps, a small global
+    * window finishes the per-token top-n, and the threshold is the max
+    * score over ALL query tokens (search.rs:417-425 — the same
+    * semantics as the dense [[probeCentroids]], computed exactly by
+    * joining the selected codes back to the centroid table rather than
+    * the reference's heap-entry approximation). Returns
+    * `(query_id, code)`. */
+  private[graft] def sparseProbe(
+      spark: SparkSession,
+      centDf: DataFrame,
+      queryMap: Map[Long, Array[Array[Float]]],
+      dim: Int,
+      nProbe: Int,
+      threshold: Option[Float],
+      eligible: Option[Array[Boolean]]): DataFrame = {
+    import spark.implicits._
+    val queriesBc = spark.sparkContext.broadcast(queryMap)
+    val eligibleBc = eligible.map(spark.sparkContext.broadcast(_))
+    val dimLocal = dim
+    val nProbeLocal = nProbe
+
+    // pass 1: per-partition per-(query,token) bounded heaps over the
+    // partition's centroid rows; emits at most
+    // partitions × queries × tokens × nProbe rows
+    val partials = centDf
+      .as[(Int, Array[Float])]
+      .mapPartitions { cents =>
+        val qs = queriesBc.value
+        val elig = eligibleBc.map(_.value)
+        val heaps = scala.collection.mutable.Map
+          .empty[(Long, Int), java.util.PriorityQueue[(Float, Int)]]
+        val ord: java.util.Comparator[(Float, Int)] =
+          (a: (Float, Int), b: (Float, Int)) => java.lang.Float.compare(a._1, b._1)
+        cents.foreach { case (code, vec) =>
+          if (elig.forall(_(code))) {
+            qs.foreach { case (qid, emb) =>
+              var ti = 0
+              while (ti < emb.length) {
+                val q = emb(ti)
+                var s = 0.0f
+                var i = 0
+                while (i < dimLocal) { s += vec(i) * q(i); i += 1 }
+                val h = heaps.getOrElseUpdate((qid, ti),
+                  // initial capacity clamped: nProbe may be Int.MaxValue
+                  // (exhaustive search) and the heap grows on demand
+                  new java.util.PriorityQueue[(Float, Int)](
+                    math.min(nProbeLocal, 1024) + 1, ord))
+                if (h.size < nProbeLocal) h.add((s, code))
+                else if (s > h.peek()._1) { h.poll(); h.add((s, code)) }
+                ti += 1
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case ((qid, ti), h) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Float)]
+          val it = h.iterator()
+          while (it.hasNext) { val (s, code) = it.next(); out += ((qid, ti, code, s)) }
+          out
+        }
+      }
+      .toDF("query_id", "tok", "code", "s")
+
+    // pass 2: global per-token top-n (tiny window over the partials)
+    val wTok = Window.partitionBy("query_id", "tok")
+      .orderBy(col("s").desc, col("code").asc)
+    val selected = partials
+      .withColumn("_r", row_number().over(wTok))
+      .filter(col("_r") <= nProbeLocal)
+      .select("query_id", "code")
+      .distinct()
+
+    // threshold: exact max over ALL tokens, computed only for the
+    // selected (query, code) pairs via a join back to the centroid table
+    threshold match {
+      case None => selected
+      case Some(t) =>
+        selected
+          .join(centDf, "code")
+          .select("code", "query_id", "vec")
+          .as[(Int, Long, Array[Float])]
+          .mapPartitions { rows =>
+            val qs = queriesBc.value
+            rows.map { case (code, qid, vec) =>
+              val emb = qs(qid)
+              var maxAll = Float.NegativeInfinity
+              var ti = 0
+              while (ti < emb.length) {
+                val q = emb(ti)
+                var s = 0.0f
+                var i = 0
+                while (i < dimLocal) { s += vec(i) * q(i); i += 1 }
+                if (!s.isNaN && s > maxAll) maxAll = s
+                ti += 1
+              }
+              (qid, code, maxAll)
+            }
+          }
+          .toDF("query_id", "code", "max_all")
+          .filter(col("max_all") >= t)
+          .select("query_id", "code")
+    }
+  }
 
   /** S2 probe selection for one query: union of each token's
     * top-`nProbe` centroids, then drop centroids whose max score across
