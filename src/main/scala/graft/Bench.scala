@@ -40,11 +40,29 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
     }
+    // retrieval-quality gate (separate field, NOT part of the query
+    // total): recall@10 of the default pruned funnel vs brute force on
+    // the deterministic clustered corpus. SPARK_GRAFT_RECALL_DOCS=0
+    // skips it.
+    val recallDocs = sys.env.getOrElse("SPARK_GRAFT_RECALL_DOCS", "50000").toLong
+    val recallField =
+      if (recallDocs <= 0) ""
+      else try {
+        val r = graft.search.RecallHarness.measure(
+          spark, "/tmp/graft_bench_recall", recallDocs)
+        s""","recall_at_10":$r,"recall_docs":$recallDocs"""
+      } catch {
+        case e: Throwable =>
+          errors("recall_at_10") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          ""
+      }
+
     val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size}$recallField,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
