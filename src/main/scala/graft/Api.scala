@@ -37,7 +37,9 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   // ---- info (GET /indices/{name}) ----
   def info: Map[String, String] = index.manifest
 
-  def count: Long = index.numDocuments
+  /** Live document count (physical minus pending tombstones). */
+  def count: Long =
+    index.numDocuments - index.tombstonesOpt.map(_.count()).getOrElse(0L)
 
   // ---- documents (POST /indices/{name}/documents, /update) ----
 
@@ -55,7 +57,9 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       docs: DataFrame,
       metaJson: Option[DataFrame] = None,
       cfg: UpdateConfig = UpdateConfig()): GraftIndex = {
-    val before = if (graft.util.Fs.exists(s"$path/manifest.json")) count else 0L
+    // append offset is the PHYSICAL id space (tombstones still occupy ids
+    // until compact)
+    val before = if (graft.util.Fs.exists(s"$path/manifest.json")) index.numDocuments else 0L
     Updater.update(spark, path, docs, cfg)
     metaJson.foreach { rows =>
       val created = JsonMeta.create(spark, rows)
@@ -146,10 +150,18 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   /** Delete by ids or by condition; vector tables, metadata, and FTS all
     * renumber through the same dense mapping (U5 + U7). The deletion set
     * stays a DataFrame end-to-end — a broad condition at scale never
-    * collects to the driver. */
+    * collects to the driver.
+    *
+    * `deferred = true` tombstones the docs instead: search (vector,
+    * hybrid, and the FTS leg) excludes them immediately, but no table is
+    * rewritten and ids do not renumber until [[compact]] — the
+    * amortization mode for frequent small deletes at scale. Until
+    * compaction, metadata-level reads (metadataQuery/Get) still include
+    * tombstoned rows. */
   def deleteDocuments(
       ids: Option[Seq[Long]] = None,
-      cond: Option[(String, Seq[Where.Param])] = None): GraftIndex = {
+      cond: Option[(String, Seq[Where.Param])] = None,
+      deferred: Boolean = false): GraftIndex = {
     import spark.implicits._
     val delDf: Option[DataFrame] = (ids, cond) match {
       case (Some(list), _) =>
@@ -158,6 +170,11 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
         Some(MetadataOps.whereCondition(metadata, "_subset_", c, ps)
           .withColumnRenamed("_subset_", "doc_id"))
       case _ => None
+    }
+    if (deferred) {
+      delDf.filterNot(_.isEmpty).foreach(del =>
+        Updater.deleteDeferred(spark, index, del.select("doc_id")))
+      return this
     }
     delDf.filterNot(_.isEmpty).foreach { del =>
       // materialize the set once: the metadata table it may derive from
@@ -180,9 +197,30 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     this
   }
 
+  /** Apply pending deferred deletes as one physical renumbering delete;
+    * metadata and FTS follow the same mapping. No-op without
+    * tombstones. */
+  def compact(): GraftIndex = {
+    if (index.tombstonesOpt.isDefined) {
+      Updater.compact(spark, index)
+      if (graft.util.Fs.exists(metaPath)) {
+        graft.util.Fs.rewrite(
+          Updater.syncMetadataDelete(spark, index, metadata, "_subset_"), metaPath)
+      }
+      if (graft.util.Fs.exists(s"$path/fts/fts.json")) {
+        FtsIndex.applyDeleteMapping(ftsIndex,
+          spark.read.parquet(s"$path/last_delete_map"))
+      }
+    }
+    this
+  }
+
   // ---- config (PUT /indices/{name}/config: max_documents → U6) ----
 
   def enforceMaxDocuments(maxDocuments: Long): GraftIndex = {
+    // pending tombstones first: FIFO eviction reasons over the dense
+    // prefix, which is only meaningful on a compacted id space
+    compact()
     val n = count
     if (n > maxDocuments) {
       // U6 FIFO eviction: the oldest ids are the dense prefix — the

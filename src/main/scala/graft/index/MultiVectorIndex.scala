@@ -53,6 +53,14 @@ final class MultiVectorIndex(val spark: SparkSession, val path: String) {
 
   lazy val codec: Codec = MultiVectorIndex.loadCodec(spark, path)
 
+  /** Pending deferred-delete tombstones `(doc_id)` — docs hidden from
+    * search but not yet physically removed/renumbered (see
+    * [[Updater.deleteDeferred]]). None when the table is absent. */
+  def tombstonesOpt: Option[DataFrame] =
+    if (graft.util.Fs.exists(s"$path/tombstones"))
+      Some(spark.read.parquet(s"$path/tombstones").select("doc_id").distinct())
+    else None
+
   def numDocuments: Long = manifest("num_documents").toLong
   def dim: Int = manifest("embedding_dim").toInt
 }

@@ -237,6 +237,12 @@ object Updater {
           .select(col("new_id").as("doc_id"), col("embeddings")), s"$path/$t")
       }
     }
+    // pending tombstones follow the same renumbering (tombstoned ids that
+    // were just deleted drop out of the inner join)
+    if (exists(s"$path/tombstones")) {
+      rewrite(spark.read.parquet(s"$path/tombstones").join(mapDf, "doc_id")
+        .select(col("new_id").as("doc_id")), s"$path/tombstones")
+    }
 
     val nEmb = tokensOut.count()
     val m = idx.manifest
@@ -246,6 +252,38 @@ object Updater {
       "avg_doclen" -> (if (nDocs == 0) "0" else (nEmb.toDouble / nDocs).toString)
     ))
     new MultiVectorIndex(spark, path)
+  }
+
+  /** Deferred (tombstone) delete: record the ids in `<path>/tombstones`
+    * and leave every table untouched. Search consults the tombstone set
+    * (candidates anti-join — O(tombstones), not O(corpus)); the
+    * physical remove + dense renumber happens at [[compact]]. This is
+    * the scale escape hatch for the reference's delete semantics: the
+    * dense-id invariant (delete.rs re-sequencing) forces a full table
+    * rewrite per delete, which at 100 TB turns every small delete into a
+    * corpus-sized write — tombstones amortize N deletes into one
+    * compaction rewrite while keeping the invariant at commit points. */
+  def deleteDeferred(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
+    del.select("doc_id").write.mode(SaveMode.Append).parquet(s"${idx.path}/tombstones")
+    idx
+  }
+
+  /** Apply all pending tombstones as one physical delete (dense
+    * renumber included); no-op without tombstones. The old→new mapping
+    * lands in `<path>/last_delete_map` exactly like an eager delete, so
+    * metadata/FTS sync works the same way. */
+  def compact(spark: SparkSession, idx: MultiVectorIndex): MultiVectorIndex = {
+    val path = idx.path
+    idx.tombstonesOpt match {
+      case None => idx
+      case Some(tomb) =>
+        rewrite(tomb, s"$path/pending_compact")
+        val del = spark.read.parquet(s"$path/pending_compact")
+        val out = deleteFrom(spark, idx, del)
+        deleteRecursively(s"$path/tombstones")
+        deleteRecursively(s"$path/pending_compact")
+        out
+    }
   }
 
   /** U7: apply the index delete's id re-sequencing to a metadata table —

@@ -47,6 +47,15 @@ object HybridSearch {
     val subset: Option[DataFrame] = filter.map { case (meta, cond, ps) =>
       MetadataOps.whereCondition(meta, "doc_id", cond, ps).select("doc_id")
     }
+    // the FTS leg must not resurface tombstoned docs (the vector leg
+    // excludes them inside Searcher); fold the tombstones into the FTS
+    // subset as an anti-join
+    val ftsSubset: Option[DataFrame] = (subset, index.tombstonesOpt) match {
+      case (s, None) => s
+      case (Some(s), Some(tomb)) => Some(s.join(tomb, Seq("doc_id"), "left_anti"))
+      case (None, Some(tomb)) =>
+        Some(fts.doclens.select("doc_id").join(tomb, Seq("doc_id"), "left_anti"))
+    }
     val fetchK = if (params.mode == "hybrid") Hybrid.fetchK(params.topK) else params.topK
 
     def semList: DataFrame = new Searcher(index)
@@ -54,7 +63,7 @@ object HybridSearch {
       .select("query_id", "doc_id", "score", "rank")
 
     def kwList: DataFrame = {
-      val hits = fts.search(textQuery, fetchK, subset)
+      val hits = fts.search(textQuery, fetchK, ftsSubset)
         .select("doc_id", "score", "rank")
       // the single keyword list pairs with every vector query
       queries.select("query_id").distinct().crossJoin(broadcast(hits))
@@ -65,7 +74,7 @@ object HybridSearch {
       case "keyword" =>
         val qids = queries.select("query_id").distinct()
         qids.crossJoin(broadcast(
-          fts.search(textQuery, params.topK, subset).select("doc_id", "score", "rank")))
+          fts.search(textQuery, params.topK, ftsSubset).select("doc_id", "score", "rank")))
           .select("query_id", "doc_id", "score", "rank")
       case "hybrid" =>
         val fused =

@@ -148,10 +148,16 @@ final class Searcher(index: MultiVectorIndex) {
       .distinct()
 
     // S4: subset restriction (planned by the size computed above).
-    val candidates = subsetCounted match {
+    val candidates1 = subsetCounted match {
       case Some((ids, n)) =>
         candidates0.join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
       case None => candidates0
+    }
+    // deferred-delete tombstones are invisible to search (anti-join on
+    // the candidate set — O(tombstones), not O(corpus))
+    val candidates = index.tombstonesOpt match {
+      case Some(tomb) => candidates1.join(tomb, Seq("doc_id"), "left_anti")
+      case None       => candidates1
     }
 
     // S5: approximate (codes-only) MaxSim per candidate, reusing the
@@ -281,10 +287,14 @@ final class Searcher(index: MultiVectorIndex) {
       .join(graft.util.Plan.broadcastIfBounded(probed, probedBound), "code")
       .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
       .distinct()
-    val candidates = subsetCounted match {
+    val candidates1 = subsetCounted match {
       case Some((ids, n)) =>
         candidates0.join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
       case None => candidates0
+    }
+    val candidates = index.tombstonesOpt match {
+      case Some(tomb) => candidates1.join(tomb, Seq("doc_id"), "left_anti")
+      case None       => candidates1
     }
 
     // S5 sparse approximate scoring (search.rs:256-302): the candidate
@@ -428,7 +438,11 @@ final class Searcher(index: MultiVectorIndex) {
       .as[(Long, Array[Array[Float]])]
       .collect().toMap
     val queriesBc = spark.sparkContext.broadcast(queryMap)
-    val exact = index.tokens
+    val liveTokens = index.tombstonesOpt match {
+      case Some(tomb) => index.tokens.join(tomb, Seq("doc_id"), "left_anti")
+      case None       => index.tokens
+    }
+    val exact = liveTokens
       .groupBy("doc_id")
       .agg(collect_list(struct(col("tok"), col("code"), col("residual"))).as("toks"))
       .as[(Long, Array[(Int, Int, Array[Byte])])]

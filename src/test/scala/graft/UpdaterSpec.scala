@@ -253,6 +253,41 @@ class UpdaterSpec extends AnyFunSuite {
     assert(idx2.codec.clusterThreshold === t1)
   }
 
+  test("deferred delete hides docs from search; compaction equals an eager delete") {
+    val pathA = freshPath("tomb_eager")
+    val pathB = freshPath("tomb_defer")
+    val d20 = docs.filter(col("doc_id") < 20)
+    val delIds = Seq(3L, 7L, 15L)
+    import spark.implicits._
+
+    // eager reference
+    MultiVectorIndex.build(spark, d20, pathA)
+    val eager = Updater.delete(spark, new MultiVectorIndex(spark, pathA), delIds)
+
+    // deferred: tombstone, search must exclude immediately, tables untouched
+    MultiVectorIndex.build(spark, d20, pathB)
+    val idxB0 = new MultiVectorIndex(spark, pathB)
+    val tokensBefore = tokenSet(idxB0)
+    Updater.deleteDeferred(spark, idxB0, delIds.toDF("doc_id"))
+    val idxB1 = new MultiVectorIndex(spark, pathB)
+    assert(tokenSet(idxB1) === tokensBefore) // no rewrite happened
+    val q = docs.filter(col("doc_id") === 3)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val hit = top1(idxB1, q)
+    assert(hit(3L) !== 3L, "tombstoned doc still reachable by search")
+
+    // compaction: state identical to the eager delete
+    val compacted = Updater.compact(spark, idxB1)
+    assert(compacted.numDocuments === eager.numDocuments)
+    assert(tokenSet(compacted) === tokenSet(eager))
+    assert(compacted.doclens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === eager.doclens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    ivfMatchesTokens(compacted)
+    assert(!graft.util.Fs.exists(s"$pathB/tombstones"))
+    // compact is idempotent
+    assert(Updater.compact(spark, compacted).numDocuments === eager.numDocuments)
+  }
+
   test("delete then re-add keeps the dense-id invariant (integration cycle)") {
     val path = freshPath("cycle")
     val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
