@@ -26,7 +26,7 @@ final class FtsIndex(val spark: SparkSession, val path: String) {
 
   lazy val tokenizerName: String = {
     val node = graft.index.MultiVectorIndex.jsonMapper.readTree(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/fts.json")))
+      Fs.readBytes(s"$path/fts.json"))
     node.get("tokenizer").asText()
   }
 
@@ -56,8 +56,7 @@ object FtsIndex {
     postings.unpersist()
     val node = graft.index.MultiVectorIndex.jsonMapper.createObjectNode()
     node.put("tokenizer", tokenizerName)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/fts.json"),
+    Fs.writeBytes(s"$path/fts.json",
       graft.index.MultiVectorIndex.jsonMapper.writeValueAsBytes(node))
     new FtsIndex(spark, path)
   }

@@ -44,7 +44,7 @@ final class MultiVectorIndex(val spark: SparkSession, val path: String) {
 
   lazy val manifest: Map[String, String] = {
     val node = MultiVectorIndex.jsonMapper.readTree(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/manifest.json")))
+      graft.util.Fs.readBytes(s"$path/manifest.json"))
     val it = node.properties().iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
@@ -90,7 +90,6 @@ object MultiVectorIndex {
     // Keep the raw embeddings while the corpus is small enough for the
     // start-from-scratch rebuild path (index.rs:964-969, threshold 999);
     // clear any stale update-lifecycle state from a previous build.
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     Seq("buffer", "last_delete_map").foreach(t => graft.util.Fs.deleteRecursively(s"$path/$t"))
     if (numDocs <= UpdateConfigDefaults.StartFromScratch) {
       graft.util.Fs.rewrite(docsIn.select("doc_id", "embeddings"), s"$path/raw_docs")
@@ -287,10 +286,7 @@ object MultiVectorIndex {
   private[graft] def writeManifest(path: String, kv: Map[String, String]): Unit = {
     val node = jsonMapper.createObjectNode()
     kv.foreach { case (k, v) => node.put(k, v) }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/manifest.json"),
-      jsonMapper.writeValueAsBytes(node))
+    graft.util.Fs.writeBytes(s"$path/manifest.json", jsonMapper.writeValueAsBytes(node))
   }
 
   def saveCodec(spark: SparkSession, path: String, codec: Codec): Unit = {
@@ -318,9 +314,7 @@ object MultiVectorIndex {
     putArr("bucket_cutoffs", q.bucketCutoffs)
     putArr("bucket_weights", q.bucketWeights)
     putArr("avg_residual", codec.avgResidual)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/codec.json"), jsonMapper.writeValueAsBytes(node))
+    graft.util.Fs.writeBytes(s"$path/codec.json", jsonMapper.writeValueAsBytes(node))
   }
 
   /** Load only the small codec scalars (quantizer buckets, avg residual,
@@ -328,8 +322,7 @@ object MultiVectorIndex {
     * path uses this so a 2^20-centroid codebook never has to fit on the
     * driver. */
   def loadQuantizerMeta(path: String): (Quantizer, Array[Float], Float) = {
-    val node = jsonMapper.readTree(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$path/codec.json")))
+    val node = jsonMapper.readTree(graft.util.Fs.readBytes(s"$path/codec.json"))
     def arr(key: String): Array[Float] = {
       val n = node.get(key)
       Array.tabulate(n.size())(i => n.get(i).floatValue())

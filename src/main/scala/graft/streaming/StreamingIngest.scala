@@ -29,20 +29,64 @@ object StreamingIngest {
   ): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // re-densify the batch's local ids (a stream micro-batch has
-          // no id contract) then hand off to the U1 dispatcher
-          val local = batch.select("doc_id", "embeddings")
-            .orderBy("doc_id")
-          val withLocal = graft.meta.MetadataOps.denseResequenceScalable(
-            local, "doc_id", spark.sessionState.conf.numShufflePartitions)
-            .select(col("new_id").as("doc_id"), col("embeddings"))
-          Updater.update(spark, indexPath, withLocal, cfg): Unit
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, indexPath, cfg): Unit
       }
     checkpoint.map(c => w.option("checkpointLocation", c)).getOrElse(w)
+  }
+
+  /** Apply one micro-batch exactly once. foreachBatch is at-least-once:
+    * after a sink-side failure the engine REPLAYS the last micro-batch,
+    * and a blind re-apply double-appends every document. The manifest
+    * records the last applied batchId — replays at or below it are
+    * skipped, recorded only AFTER the update completes so a crash
+    * before completion replays (never skips) the batch.
+    *
+    * Partial-failure story: an `stream_inflight` marker brackets the
+    * (non-transactional) multi-table update. If a crash lands between
+    * marker write and batch record, the replay finds the marker and
+    * fails loudly instead of double-appending — recovery is restoring
+    * the index directory from the previous commit point (every table
+    * rewrite in the Updater is temp+atomic-rename, so the pre-batch
+    * state is what any external snapshot/backup captured) or rebuilding
+    * from the source-of-truth stream. Returns true when applied, false
+    * when skipped. */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      cfg: UpdateConfig = UpdateConfig()): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    if (lastAppliedBatchId(indexPath).exists(batchId <= _)) return false
+    val inflight = s"$indexPath/stream_inflight"
+    if (graft.util.Fs.exists(inflight)) {
+      throw new IllegalStateException(
+        s"index at $indexPath has a partially-applied stream batch " +
+          "(stream_inflight marker present); restore the directory from " +
+          "the last consistent snapshot or rebuild before resuming the stream")
+    }
+    graft.util.Fs.writeBytes(inflight, batchId.toString.getBytes("UTF-8"))
+    // re-densify the batch's local ids (a stream micro-batch has no id
+    // contract) then hand off to the U1 dispatcher
+    val local = batch.select("doc_id", "embeddings")
+      .orderBy("doc_id")
+    val withLocal = graft.meta.MetadataOps.denseResequenceScalable(
+      local, "doc_id", spark.sessionState.conf.numShufflePartitions)
+      .select(col("new_id").as("doc_id"), col("embeddings"))
+    val idx = Updater.update(spark, indexPath, withLocal, cfg)
+    graft.index.MultiVectorIndex.writeManifest(indexPath,
+      idx.manifest + ("last_stream_batch_id" -> batchId.toString))
+    graft.util.Fs.deleteRecursively(inflight)
+    true
+  }
+
+  /** Last stream batchId applied to the index, from its manifest. */
+  def lastAppliedBatchId(indexPath: String): Option[Long] = {
+    if (!graft.util.Fs.exists(s"$indexPath/manifest.json")) return None
+    val node = graft.index.MultiVectorIndex.jsonMapper.readTree(
+      graft.util.Fs.readBytes(s"$indexPath/manifest.json"))
+    Option(node.get("last_stream_batch_id")).map(_.asText().toLong)
   }
 
   /** Event-time tumbling-window aggregation with a watermark — the

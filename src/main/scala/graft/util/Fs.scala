@@ -1,28 +1,66 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Temp-file + atomic-rename table rewrites (the reference's atomic
-  * write discipline, utils.rs:16-60, applied to parquet dirs). */
+  * write discipline, utils.rs:16-60, applied to parquet dirs).
+  *
+  * All path operations go through the Hadoop FileSystem resolved from
+  * the active Spark session's configuration, NOT java.nio — the index
+  * tables are written through Spark's Hadoop FS layer, so side files
+  * (manifest.json, codec.json, markers) and directory swaps must live
+  * on the same filesystem for HDFS/S3/ABFS deployments to work. On
+  * object stores without atomic rename the swap degrades to
+  * copy-equivalent semantics (Hadoop's rename contract); the tmp+swap
+  * ordering still guarantees readers see either the old or the new
+  * complete table, never a partial one. */
 object Fs {
 
-  def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+  private def fs(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    (p.getFileSystem(conf), p)
   }
 
-  def exists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+  def exists(path: String): Boolean = {
+    val (f, p) = fs(path)
+    f.exists(p)
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val (f, p) = fs(path)
+    if (f.exists(p)) f.delete(p, true): Unit
+  }
+
+  /** Small side-file read (manifest.json, codec.json, fts.json). */
+  def readBytes(path: String): Array[Byte] = {
+    val (f, p) = fs(path)
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Small side-file write (overwrite). Parent dirs are created. */
+  def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val (f, p) = fs(path)
+    val out = f.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
 
   /** Materialize `df` to `<dir>_tmp` (forcing the read of the current
     * version first), then swap it in. */
   def rewrite(df: DataFrame, dir: String): Unit = {
     val tmp = dir + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(dir)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir))
+    val (f, p) = fs(dir)
+    if (f.exists(p)) f.delete(p, true)
+    f.rename(new HPath(tmp), p): Unit
   }
 }

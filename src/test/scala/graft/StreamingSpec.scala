@@ -66,6 +66,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.head.getAs[Long]("doc_id") === 25L)
   }
 
+  test("replayed micro-batches are skipped (at-least-once -> effectively-once)") {
+    import graft.index.UpdateConfig
+    import graft.streaming.StreamingIngest
+    val path = "/tmp/graft_stream_idem"
+    graft.util.Fs.deleteRecursively(path)
+    val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
+
+    val b0 = docs.filter(col("doc_id") < 10)
+    val b1 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+      .withColumn("doc_id", col("doc_id") - 10)
+
+    assert(StreamingIngest.applyBatch(b0, 0L, path, cfg))
+    val n0 = new graft.index.MultiVectorIndex(spark, path).numDocuments
+    assert(n0 === 10L)
+    assert(StreamingIngest.lastAppliedBatchId(path) === Some(0L))
+
+    // replay of batch 0 (foreachBatch at-least-once): must be a no-op
+    assert(!StreamingIngest.applyBatch(b0, 0L, path, cfg))
+    assert(new graft.index.MultiVectorIndex(spark, path).numDocuments === 10L)
+
+    // next batch applies normally
+    assert(StreamingIngest.applyBatch(b1, 1L, path, cfg))
+    assert(new graft.index.MultiVectorIndex(spark, path).numDocuments === 15L)
+    assert(StreamingIngest.lastAppliedBatchId(path) === Some(1L))
+
+    // a crash between marker and record must fail loudly on replay, not
+    // double-append
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/stream_inflight"), "2")
+    assertThrows[IllegalStateException](StreamingIngest.applyBatch(b1, 2L, path, cfg))
+    graft.util.Fs.deleteRecursively(s"$path/stream_inflight")
+  }
+
   test("streaming exact dedup passes only the first-seen text across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
