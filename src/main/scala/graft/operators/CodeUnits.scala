@@ -19,6 +19,12 @@ import graft.search.SearchParams
   */
 object CodeUnits {
 
+  /** Code unit carrying the reference's five analysis layers
+    * (colgrep/src/parser/types.rs:117-153) within the regex framework:
+    * layer 1 AST (signature, docstring, parameters, returnType), layer
+    * 2 call graph (calls, calledBy — file-local reverse edges), layer 3
+    * control flow (complexity, hasLoops/Branches/ErrorHandling), layer
+    * 4 data flow (variables), layer 5 dependencies (imports). */
   final case class CodeUnit(
       file: String,
       language: String,
@@ -28,7 +34,17 @@ object CodeUnits {
       startLine: Int,
       endLine: Int,
       code: String,
-      calls: Seq[String])
+      calls: Seq[String],
+      docstring: String = "",
+      parameters: Seq[String] = Seq.empty,
+      returnType: String = "",
+      calledBy: Seq[String] = Seq.empty,
+      complexity: Int = 1,
+      hasLoops: Boolean = false,
+      hasBranches: Boolean = false,
+      hasErrorHandling: Boolean = false,
+      variables: Seq[String] = Seq.empty,
+      imports: Seq[String] = Seq.empty)
 
   private val ExtLang = Map(
     "py" -> "python", "scala" -> "scala", "rs" -> "rust", "go" -> "go",
@@ -46,28 +62,108 @@ object CodeUnits {
     java.util.regex.Pattern.MULTILINE)
 
   private val CallRe = java.util.regex.Pattern.compile("""([a-z_][A-Za-z0-9_]*)\s*\(""")
+  private val VarRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
+    java.util.regex.Pattern.MULTILINE)
+  private val ImportRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:const\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\))""",
+    java.util.regex.Pattern.MULTILINE)
+  private val LoopRe = java.util.regex.Pattern.compile("""\b(for|while|loop)\b""")
+  private val BranchRe = java.util.regex.Pattern.compile("""\b(if|else|match|switch|when)\b|\bcase\s""")
+  private val ErrRe = java.util.regex.Pattern.compile("""\b(try|catch|except|finally|rescue|panic|raise|throw)\b""")
+  private val ComplexityRe = java.util.regex.Pattern.compile(
+    """\b(if|for|while|case|catch|except|when)\b|&&|\|\|""")
+
+  /** Layer-1 helper: parameters + return type from the text following a
+    * definition's name (balanced-paren scan, top-level comma split). */
+  private[operators] def paramsAndReturn(afterName: String): (Seq[String], String) = {
+    val open = afterName.indexOf('(')
+    val nl = afterName.indexOf('\n')
+    if (open < 0 || (nl >= 0 && nl < open)) return (Seq.empty, "")
+    var depth = 0
+    var i = open
+    var close = -1
+    val paramSplits = scala.collection.mutable.ArrayBuffer(open + 1)
+    while (i < afterName.length && close < 0) {
+      afterName.charAt(i) match {
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' =>
+          depth -= 1
+          if (depth == 0) close = i
+        case ',' if depth == 1 => paramSplits += i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return (Seq.empty, "")
+    val bounds = paramSplits.toSeq :+ (close + 1)
+    val params = bounds.sliding(2).flatMap { case Seq(a, b) =>
+      val piece = afterName.substring(a, math.max(a, b - 1))
+      val pm = java.util.regex.Pattern
+        .compile("""[&*]?\s*(?:mut\s+)?([A-Za-z_][A-Za-z0-9_]*)""").matcher(piece)
+      if (pm.find()) Some(pm.group(1)) else None
+    }.toSeq
+    val retM = java.util.regex.Pattern
+      .compile("""^\s*(?:->|:)\s*([^={\n]+)""")
+      .matcher(afterName.substring(close + 1))
+    val ret = if (retM.find()) retM.group(1).trim else ""
+    (params, ret)
+  }
+
+  /** Layer-1 helper: docstring — a Python-style triple-quoted string in
+    * the body, or the contiguous comment block immediately above. */
+  private[operators] def docstringOf(lines: Array[String], startLine: Int, code: String): String = {
+    val dsM = java.util.regex.Pattern
+      .compile("\"\"\"([\\s\\S]*?)\"\"\"|'''([\\s\\S]*?)'''").matcher(code)
+    if (dsM.find()) {
+      val raw = Option(dsM.group(1)).getOrElse(dsM.group(2))
+      return raw.trim.take(512)
+    }
+    // comment block immediately above the definition
+    val block = scala.collection.mutable.ArrayBuffer.empty[String]
+    var li = startLine - 1
+    while (li >= 0 && lines(li).trim.matches("""^(///|//|#|\*|/\*\*?|\*/).*|^\s*$""") &&
+        lines(li).trim.nonEmpty) {
+      block += lines(li).trim
+        .replaceAll("""^(///|//|#|\*+/?|/\*+)\s?""", "")
+        .replaceAll("""\s*\*+/\s*$""", "")
+      li -= 1
+    }
+    block.reverse.mkString(" ").trim.take(512)
+  }
 
   /** Extract code units from one file's source: each definition spans to
     * the line before the next definition (or EOF); a file with no
-    * definitions becomes a single raw_code unit. */
+    * definitions becomes a single raw_code unit. All five analysis
+    * layers are populated; calledBy holds the file-local reverse call
+    * edges (cross-file edges would need the index-wide graph — see
+    * [[extract]]). */
   def extractUnits(path: String, source: String): Seq[CodeUnit] = {
     if (source == null || source.isEmpty) return Seq.empty
     val lang = languageOf(path)
     val lines = source.split("\n", -1)
     val lineStart = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
+    val imports = {
+      val im = ImportRe.matcher(source)
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (im.find()) {
+        (1 to 5).map(im.group).find(_ != null).foreach(g => out += g.trim)
+      }
+      out.toSeq.take(24)
+    }
     val m = DefRe.matcher(source)
-    val defs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
     while (m.find()) {
       val name = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).getOrElse("")
       val kind =
         if (m.group(1) != null) "function"
         else if (m.group(2) != null) "class"
         else "constant"
-      defs += ((m.start(), name, kind))
+      defs += ((m.start(), m.end(), name, kind))
     }
     if (defs.isEmpty)
       return Seq(CodeUnit(path, lang, "raw_code", "", lines.headOption.getOrElse("").trim,
-        1, lines.length, source, Seq.empty))
+        1, lines.length, source, Seq.empty, imports = imports))
     def lineOf(off: Int): Int = {
       var lo = 0; var hi = lines.length - 1
       while (lo < hi) {
@@ -76,16 +172,40 @@ object CodeUnits {
       }
       lo
     }
-    defs.toSeq.zipWithIndex.map { case ((off, name, kind), i) =>
+    val units = defs.toSeq.zipWithIndex.map { case ((off, endOff, name, kind), i) =>
       val start = lineOf(off)
       val end = if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1
       val code = lines.slice(start, end + 1).mkString("\n")
       val cm = CallRe.matcher(code)
       val calls = scala.collection.mutable.LinkedHashSet.empty[String]
       while (cm.find()) { if (cm.group(1) != name) calls += cm.group(1) }
+      val unitEndOff = lineStart(end) + lines(end).length
+      val (params, ret) =
+        if (kind == "function") paramsAndReturn(source.substring(endOff, unitEndOff))
+        else (Seq.empty[String], "")
+      val vm = VarRe.matcher(code)
+      val vars = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (vm.find()) vars += vm.group(1)
+      var complexity = 1
+      val cxm = ComplexityRe.matcher(code)
+      while (cxm.find()) complexity += 1
       CodeUnit(path, lang, kind, name, lines(start).trim, start + 1, end + 1,
-        code, calls.toSeq.take(16))
+        code, calls.toSeq.take(16),
+        docstring = docstringOf(lines, start, code),
+        parameters = params.take(16),
+        returnType = ret,
+        complexity = complexity,
+        hasLoops = LoopRe.matcher(code).find(),
+        hasBranches = BranchRe.matcher(code).find(),
+        hasErrorHandling = ErrRe.matcher(code).find(),
+        variables = vars.toSeq.take(16),
+        imports = imports)
     }
+    // layer 2 reverse edges, file-local: A ∈ calledBy(B) iff A calls B
+    val names = units.map(_.name).toSet
+    val reverse = units.flatMap(u => u.calls.filter(names.contains).map(c => c -> u.name))
+      .groupBy(_._1).map { case (callee, edges) => callee -> edges.map(_._2).distinct.take(16) }
+    units.map(u => u.copy(calledBy = reverse.getOrElse(u.name, Seq.empty)))
   }
 
   /** C1 plumbing: `files(path, source)` → exploded `Dataset[CodeUnit]`
@@ -113,16 +233,22 @@ object CodeUnits {
     val sb = new StringBuilder
     sb.append(s"# ${u.kind.capitalize}: ${u.name}\n")
     sb.append(s"Signature: ${u.signature}\n")
+    if (u.docstring.nonEmpty) sb.append(s"Doc: ${u.docstring}\n")
+    if (u.parameters.nonEmpty) sb.append(s"Params: ${u.parameters.mkString(", ")}\n")
+    if (u.returnType.nonEmpty) sb.append(s"Returns: ${u.returnType}\n")
     if (u.calls.nonEmpty) sb.append(s"Calls: ${u.calls.mkString(", ")}\n")
+    if (u.calledBy.nonEmpty) sb.append(s"Called by: ${u.calledBy.mkString(", ")}\n")
+    if (u.variables.nonEmpty) sb.append(s"Vars: ${u.variables.mkString(", ")}\n")
+    if (u.imports.nonEmpty) sb.append(s"Imports: ${u.imports.mkString(", ")}\n")
+    sb.append(s"Flow: complexity ${u.complexity}" +
+      (if (u.hasLoops) ", loops" else "") +
+      (if (u.hasBranches) ", branches" else "") +
+      (if (u.hasErrorHandling) ", error-handling" else "") + "\n")
     sb.append(s"File: $pathWords\n\n")
     sb.append(u.code)
     sb.toString.take(EmbedTextCap)
   }
 
-  val embedTextUdf = udf((file: String, language: String, kind: String, name: String,
-      signature: String, startLine: Int, endLine: Int, code: String, calls: Seq[String]) =>
-    embedText(CodeUnit(file, language, kind, name, signature, startLine, endLine,
-      code, if (calls == null) Seq.empty else calls)))
 
   /** C7 incremental reindex (colgrep/src/index/mod.rs:1615-1956): diff
     * the current files' content hashes against the persisted state.

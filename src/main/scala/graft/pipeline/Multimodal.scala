@@ -56,32 +56,99 @@ object Multimodal {
   def fakeDecodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
-    def decodeOne(payload: Array[Byte]): Array[Float] = {
-      // STUB: real implementation decodes pixels/samples here.
-      val out = new Array[Float](dim)
-      val counts = new Array[Int](dim)
-      var i = 0
-      while (i < payload.length) {
-        val b = i % dim
-        out(b) += (payload(i) & 0xff).toFloat
-        counts(b) += 1
-        i += 1
-      }
-      var b = 0
-      while (b < dim) {
-        if (counts(b) > 0) out(b) /= counts(b)
-        b += 1
-      }
-      out
-    }
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          (id, if (payload == null) null else decodeOne(payload))
+          (id, if (payload == null) null else stubDecodeOne(payload, dim))
         }
       }
       .toDF("doc_id", "features")
+  }
+
+  /** REAL image decode for PNG/JPEG via `javax.imageio` (JVM built-in,
+    * no external codec): luminance grid-pooled into `dim` features.
+    * Returns None for undecodable payloads (truncated, wrong format). */
+  private[pipeline] def decodeImageFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      // grid-pool mean luminance (Rec.601 weights, normalized to [0,1])
+      // into a g×g grid, flattened row-major and padded to dim
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Int](g * g)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * g / h, g - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * g / w, g - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          sums(gy * g + gx) += lum
+          counts(gy * g + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var c = 0
+      while (c < g * g && c < dim) {
+        if (counts(c) > 0) out(c) = (sums(c) / counts(c)).toFloat
+        c += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Feature extraction with REAL decode where the JVM has a codec:
+    * PNG/JPEG payloads decode through `javax.imageio` (grid-pooled
+    * luminance features); audio/video/unknown payloads fall through to
+    * the deterministic stub (no audio/video codecs in this
+    * environment — swap the fallthrough for a JNI ffmpeg decoder
+    * without touching the plan shape). Partition-local batches, no
+    * shuffle. Returns `(doc_id, features, decoder)` where decoder ∈
+    * {imageio, stub}. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          if (payload == null) (id, null: Array[Float], "none")
+          else decodeImageFeatures(payload, dim) match {
+            case Some(f) => (id, f, "imageio")
+            case None    => (id, stubDecodeOne(payload, dim), "stub")
+          }
+        }
+      }
+      .toDF("doc_id", "features", "decoder")
+  }
+
+  /** Deterministic stub decode body (see [[fakeDecodeFeatures]]). */
+  private[pipeline] def stubDecodeOne(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < payload.length) {
+      val b = i % dim
+      out(b) += (payload(i) & 0xff).toFloat
+      counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) {
+      if (counts(b) > 0) out(b) /= counts(b)
+      b += 1
+    }
+    out
   }
 
   /** Video frame-sampling plan: emit `(doc_id, frame_idx)` for every

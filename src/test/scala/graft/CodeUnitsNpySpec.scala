@@ -45,6 +45,69 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(raw.length === 1 && raw.head.kind === "raw_code")
   }
 
+  test("C1 layers: docstring/params/returns/calledBy/flow/vars/imports (Python)") {
+    val src =
+      """import os
+        |from collections import defaultdict
+        |
+        |def parse_header(data, strict=True):
+        |    '''Parse the file header.
+        |    Returns the first record.'''
+        |    size = len(data)
+        |    if strict:
+        |        for b in data:
+        |            check(b)
+        |    try:
+        |        return data[0]
+        |    except IndexError:
+        |        return None
+        |
+        |def check(b):
+        |    assert b >= 0
+        |""".stripMargin
+    val byName = CodeUnits.extractUnits("lib/parser.py", src).map(u => u.name -> u).toMap
+    val ph = byName("parse_header")
+    assert(ph.docstring.startsWith("Parse the file header."))
+    assert(ph.parameters === Seq("data", "strict"))
+    assert(ph.hasLoops && ph.hasBranches && ph.hasErrorHandling)
+    assert(ph.complexity > 1)
+    assert(ph.variables.contains("size"))
+    assert(ph.imports.contains("os") && ph.imports.contains("collections"))
+    // file-local reverse call edge: check is called by parse_header
+    assert(byName("check").calledBy === Seq("parse_header"))
+    assert(!byName("check").hasLoops)
+  }
+
+  test("C1 layers: comment docstring, return type, params (Scala)") {
+    val src =
+      """import scala.collection.mutable
+        |
+        |/** Sums the positive entries. */
+        |def sumPositive(xs: Seq[Int], floor: Int): Int = {
+        |  val total = xs.filter(_ > floor).sum
+        |  total
+        |}
+        |
+        |def caller(): Int = sumPositive(Seq(1), 0)
+        |""".stripMargin
+    val byName = CodeUnits.extractUnits("util/Math.scala", src).map(u => u.name -> u).toMap
+    val sp = byName("sumPositive")
+    assert(sp.docstring === "Sums the positive entries.")
+    assert(sp.parameters === Seq("xs", "floor"))
+    assert(sp.returnType === "Int")
+    assert(sp.variables.contains("total"))
+    assert(sp.imports.exists(_.contains("scala.collection.mutable")))
+    assert(sp.calledBy === Seq("caller"))
+    // the layers flow into the C2 embedding text
+    val txt = CodeUnits.embedText(sp)
+    assert(txt.contains("Doc: Sums the positive entries."))
+    assert(txt.contains("Params: xs, floor"))
+    assert(txt.contains("Returns: Int"))
+    assert(txt.contains("Called by: caller"))
+    assert(txt.contains("Imports: scala.collection.mutable"))
+    assert(txt.contains("Flow: complexity"))
+  }
+
   test("C2: embedText builds the header form and normalizes the path") {
     val u = CodeUnits.extractUnits("lib/io/FileReader.py", pySource)
       .find(_.name == "parse_header").get

@@ -195,4 +195,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames(1L) === Seq(0, 7, 14))
     assert(frames(2L) === Seq(0, 7, 14, 21, 28))
   }
+
+  test("real image decode: 2x2 PNG/JPEG through javax.imageio; stub only as fallback") {
+    import spark.implicits._
+    def imageBytes(format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x000000) // black
+      img.setRGB(1, 0, 0xFFFFFF) // white
+      img.setRGB(0, 1, 0x808080) // gray 128
+      img.setRGB(1, 1, 0xFF0000) // red
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (0L, imageBytes("png")),
+      (1L, imageBytes("jpg")),
+      // PNG magic followed by garbage: undecodable -> stub fallback
+      (2L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3, 4, 5))
+    ).toDF("doc_id", "payload")
+
+    val out = Multimodal.decodeFeatures(spark, media, dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getString(2))).toMap
+
+    // expected Rec.601 luminances: black=0, white=1, gray=128/255, red=0.299
+    val expected = Seq(0.0f, 1.0f, 128.0f / 255.0f, 0.299f)
+    val (pngFeats, pngDec) = out(0L)
+    assert(pngDec === "imageio")
+    pngFeats.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-3, s"png: $got vs $want") }
+
+    val (jpgFeats, jpgDec) = out(1L)
+    assert(jpgDec === "imageio")
+    // JPEG is lossy: loose tolerance
+    jpgFeats.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.15, s"jpeg: $got vs $want") }
+
+    val (stubFeats, stubDec) = out(2L)
+    assert(stubDec === "stub")
+    val fake = Multimodal.fakeDecodeFeatures(
+      spark, media.filter(col("doc_id") === 2), dim = 4).collect()(0).getSeq[Float](1)
+    assert(stubFeats === fake)
+  }
 }
