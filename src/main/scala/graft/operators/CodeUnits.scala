@@ -38,6 +38,12 @@ object CodeUnits {
       docstring: String = "",
       parameters: Seq[String] = Seq.empty,
       returnType: String = "",
+      /** Containing class (indentation-scoped); kind becomes "method". */
+      parentClass: String = "",
+      /** parentClass-qualified name, or the bare name at top level. */
+      qualifiedName: String = "",
+      /** Parent class for inheritance (`class X(Base)` / `extends Base`). */
+      extendsClass: String = "",
       calledBy: Seq[String] = Seq.empty,
       complexity: Int = 1,
       hasLoops: Boolean = false,
@@ -172,17 +178,45 @@ object CodeUnits {
       }
       lo
     }
-    val units = defs.toSeq.zipWithIndex.map { case ((off, endOff, name, kind), i) =>
+    // indentation-scoped class nesting: a stack of (indent, className)
+    // decides each def's containing class — defs at or left of a class's
+    // indent close its scope (the regex twin of tree-sitter's node
+    // nesting for the common Python/brace layouts)
+    val classStack = scala.collection.mutable.Stack.empty[(Int, String)]
+    val parentOf = defs.toSeq.map { case (off, _, name, kind) =>
+      val indent = {
+        val ls = lineStart(lineOf(off))
+        var j = ls
+        while (j < source.length && (source.charAt(j) == ' ' || source.charAt(j) == '\t')) j += 1
+        j - ls
+      }
+      while (classStack.nonEmpty && classStack.top._1 >= indent) classStack.pop()
+      val parent = if (classStack.nonEmpty) classStack.top._2 else ""
+      if (kind == "class") classStack.push((indent, name))
+      parent
+    }
+    val ExtendsRe = java.util.regex.Pattern.compile(
+      """(?:extends|implements)\s+([A-Za-z_][\w.]*)|class\s+\w+\s*\(\s*([A-Za-z_][\w.]*)""")
+
+    val units = defs.toSeq.zipWithIndex.map { case ((off, endOff, name, kind0), i) =>
       val start = lineOf(off)
       val end = if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1
       val code = lines.slice(start, end + 1).mkString("\n")
+      val parent = parentOf(i)
+      val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       val cm = CallRe.matcher(code)
       val calls = scala.collection.mutable.LinkedHashSet.empty[String]
       while (cm.find()) { if (cm.group(1) != name) calls += cm.group(1) }
       val unitEndOff = lineStart(end) + lines(end).length
       val (params, ret) =
-        if (kind == "function") paramsAndReturn(source.substring(endOff, unitEndOff))
+        if (kind == "function" || kind == "method")
+          paramsAndReturn(source.substring(endOff, unitEndOff))
         else (Seq.empty[String], "")
+      val extendsClass =
+        if (kind == "class") {
+          val em = ExtendsRe.matcher(lines(start))
+          if (em.find()) Option(em.group(1)).getOrElse(em.group(2)) else ""
+        } else ""
       val vm = VarRe.matcher(code)
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
       while (vm.find()) vars += vm.group(1)
@@ -194,6 +228,9 @@ object CodeUnits {
         docstring = docstringOf(lines, start, code),
         parameters = params.take(16),
         returnType = ret,
+        parentClass = parent,
+        qualifiedName = if (parent.nonEmpty) s"$parent.$name" else name,
+        extendsClass = extendsClass,
         complexity = complexity,
         hasLoops = LoopRe.matcher(code).find(),
         hasBranches = BranchRe.matcher(code).find(),
@@ -231,8 +268,10 @@ object CodeUnits {
       .replaceAll("[/_.]", " ")
       .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
     val sb = new StringBuilder
-    sb.append(s"# ${u.kind.capitalize}: ${u.name}\n")
+    sb.append(s"# ${u.kind.capitalize}: ${if (u.qualifiedName.nonEmpty) u.qualifiedName else u.name}\n")
     sb.append(s"Signature: ${u.signature}\n")
+    if (u.parentClass.nonEmpty) sb.append(s"In class: ${u.parentClass}\n")
+    if (u.extendsClass.nonEmpty) sb.append(s"Extends: ${u.extendsClass}\n")
     if (u.docstring.nonEmpty) sb.append(s"Doc: ${u.docstring}\n")
     if (u.parameters.nonEmpty) sb.append(s"Params: ${u.parameters.mkString(", ")}\n")
     if (u.returnType.nonEmpty) sb.append(s"Returns: ${u.returnType}\n")

@@ -53,17 +53,14 @@ object Rankers {
       k: Int,
       rankCol: String = "rank"
   ): DataFrame = {
-    val top = df.orderBy(orderCols: _*).limit(k)
-    // rank via zipWithIndex over the already-globally-sorted ≤k rows — a
-    // window would need a partition spec ({} = the round-1 warning;
-    // lit(0) folds away to the same), and zipWithIndex preserves
-    // partition-then-row order, which after orderBy+limit IS the rank.
-    val spark = top.sparkSession
-    val schema = top.schema.add(rankCol, org.apache.spark.sql.types.IntegerType, nullable = false)
-    val ranked = top.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i.toInt + 1))
-    }
-    spark.createDataFrame(ranked, schema)
+    // rank via monotonically_increasing_id over the already-sorted ≤k
+    // rows coalesced to one partition (ids are then consecutive from 0
+    // in row order, which after the global sort IS the rank) — stays in
+    // the DataFrame plan, no RDD round-trip/codegen break, and no
+    // unpartitioned window.
+    df.orderBy(orderCols: _*).limit(k)
+      .coalesce(1)
+      .withColumn(rankCol, (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** C6 path-noise penalty (colgrep/src/ranking.rs:32-39): multiplicative

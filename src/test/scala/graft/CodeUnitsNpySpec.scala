@@ -67,6 +67,7 @@ class CodeUnitsNpySpec extends AnyFunSuite {
         |""".stripMargin
     val byName = CodeUnits.extractUnits("lib/parser.py", src).map(u => u.name -> u).toMap
     val ph = byName("parse_header")
+    assert(ph.kind === "function" && ph.parentClass === "" && ph.qualifiedName === "parse_header")
     assert(ph.docstring.startsWith("Parse the file header."))
     assert(ph.parameters === Seq("data", "strict"))
     assert(ph.hasLoops && ph.hasBranches && ph.hasErrorHandling)
@@ -106,6 +107,32 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(txt.contains("Called by: caller"))
     assert(txt.contains("Imports: scala.collection.mutable"))
     assert(txt.contains("Flow: complexity"))
+  }
+
+  test("C1 layers: methods get parent class, qualified name, and extends") {
+    val src =
+      """class Base:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Reader(Base):
+        |    def read(self, n):
+        |        return self.buf[:n]
+        |
+        |def standalone():
+        |    return 2
+        |""".stripMargin
+    val units = CodeUnits.extractUnits("lib/reader.py", src)
+    val byQn = units.map(u => u.qualifiedName -> u).toMap
+    assert(byQn("Reader.read").kind === "method")
+    assert(byQn("Reader.read").parentClass === "Reader")
+    assert(byQn("Reader.read").parameters === Seq("self", "n"))
+    assert(byQn("Reader").extendsClass === "Base")
+    assert(byQn("Base").extendsClass === "")
+    assert(byQn("standalone").kind === "function" && byQn("standalone").parentClass === "")
+    val txt = CodeUnits.embedText(byQn("Reader.read"))
+    assert(txt.startsWith("# Method: Reader.read\n"))
+    assert(txt.contains("In class: Reader"))
   }
 
   test("C2: embedText builds the header form and normalizes the path") {
