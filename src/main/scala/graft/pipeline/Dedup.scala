@@ -125,21 +125,24 @@ object Dedup {
 
   /** Exact Jaccard over shingle sets for given pairs:
     * `|A ∩ B| / (|A| + |B| − |A ∩ B|)`. Intersections come from an
-    * equi-join on the shingle value restricted to candidate docs. */
+    * equi-join on the shingle value restricted to candidate docs.
+    *
+    * Plan-shape note (measured at sf0.1, 32 cores): this formulation
+    * re-references the `pairs` and `sh` subtrees, but Spark's
+    * ReuseExchange materializes each identical shuffle once, so it
+    * beats every "optimization" tried against it — pre-restricting
+    * `sh` to pair endpoints via semi-join (+10%: the extra `pairs`
+    * consumer and the restriction shuffle cost more than the join
+    * savings), caching the intermediates (+50%: InMemoryRelation
+    * breaks exchange reuse and stalls on materialization), and raw
+    * duplicate-tolerant shingles with post-restriction dedup (+40% on
+    * the n-gram path: countDistinct df costs more than distinct+count).
+    * Keep it declarative and let the optimizer dedupe. */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    // Restrict the shingle table to candidate docs ONCE (semi-join on the
-    // pair endpoints) and cache the restriction: candidate pairs are a
-    // tiny fraction of the corpus, so the a/b joins and the size
-    // aggregation below then touch |candidates| docs' shingles instead of
-    // re-scanning the full table twice.
-    val cand = pairs.select(col("a").as("doc_id"))
-      .unionByName(pairs.select(col("b").as("doc_id")))
-      .distinct()
-    val shC = sh.join(cand, Seq("doc_id"), "left_semi").cache()
-    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(shC.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(shC.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
     inter
