@@ -296,9 +296,15 @@ object SparkEntry {
             (col("c_acctbal") > 0).as("active"), col("c_mktsegment"),
             array(col("c_mktsegment")).as("tags"))).as("json"))
       val base = graft.meta.JsonMeta.create(s, batch1)
-      graft.meta.JsonMeta.append(s, base, batch2)
-        .select("_subset_", "c_custkey", "c_name", "c_acctbal",
-          "active", "c_mktsegment", "tags")
+      val appended = graft.meta.JsonMeta.append(s, base, batch2)
+      // at tiny SF batch2 may be empty (no custkey >= 750): the evolved
+      // columns then don't exist — surface them as nulls, matching the
+      // oracle's CASE WHEN shape
+      val withEvolved = Seq("c_mktsegment", "tags").foldLeft(appended) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+      }
+      withEvolved.select("_subset_", "c_custkey", "c_name", "c_acctbal",
+        "active", "c_mktsegment", "tags")
     }),
     // F1 metadata_to_text: string/number leaves of the JSON metadata
     "f_meta_text" -> ((s, dir) =>

@@ -40,6 +40,12 @@ object JsonMeta {
     * `(order: long, json: string)`. */
   def create(spark: SparkSession, rows: DataFrame): DataFrame = {
     import spark.implicits._
+    // an empty batch has no inferable schema: return the canonical empty
+    // table instead of letting spark.read.json throw
+    if (rows.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("_subset_", LongType, nullable = false))))
     val jsonDs: Dataset[String] = rows.orderBy("order").select("json").as[String]
     val schema = spark.read.json(jsonDs).schema
     val parsed = rows
@@ -57,6 +63,7 @@ object JsonMeta {
     * null there. `_subset_` continues densely after the existing table.
     * Widening conflicts resolve long → double → string. */
   def append(spark: SparkSession, existing: DataFrame, rows: DataFrame): DataFrame = {
+    if (rows.isEmpty) return existing
     val newTable = create(spark, rows)
     val offset = existing.count()
     val shifted = newTable.withColumn("_subset_", col("_subset_") + lit(offset))
