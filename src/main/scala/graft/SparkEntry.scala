@@ -331,6 +331,23 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    // dataset mixing: deterministic hash-threshold stratified sampling
+    "p_stratified_sample" -> ((s, dir) =>
+      graft.pipeline.Mixing.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.1, seed = 42L)
+        .select("doc_id", "lang")),
+    // sequence packing into 2048-token context-window bins (range-
+    // partitioned prefix sum, no unpartitioned window)
+    "p_seq_pack" -> ((s, dir) =>
+      graft.pipeline.Mixing.sequencePack(t(s, dir, "documents"), "doc_id", "text", 2048L)),
+    // benchmark contamination: train docs sharing >= 2 rare 5-grams with
+    // the (doc_id % 20 == 0) eval split
+    "p_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Mixing.contamination(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
+    }),
     // brute-force cosine top-k — the correctness baseline the ANN paths
     // are unit-verified against (IVF probing + SRP buckets in
     // Similarity; p_srp_join is the bucketed oracle-checked form)
@@ -609,6 +626,34 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "p_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 15))::BIGINT % 1000000
+        |  < CAST((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 1.0
+        |               ELSE 0.1 END) * 1000000 AS BIGINT)""".stripMargin,
+    "p_seq_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        |  (cum - n_tokens) % 2048 AS bin_offset
+        |FROM cum""".stripMargin,
+    "p_contamination" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS sh FROM toks),
+        |evalsh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0),
+        |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        |rare AS (SELECT sh FROM evalsh GROUP BY sh HAVING count(*) <= 100)
+        |SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+        |FROM evalsh e JOIN rare USING (sh) JOIN trainsh t USING (sh)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "p_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

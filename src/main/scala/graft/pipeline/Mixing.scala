@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-mixing operators for LLM training-data pipelines (greenfield,
+  * SURVEY §2.9): deterministic stratified sampling, sequence packing
+  * into context-window bins, and benchmark-contamination detection.
+  * Design rules match `Dedup`: every decision is a pure
+  * builtin-function expression over a deterministic hash (DuckDB can
+  * replay the exact bytes), and nothing ever shuffles more than the
+  * aggregated decision keys.
+  */
+object Mixing {
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * `hash60(id, seed) mod 1e6 < rate(stratum) * 1e6`. One scan, zero
+    * shuffle, reproducible across engines and runs — the hash-threshold
+    * idiom the index build uses for k-means doc sampling, applied to
+    * dataset mixing ("keep 10% of lang=en, 100% of lang=fr").
+    * `rates`: stratum value → keep fraction in [0,1]; strata absent
+    * from the map use `defaultRate`. */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val rateCol: Column = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(Dedup.hash60(col(idCol).cast("string"), lit(seed)), lit(1000000L))
+        < (rateCol * 1000000.0).cast("long"))
+  }
+
+  /** Sequence packing: assign docs (in id order) to consecutive
+    * context-window bins of ~`budgetTokens` whitespace tokens, with the
+    * doc's offset inside its bin. bin = floor(exclusive-prefix-sum /
+    * budget) — deterministic, never splits a doc, and SQL-expressible
+    * (a window cumsum) so the oracle can replay it.
+    *
+    * Scale shape: the prefix sum runs on the range-partitioned path
+    * (per-partition local cumsum + driver-side prefix offsets over
+    * numRanges scalars) — no unpartitioned window over the corpus.
+    * Returns `(doc_id, n_tokens, bin, bin_offset)`. */
+  def sequencePack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val numRanges = spark.sessionState.conf.numShufflePartitions
+    val counted = docs.select(
+      col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val ranged = counted.repartitionByRange(numRanges, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("_part", spark_partition_id())
+    val partSums = ranged.groupBy("_part")
+      .agg(sum("n_tokens").as("_psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partSums.map { case (p, s) => val o = (p, acc); acc += s; o }.toSeq
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_part", "_offset")
+    val wLocal = Window.partitionBy("_part").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsetsDf), "_part")
+      .withColumn("_cum", col("_offset") + sum("n_tokens").over(wLocal))
+      .withColumn("bin", ((col("_cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .withColumn("bin_offset", (col("_cum") - col("n_tokens")) % budgetTokens)
+      .select("doc_id", "n_tokens", "bin", "bin_offset")
+  }
+
+  /** Benchmark-contamination check: training docs sharing at least
+    * `minShared` distinct word `shingleSize`-grams with any eval doc.
+    * The candidate join is keyed by the shingle value with a document-
+    * frequency cap on the EVAL side (stop-shingles never fan out), so
+    * the shuffle is bounded by |eval shingles| × df — the same scale
+    * guard as the n-gram Jaccard join. Returns
+    * `(doc_id, eval_id, n_shared)`. */
+  def contamination(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      minShared: Int = 2,
+      maxEvalShingleDf: Int = 100): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, shingleSize)
+    val evalSh = Dedup.shingles(eval_, idCol, textCol, shingleSize)
+      .withColumnRenamed("doc_id", "eval_id")
+    // drop eval shingles that are common across the eval set itself —
+    // boilerplate n-grams create quadratic fan-out, not signal
+    val rareEval = evalSh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxEvalShingleDf)
+      .select("sh")
+    evalSh.join(rareEval, "sh")
+      .join(trainSh, "sh")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

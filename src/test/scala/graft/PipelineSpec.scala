@@ -196,6 +196,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames(2L) === Seq(0, 7, 14, 21, 28))
   }
 
+  test("mixing: stratified sampling is deterministic and rate-respecting; packing bins are stable") {
+    import spark.implicits._
+    import graft.pipeline.Mixing
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr",
+        Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+
+    // rates are hit within hash-threshold tolerance, and the same seed
+    // reproduces the exact same sample
+    val s1 = Mixing.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.0)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") === docs.filter(col("lang") === "zh").count())
+    assert(!byLang.contains("fr"))
+    val enRate = byLang("en").toDouble / docs.filter(col("lang") === "en").count()
+    assert(math.abs(enRate - 0.5) < 0.1, s"en rate $enRate")
+    val s2 = Mixing.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.0)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet
+      === s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // packing: bins respect the cumulative-budget rule and are invariant
+    // to the session's partition count (range-partitioned prefix sum)
+    val packed = Mixing.sequencePack(docs, "doc_id", "text", budgetTokens = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var cum = 0L
+    packed.foreach { case (_, n, bin, off) =>
+      assert(bin === cum / 50, s"bin mismatch at cum=$cum")
+      assert(off === cum % 50)
+      cum += n
+    }
+    val one = docs.coalesce(1)
+    val packed1 = Mixing.sequencePack(one, "doc_id", "text", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(packed1.toSeq === packed.toSeq)
+  }
+
+  test("mixing: contamination finds planted eval overlap and ignores disjoint docs") {
+    import spark.implicits._
+    import graft.pipeline.Mixing
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (120L, "completely different evaluation material here entirely now")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+      (2L, "no overlap with anything in that benchmark set at all"),
+      (3L, "the quick brown fox appears but the rest differs completely here")
+    ).toDF("doc_id", "text")
+    val hits = Mixing.contamination(trainDocs, evalDocs, "doc_id", "text",
+      shingleSize = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.exists { case (d, e, n) => d == 1L && e == 100L && n >= 2 })
+    assert(!hits.exists(_._1 == 2L))
+    assert(!hits.exists(_._1 == 3L)) // one shared 5-gram window < minShared
+  }
+
   test("real image decode: 2x2 PNG/JPEG through javax.imageio; stub only as fallback") {
     import spark.implicits._
     def imageBytes(format: String): Array[Byte] = {
