@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.{MetadataOps, Where}
+
+/** Physical-plan invariants the 100-TB design depends on: metadata
+  * predicates reach the parquet scan (PushedFilters), narrow operators
+  * prune columns at the scan (ReadSchema), and the dedup aggregations
+  * combine map-side before their shuffle (partial aggregation). A plan
+  * that silently loses one of these still returns correct rows at test
+  * scale — these assertions catch the regression that would only show
+  * at 1000 executors. */
+class PlanAssertionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val tablePath: String = {
+    import spark.implicits._
+    val p = "/tmp/graft_plan_assert"
+    graft.util.Fs.deleteRecursively(p)
+    (0L until 1000L).map(i => (i, s"doc text $i", i % 5, i.toDouble / 7))
+      .toDF("doc_id", "text", "grp", "score")
+      .write.parquet(p)
+    p
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("whereCondition predicates push down to the parquet scan") {
+    val df = spark.read.parquet(tablePath)
+    val filtered = MetadataOps.whereCondition(
+      df, "doc_id", "grp = ? AND score > ?",
+      Seq(Where.SLong(2), Where.SDouble(10.0)))
+    val plan = planOf(filtered)
+    assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(plan.contains("EqualTo(grp,2"), s"grp predicate not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(score,10.0"), s"score predicate not pushed:\n$plan")
+  }
+
+  test("narrow projections prune the parquet ReadSchema to used columns") {
+    val df = spark.read.parquet(tablePath)
+    val stats = graft.pipeline.TextStats.tokenCounts(df, "doc_id", "text")
+    val plan = planOf(stats)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      plan.split("ReadSchema").lift(1).getOrElse(""))
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("score") && !readSchema.contains("grp"),
+      s"unused columns read at the scan: $readSchema")
+  }
+
+  test("exact dedup aggregates map-side before the shuffle") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.Dedup.exactDedup(df, "doc_id", "text"))
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"no partial (map-side) aggregation before the shuffle:\n$plan")
+  }
+}
