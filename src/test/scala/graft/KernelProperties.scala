@@ -119,4 +119,25 @@ object KernelProperties extends Properties("kernels") {
     forAll(textGen) { s =>
       graft.core.Tokenizers.trigram(s).size == math.max(s.length - 2, 0)
     }
+
+  // ---- SafeRegex: total function — never throws, never hangs ----
+
+  private val patternishGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('(', ')', '[', ']', '{', '}', '*', '+', '?', '|', '\\', '.', '^', '$'),
+      1 -> Gen.const(' '))).map(_.mkString)
+
+  property("SafeRegex.matches is total over arbitrary pattern-ish strings") =
+    forAll(textGen, patternishGen) { (s, p) =>
+      // any outcome is fine; throwing or hanging is the failure mode
+      val r = graft.meta.SafeRegex.matches(s, p)
+      r || !r
+    }
+
+  property("SafeRegex agrees with java.util.regex on valid patterns within budget") =
+    forAll(textGen, Gen.oneOf("[a-z]+", "\\d\\d", "foo|bar", "a.c", "^x")) { (s, p) =>
+      graft.meta.SafeRegex.matches(s, p) ==
+        java.util.regex.Pattern.compile(p).matcher(s).find()
+    }
 }
