@@ -281,6 +281,41 @@ object SparkEntry {
           round(col("score"), 3).as("score"))
     }),
 
+    // S1 sparse funnel (search.rs:518-600): the large-K formulation
+    // forced on (sparseCentroidThreshold = 0) over its own small index —
+    // exhaustive parameters, so the DuckDB exact-MaxSim oracle over the
+    // reconstruction dump must match the sparse path bit-for-bit, the
+    // same contract v_index_search pins for the dense path
+    "v_sparse_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+        .filter(col("doc_id") < 30)
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_sparse_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val searcher = new graft.search.Searcher(idx)
+      searcher.reconstruct(docs.select("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/recon")
+      emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$path/qtok")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("embeddings"))
+      searcher
+        .search(queries, graft.search.SearchParams(
+          topK = 5, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+          centroidScoreThreshold = None, sparseCentroidThreshold = 0))
+        .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
+          round(col("score"), 3).as("score"))
+    }),
+
     // M1/M2: metadata create from JSON with type inference (bool→0/1
     // BIGINT, nested→JSON text, filtering.rs:616-650) + append with
     // schema evolution (new columns auto-added, :1332-1463)
@@ -834,6 +869,25 @@ object SparkEntry {
       """SELECT doc_id,
         |  unnest(range(0, (doc_id % 10) * 10 + 10, 7)) AS frame_idx
         |FROM documents""".stripMargin,
+    "v_sparse_search" ->
+      """WITH recon AS (
+        |  SELECT doc_id, tok, vec
+        |  FROM read_parquet('/tmp/graft_sparse__root_testdata_sf0_01/recon/*.parquet')),
+        |qtok AS (
+        |  SELECT query_id, vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_sparse__root_testdata_sf0_01/qtok/*.parquet')),
+        |pairs AS (
+        |  SELECT q.query_id, d.doc_id, q.vec_id AS qv,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * d.vec[i]::DOUBLE)) AS sim
+        |  FROM qtok q CROSS JOIN recon d),
+        |m AS (SELECT query_id, doc_id, qv, max(sim) AS best FROM pairs GROUP BY 1,2,3),
+        |sc AS (SELECT query_id, doc_id, sum(best) AS score FROM m GROUP BY 1,2)
+        |SELECT query_id, doc_id, rank, round(score, 3) AS score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
     "v_index_search" ->
       """WITH recon AS (
         |  SELECT doc_id, tok, vec
