@@ -62,7 +62,8 @@ object CodeUnits {
 
   private val DefRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:pub|export|public|private|protected|static|async|final|override)\s+)*""" +
-      """(?:def|fn|func|function)\s+([A-Za-z_][A-Za-z0-9_]*)|""" +
+      // optional Go method receiver `func (s *T) name(` / Ruby `def self.name`
+      """(?:def|fn|func|function)\s+(?:\([^)\n]*\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*)|""" +
       """^[ \t]*(?:(?:pub|export|public|final|abstract|case|sealed)\s+)*(?:class|trait|object|struct|interface|impl)\s+([A-Za-z_][A-Za-z0-9_]*)|""" +
       """^[ \t]*(?:(?:val|const|let|static)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
     java.util.regex.Pattern.MULTILINE)

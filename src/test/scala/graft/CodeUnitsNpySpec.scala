@@ -109,6 +109,23 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(txt.contains("Flow: complexity"))
   }
 
+  test("C1: Go method receivers and Ruby self-methods resolve to the method name") {
+    val goSrc =
+      """func (s *Server) Handle(w http.ResponseWriter, r *http.Request) error {
+        |	return s.inner(w)
+        |}
+        |func plain(x int) int { return x }
+        |""".stripMargin
+    val go = CodeUnits.extractUnits("srv/handler.go", goSrc).map(u => u.name -> u).toMap
+    assert(go.contains("Handle"), s"got: ${go.keys}")
+    assert(go("Handle").parameters.headOption === Some("w"))
+    assert(go.contains("plain"))
+
+    val rbSrc = "def self.build(opts)\n  new(opts)\nend\n"
+    val rb = CodeUnits.extractUnits("lib/factory.rb", rbSrc)
+    assert(rb.head.name === "build")
+  }
+
   test("C1 layers: methods get parent class, qualified name, and extends") {
     val src =
       """class Base:
