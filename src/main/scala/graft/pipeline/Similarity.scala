@@ -162,20 +162,68 @@ object Similarity {
     * `minCosine`. For recall across cell borders raise `numCentroids`
     * probing via multi-assign; this single-assign form is the standard
     * scalable first pass. */
+  /** Multi-probe assignments: each vector lands in its top-`p` nearest
+    * cells, so near-duplicate pairs straddling a Voronoi boundary still
+    * share a cell with high probability. `p` rows per vector. */
+  def assignTopP(
+      spark: SparkSession,
+      docs: DataFrame,
+      centroids: Array[Float],
+      dim: Int,
+      p: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    docs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        val k = cents.length / dim
+        rows.flatMap { case (id, v) =>
+          val scores = new Array[Float](k)
+          var c = 0
+          while (c < k) {
+            var s = 0.0f
+            val off = c * dim
+            var i = 0
+            while (i < dim) { s += cents(off + i) * v(i); i += 1 }
+            scores(c) = s
+            c += 1
+          }
+          graft.search.Searcher.topNIndices(scores, math.min(p, k))
+            .map(code => (id, code))
+        }
+      }
+      .toDF("vec_id", "code")
+  }
+
+  /** Cosine near-dedup via IVF-cell self-join. `probes` > 1 enables
+    * multi-probe: vectors join in every cell among their top-`probes`
+    * assignments (pairs deduped by min cosine-preserving distinct), so
+    * recall no longer drops for near-dups split by a cell boundary —
+    * the round-2 single-assign limitation. Still never all-pairs: the
+    * join key is the cell. */
   def cosineDedupPairs(
       spark: SparkSession,
       docs: DataFrame,
       dim: Int,
       numCentroids: Int,
       minCosine: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probes: Int = 2): DataFrame = {
     graft.functions.ArrayMath.register(spark)
-    val (_, assign) = buildIvf(spark, docs, dim, numCentroids, seed)
+    val (centroids, assign1) = buildIvf(spark, docs, dim, numCentroids, seed)
+    val assign =
+      if (probes <= 1) assign1
+      else assignTopP(spark, docs, centroids, dim, probes)
     val withEmb = assign.join(docs.select("vec_id", "embedding"), "vec_id")
     val a = withEmb.select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"))
     val b = withEmb.select(col("code"), col("vec_id").as("b"), col("embedding"))
     a.join(b, "code")
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("qemb"), col("embedding"))
+      // multi-probe can surface the same pair in several cells; the
+      // embeddings are functionally determined by (a, b)
+      .dropDuplicates(Seq("a", "b"))
       .withColumn("cosine",
         dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
       .filter(col("cosine") >= minCosine)

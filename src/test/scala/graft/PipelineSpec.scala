@@ -131,6 +131,14 @@ class PipelineSpec extends AnyFunSuite {
       minCosine = 0.9999).as[(Long, Long, Double)].collect().toSet
     assert(pairs.exists { case (a, b, _) => a === 0L && b === 100000L })
     assert(pairs.exists { case (a, b, _) => a === 1L && b === 100001L })
+
+    // multi-probe (default 2) finds at least everything single-assign
+    // finds, without duplicate pair rows
+    val single = Similarity.cosineDedupPairs(spark, all, 64, numCentroids = 8,
+      minCosine = 0.9999, probes = 1).as[(Long, Long, Double)].collect().toSet
+    assert(single.map(p => (p._1, p._2)).subsetOf(pairs.map(p => (p._1, p._2))))
+    val keys = pairs.toSeq.map(p => (p._1, p._2))
+    assert(keys.distinct.size === keys.size)
   }
 
   // ---------- text stats ----------
