@@ -19,7 +19,13 @@ object Fs {
 
   private def fs(path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+    // session config when one is up (HDFS/S3 credentials etc.); plain
+    // Hadoop defaults otherwise — path utilities must not REQUIRE a
+    // session (e.g. cleanup before the first session exists)
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     (p.getFileSystem(conf), p)
   }
 

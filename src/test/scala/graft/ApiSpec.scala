@@ -169,6 +169,46 @@ class ApiSpec extends AnyFunSuite {
     gi.drop()
   }
 
+  test("deferred delete hides docs from vector, hybrid, and keyword search until compact") {
+    val path = "/tmp/graft_api_tomb"
+    graft.util.Fs.deleteRecursively(path)
+    val gi = GraftIndex.create(spark, path,
+      docs.filter(col("doc_id") < 10), Some(metaJsonFor(0L until 10L)))
+    assert(gi.count === 10L)
+
+    // tombstone doc 7 (title "doc 7")
+    gi.deleteDocuments(ids = Some(Seq(7L)), deferred = true)
+    assert(gi.count === 9L) // live count
+    assert(gi.index.numDocuments === 10L) // physical id space unchanged
+
+    // vector search: doc 7's own embedding must not retrieve doc 7
+    val q7 = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val vecHits = gi.search(q7, exhaustive).collect().map(_.getLong(1)).toSet
+    assert(!vecHits.contains(7L), s"tombstoned doc reachable via vector search: $vecHits")
+
+    // keyword + hybrid legs exclude it too
+    val kw = gi.hybrid(q7, "doc 7",
+      graft.search.HybridParams(mode = "keyword", topK = 5))
+    assert(!kw.collect().map(_.getLong(1)).contains(7L))
+    val hy = gi.hybrid(q7, "doc 7",
+      graft.search.HybridParams(topK = 5, searchParams = exhaustive))
+    assert(!hy.collect().map(_.getLong(1)).contains(7L))
+
+    // compact: physical remove + renumber, metadata/FTS follow
+    gi.compact()
+    assert(gi.count === 9L)
+    assert(gi.index.numDocuments === 9L)
+    assert(gi.metadata.select("_subset_").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 9L))
+    assert(gi.ftsIndex.doclens.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 9L))
+    // old doc 8 is now id 7; its metadata moved with it
+    assert(gi.metadata.filter(col("_subset_") === 7).collect()(0)
+      .getAs[String]("title") === "doc 8")
+    gi.drop()
+  }
+
   test("delete keeps FTS aligned with index ids when some docs lack metadata") {
     val path = "/tmp/graft_api_gap"
     graft.util.Fs.deleteRecursively(path)
