@@ -288,6 +288,51 @@ class UpdaterSpec extends AnyFunSuite {
     assert(Updater.compact(spark, compacted).numDocuments === eager.numDocuments)
   }
 
+  test("stress: cyclic add/delete keeps counts, dense ids, and IVF consistency at every step") {
+    // scaled twin of the reference's scifact stress baseline (75 cycles,
+    // expected == actual doc count at every step): interleaved appends,
+    // buffer-overflow expansions, deletes, and one deferred+compact
+    import spark.implicits._
+    val path = freshPath("stress")
+    val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 7)
+    val rng = new scala.util.Random(7L)
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 10), path)
+    var expected = 10L
+    for (cycle <- 0 until 15) {
+      // add 2-5 docs (cycling through the fixture corpus)
+      val nAdd = 2 + rng.nextInt(4)
+      val lo = (cycle * 7) % 80
+      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < lo + nAdd)
+        .withColumn("doc_id", col("doc_id") - lo)
+      Updater.update(spark, path, batch, cfg)
+      expected += nAdd
+      // delete 1-3 ids spread across the current id space
+      val idx = new MultiVectorIndex(spark, path)
+      assert(idx.numDocuments === expected, s"cycle $cycle post-add")
+      val nDel = 1 + rng.nextInt(3)
+      val delIds = (0 until nDel).map(i => (expected / (nDel + 1)) * (i + 1)).distinct
+      if (cycle == 7) {
+        // one deferred round: tombstone now, compact next statement
+        Updater.deleteDeferred(spark, idx, delIds.toDF("doc_id"))
+        Updater.compact(spark, new MultiVectorIndex(spark, path))
+      } else {
+        Updater.delete(spark, idx, delIds)
+      }
+      expected -= delIds.size
+      val idx2 = new MultiVectorIndex(spark, path)
+      assert(idx2.numDocuments === expected, s"cycle $cycle post-delete")
+      val ids = idx2.doclens.select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === (0L until expected), s"cycle $cycle dense-id invariant")
+      if (cycle % 5 == 4) ivfMatchesTokens(idx2)
+    }
+    // the index is still fully searchable after the churn
+    val idxF = new MultiVectorIndex(spark, path)
+    val q = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val hits = new Searcher(idxF).search(q, exhaustive)
+    assert(hits.groupBy("query_id").count().collect().forall(_.getLong(1) === 1L))
+  }
+
   test("delete then re-add keeps the dense-id invariant (integration cycle)") {
     val path = freshPath("cycle")
     val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 1000)
