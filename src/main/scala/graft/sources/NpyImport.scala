@@ -108,9 +108,9 @@ object NpyImport {
     import spark.implicits._
     val mapper = MultiVectorIndex.jsonMapper
 
-    val centroids = floats(readNpy(s"$refDir/centroids.npy"))
-    val centShape = readNpy(s"$refDir/centroids.npy").shape
-    val dim = centShape(1)
+    val centroidsNpy = readNpy(s"$refDir/centroids.npy")
+    val centroids = floats(centroidsNpy)
+    val dim = centroidsNpy.shape(1)
     val cutoffs = floats(readNpy(s"$refDir/bucket_cutoffs.npy"))
     val weights = floats(readNpy(s"$refDir/bucket_weights.npy"))
     val avgResidual = floats(readNpy(s"$refDir/avg_residual.npy"))
@@ -124,9 +124,13 @@ object NpyImport {
     MultiVectorIndex.saveCodec(spark, outPath, codec)
 
     // chunks: doc ids are dense in chunk order; token rows carry the
-    // packed residual bytes unchanged
+    // packed residual bytes unchanged. Each reference chunk (~50k docs)
+    // is parsed and flushed to parquet independently, so driver memory
+    // is bounded by ONE chunk regardless of index size — an index-wide
+    // row buffer would OOM the driver on a real import.
+    graft.util.Fs.deleteRecursively(s"$outPath/tokens_in")
     var docOffset = 0L
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Array[Byte])]
+    var numTokens = 0L
     (0 until numChunks).foreach { k =>
       val codes = longs(readNpy(s"$refDir/$k.codes.npy"))
       val residuals = bytes2d(readNpy(s"$refDir/$k.residuals.npy"))
@@ -134,21 +138,26 @@ object NpyImport {
         val node = mapper.readTree(Files.readAllBytes(Paths.get(s"$refDir/doclens.$k.json")))
         Array.tabulate(node.size())(i => node.get(i).asLong())
       }
+      val chunkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Array[Byte])]
       var t = 0
       doclens.zipWithIndex.foreach { case (len, d) =>
         var tok = 0
         while (tok < len) {
-          rows += ((docOffset + d, tok, codes(t).toInt, residuals(t)))
+          chunkRows += ((docOffset + d, tok, codes(t).toInt, residuals(t)))
           t += 1; tok += 1
         }
       }
+      chunkRows.toSeq.toDF("doc_id", "tok", "code", "residual")
+        .write.mode(SaveMode.Append).parquet(s"$outPath/tokens_in")
       docOffset += doclens.length
+      numTokens += t
     }
-    val tokens = rows.toSeq.toDF("doc_id", "tok", "code", "residual")
-    tokens
+    // one distributed pass lays the tokens out range-partitioned/sorted
+    spark.read.parquet(s"$outPath/tokens_in")
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .sortWithinPartitions("doc_id", "tok")
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/tokens")
+    graft.util.Fs.deleteRecursively(s"$outPath/tokens_in")
     val tokensOut = spark.read.parquet(s"$outPath/tokens")
     tokensOut.groupBy("code").agg(sort_array(collect_set("doc_id")).as("doc_ids"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/ivf")
@@ -162,9 +171,9 @@ object NpyImport {
       "nbits" -> nbits.toString,
       "embedding_dim" -> dim.toString,
       "num_documents" -> docOffset.toString,
-      "num_embeddings" -> rows.length.toString,
+      "num_embeddings" -> numTokens.toString,
       "num_partitions" -> (centroids.length / dim).toString,
-      "avg_doclen" -> (if (docOffset == 0) "0" else (rows.length.toDouble / docOffset).toString),
+      "avg_doclen" -> (if (docOffset == 0) "0" else (numTokens.toDouble / docOffset).toString),
       "seed" -> "42"))
     new MultiVectorIndex(spark, outPath)
   }
