@@ -676,7 +676,7 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
-        |  (cum - n_tokens) % 2048 AS bin_offset
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         |FROM cum""".stripMargin,
     "p_contamination" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

@@ -380,6 +380,23 @@ object Updater {
         // table, so nothing may lazily read it afterwards.
         val bufferIds = buffered.map(_.select("doc_id").collect().map(_.getLong(0)).toSeq)
           .getOrElse(Seq.empty)
+        // Tombstones on buffered docs must survive the flush: the
+        // delete(bufferIds) below drops them from the tombstone table
+        // (inner-join renumber treats a deleted doc's tombstone as
+        // settled), but the re-append brings those docs back — without
+        // this they'd resurface as searchable. The flush preserves the
+        // id layout exactly (suffix delete + same-order re-append puts
+        // every buffered doc back at its old id), so the staged
+        // tombstone ids stay valid and are simply restored after the
+        // append. Staged to disk first: deleteFrom rewrites tombstones.
+        val bufTombStaged: Boolean = idx.tombstonesOpt.exists { tomb =>
+          val bt = buffered match {
+            case Some(b) => tomb.join(b.select("doc_id"), Seq("doc_id"))
+            case None => tomb.limit(0)
+          }
+          rewrite(bt, s"$path/pending_tomb")
+          spark.read.parquet(s"$path/pending_tomb").count() > 0
+        }
         val bufLocal = buffered.map { b =>
           // buffered ids were the index suffix: delete keeps earlier ids
           // stable, so relabel buffer locally 0..bufLen-1 in old order
@@ -405,6 +422,10 @@ object Updater {
         val idx3 = append(spark, idxDel, pending,
           codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None,
           refreshThreshold = true)
+        if (bufTombStaged)
+          spark.read.parquet(s"$path/pending_tomb")
+            .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+        if (exists(s"$path/pending_tomb")) deleteRecursively(s"$path/pending_tomb")
         deleteRecursively(bufPath)
         deleteRecursively(s"$path/pending")
         idx3

@@ -41,14 +41,21 @@ object SafeRegex {
   }
 
   /** Compiled-pattern cache; `None` = invalid pattern (matches nothing).
-    * Executor-local (the object is a per-JVM singleton). */
+    * Executor-local (the object is a per-JVM singleton). Bounded: a
+    * long-lived service evaluating many distinct ad-hoc patterns must
+    * not grow it without limit — past [[MaxCacheSize]] the whole cache
+    * is dropped (patterns are cheap to recompile; a rare clear beats
+    * per-lookup LRU bookkeeping in the match hot path). */
+  private[meta] val MaxCacheSize = 4096
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Pattern]]()
 
-  def compile(pattern: String): Option[Pattern] =
+  def compile(pattern: String): Option[Pattern] = {
+    if (cache.size > MaxCacheSize) cache.clear()
     cache.computeIfAbsent(pattern, p =>
       try Some(Pattern.compile(p))
       catch { case _: Exception => None })
+  }
 
   /** Unanchored search (RLIKE/fancy-regex `is_match` semantics); null
     * input, invalid pattern, and budget overrun are all "no match". */

@@ -41,10 +41,17 @@ object Mixing {
     * budget) — deterministic, never splits a doc, and SQL-expressible
     * (a window cumsum) so the oracle can replay it.
     *
-    * Scale shape: the prefix sum runs on the range-partitioned path
-    * (per-partition local cumsum + driver-side prefix offsets over
-    * numRanges scalars) — no unpartitioned window over the corpus.
-    * Returns `(doc_id, n_tokens, bin, bin_offset)`. */
+    * Scale shape: the prefix sum runs bucket-partitioned (per-bucket
+    * local cumsum + driver-side prefix offsets over numRanges scalars)
+    * — no unpartitioned window over the corpus. Buckets are a pure
+    * expression over the numeric id (equal-width value ranges from one
+    * min/max aggregate), NOT `repartitionByRange` + `spark_partition_id`:
+    * range boundaries are sample-based, so two actions over the same
+    * plan could see different partition assignments and silently
+    * mis-bin (the exact bug a prior round shipped). Equal-width buckets
+    * skew if ids are sparse/clustered, but every bucket is still a
+    * correct contiguous id range — balance is a perf knob, determinism
+    * is the contract. Returns `(doc_id, n_tokens, bin, bin_offset)`. */
   def sequencePack(
       docs: DataFrame,
       idCol: String,
@@ -56,10 +63,21 @@ object Mixing {
     val counted = docs.select(
       col(idCol).as("doc_id"),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    val ranged = counted.repartitionByRange(numRanges, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("_part", spark_partition_id())
-    val partSums = ranged.groupBy("_part")
+    val bounds = counted.agg(
+      min(col("doc_id").cast("long")), max(col("doc_id").cast("long"))).head()
+    if (bounds.isNullAt(0))
+      return counted.withColumn("bin", lit(0L)).withColumn("bin_offset", lit(0L))
+        .select("doc_id", "n_tokens", "bin", "bin_offset").limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo + 1L, 1L)
+    // deterministic bucket: floor((id - lo) * numRanges / span) in
+    // [0, numRanges). Double math: long multiply overflows for sparse
+    // 64-bit id spaces; double is monotone so buckets stay contiguous.
+    val partExpr = least(
+      ((col("doc_id").cast("long") - lo).cast("double") * numRanges / span).cast("int"),
+      lit(numRanges - 1))
+    val bucketed = counted.withColumn("_part", partExpr)
+    val partSums = bucketed.groupBy("_part")
       .agg(sum("n_tokens").as("_psum"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -68,7 +86,7 @@ object Mixing {
     val offsetsDf = offsets.toDF("_part", "_offset")
     val wLocal = Window.partitionBy("_part").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    bucketed
       .join(broadcast(offsetsDf), "_part")
       .withColumn("_cum", col("_offset") + sum("n_tokens").over(wLocal))
       .withColumn("bin", ((col("_cum") - col("n_tokens")) / budgetTokens).cast("long"))

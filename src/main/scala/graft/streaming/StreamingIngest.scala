@@ -58,8 +58,21 @@ object StreamingIngest {
       cfg: UpdateConfig = UpdateConfig()): Boolean = {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
-    if (lastAppliedBatchId(indexPath).exists(batchId <= _)) return false
     val inflight = s"$indexPath/stream_inflight"
+    val lastApplied = lastAppliedBatchId(indexPath)
+    if (lastApplied.exists(batchId <= _)) {
+      // Self-heal a stale marker: a crash in the window between the
+      // manifest's last_stream_batch_id write and marker removal leaves
+      // the marker behind with a batchId the manifest already records as
+      // applied — state is fully consistent, so clear it instead of
+      // poisoning every subsequent batch. A marker AHEAD of the manifest
+      // is a genuine partial apply and still fails below on that batch.
+      if (graft.util.Fs.exists(inflight)) {
+        val marked = new String(graft.util.Fs.readBytes(inflight), "UTF-8").trim.toLong
+        if (lastApplied.exists(marked <= _)) graft.util.Fs.deleteRecursively(inflight)
+      }
+      return false
+    }
     if (graft.util.Fs.exists(inflight)) {
       throw new IllegalStateException(
         s"index at $indexPath has a partially-applied stream batch " +

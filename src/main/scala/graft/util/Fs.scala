@@ -61,12 +61,17 @@ object Fs {
   }
 
   /** Materialize `df` to `<dir>_tmp` (forcing the read of the current
-    * version first), then swap it in. */
+    * version first), then swap it in. Hadoop's rename/delete signal
+    * failure by returning false, not by throwing — an unchecked false
+    * here would silently drop the table after the old version was
+    * already deleted, so both are checked and escalated. */
   def rewrite(df: DataFrame, dir: String): Unit = {
     val tmp = dir + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val (f, p) = fs(dir)
-    if (f.exists(p)) f.delete(p, true)
-    f.rename(new HPath(tmp), p): Unit
+    if (f.exists(p) && !f.delete(p, true))
+      throw new java.io.IOException(s"rewrite: failed to delete old version at $dir")
+    if (!f.rename(new HPath(tmp), p))
+      throw new java.io.IOException(s"rewrite: failed to rename $tmp to $dir")
   }
 }

@@ -244,6 +244,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed1.toSeq === packed.toSeq)
   }
 
+  test("mixing: packing is deterministic on sparse clustered ids (regression: sampled range bounds)") {
+    import spark.implicits._
+    import graft.pipeline.Mixing
+    // sparse 64-bit-ish ids in two far-apart clusters: equal-width
+    // buckets are heavily skewed, and sampled repartitionByRange bounds
+    // (the old implementation) would differ between the partSums action
+    // and the final join. The bucket must be a pure function of the id.
+    val ids = (0L until 500L).map(i => 3_000_000_000L + i * 17) ++
+      (0L until 500L).map(i => 9_000_000_000_000L + i * 101)
+    val docs = ids.map(i => (i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(16)
+    val df = Mixing.sequencePack(docs, "doc_id", "text", budgetTokens = 37L)
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    var cum = 0L
+    a.foreach { case (_, n, bin, off) =>
+      assert(bin === cum / 37 && off === cum % 37, s"at cum=$cum")
+      cum += n
+    }
+    // empty input keeps the 4-column schema with zero rows
+    assert(Mixing.sequencePack(docs.limit(0), "doc_id", "text", 37L).count() === 0L)
+  }
+
   test("mixing: contamination finds planted eval overlap and ignores disjoint docs") {
     import spark.implicits._
     import graft.pipeline.Mixing

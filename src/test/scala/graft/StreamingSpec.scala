@@ -97,6 +97,18 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$path/stream_inflight"), "2")
     assertThrows[IllegalStateException](StreamingIngest.applyBatch(b1, 2L, path, cfg))
     graft.util.Fs.deleteRecursively(s"$path/stream_inflight")
+
+    // crash AFTER the manifest record but BEFORE marker removal: replay
+    // of the recorded batch skips AND self-heals the stale marker, so
+    // the following batch is not poisoned
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/stream_inflight"), "1")
+    assert(!StreamingIngest.applyBatch(b1, 1L, path, cfg))
+    assert(!graft.util.Fs.exists(s"$path/stream_inflight"))
+    val b2 = docs.filter(col("doc_id") >= 15 && col("doc_id") < 18)
+      .withColumn("doc_id", col("doc_id") - 15)
+    assert(StreamingIngest.applyBatch(b2, 2L, path, cfg))
+    assert(new graft.index.MultiVectorIndex(spark, path).numDocuments === 18L)
   }
 
   test("streaming exact dedup passes only the first-seen text across batches") {

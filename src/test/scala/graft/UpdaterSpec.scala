@@ -111,6 +111,44 @@ class UpdaterSpec extends AnyFunSuite {
     ivfMatchesTokens(idx2)
   }
 
+  test("mode-3 flush keeps tombstones on buffered docs (regression: flush resurrection)") {
+    import spark.implicits._
+    val path = freshPath("tomb_flush")
+    val cfg = UpdateConfig(startFromScratch = 0, bufferSize = 6)
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 50), path)
+
+    // mode 2: docs 50..53 land in the buffer
+    val batch1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 54)
+      .withColumn("doc_id", col("doc_id") - 50)
+    Updater.update(spark, path, batch1, cfg)
+
+    // tombstone one buffered doc (52) and one non-buffered doc (10)
+    val idx1 = new MultiVectorIndex(spark, path)
+    Updater.deleteDeferred(spark, idx1, Seq(52L, 10L).toDF("doc_id"))
+
+    // mode 3 flush: delete buffered, expand, re-append
+    val batch2 = docs.filter(col("doc_id") >= 54 && col("doc_id") < 58)
+      .withColumn("doc_id", col("doc_id") - 54)
+    val idx2 = Updater.update(spark, path, batch2, cfg)
+    assert(idx2.numDocuments === 58L)
+
+    // both tombstones survive the flush at their (unchanged) ids
+    val tombs = idx2.tombstonesOpt.get.collect().map(_.getLong(0)).toSet
+    assert(tombs === Set(52L, 10L), s"tombstones after flush: $tombs")
+
+    // the tombstoned buffered doc stays invisible to search: its own
+    // embedding must retrieve some other doc
+    val q = docs.filter(col("doc_id") === 52)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx2, q)(52L) !== 52L)
+
+    // compact settles both; survivors renumber densely
+    val idx3 = Updater.compact(spark, idx2)
+    assert(idx3.numDocuments === 56L)
+    assert(idx3.tombstonesOpt.isEmpty)
+    ivfMatchesTokens(idx3)
+  }
+
   test("U2/U3: outliers of far-away vectors trigger centroid expansion") {
     val path = freshPath("expand")
     import spark.implicits._
