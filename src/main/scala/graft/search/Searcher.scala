@@ -20,7 +20,17 @@ final case class SearchParams(
       * approximate scoring a join over only the candidate docs' code
       * union — no dense Q×K driver matrices, no driver codebook load.
       * The reference batches at the same order of K. */
-    sparseCentroidThreshold: Int = 100000
+    sparseCentroidThreshold: Int = 100000,
+    /** Memory budget for the dense path's broadcast score matrices
+      * (Q × tokens × K × 4 bytes). A batch whose matrices exceed this is
+      * split into query chunks that each fit, the funnel runs per chunk
+      * (results are per-query, so chunking is result-identical), and each
+      * chunk's broadcasts are destroyed before the next chunk starts — the
+      * Spark twin of the reference's query batching (search.rs:521-640,
+      * batch_size = 2000). The switch to the sparse path stays keyed on K:
+      * with chunking the batch size Q no longer multiplies into the
+      * broadcast footprint. */
+    denseScoreBudgetBytes: Long = 1L << 30
 )
 
 /** Batch late-interaction search: the reference's per-query funnel
@@ -55,26 +65,23 @@ final class Searcher(index: MultiVectorIndex) {
   ): DataFrame = {
     if (index.manifest("num_partitions").toInt > params.sparseCentroidThreshold)
       return searchSparse(queries, params, subset)
-    val codec = index.codec
-    val dim = codec.dim
-    val k = codec.numCentroids
+    val k = index.codec.numCentroids
 
     val queryMap: Map[Long, Array[Array[Float]]] = queries
       .select("query_id", "embeddings")
       .as[(Long, Array[Array[Float]])]
       .collect()
       .toMap
-    val queriesBc = spark.sparkContext.broadcast(queryMap)
-    val codecBc = spark.sparkContext.broadcast(codec)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
     // with a subset filter, probe more centroids so recall holds — and
     // the eligible-centroid restriction (search.rs:350-364): only
     // centroids that actually contain subset docs compete for the probe
     // budget (derived from the doc_codes artifact, one small semi-join).
-    // The subset is counted ONCE (the count also drives probe scaling)
-    // and that count plans every subset join by size — a broad filter
-    // selecting 10⁹ ids must never be force-broadcast.
+    // The subset is counted ONCE (the count also drives probe scaling,
+    // and is shared by every query chunk) and that count plans every
+    // subset join by size — a broad filter selecting 10⁹ ids must never
+    // be force-broadcast.
     val subsetCounted: Option[(DataFrame, Long)] = subset.map { s =>
       val ids = s.select("doc_id")
       (ids, ids.count())
@@ -94,6 +101,71 @@ final class Searcher(index: MultiVectorIndex) {
         .collect().foreach(r => mask(r.getInt(0)) = true)
       mask
     }
+
+    // Memory bounding (search.rs:521-640, batch_size = 2000): the dense
+    // funnel's footprint is the broadcast score matrices —
+    // Q × tokens × K × 4 bytes — so the batch is greedily packed (in
+    // sorted-qid order, deterministic) into chunks that each fit
+    // `denseScoreBudgetBytes`. A single query is never split: its matrix
+    // is at most maxTokens × K floats, ~13 MB at the K=100k dense
+    // ceiling. Every per-query stage (probe, cut, top-k window) makes a
+    // chunked run result-identical to the unchunked one.
+    val budget = math.max(params.denseScoreBudgetBytes, 1L)
+    val qids = queryMap.keys.toSeq.sorted
+    def bytesOf(qid: Long): Long = queryMap(qid).length.toLong * k * 4L
+    val chunks: Seq[Seq[Long]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var curBytes = 0L
+      qids.foreach { q =>
+        val b = bytesOf(q)
+        if (cur.nonEmpty && curBytes + b > budget) {
+          out += cur.toSeq; cur.clear(); curBytes = 0L
+        }
+        cur += q; curBytes += b
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+
+    if (chunks.size <= 1)
+      searchDenseChunk(queryMap, params, subsetCounted, eligible, nProbe)._1
+    else {
+      // Chunked run executes eagerly, one chunk at a time: each chunk's
+      // result is tiny (≤ chunkQueries × topK rows) so it collects to the
+      // driver, and the chunk's broadcasts are destroyed before the next
+      // chunk's are built — peak footprint is ONE chunk's matrices, not
+      // the whole batch's.
+      var schema: org.apache.spark.sql.types.StructType = null
+      val allRows = chunks.flatMap { cq =>
+        val cmap: Map[Long, Array[Array[Float]]] =
+          cq.iterator.map(q => q -> queryMap(q)).toMap
+        val (df, bcs) = searchDenseChunk(cmap, params, subsetCounted, eligible, nProbe)
+        schema = df.schema
+        val rows = df.collect()
+        bcs.foreach(_.destroy())
+        rows
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(allRows.toList.asJava, schema)
+    }
+  }
+
+  /** One dense-funnel pass over a query chunk whose score matrices fit
+    * the memory budget. Returns the (lazy) result plus the broadcasts it
+    * created, so a chunked caller can destroy them between chunks. */
+  private def searchDenseChunk(
+      queryMap: Map[Long, Array[Array[Float]]],
+      params: SearchParams,
+      subsetCounted: Option[(DataFrame, Long)],
+      eligible: Option[Array[Boolean]],
+      nProbe: Int
+  ): (DataFrame, Seq[org.apache.spark.broadcast.Broadcast[_]]) = {
+    val codec = index.codec
+    val dim = codec.dim
+    val k = codec.numCentroids
+    val queriesBc = spark.sparkContext.broadcast(queryMap)
+    val codecBc = spark.sparkContext.broadcast(codec)
 
     // S1: per-query centroid-score matrices, computed once in a tiny
     // distributed stage and collected (Q × n_tokens × K floats; for K
@@ -210,9 +282,10 @@ final class Searcher(index: MultiVectorIndex) {
     // S8: final top-k.
     val wFinal = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    exact
+    val result = exact
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= params.topK)
+    (result, Seq(queriesBc, codecBc, scoresBc))
   }
 
   /** The sparse/batched funnel for large centroid counts
@@ -329,32 +402,23 @@ final class Searcher(index: MultiVectorIndex) {
         }
       }
       .toDF("query_id", "code", "svec")
+    // Typed Aggregator (not mapGroups): Spark plans it as an
+    // ObjectHashAggregate with a PARTIAL stage before the exchange, so
+    // each map task pre-merges its candidates' per-code score vectors
+    // into one max-vector per (query, doc) — the shuffle carries
+    // ~distinct (query, doc) keys instead of every (candidate, code)
+    // svec row of maxTokens floats. Same map-side-combine discipline the
+    // dedup pipeline uses; arithmetic identical to the mapGroups form.
     val approx = candCodes
       .join(svecs, Seq("query_id", "code"))
       .select(col("query_id"), col("doc_id"), col("svec"))
       .as[(Long, Long, Array[Float])]
       .groupByKey { case (qid, docId, _) => (qid, docId) }
-      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Array[Float])]) =>
-        val (qid, docId) = key
-        var maxes: Array[Float] = null
-        it.foreach { case (_, _, sv) =>
-          if (maxes == null) maxes = Array.fill(sv.length)(Float.NegativeInfinity)
-          var ti = 0
-          while (ti < sv.length) {
-            if (graft.core.MaxSim.better(sv(ti), maxes(ti))) maxes(ti) = sv(ti)
-            ti += 1
-          }
-        }
-        var total = 0.0f
-        var ti = 0
-        while (ti < maxes.length) {
-          val m = maxes(ti)
-          if (!m.isInfinite && !m.isNaN) total += m
-          ti += 1
-        }
-        (qid, docId, total)
-      }
-      .toDF("query_id", "doc_id", "approx_score")
+      .agg(new Searcher.ElementwiseMaxSum(
+        implicitly[org.apache.spark.sql.Encoder[Array[Float]]])
+        .toColumn.name("approx_score"))
+      .select(col("key._1").as("query_id"), col("key._2").as("doc_id"),
+        col("approx_score"))
 
     // S6: funnel cut — same as dense
     val wApprox = Window.partitionBy("query_id")
@@ -464,6 +528,59 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
+
+  /** S5 sparse approximate-score aggregation
+    * (build_sparse_centroid_scores consumers, search.rs:256-302):
+    * elementwise NaN-safe max over per-(query,code) score vectors, then
+    * a token-order sum of the finite maxima — arithmetic identical to
+    * [[graft.core.MaxSim.approxScore]] over a dense matrix.
+    *
+    * A typed Aggregator (vs mapGroups) so Catalyst inserts a partial
+    * aggregation before the (query,doc) exchange: the max-merge runs
+    * map-side and only one buffer per key crosses the shuffle. Buffers
+    * mutate in place (Spark owns them between calls); the zero is the
+    * empty array, replaced by a NegativeInfinity-filled buffer on first
+    * merge so untouched positions never contribute to the sum. */
+  final class ElementwiseMaxSum(bufEnc: org.apache.spark.sql.Encoder[Array[Float]])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Array[Float]), Array[Float], Float] {
+    import graft.core.MaxSim
+    override def zero: Array[Float] = Array.emptyFloatArray
+    private def mergeInto(buf: Array[Float], sv: Array[Float]): Array[Float] = {
+      if (sv.isEmpty) buf
+      else {
+        val b =
+          if (buf.isEmpty) {
+            val fresh = new Array[Float](sv.length)
+            java.util.Arrays.fill(fresh, Float.NegativeInfinity)
+            fresh
+          } else buf
+        var ti = 0
+        while (ti < sv.length) {
+          if (MaxSim.better(sv(ti), b(ti))) b(ti) = sv(ti)
+          ti += 1
+        }
+        b
+      }
+    }
+    override def reduce(buf: Array[Float], in: (Long, Long, Array[Float])): Array[Float] =
+      mergeInto(buf, in._3)
+    override def merge(b1: Array[Float], b2: Array[Float]): Array[Float] =
+      mergeInto(b1, b2)
+    override def finish(buf: Array[Float]): Float = {
+      var total = 0.0f
+      var ti = 0
+      while (ti < buf.length) {
+        val m = buf(ti)
+        if (!m.isInfinite && !m.isNaN) total += m
+        ti += 1
+      }
+      total
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Float]] = bufEnc
+    override def outputEncoder: org.apache.spark.sql.Encoder[Float] =
+      org.apache.spark.sql.Encoders.scalaFloat
+  }
 
   /** Distributed S1/S2 probe selection for large K — the Spark twin of
     * ivf_probe_batched (search.rs:140-254): each centroid-table

@@ -67,6 +67,42 @@ class SparseSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked dense funnel (tiny score-matrix budget) ≡ unchunked") {
+    val searcher = new Searcher(new MultiVectorIndex(spark, indexPath))
+    val queries = docs.filter(col("doc_id") < 12)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val base = SearchParams(topK = 5)
+    // budget of 1 byte → every query becomes its own chunk (12 chunks),
+    // exercising per-chunk execution, broadcast teardown, and the
+    // collected-rows reassembly
+    val unchunked = results(searcher.search(queries, base))
+    val chunked = results(searcher.search(
+      queries, base.copy(denseScoreBudgetBytes = 1L)))
+    assert(chunked === unchunked)
+    // and with a subset filter (probe scaling + eligible mask computed
+    // once, shared across chunks)
+    val subset = Some(spark.range(10, 80).select(col("id").as("doc_id")))
+    val u2 = results(searcher.search(
+      queries, base.copy(centroidScoreThreshold = None), subset))
+    val c2 = results(searcher.search(
+      queries, base.copy(centroidScoreThreshold = None, denseScoreBudgetBytes = 1L),
+      subset))
+    assert(c2 === u2)
+  }
+
+  test("sparse S5 partial-aggregates map-side before the exchange") {
+    val searcher = new Searcher(new MultiVectorIndex(spark, indexPath))
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val df = searcher.search(
+      queries, SearchParams(topK = 5, sparseCentroidThreshold = 0))
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("objecthashaggregate"),
+      s"sparse S5 not planned as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_elementwisemaxsum"),
+      s"no partial (map-side) ElementwiseMaxSum stage before the shuffle:\n$plan")
+  }
+
   test("distributed probe selection ≡ dense probeCentroids at K = 2^17") {
     import spark.implicits._
     val k = 1 << 17
