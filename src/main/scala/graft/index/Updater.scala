@@ -254,6 +254,30 @@ object Updater {
     new MultiVectorIndex(spark, path)
   }
 
+  /** Fold a leftover mode-3 staging artifact into the tombstone table.
+    * `<path>/pending_tomb` exists only transiently inside [[update]]'s
+    * mode 3; finding it at an entry point means a prior mode-3 run
+    * crashed after staging. In the worst such window — after the
+    * buffered docs were re-appended but before the staged tombstones
+    * were restored — the staged copy is the ONLY copy, and without this
+    * hook those docs silently resurface as searchable. Re-appending is
+    * idempotent-safe: every tombstone consumer reads the set distinct,
+    * so a crash BEFORE the delete (where the live table still has the
+    * rows) just produces harmless duplicates. Mode 3 is still not
+    * crash-atomic across its other windows (pending batch staged but not
+    * appended, etc.) — callers needing full atomicity snapshot the index
+    * directory around update(), as documented there; this hook closes
+    * the one window that loses data silently rather than failing loudly. */
+  private def recoverStagedTombstones(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/pending_tomb"
+    if (exists(staged)) {
+      val df = spark.read.parquet(staged).select("doc_id")
+      if (!df.isEmpty)
+        df.write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      deleteRecursively(staged)
+    }
+  }
+
   /** Deferred (tombstone) delete: record the ids in `<path>/tombstones`
     * and leave every table untouched. Search consults the tombstone set
     * (candidates anti-join — O(tombstones), not O(corpus)); the
@@ -264,6 +288,7 @@ object Updater {
     * corpus-sized write — tombstones amortize N deletes into one
     * compaction rewrite while keeping the invariant at commit points. */
   def deleteDeferred(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
+    recoverStagedTombstones(spark, idx.path)
     del.select("doc_id").write.mode(SaveMode.Append).parquet(s"${idx.path}/tombstones")
     idx
   }
@@ -274,6 +299,7 @@ object Updater {
     * metadata/FTS sync works the same way. */
   def compact(spark: SparkSession, idx: MultiVectorIndex): MultiVectorIndex = {
     val path = idx.path
+    recoverStagedTombstones(spark, path)
     idx.tombstonesOpt match {
       case None => idx
       case Some(tomb) =>
@@ -309,6 +335,15 @@ object Updater {
     *  - buffer full → drop the buffered docs from the index, expand the
     *    codebook on the outlier tokens of buffer ∪ new (U2+U3), and
     *    re-append buffer ∪ new under the expanded codec.
+    *
+    * Crash story: each table rewrite is temp+atomic-rename, but an
+    * update spans several tables, so update() as a whole is NOT
+    * crash-atomic — callers needing all-or-nothing semantics snapshot
+    * the index directory around it (the streaming path additionally
+    * brackets it with the stream_inflight marker). The one window that
+    * would lose data SILENTLY — mode 3 crashing between its delete and
+    * the staged-tombstone restore — is self-healed at every entry point
+    * by [[recoverStagedTombstones]].
     */
   def update(
       spark: SparkSession,
@@ -322,6 +357,7 @@ object Updater {
           maxPointsPerCentroid = cfg.maxPointsPerCentroid,
           poolFactor = cfg.poolFactor))
     }
+    recoverStagedTombstones(spark, path)
     val idx = new MultiVectorIndex(spark, path)
     val n0 = idx.numDocuments
 

@@ -51,7 +51,10 @@ object Mixing {
     * mis-bin (the exact bug a prior round shipped). Equal-width buckets
     * skew if ids are sparse/clustered, but every bucket is still a
     * correct contiguous id range — balance is a perf knob, determinism
-    * is the contract. Returns `(doc_id, n_tokens, bin, bin_offset)`. */
+    * is the contract. Ids must be non-null: a null id has no position in
+    * the id order that defines the packing, so null-id rows are dropped
+    * up front (they would otherwise NPE in the bucket-offset collect).
+    * Returns `(doc_id, n_tokens, bin, bin_offset)`. */
   def sequencePack(
       docs: DataFrame,
       idCol: String,
@@ -60,7 +63,7 @@ object Mixing {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     val numRanges = spark.sessionState.conf.numShufflePartitions
-    val counted = docs.select(
+    val counted = docs.filter(col(idCol).isNotNull).select(
       col(idCol).as("doc_id"),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
     val bounds = counted.agg(

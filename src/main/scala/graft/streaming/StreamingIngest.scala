@@ -67,9 +67,13 @@ object StreamingIngest {
       // applied — state is fully consistent, so clear it instead of
       // poisoning every subsequent batch. A marker AHEAD of the manifest
       // is a genuine partial apply and still fails below on that batch.
+      // A corrupt/empty marker is unparsable — leave it in place so the
+      // loud IllegalStateException path below (on the first unapplied
+      // batch) reports the recovery guidance instead of an NFE here.
       if (graft.util.Fs.exists(inflight)) {
-        val marked = new String(graft.util.Fs.readBytes(inflight), "UTF-8").trim.toLong
-        if (lastApplied.exists(marked <= _)) graft.util.Fs.deleteRecursively(inflight)
+        val marked = new String(graft.util.Fs.readBytes(inflight), "UTF-8").trim.toLongOption
+        if (marked.exists(m => lastApplied.exists(m <= _)))
+          graft.util.Fs.deleteRecursively(inflight)
       }
       return false
     }

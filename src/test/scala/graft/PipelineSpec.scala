@@ -266,6 +266,17 @@ class PipelineSpec extends AnyFunSuite {
     }
     // empty input keeps the 4-column schema with zero rows
     assert(Mixing.sequencePack(docs.limit(0), "doc_id", "text", 37L).count() === 0L)
+
+    // null-id rows have no position in the id order — dropped up front,
+    // never an NPE in the bucket-offset collect; the non-null packing is
+    // unchanged by their presence
+    val withNulls = docs.unionByName(
+      Seq(("x y z"), ("a b")).toDF("text")
+        .withColumn("doc_id", lit(null).cast("long"))
+        .select("doc_id", "text"))
+    val c = Mixing.sequencePack(withNulls, "doc_id", "text", 37L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(c.toSeq === a.toSeq)
   }
 
   test("mixing: contamination finds planted eval overlap and ignores disjoint docs") {

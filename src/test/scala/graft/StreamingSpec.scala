@@ -109,6 +109,19 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("doc_id", col("doc_id") - 15)
     assert(StreamingIngest.applyBatch(b2, 2L, path, cfg))
     assert(new graft.index.MultiVectorIndex(spark, path).numDocuments === 18L)
+
+    // a CORRUPT marker (unparsable batchId) must not NFE in the skip
+    // path: the replay of a recorded batch still skips, the marker stays
+    // put, and the next unapplied batch fails loudly with the
+    // descriptive recovery guidance
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/stream_inflight"), "not-a-number")
+    assert(!StreamingIngest.applyBatch(b2, 2L, path, cfg))
+    assert(graft.util.Fs.exists(s"$path/stream_inflight"))
+    val b3 = docs.filter(col("doc_id") >= 18 && col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") - 18)
+    assertThrows[IllegalStateException](StreamingIngest.applyBatch(b3, 3L, path, cfg))
+    graft.util.Fs.deleteRecursively(s"$path/stream_inflight")
   }
 
   test("streaming exact dedup passes only the first-seen text across batches") {

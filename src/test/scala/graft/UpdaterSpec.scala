@@ -326,6 +326,37 @@ class UpdaterSpec extends AnyFunSuite {
     assert(Updater.compact(spark, compacted).numDocuments === eager.numDocuments)
   }
 
+  test("leftover pending_tomb (mode-3 crash artifact) is folded into tombstones at next entry") {
+    val path = freshPath("tomb_recover")
+    val d20 = docs.filter(col("doc_id") < 20)
+    import spark.implicits._
+    MultiVectorIndex.build(spark, d20, path)
+    // simulate a mode-3 crash in the silent-loss window: the buffered
+    // docs were re-appended (they're live in the index) but the staged
+    // tombstone restore never ran — pending_tomb is the only copy
+    Seq(5L, 11L).toDF("doc_id").write.parquet(s"$path/pending_tomb")
+    // the next update() entry self-heals before doing its own work
+    val idx1 = Updater.update(spark, path,
+      docs.filter(col("doc_id") === 20)
+        .select(lit(0L).as("doc_id"), col("embeddings")),
+      UpdateConfig(startFromScratch = 0, bufferSize = 1000))
+    assert(!graft.util.Fs.exists(s"$path/pending_tomb"))
+    assert(idx1.tombstonesOpt.get.collect().map(_.getLong(0)).toSet === Set(5L, 11L))
+    val q = docs.filter(col("doc_id") === 5)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(top1(idx1, q)(5L) !== 5L, "recovered tombstone not hidden from search")
+    // a stale artifact that DUPLICATES a live tombstone (crash before
+    // the delete) stays harmless: consumers read the set distinct
+    Seq(5L).toDF("doc_id").write.parquet(s"$path/pending_tomb")
+    val idx2 = Updater.deleteDeferred(spark, idx1, Seq(7L).toDF("doc_id"))
+    assert(!graft.util.Fs.exists(s"$path/pending_tomb"))
+    assert(idx2.tombstonesOpt.get.collect().map(_.getLong(0)).toSet === Set(5L, 7L, 11L))
+    // compaction applies all recovered tombstones physically
+    val compacted = Updater.compact(spark, new MultiVectorIndex(spark, path))
+    assert(compacted.numDocuments === 21L - 3L)
+    ivfMatchesTokens(compacted)
+  }
+
   test("stress: cyclic add/delete keeps counts, dense ids, and IVF consistency at every step") {
     // scaled twin of the reference's scifact stress baseline (75 cycles,
     // expected == actual doc count at every step): interleaved appends,
