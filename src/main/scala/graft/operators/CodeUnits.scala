@@ -55,20 +55,52 @@ object CodeUnits {
   private val ExtLang = Map(
     "py" -> "python", "scala" -> "scala", "rs" -> "rust", "go" -> "go",
     "js" -> "javascript", "ts" -> "typescript", "java" -> "java",
-    "c" -> "c", "h" -> "c", "cpp" -> "cpp", "rb" -> "ruby")
+    "c" -> "c", "h" -> "c", "cpp" -> "cpp", "rb" -> "ruby",
+    "cs" -> "csharp", "php" -> "php", "kt" -> "kotlin", "kts" -> "kotlin",
+    "swift" -> "swift")
 
   def languageOf(path: String): String =
     ExtLang.getOrElse(path.reverse.takeWhile(_ != '.').reverse.toLowerCase, "text")
 
-  private val DefRe = java.util.regex.Pattern.compile(
-    """^[ \t]*(?:(?:pub|export|public|private|protected|static|async|final|override)\s+)*""" +
-      // optional Go method receiver `func (s *T) name(` / Ruby `def self.name`
-      """(?:def|fn|func|function)\s+(?:\([^)\n]*\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*)|""" +
-      """^[ \t]*(?:(?:pub|export|public|final|abstract|case|sealed)\s+)*(?:class|trait|object|struct|interface|impl)\s+([A-Za-z_][A-Za-z0-9_]*)|""" +
-      """^[ \t]*(?:(?:val|const|let|static)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
+  private val Mods =
+    """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec)\s+)*"""
+
+  /** Keyword-introduced function defs; group 1 = Go receiver (if any),
+    * group 2 = name. `fun` is Kotlin, `func` Go/Swift, `fn` Rust,
+    * `function` JS/PHP. */
+  private val FuncRe = java.util.regex.Pattern.compile(
+    "^[ \\t]*" + Mods +
+      """(?:def|fn|func|fun|function)\s+(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*)""",
     java.util.regex.Pattern.MULTILINE)
 
-  private val CallRe = java.util.regex.Pattern.compile("""([a-z_][A-Za-z0-9_]*)\s*\(""")
+  private val ClassRe = java.util.regex.Pattern.compile(
+    "^[ \\t]*" + Mods +
+      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension)\s+([A-Za-z_][A-Za-z0-9_]*)""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** C-family methods declared modifier-first with the return type before
+    * the name (`public static void main(`). Gated to java/csharp where at
+    * least one modifier is idiomatic — in C/C++ free functions carry none
+    * and the pattern would false-positive on calls. Group 1 = return
+    * type, group 2 = name. */
+  private val CMethodRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
+      """([A-Za-z_][\w.]*(?:<[^>\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""",
+    java.util.regex.Pattern.MULTILINE)
+
+  private val ConstRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
+    java.util.regex.Pattern.MULTILINE)
+
+  private val CallRe = java.util.regex.Pattern.compile(
+    """(?<!\bdef\s)(?<!\bfn\s)(?<!\bfun\s)(?<!\bfunc\s)(?<!\bfunction\s)([a-z_][A-Za-z0-9_]*)\s*\(""")
+
+  /** Control-flow keywords that read as `name(` to the regex but are
+    * never call expressions under a real grammar. */
+  private val CallStop = Set(
+    "if", "for", "while", "switch", "match", "catch", "return", "when",
+    "unless", "until", "elif", "except", "raise", "throw", "case", "do",
+    "not", "and", "or", "in", "defer", "loop", "foreach")
   private val VarRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
     java.util.regex.Pattern.MULTILINE)
