@@ -85,15 +85,18 @@ object CodeUnits {
     * type, group 2 = name. */
   private val CMethodRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
-      """([A-Za-z_][\w.]*(?:<[^>\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""",
+      """([A-Za-z_][\w.]*(?:<[^(\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ConstRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
     java.util.regex.Pattern.MULTILINE)
 
+  /** Leading `(?<![A-Za-z0-9_])` word guard keeps a blocked keyword
+    * position from re-matching one char into the identifier (`def foo(`
+    * must not yield call `oo`); keyword lookbehinds allow 1-4 spaces. */
   private val CallRe = java.util.regex.Pattern.compile(
-    """(?<!\bdef\s)(?<!\bfn\s)(?<!\bfun\s)(?<!\bfunc\s)(?<!\bfunction\s)([a-z_][A-Za-z0-9_]*)\s*\(""")
+    """(?<![A-Za-z0-9_])(?<!\bdef[ \t]{1,4})(?<!\bfn[ \t]{1,4})(?<!\bfun[ \t]{1,4})(?<!\bfunc[ \t]{1,4})(?<!\bfunction[ \t]{1,4})([a-z_][A-Za-z0-9_]*)\s*\(""")
 
   /** Control-flow keywords that read as `name(` to the regex but are
     * never call expressions under a real grammar. */
@@ -190,19 +193,6 @@ object CodeUnits {
       }
       out.toSeq.take(24)
     }
-    val m = DefRe.matcher(source)
-    val defs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
-    while (m.find()) {
-      val name = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).getOrElse("")
-      val kind =
-        if (m.group(1) != null) "function"
-        else if (m.group(2) != null) "class"
-        else "constant"
-      defs += ((m.start(), m.end(), name, kind))
-    }
-    if (defs.isEmpty)
-      return Seq(CodeUnit(path, lang, "raw_code", "", lines.headOption.getOrElse("").trim,
-        1, lines.length, source, Seq.empty, imports = imports))
     def lineOf(off: Int): Int = {
       var lo = 0; var hi = lines.length - 1
       while (lo < hi) {
@@ -211,35 +201,97 @@ object CodeUnits {
       }
       lo
     }
-    // indentation-scoped class nesting: a stack of (indent, className)
-    // decides each def's containing class — defs at or left of a class's
-    // indent close its scope (the regex twin of tree-sitter's node
-    // nesting for the common Python/brace layouts)
-    val classStack = scala.collection.mutable.Stack.empty[(Int, String)]
-    val parentOf = defs.toSeq.map { case (off, _, name, kind) =>
-      val indent = {
-        val ls = lineStart(lineOf(off))
-        var j = ls
-        while (j < source.length && (source.charAt(j) == ' ' || source.charAt(j) == '\t')) j += 1
-        j - ls
-      }
-      while (classStack.nonEmpty && classStack.top._1 >= indent) classStack.pop()
-      val parent = if (classStack.nonEmpty) classStack.top._2 else ""
-      if (kind == "class") classStack.push((indent, name))
-      parent
+    // scan the four definition shapes and merge by offset; a line that
+    // matches more than one shape keeps the highest-priority reading
+    // (class > function > constant)
+    val defs0 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String)]
+    def receiverType(recv: String): String = {
+      val rm = java.util.regex.Pattern
+        .compile("""([A-Za-z_][A-Za-z0-9_]*)\s*$""").matcher(recv.trim)
+      if (rm.find()) rm.group(1) else ""
     }
+    def scan(p: java.util.regex.Pattern, kind: String,
+        name: java.util.regex.Matcher => String,
+        recv: java.util.regex.Matcher => String = _ => ""): Unit = {
+      val m = p.matcher(source)
+      while (m.find()) {
+        val n = name(m)
+        if (n != null && n.nonEmpty) defs0 += ((m.start(), m.end(), n, kind, recv(m)))
+      }
+    }
+    scan(FuncRe, "function", _.group(2),
+      m => Option(m.group(1)).map(receiverType).getOrElse(""))
+    scan(ClassRe, "class", _.group(1))
+    if (lang == "java" || lang == "csharp") scan(CMethodRe, "function", _.group(2))
+    scan(ConstRe, "constant", _.group(1))
+    val kindPrio = Map("class" -> 3, "function" -> 2, "constant" -> 1)
+    val defs = defs0.toSeq.groupBy(d => lineOf(d._1)).valuesIterator
+      .map(ds => ds.maxBy(d => (kindPrio(d._4), -d._1)))
+      .toSeq.sortBy(_._1)
+    if (defs.isEmpty)
+      return Seq(CodeUnit(path, lang, "raw_code", "", lines.headOption.getOrElse("").trim,
+        1, lines.length, source, Seq.empty, imports = imports))
+    // class nesting. Indentation languages (python/ruby/text): a stack of
+    // (indent, className) — defs at or left of a class's indent close its
+    // scope. Brace languages: a single char walk tracking brace depth, so
+    // a def inside `class X { ... }` gets parent X regardless of
+    // indentation (the regex twin of tree-sitter's node nesting).
+    val indentScoped = Set("python", "ruby", "text")
+    val parentOf: IndexedSeq[String] =
+      if (indentScoped(lang)) {
+        val classStack = scala.collection.mutable.Stack.empty[(Int, String)]
+        defs.map { case (off, _, name, kind, _) =>
+          val indent = {
+            val ls = lineStart(lineOf(off))
+            var j = ls
+            while (j < source.length && (source.charAt(j) == ' ' || source.charAt(j) == '\t')) j += 1
+            j - ls
+          }
+          while (classStack.nonEmpty && classStack.top._1 >= indent) classStack.pop()
+          val parent = if (classStack.nonEmpty) classStack.top._2 else ""
+          if (kind == "class") classStack.push((indent, name))
+          parent
+        }.toIndexedSeq
+      } else {
+        val parents = Array.fill(defs.length)("")
+        val stack = scala.collection.mutable.Stack.empty[(String, Int)]
+        var pending: String = null
+        var depth = 0
+        var di = 0
+        var i = 0
+        while (i < source.length) {
+          if (di < defs.length && i == defs(di)._1) {
+            parents(di) = if (stack.nonEmpty) stack.top._1 else ""
+            if (defs(di)._4 == "class") pending = defs(di)._3
+            di += 1
+          }
+          source.charAt(i) match {
+            case '{' =>
+              depth += 1
+              if (pending != null) { stack.push((pending, depth)); pending = null }
+            case '}' =>
+              if (stack.nonEmpty && stack.top._2 == depth) stack.pop()
+              depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        parents.toIndexedSeq
+      }
     val ExtendsRe = java.util.regex.Pattern.compile(
       """(?:extends|implements)\s+([A-Za-z_][\w.]*)|class\s+\w+\s*\(\s*([A-Za-z_][\w.]*)""")
 
-    val units = defs.toSeq.zipWithIndex.map { case ((off, endOff, name, kind0), i) =>
+    val units = defs.zipWithIndex.map { case ((off, endOff, name, kind0, recv), i) =>
       val start = lineOf(off)
       val end = if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1
       val code = lines.slice(start, end + 1).mkString("\n")
-      val parent = parentOf(i)
+      val parent = if (recv.nonEmpty) recv else parentOf(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       val cm = CallRe.matcher(code)
       val calls = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (cm.find()) { if (cm.group(1) != name) calls += cm.group(1) }
+      while (cm.find()) {
+        if (cm.group(1) != name && !CallStop(cm.group(1))) calls += cm.group(1)
+      }
       val unitEndOff = lineStart(end) + lines(end).length
       val (params, ret) =
         if (kind == "function" || kind == "method")

@@ -152,6 +152,113 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(txt.contains("In class: Reader"))
   }
 
+  test("C1: modifier-first C#/Java methods, Kotlin fun, Swift extension, PHP") {
+    val csSrc =
+      """public class Calculator {
+        |    public static int Add(int a, int b) {
+        |        return a + b;
+        |    }
+        |    private async Task<List<int>> FetchAll(string url) {
+        |        return await get(url);
+        |    }
+        |}
+        |""".stripMargin
+    val cs = CodeUnits.extractUnits("src/Calculator.cs", csSrc)
+      .map(u => u.name -> u).toMap
+    assert(cs("Calculator").kind === "class")
+    assert(cs("Add").kind === "method" && cs("Add").parentClass === "Calculator")
+    assert(cs("Add").qualifiedName === "Calculator.Add")
+    assert(cs("FetchAll").kind === "method" && cs("FetchAll").calls.contains("get"))
+
+    val javaSrc =
+      """public class Main {
+        |    public static void main(String[] args) {
+        |        if (args.length > 0) {
+        |            run(args);
+        |        }
+        |    }
+        |}
+        |""".stripMargin
+    val jv = CodeUnits.extractUnits("src/Main.java", javaSrc).map(u => u.name -> u).toMap
+    assert(jv("main").kind === "method" && jv("main").parentClass === "Main")
+    assert(jv("main").calls.contains("run"))
+    assert(!jv("main").calls.contains("if"), "CallStop must drop control-flow keywords")
+
+    val ktSrc =
+      """class Greeter(val name: String) {
+        |    fun greet(msg: String): String {
+        |        return format(msg)
+        |    }
+        |}
+        |fun topLevel(): Int = 1
+        |""".stripMargin
+    val kt = CodeUnits.extractUnits("app/Greeter.kt", ktSrc).map(u => u.name -> u).toMap
+    assert(kt("greet").kind === "method" && kt("greet").parentClass === "Greeter")
+    assert(kt("greet").calls.contains("format"))
+    assert(kt("topLevel").kind === "function" && kt("topLevel").parentClass === "")
+
+    val swiftSrc =
+      """struct Point {
+        |    var x: Int = 0
+        |}
+        |extension Point {
+        |    mutating func move(dx: Int) {
+        |        x += dx
+        |    }
+        |}
+        |""".stripMargin
+    val sw = CodeUnits.extractUnits("Sources/Point.swift", swiftSrc)
+      .map(u => u.name -> u).toMap
+    assert(sw("Point").kind === "class")
+    assert(sw("move").kind === "method" && sw("move").parentClass === "Point")
+
+    val phpSrc =
+      """class Db {
+        |    public function query($sql) {
+        |        return $sql;
+        |    }
+        |}
+        |function helper($x) { return $x; }
+        |""".stripMargin
+    val php = CodeUnits.extractUnits("lib/Db.php", phpSrc).map(u => u.name -> u).toMap
+    assert(php("query").kind === "method" && php("query").parentClass === "Db")
+    assert(php("helper").kind === "function" && php("helper").parentClass === "")
+  }
+
+  test("C1: brace-depth nesting attributes parents regardless of indentation") {
+    // methods at zero indent inside a brace-style class still nest
+    val src =
+      """class Outer {
+        |def helper(x: Int): Int = {
+        |  x + 1
+        |}
+        |}
+        |def topLevel(): Int = helper(1)
+        |""".stripMargin
+    val byQn = CodeUnits.extractUnits("src/Outer.scala", src)
+      .map(u => u.qualifiedName -> u).toMap
+    assert(byQn.contains("Outer.helper"), s"got: ${byQn.keys}")
+    assert(byQn("Outer.helper").kind === "method")
+    assert(byQn("topLevel").parentClass === "")
+  }
+
+  test("C1: Go receiver methods get the receiver type as parent class") {
+    val goSrc =
+      """func (s *Server) Handle(w io.Writer) error {
+        |	return nil
+        |}
+        |""".stripMargin
+    val h = CodeUnits.extractUnits("srv/h.go", goSrc).head
+    assert(h.name === "Handle" && h.kind === "method")
+    assert(h.parentClass === "Server" && h.qualifiedName === "Server.Handle")
+  }
+
+  test("C1: CallRe does not emit mid-identifier tails after a blocked def keyword") {
+    val src = "def process(data):\n    rocess = 1\n    check(data)\n"
+    val u = CodeUnits.extractUnits("t.py", src).head
+    assert(u.calls === Seq("check"), s"got: ${u.calls}")
+  }
+
   test("C2: embedText builds the header form and normalizes the path") {
     val u = CodeUnits.extractUnits("lib/io/FileReader.py", pySource)
       .find(_.name == "parse_header").get
