@@ -157,11 +157,18 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     * rewritten and ids do not renumber until [[compact]] — the
     * amortization mode for frequent small deletes at scale. Until
     * compaction, metadata-level reads (metadataQuery/Get) still include
-    * tombstoned rows. */
+    * tombstoned rows.
+    *
+    * A deferred delete auto-fires [[compact]] once tombstones reach
+    * `autoCompactRatio` of the physical corpus (mirroring the eviction
+    * check's compact-first pattern): without it a long-lived index
+    * degrades silently as the search-side anti-join grows. Set the ratio
+    * above 1.0 to disable. */
   def deleteDocuments(
       ids: Option[Seq[Long]] = None,
       cond: Option[(String, Seq[Where.Param])] = None,
-      deferred: Boolean = false): GraftIndex = {
+      deferred: Boolean = false,
+      autoCompactRatio: Double = GraftIndex.AutoCompactRatio): GraftIndex = {
     import spark.implicits._
     val delDf: Option[DataFrame] = (ids, cond) match {
       case (Some(list), _) =>
@@ -172,8 +179,13 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       case _ => None
     }
     if (deferred) {
-      delDf.filterNot(_.isEmpty).foreach(del =>
-        Updater.deleteDeferred(spark, index, del.select("doc_id")))
+      delDf.filterNot(_.isEmpty).foreach { del =>
+        Updater.deleteDeferred(spark, index, del.select("doc_id"))
+        val tombstones = index.tombstonesOpt.map(_.count()).getOrElse(0L)
+        if (tombstones > 0 &&
+            tombstones.toDouble >= autoCompactRatio * index.numDocuments)
+          compact()
+      }
       return this
     }
     delDf.filterNot(_.isEmpty).foreach { del =>
@@ -254,6 +266,10 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
 }
 
 object GraftIndex {
+
+  /** Tombstone fraction of the physical corpus at which a deferred
+    * delete triggers automatic compaction. */
+  val AutoCompactRatio: Double = 0.25
 
   /** POST /indices — create from an initial doc batch. */
   def create(

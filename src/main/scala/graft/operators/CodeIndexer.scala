@@ -14,11 +14,20 @@ import graft.util.Fs
   *
   * Artifacts under `dir`:
   * {{{
-  * state/   (path, content_hash)
-  * units/   (unit_id, file, language, kind, name, signature,
-  *           start_line, end_line, text)       — C2 embed text per unit
-  * fts/     persisted postings over unit text (identifier-aware)
+  * state/      (path, content_hash)
+  * units/      (unit_id, file, language, kind, name, signature,
+  *              start_line, end_line, text, calls) — C2 embed text per unit
+  * called_by/  (unit_id, called_by)  — INDEX-WIDE reverse call edges
+  * fts/        persisted postings over unit text (identifier-aware)
   * }}}
+  *
+  * `called_by` resolves each unit's file-local call list against the
+  * index-wide definition table (the cross-file layer-2 graph the
+  * per-file extractor can't see — colgrep resolves the same way after
+  * parsing, mod.rs:1615-1956). It is recomputed on any sync that
+  * touches files: one name-equi-join plus an aggregation over the units
+  * table — a new caller in ANY file may add edges to defs anywhere, so
+  * the reverse table is global by nature.
   *
   * Unit ids are stable content-independent hashes of
   * (file, kind, name, start_line) — no dense renumber needed, so file
@@ -35,11 +44,11 @@ object CodeIndexer {
       .flatMap { case (p, s) =>
         CodeUnits.extractUnits(p, s).map { u =>
           (DedupId.of(u), u.file, u.language, u.kind, u.name, u.signature,
-            u.startLine, u.endLine, CodeUnits.embedText(u))
+            u.startLine, u.endLine, CodeUnits.embedText(u), u.calls)
         }
       }
       .toDF("unit_id", "file", "language", "kind", "name", "signature",
-        "start_line", "end_line", "text")
+        "start_line", "end_line", "text", "calls")
   }
 
   private object DedupId {
@@ -53,6 +62,11 @@ object CodeIndexer {
 
   def units(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/units")
+
+  /** Index-wide reverse call edges `(unit_id, called_by: array<string>)`
+    * — a def's callers across ALL indexed files. */
+  def calledBy(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/called_by")
 
   def ftsIndex(spark: SparkSession, dir: String): FtsIndex =
     new FtsIndex(spark, s"$dir/fts")
@@ -105,6 +119,19 @@ object CodeIndexer {
         FtsIndex.build(spark, allUnits.select(col("unit_id"), col("text")),
           "unit_id", "text", s"$dir/fts", "identifier_aware")
       }
+
+      // layer-2 cross-file resolution: every unit's call list against
+      // the full definition table (name equi-join + per-def aggregation)
+      val all = units(spark, dir)
+      val edges = all
+        .select(col("name").as("caller"), explode(col("calls")).as("callee"))
+        .filter(col("caller") =!= col("callee"))
+      Fs.rewrite(
+        all.select(col("unit_id"), col("name").as("callee"))
+          .join(edges, "callee")
+          .groupBy("unit_id")
+          .agg(sort_array(collect_set("caller")).as("called_by")),
+        s"$dir/called_by")
 
       Fs.rewrite(files.select(col("path"), xxhash64(col("source")).as("content_hash")),
         s"$dir/state")

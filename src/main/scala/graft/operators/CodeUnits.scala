@@ -85,7 +85,7 @@ object CodeUnits {
     * type, group 2 = name. */
   private val CMethodRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
-      """([A-Za-z_][\w.]*(?:<[^(\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""",
+      """([A-Za-z_][\w.]*(?:<[^(\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ConstRe = java.util.regex.Pattern.compile(
@@ -201,10 +201,11 @@ object CodeUnits {
       }
       lo
     }
-    // scan the four definition shapes and merge by offset; a line that
-    // matches more than one shape keeps the highest-priority reading
+    // scan the four definition shapes and merge by offset; overlapping
+    // matches (all four patterns anchor at line start, so overlaps share
+    // a start offset) keep the highest-priority reading
     // (class > function > constant)
-    val defs0 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String)]
+    val defs0 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String, String)]
     def receiverType(recv: String): String = {
       val rm = java.util.regex.Pattern
         .compile("""([A-Za-z_][A-Za-z0-9_]*)\s*$""").matcher(recv.trim)
@@ -212,21 +213,24 @@ object CodeUnits {
     }
     def scan(p: java.util.regex.Pattern, kind: String,
         name: java.util.regex.Matcher => String,
-        recv: java.util.regex.Matcher => String = _ => ""): Unit = {
+        recv: java.util.regex.Matcher => String = _ => "",
+        retHint: java.util.regex.Matcher => String = _ => ""): Unit = {
       val m = p.matcher(source)
       while (m.find()) {
         val n = name(m)
-        if (n != null && n.nonEmpty) defs0 += ((m.start(), m.end(), n, kind, recv(m)))
+        if (n != null && n.nonEmpty)
+          defs0 += ((m.start(), m.end(), n, kind, recv(m), retHint(m)))
       }
     }
     scan(FuncRe, "function", _.group(2),
       m => Option(m.group(1)).map(receiverType).getOrElse(""))
     scan(ClassRe, "class", _.group(1))
-    if (lang == "java" || lang == "csharp") scan(CMethodRe, "function", _.group(2))
+    if (lang == "java" || lang == "csharp")
+      scan(CMethodRe, "function", _.group(2), retHint = _.group(1))
     scan(ConstRe, "constant", _.group(1))
     val kindPrio = Map("class" -> 3, "function" -> 2, "constant" -> 1)
-    val defs = defs0.toSeq.groupBy(d => lineOf(d._1)).valuesIterator
-      .map(ds => ds.maxBy(d => (kindPrio(d._4), -d._1)))
+    val defs = defs0.toSeq.groupBy(_._1).valuesIterator
+      .map(ds => ds.maxBy(d => kindPrio(d._4)))
       .toSeq.sortBy(_._1)
     if (defs.isEmpty)
       return Seq(CodeUnit(path, lang, "raw_code", "", lines.headOption.getOrElse("").trim,
@@ -240,7 +244,7 @@ object CodeUnits {
     val parentOf: IndexedSeq[String] =
       if (indentScoped(lang)) {
         val classStack = scala.collection.mutable.Stack.empty[(Int, String)]
-        defs.map { case (off, _, name, kind, _) =>
+        defs.map { case (off, _, name, kind, _, _) =>
           val indent = {
             val ls = lineStart(lineOf(off))
             var j = ls
@@ -259,20 +263,59 @@ object CodeUnits {
         var depth = 0
         var di = 0
         var i = 0
+        // lexer states so braces inside string literals and comments
+        // don't skew depth (`const open = "{";` must not open a scope)
+        val S_CODE = 0; val S_STR = 1; val S_LINE = 2; val S_BLOCK = 3
+        var state = S_CODE
+        var strQuote = ' '
         while (i < source.length) {
+          val ch = source.charAt(i)
           if (di < defs.length && i == defs(di)._1) {
             parents(di) = if (stack.nonEmpty) stack.top._1 else ""
+            // a class whose body brace never arrived before the next def
+            // (Rust `struct P(f32);`, Kotlin `data class P(x: Int)`) must
+            // not capture the next unrelated '{'
+            pending = null
             if (defs(di)._4 == "class") pending = defs(di)._3
             di += 1
           }
-          source.charAt(i) match {
-            case '{' =>
-              depth += 1
-              if (pending != null) { stack.push((pending, depth)); pending = null }
-            case '}' =>
-              if (stack.nonEmpty && stack.top._2 == depth) stack.pop()
-              depth -= 1
-            case _ =>
+          state match {
+            case S_STR =>
+              if (ch == '\\') i += 1 // skip escaped char
+              else if (ch == strQuote || ch == '\n') state = S_CODE
+            case S_LINE =>
+              if (ch == '\n') state = S_CODE
+            case S_BLOCK =>
+              if (ch == '*' && i + 1 < source.length && source.charAt(i + 1) == '/') {
+                state = S_CODE; i += 1
+              }
+            case _ => ch match {
+              case '"' | '`' => state = S_STR; strQuote = ch
+              case '\'' =>
+                // only a char literal if it closes within a few chars —
+                // a Rust lifetime (`'a`) must not open a string span
+                val lookEnd = math.min(i + 4, source.length)
+                var j = i + 1
+                if (j < lookEnd && source.charAt(j) == '\\') j += 1
+                var closes = false
+                while (j < lookEnd && !closes) {
+                  if (source.charAt(j) == '\'') closes = true
+                  j += 1
+                }
+                if (closes) { state = S_STR; strQuote = '\'' }
+              case '/' if i + 1 < source.length && source.charAt(i + 1) == '/' =>
+                state = S_LINE; i += 1
+              case '/' if i + 1 < source.length && source.charAt(i + 1) == '*' =>
+                state = S_BLOCK; i += 1
+              case ';' => pending = null // statement end before any body brace
+              case '{' =>
+                depth += 1
+                if (pending != null) { stack.push((pending, depth)); pending = null }
+              case '}' =>
+                if (stack.nonEmpty && stack.top._2 == depth) stack.pop()
+                depth -= 1
+              case _ =>
+            }
           }
           i += 1
         }
@@ -281,7 +324,7 @@ object CodeUnits {
     val ExtendsRe = java.util.regex.Pattern.compile(
       """(?:extends|implements)\s+([A-Za-z_][\w.]*)|class\s+\w+\s*\(\s*([A-Za-z_][\w.]*)""")
 
-    val units = defs.zipWithIndex.map { case ((off, endOff, name, kind0, recv), i) =>
+    val units = defs.zipWithIndex.map { case ((off, endOff, name, kind0, recv, retHint), i) =>
       val start = lineOf(off)
       val end = if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1
       val code = lines.slice(start, end + 1).mkString("\n")
@@ -293,10 +336,13 @@ object CodeUnits {
         if (cm.group(1) != name && !CallStop(cm.group(1))) calls += cm.group(1)
       }
       val unitEndOff = lineStart(end) + lines(end).length
-      val (params, ret) =
+      val (params, ret0) =
         if (kind == "function" || kind == "method")
           paramsAndReturn(source.substring(endOff, unitEndOff))
         else (Seq.empty[String], "")
+      // Java/C# declare the return type BEFORE the name — take it from
+      // the CMethodRe capture when the suffix scan found none
+      val ret = if (ret0.nonEmpty) ret0 else retHint
       val extendsClass =
         if (kind == "class") {
           val em = ExtendsRe.matcher(lines(start))

@@ -209,6 +209,42 @@ class ApiSpec extends AnyFunSuite {
     gi.drop()
   }
 
+  test("deferred deletes auto-compact once tombstones reach the ratio; equals eager twin") {
+    val path = "/tmp/graft_api_autocompact"
+    val twinPath = "/tmp/graft_api_autocompact_twin"
+    Seq(path, twinPath).foreach(graft.util.Fs.deleteRecursively)
+    val d10 = docs.filter(col("doc_id") < 10)
+    val gi = GraftIndex.create(spark, path, d10, Some(metaJsonFor(0L until 10L)))
+
+    // ratio 0.3 over 10 physical docs -> compaction fires at the 3rd
+    // tombstone, not before
+    gi.deleteDocuments(ids = Some(Seq(1L)), deferred = true, autoCompactRatio = 0.3)
+    assert(graft.util.Fs.exists(s"$path/tombstones"), "compacted too early")
+    assert(gi.index.numDocuments === 10L)
+    gi.deleteDocuments(ids = Some(Seq(3L, 5L)), deferred = true, autoCompactRatio = 0.3)
+    assert(!graft.util.Fs.exists(s"$path/tombstones"),
+      "threshold crossing must trigger exactly one compaction")
+    assert(gi.index.numDocuments === 7L)
+    assert(gi.count === 7L)
+    // metadata and FTS followed the renumbering
+    assert(gi.metadata.select("_subset_").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 7L))
+    assert(gi.ftsIndex.doclens.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 7L))
+
+    // results equal the eager-delete twin
+    val twin = GraftIndex.create(spark, twinPath, d10, Some(metaJsonFor(0L until 10L)))
+    twin.deleteDocuments(ids = Some(Seq(1L, 3L, 5L)))
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val a = gi.search(qs, exhaustive)
+      .select("query_id", "doc_id", "rank").collect().toSet
+    val b = twin.search(qs, exhaustive)
+      .select("query_id", "doc_id", "rank").collect().toSet
+    assert(a === b, "auto-compacted index diverges from eager-delete twin")
+    gi.drop(); twin.drop()
+  }
+
   test("delete keeps FTS aligned with index ids when some docs lack metadata") {
     val path = "/tmp/graft_api_gap"
     graft.util.Fs.deleteRecursively(path)

@@ -253,6 +253,64 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(h.parentClass === "Server" && h.qualifiedName === "Server.Handle")
   }
 
+  test("C1 layer 1: modifier-first methods carry parameters and return type") {
+    val csSrc =
+      """public class Calculator {
+        |    public static int Add(int a, int b) {
+        |        return a + b;
+        |    }
+        |}
+        |""".stripMargin
+    val cs = CodeUnits.extractUnits("src/Calculator.cs", csSrc).map(u => u.name -> u).toMap
+    assert(cs("Add").parameters === Seq("int", "int"), s"got: ${cs("Add").parameters}")
+    assert(cs("Add").returnType === "int")
+    val jv = CodeUnits.extractUnits("src/Main.java",
+      "public class Main {\n    public static void main(String[] args) {\n        run(args);\n    }\n}\n")
+      .map(u => u.name -> u).toMap
+    assert(jv("main").parameters.nonEmpty, "paramsAndReturn must see the paren")
+    assert(jv("main").returnType === "void")
+  }
+
+  test("C1: braces inside strings/comments do not skew nesting depth") {
+    val src =
+      """const OPEN = "{";
+        |// a stray { in a comment
+        |/* and { another { */
+        |class Widget {
+        |  function render() {
+        |    return OPEN;
+        |  }
+        |}
+        |function standalone() { return 1; }
+        |""".stripMargin
+    val byQn = CodeUnits.extractUnits("ui/widget.js", src).map(u => u.qualifiedName -> u).toMap
+    assert(byQn.contains("Widget.render"), s"got: ${byQn.keys}")
+    assert(byQn("Widget.render").kind === "method")
+    assert(byQn("standalone").parentClass === "",
+      s"standalone nested under ${byQn("standalone").parentClass}")
+  }
+
+  test("C1: a braceless class (tuple struct / data class) does not swallow the next scope") {
+    val rsSrc =
+      """struct P(f32);
+        |fn helper(x: f32) -> f32 {
+        |    x * 2.0
+        |}
+        |""".stripMargin
+    val rs = CodeUnits.extractUnits("src/geom.rs", rsSrc).map(u => u.name -> u).toMap
+    assert(rs("helper").parentClass === "", s"helper nested under ${rs("helper").parentClass}")
+    assert(rs("helper").kind === "function")
+
+    val ktSrc =
+      """data class Point(val x: Int)
+        |fun origin(): Point {
+        |    return Point(0)
+        |}
+        |""".stripMargin
+    val kt = CodeUnits.extractUnits("app/Point.kt", ktSrc).map(u => u.name -> u).toMap
+    assert(kt("origin").parentClass === "", s"origin nested under ${kt("origin").parentClass}")
+  }
+
   test("C1: CallRe does not emit mid-identifier tails after a blocked def keyword") {
     val src = "def process(data):\n    rocess = 1\n    check(data)\n"
     val u = CodeUnits.extractUnits("t.py", src).head
@@ -316,6 +374,35 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     // unique to the removed versions
     assert(fts.search("json", 5).count() === 0)
     assert(fts.search("render", 5).count() === 0)
+  }
+
+  test("C7: cross-file called_by resolves call edges through the index-wide def table") {
+    import spark.implicits._
+    import graft.operators.CodeIndexer
+    val dir = "/tmp/graft_code_xfile"
+    graft.util.Fs.deleteRecursively(dir)
+
+    // caller in b.py, definition in a.py — invisible to per-file extraction
+    val v1 = Seq(
+      ("a.py", "def parse_json(data):\n    return data\n"),
+      ("b.py", "def load(path):\n    return parse_json(path)\n")).toDF("path", "source")
+    CodeIndexer.sync(spark, v1, dir)
+    val units1 = CodeIndexer.units(spark, dir)
+    val cb1 = CodeIndexer.calledBy(spark, dir)
+      .join(units1.select("unit_id", "name", "file"), "unit_id")
+    val pj = cb1.filter(col("name") === "parse_json").collect()
+    assert(pj.length === 1 && pj.head.getAs[String]("file") === "a.py")
+    assert(pj.head.getAs[scala.collection.Seq[String]]("called_by") === Seq("load"),
+      s"got: ${pj.head}")
+
+    // edit b.py to drop the call: the cross-file edge must disappear
+    val v2 = Seq(
+      ("a.py", "def parse_json(data):\n    return data\n"),
+      ("b.py", "def load(path):\n    return path\n")).toDF("path", "source")
+    CodeIndexer.sync(spark, v2, dir)
+    assert(CodeIndexer.calledBy(spark, dir)
+      .join(CodeIndexer.units(spark, dir).filter(col("name") === "parse_json")
+        .select("unit_id"), "unit_id").count() === 0L)
   }
 
   test("C8: env overrides map onto SearchParams") {
