@@ -40,17 +40,20 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
     }
-    // retrieval-quality gate (separate field, NOT part of the query
-    // total): recall@10 of the default pruned funnel vs brute force on
-    // the deterministic clustered corpus. SPARK_GRAFT_RECALL_DOCS=0
-    // skips it.
+    // retrieval-quality gate (separate fields, NOT part of the query
+    // total): recall@10 AND ndcg@10 of the default pruned funnel vs
+    // brute force on the deterministic clustered corpus — ndcg catches
+    // funnel-ordering regressions binary recall cannot.
+    // SPARK_GRAFT_RECALL_DOCS=0 skips it.
     val recallDocs = sys.env.getOrElse("SPARK_GRAFT_RECALL_DOCS", "50000").toLong
     val recallField =
       if (recallDocs <= 0) ""
       else try {
-        val r = graft.search.RecallHarness.measure(
+        val (r, ndcg) = graft.search.RecallHarness.measure(
           spark, "/tmp/graft_bench_recall", recallDocs)
-        s""","recall_at_10":$r,"recall_docs":$recallDocs"""
+        if (ndcg < 0.95)
+          errors("ndcg_at_10") = s"ndcg@10 $ndcg below the 0.95 ordering gate"
+        s""","recall_at_10":$r,"ndcg_at_10":$ndcg,"recall_docs":$recallDocs"""
       } catch {
         case e: Throwable =>
           errors("recall_at_10") = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -110,7 +110,11 @@ object Fts {
     filtered.select("doc_id", "score")
   }
 
-  /** BM25 top-k with rank (deterministic tie-break by doc_id). */
+  /** BM25 top-k with rank (deterministic tie-break by doc_id). The query
+    * is tokenized WITH THE INDEX'S OWN tokenizer: a trigram index must
+    * see trigram query terms (FTS5 trigram substring semantics — AND over
+    * the query's character 3-grams, text_search.rs:68-104) or no query
+    * longer than 3 chars could ever match. */
   def search(
       spark: SparkSession,
       postings: DataFrame,
@@ -120,9 +124,11 @@ object Fts {
       subset: Option[DataFrame] = None,
       doclensOpt: Option[DataFrame] = None
   ): DataFrame = {
-    val terms =
-      if (tokenizerName == "identifier_aware") Tokenizers.sanitizeQueryTermsOr(query)
-      else Tokenizers.sanitizeQueryTerms(query)
+    val terms = tokenizerName match {
+      case "identifier_aware" => Tokenizers.sanitizeQueryTermsOr(query)
+      case "trigram"          => Tokenizers.trigram(query).distinct
+      case _                  => Tokenizers.sanitizeQueryTerms(query)
+    }
     val andSem = tokenizerName != "identifier_aware"
     val scored = bm25(spark, postings, terms, andSem, subset, doclensOpt)
     graft.operators.Rankers.topKGlobal(

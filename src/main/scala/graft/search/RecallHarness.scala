@@ -71,31 +71,57 @@ object RecallHarness {
   def recallAtK(
       index: MultiVectorIndex,
       queries: DataFrame,
-      params: SearchParams = SearchParams()): Double = {
+      params: SearchParams = SearchParams()): Double =
+    qualityAtK(index, queries, params)._1
+
+  /** (recall@k, NDCG@k) of the pruned funnel vs exact brute force.
+    *
+    * NDCG grades by the exact MaxSim score (the funnel's S7 rerank is
+    * already double-precision exact, so the ANN result's own scores ARE
+    * the gains); the ideal ranking is the brute-force top-k. Binary
+    * recall cannot see funnel-ordering regressions (a funnel that
+    * returns the right 10 docs in the wrong order scores recall 1.0);
+    * NDCG can — the reference gates on BEIR NDCG@10 the same way
+    * (docs/benchmarks/scifact_docker_benchmark.json, 0.7343). */
+  def qualityAtK(
+      index: MultiVectorIndex,
+      queries: DataFrame,
+      params: SearchParams = SearchParams()): (Double, Double) = {
     val searcher = new Searcher(index)
-    def topSets(df: DataFrame): Map[Long, Set[Long]] = df
-      .select("query_id", "doc_id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val ann = topSets(searcher.search(queries, params))
-    val exact = topSets(searcher.bruteForce(queries, params.topK))
-    val recalls = exact.map { case (q, want) =>
-      (ann.getOrElse(q, Set.empty) & want).size.toDouble / want.size
+    def ranked(df: DataFrame): Map[Long, Seq[(Long, Double)]] = df
+      .select("query_id", "doc_id", "score", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val ann = ranked(searcher.search(queries, params))
+    val exact = ranked(searcher.bruteForce(queries, params.topK))
+    def dcg(scores: Seq[Double]): Double =
+      scores.zipWithIndex.map { case (s, i) =>
+        math.max(s, 0.0) / (math.log(i + 2) / math.log(2))
+      }.sum
+    val perQuery = exact.map { case (q, ideal) =>
+      val got = ann.getOrElse(q, Seq.empty)
+      val recall = (got.map(_._1).toSet & ideal.map(_._1).toSet).size.toDouble / ideal.size
+      val idcg = dcg(ideal.map(_._2))
+      val ndcg = if (idcg <= 0) 1.0 else math.min(dcg(got.map(_._2)) / idcg, 1.0)
+      (recall, ndcg)
     }
-    recalls.sum / recalls.size
+    (perQuery.map(_._1).sum / perQuery.size, perQuery.map(_._2).sum / perQuery.size)
   }
 
   /** Build-and-measure entry used by Bench and the spec: returns
-    * recall@10 with reference-default pruned parameters. */
+    * (recall@10, ndcg@10) with reference-default pruned parameters. */
   def measure(
       spark: SparkSession,
       workDir: String,
       numDocs: Long,
-      numQueries: Int = 100): Double = {
+      numQueries: Int = 100): (Double, Double) = {
     graft.util.Fs.deleteRecursively(workDir)
     val corpus = clusteredCorpus(spark, numDocs)
     val idx = MultiVectorIndex.build(spark, corpus, workDir)
     val queries = queriesFrom(spark, numQueries)
-    val r = recallAtK(idx, queries, SearchParams()) // reference defaults
+    val r = qualityAtK(idx, queries, SearchParams()) // reference defaults
     graft.util.Fs.deleteRecursively(workDir)
     r
   }

@@ -65,6 +65,33 @@ class FtsJsonMetaSpec extends AnyFunSuite {
     assert(p1 === p2)
   }
 
+  test("trigram FTS end-to-end: substring queries match inside words (text_search.rs:68-104)") {
+    val d = docsDf(
+      0L -> "configuration parsing for the engine",
+      1L -> "spark joins big tables",
+      2L -> "reconfigure the parser quickly")
+    val tri = FtsIndex.build(spark, d, "doc_id", "text", fresh("tri"), "trigram")
+    assert(tri.tokenizerName === "trigram")
+
+    // "figur" appears only INSIDE configuration/reconfigure — a word
+    // tokenizer can never match it
+    val word = FtsIndex.build(spark, d, "doc_id", "text", fresh("tri_word"))
+    assert(word.search("figur", topK = 10).count() === 0)
+    val sub = tri.search("figur", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub === Set(0L, 2L), s"got: $sub")
+
+    // a substring spanning a word boundary (space inside the trigrams)
+    val span = tri.search("tion pars", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(span === Set(0L), s"got: $span")
+
+    // exact-word queries still work on the trigram index
+    val joins = tri.search("joins", topK = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(joins === Set(1L), s"got: $joins")
+
+    // sub-3-char query: no trigrams, empty result (FTS5 trigram minimum)
+    assert(tri.search("pa", topK = 10).count() === 0)
+  }
+
   test("metadataToText concatenates string/number leaves recursively in field order") {
     assert(FtsIndex.metadataToText("""{"a": "x", "b": {"c": 2, "d": [3, "y"]}}""") === "x 2 3 y")
     assert(FtsIndex.metadataToText("""{"k": 69}""") === "69")

@@ -18,9 +18,10 @@ class RecallSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
-  test("recall@10 >= 0.95 with default pruned params on a 50k-doc clustered corpus") {
-    val recall = RecallHarness.measure(spark, "/tmp/graft_recall_idx", numDocs = 50000L)
-    info(f"recall@10 = $recall%.4f")
+  test("recall@10 and ndcg@10 >= 0.95 with default pruned params on a 50k-doc clustered corpus") {
+    val (recall, ndcg) = RecallHarness.measure(spark, "/tmp/graft_recall_idx", numDocs = 50000L)
+    info(f"recall@10 = $recall%.4f, ndcg@10 = $ndcg%.4f")
     assert(recall >= 0.95, f"default-parameter recall@10 too low: $recall%.4f")
+    assert(ndcg >= 0.95, f"default-parameter ndcg@10 too low: $ndcg%.4f")
   }
 }
