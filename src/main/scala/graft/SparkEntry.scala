@@ -168,6 +168,19 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))
     }),
+    // F2/F4 trigram path end-to-end: substring query -> query trigrams
+    // AND-match the trigram posting table (FTS5 trigram semantics,
+    // text_search.rs:68-104); "spark jo" spans a word boundary no word
+    // tokenizer could match
+    "f_trigram_search" -> ((s, dir) => {
+      val fts = graft.fts.FtsIndex.buildIfMissing(
+        s, t(s, dir, "documents"), "doc_id", "text",
+        "/tmp/graft_ftstri_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_"),
+        "trigram")
+      fts.search("spark jo", topK = 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
     // F7: reciprocal-rank fusion of two ranked lists (top-100 inputs via
     // TakeOrderedAndProject, not an unpartitioned window over all events)
     "f_rrf_fusion" -> ((s, dir) => {
@@ -546,6 +559,30 @@ object SparkEntry {
         |SELECT doc_id, round(score, 4) AS score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM agg WHERE nm = 3 QUALIFY rank <= 20""".stripMargin,
+    "f_trigram_search" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(lower(text)) - 2, 0)),
+        |      i -> substr(lower(text), (i+1)::INT, 3))) AS term
+        |  FROM documents),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tri GROUP BY 1,2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spa','par','ark','rk ','k j',' jo']) AS term),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM post
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    greatest(ln((s.n_docs - f.df + 0.5)/(f.df + 0.5)), 1e-6)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sco
+        |  FROM post p JOIN q USING(term) JOIN dfq f USING(term)
+        |  JOIN dl d USING(doc_id) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nm
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(score, 4) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM agg WHERE nm = 6 QUALIFY rank <= 20""".stripMargin,
     "f_rrf_fusion" ->
       """WITH sem AS (
         |  SELECT event_id AS doc_id,

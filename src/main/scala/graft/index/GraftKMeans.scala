@@ -43,7 +43,11 @@ object GraftKMeans {
       k: Int,
       iters: Int,
       seed: Long,
-      maxPointsPerCentroid: Int
+      maxPointsPerCentroid: Int,
+      /** Row count of `tokens` when the caller already knows it (the
+        * build computes it alongside its sample stats) — skips a
+        * redundant count pass. */
+      totalCount: Option[Long] = None
   ): Array[Float] = {
     import spark.implicits._
 
@@ -53,9 +57,10 @@ object GraftKMeans {
     // (pure function of the data, independent of partitioning) and
     // shuffle-free; sample size is approximate, which the heuristic
     // tolerates. Long arithmetic: k * maxPoints overflows Int for large K.
-    val nTotal = tokens.count()
+    val nTotal = totalCount.getOrElse(tokens.count())
     val cap = k.toLong * maxPointsPerCentroid
-    val capped = (if (nTotal <= cap) tokens.select("doc_id", "tok", "vec")
+    val uncapped = nTotal <= cap
+    val capped = (if (uncapped) tokens.select("doc_id", "tok", "vec")
       else {
         val keepPerMillion = math.max((cap.toDouble / nTotal * 1e6).toLong, 1L)
         tokens
@@ -63,35 +68,32 @@ object GraftKMeans {
             < lit(keepPerMillion))
           .select("doc_id", "tok", "vec")
       }).cache()
-    val nTrain = capped.count()
+    // no capping -> the training set IS the input, count already known
+    val nTrain = if (uncapped) nTotal else capped.count()
     val kEff = math.min(k.toLong, nTrain).toInt
     require(kEff > 0, "cannot compute 0 centroids")
 
-    // Init: the kEff tokens with smallest (hash, doc_id, tok) — a bounded
-    // per-partition heap selection (RDD.takeOrdered), not a total sort.
-    var centroids: Array[Float] = flatten(
-      capped
-        .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
-        .select("_h", "doc_id", "tok", "vec")
-        .as[(Long, Long, Int, Array[Float])]
-        .rdd
-        .takeOrdered(kEff)(Ordering.by(t => (t._1, t._2, t._3)))
-        .map(_._4),
-      dim
-    )
+    def initFrom(rows: Iterable[(Long, Long, Int, Array[Float])]): Array[Float] =
+      flatten(rows.toSeq.sortBy(t => (t._1, t._2, t._3)).take(kEff).map(_._4).toArray, dim)
 
     // Small training sets run Lloyd's entirely on the driver: the
     // distributed path folds each cluster's vectors in (doc_id, tok)
     // order within its single post-repartition partition, so a local
     // fold over rows sorted by (code, doc_id, tok) produces bit-equal
-    // Double sums — one collect instead of 4 shuffle rounds of tiny
-    // jobs. Above the threshold the distributed path takes over.
+    // Double sums — ONE collect (the hash column rides along, so init
+    // selection is local too) instead of a takeOrdered job plus 4
+    // shuffle rounds of tiny jobs. Above the threshold the distributed
+    // path takes over.
     val localMaxFloats = 8L << 20
+    var centroids: Array[Float] = null
     if (nTrain * dim <= localMaxFloats) {
-      val rows = capped
-        .orderBy("doc_id", "tok")
-        .as[(Long, Int, Array[Float])]
+      val rowsH = capped
+        .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
+        .select("_h", "doc_id", "tok", "vec")
+        .as[(Long, Long, Int, Array[Float])]
         .collect()
+      centroids = initFrom(rowsH)
+      val rows = rowsH.sortBy(t => (t._2, t._3)).map(t => (t._2, t._3, t._4))
       var it = 0
       while (it < iters) {
         val kNow = centroids.length / dim
@@ -115,6 +117,16 @@ object GraftKMeans {
         it += 1
       }
     } else {
+      // Init: the kEff tokens with smallest (hash, doc_id, tok) — a
+      // bounded per-partition heap selection (RDD.takeOrdered), not a
+      // total sort.
+      centroids = initFrom(
+        capped
+          .withColumn("_h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
+          .select("_h", "doc_id", "tok", "vec")
+          .as[(Long, Long, Int, Array[Float])]
+          .rdd
+          .takeOrdered(kEff)(Ordering.by(t => (t._1, t._2, t._3))))
       var it = 0
       while (it < iters) {
         val bc = spark.sparkContext.broadcast(centroids)

@@ -84,8 +84,15 @@ object MultiVectorIndex {
     // handles that and re-records the original factor in the manifest.
     val docsIn = poolDocs(spark, docs, cfg.poolFactor)
 
-    val numDocs = docsIn.count()
+    // one pass over the doc table for count + dim (the build used to
+    // spend a separate scan on each)
+    val docStats = docsIn
+      .agg(count(lit(1)).as("n"),
+        first(size(element_at(col("embeddings"), 1))).as("dim"))
+      .collect()(0)
+    val numDocs = docStats.getLong(0)
     require(numDocs > 0, "empty document set")
+    val dim = docStats.getInt(1)
 
     // Keep the raw embeddings while the corpus is small enough for the
     // start-from-scratch rebuild path (index.rs:964-969, threshold 999);
@@ -94,32 +101,34 @@ object MultiVectorIndex {
     if (numDocs <= UpdateConfigDefaults.StartFromScratch) {
       graft.util.Fs.rewrite(docsIn.select("doc_id", "embeddings"), s"$path/raw_docs")
     }
-    val dim = docs
-      .select(element_at(col("embeddings"), 1).as("v"))
-      .limit(1).as[Array[Float]].collect()(0).length
 
     // Token table (narrow explode; no shuffle).
     val tokens = docsIn
       .select(col("doc_id"), posexplode(col("embeddings")).as(Seq("tok", "vec")))
       .cache()
-    val numTokens = tokens.count()
 
     // --- B1: sample docs, estimate K, train centroids -------------------
     // Hash-threshold doc sampling (no global sort; see GraftKMeans.train).
+    // The sampling predicate only needs numDocs, so the token count AND
+    // the sample stats come out of ONE aggregation pass (which also
+    // populates the cache) instead of two.
     val nSampleDocs = GraftKMeans.numSampleDocs(numDocs)
-    val sampleTokens = (if (nSampleDocs >= numDocs) tokens
+    val sampledCond =
+      if (nSampleDocs >= numDocs) lit(true)
       else {
         val keepPerMillion =
           math.max((nSampleDocs.toDouble / numDocs * 1e6).toLong, 1L)
-        tokens.filter(
-          pmod(xxhash64(col("doc_id"), lit(cfg.seed)), lit(1000000L))
-            < lit(keepPerMillion))
-      }).select("doc_id", "tok", "vec")
-    val sampleStats = sampleTokens
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+        pmod(xxhash64(col("doc_id"), lit(cfg.seed)), lit(1000000L)) < lit(keepPerMillion)
+      }
+    val tokenStats = tokens.agg(
+      count(lit(1)).as("total"),
+      sum(when(sampledCond, 1L).otherwise(0L)).as("n"),
+      countDistinct(when(sampledCond, col("doc_id"))).as("d"))
       .collect()(0)
-    val totalSampleTokens = sampleStats.getLong(0)
-    val actualSampleDocs = math.max(sampleStats.getLong(1), 1L)
+    val numTokens = tokenStats.getLong(0)
+    val sampleTokens = tokens.filter(sampledCond).select("doc_id", "tok", "vec")
+    val totalSampleTokens = tokenStats.getLong(1)
+    val actualSampleDocs = math.max(tokenStats.getLong(2), 1L)
     val avgTokensPerDoc = totalSampleTokens.toDouble / actualSampleDocs
     val estTotalTokens = avgTokensPerDoc * numDocs
     val k = math.min(
@@ -128,7 +137,8 @@ object MultiVectorIndex {
     ).toInt
 
     val centroids = GraftKMeans.train(
-      spark, sampleTokens, dim, k, cfg.kmeansIters, cfg.seed, cfg.maxPointsPerCentroid)
+      spark, sampleTokens, dim, k, cfg.kmeansIters, cfg.seed, cfg.maxPointsPerCentroid,
+      totalCount = Some(totalSampleTokens))
 
     // --- B3: codec training on a heldout token sample -------------------
     // heldout = min(5% of tokens, 50k) (index.rs:182-287)
@@ -194,8 +204,11 @@ object MultiVectorIndex {
     val tokenParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       (numTokens + 499999L) / 500000L)).toInt
-    encoded
-      .repartitionByRange(tokenParts, col("doc_id"))
+    // single-partition output skips repartitionByRange's extra
+    // range-boundary sampling job (tiny indexes); multi-partition keeps
+    // the range layout that makes the rerank gather a range read
+    (if (tokenParts == 1) encoded.coalesce(1)
+     else encoded.repartitionByRange(tokenParts, col("doc_id")))
       .sortWithinPartitions("doc_id", "tok")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/tokens")
 
@@ -296,10 +309,9 @@ object MultiVectorIndex {
     // toy K, but a 2^20×128-dim codebook (512 MB) splits so the sparse
     // search path's distributed centroid pass parallelizes
     val nParts = math.max(1L, k.toLong * codec.dim * 4 / (32L << 20)).toInt
-    (0 until k)
-      .map(c => (c, codec.centroid(c)))
-      .toDF("code", "vec")
-      .repartitionByRange(nParts, col("code"))
+    val codeRows = (0 until k).map(c => (c, codec.centroid(c))).toDF("code", "vec")
+    (if (nParts == 1) codeRows.coalesce(1)
+     else codeRows.repartitionByRange(nParts, col("code")))
       .sortWithinPartitions("code")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
     val q = codec.quantizer

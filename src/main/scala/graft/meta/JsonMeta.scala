@@ -40,14 +40,16 @@ object JsonMeta {
     * `(order: long, json: string)`. */
   def create(spark: SparkSession, rows: DataFrame): DataFrame = {
     import spark.implicits._
-    // an empty batch has no inferable schema: return the canonical empty
-    // table instead of letting spark.read.json throw
-    if (rows.isEmpty)
+    // schema inference is order-independent (one unsorted scan — the
+    // dense `_subset_` assignment below is what carries insertion order);
+    // an empty batch infers an empty schema, which doubles as the
+    // emptiness check — no separate isEmpty job
+    val jsonDs: Dataset[String] = rows.select("json").as[String]
+    val schema = spark.read.json(jsonDs).schema
+    if (schema.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("_subset_", LongType, nullable = false))))
-    val jsonDs: Dataset[String] = rows.orderBy("order").select("json").as[String]
-    val schema = spark.read.json(jsonDs).schema
     val parsed = rows
       .select(col("order"), from_json(col("json"), schema).as("j"))
       .select(col("order") +: schema.fieldNames.map(f => col(s"j.`$f`")): _*)
