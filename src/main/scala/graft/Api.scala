@@ -260,6 +260,14 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame =
     new Searcher(index).rerank(query, docs, topK)
 
+  // ---- npy interchange (B11, both directions) ----
+
+  /** Export the vector index in the reference's npy/json directory
+    * layout (readable by [[GraftIndex.importNpy]] and by the reference's
+    * own loaders). */
+  def exportNpy(outDir: String, chunkDocs: Int = 50000): Unit =
+    graft.sources.NpyImport.exportIndex(index, outDir, chunkDocs)
+
   // ---- drop (DELETE /indices/{name}) ----
 
   def drop(): Unit = graft.util.Fs.deleteRecursively(path)
@@ -294,4 +302,10 @@ object GraftIndex {
   /** GET /indices/{name} — open an existing index directory. */
   def open(spark: SparkSession, path: String): GraftIndex =
     new GraftIndex(spark, path)
+
+  /** Import a reference-format npy index directory (B11). */
+  def importNpy(spark: SparkSession, refDir: String, path: String): GraftIndex = {
+    graft.sources.NpyImport.importIndex(spark, refDir, path)
+    new GraftIndex(spark, path)
+  }
 }

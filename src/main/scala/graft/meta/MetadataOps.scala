@@ -98,19 +98,34 @@ object MetadataOps {
       .withColumnRenamed(idCol, s"old_$idCol")
   }
 
-  /** Scalable dense re-sequencing: per-range-partition counts are
-    * collected (numRanges scalars) and prefix-summed on the driver, then
+  /** Scalable dense re-sequencing: per-range counts are collected
+    * (numRanges scalars) and prefix-summed on the driver, then
     * broadcast-joined back as offsets. new_id = #survivors with smaller
     * old id — identical to `row_number()-1` ordered by old id, but the
-    * only data-scale shuffle is the repartitionByRange, and every window
-    * is partition-local. */
+    * only data-scale shuffle is the window's hash exchange on the range
+    * id, and every window is range-local.
+    *
+    * The range id is derived from the DATA (approx-quantile boundaries
+    * of `idCol`, a deterministic GK sketch), NOT `spark_partition_id()`
+    * after repartitionByRange: the counts job and the assignment job are
+    * separate Spark jobs, and AQE may coalesce the range shuffle
+    * differently in each — partition ids then disagree between the two
+    * passes and the offsets land on the wrong rows. Data-derived buckets
+    * are consistent across jobs by construction; quantile boundaries
+    * keep them balanced under any id distribution (correctness needs
+    * only determinism + monotonicity of the bucket function). */
   def denseResequenceScalable(df: DataFrame, idCol: String, numRanges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df.repartitionByRange(numRanges, col(idCol))
-      .sortWithinPartitions(col(idCol))
-    // spark_partition_id is stable after repartitionByRange+sort
-    val withPart = ranged.withColumn("_part", spark_partition_id())
+    val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
+    val bounds =
+      if (numRanges <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(idCol, probs, 0.001).distinct.sorted
+    val partCol =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.map(lit).toIndexedSeq: _*), lit(0),
+        (acc, b) => acc + when(col(idCol).cast("double") > b, 1).otherwise(0))
+    val withPart = df.withColumn("_part", partCol)
     val counts = withPart.groupBy("_part").agg(F.count(lit(1)).as("_cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

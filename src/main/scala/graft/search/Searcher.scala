@@ -482,16 +482,8 @@ final class Searcher(index: MultiVectorIndex) {
 
   /** S11 rerank: exact MaxSim of one query against supplied docs
     * (ad-hoc, no index probing). `docs(doc_id, embeddings)`. */
-  def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame = {
-    val qBc = spark.sparkContext.broadcast(query)
-    val scored = docs
-      .select("doc_id", "embeddings")
-      .as[(Long, Array[Array[Float]])]
-      .map { case (docId, emb) => (docId, MaxSim.scoreDouble(qBc.value, emb)) }
-      .toDF("doc_id", "score")
-    graft.operators.Rankers.topKGlobal(
-      scored, Seq(col("score").desc, col("doc_id").asc), topK)
-  }
+  def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame =
+    Searcher.rerank(spark, query, docs, topK)
 
   /** Brute-force exact search (the in-repo oracle for funnel recall —
     * mirrors the reference's exact n_full_scores path). */
@@ -528,6 +520,22 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
+
+  /** S11 rerank kernel — index-free form (the REST rerank endpoint
+    * scores ad-hoc docs without touching an index — api/src/routes.rs
+    * rerank handler). Instance method delegates here. */
+  def rerank(spark: SparkSession, query: Array[Array[Float]],
+      docs: DataFrame, topK: Int): DataFrame = {
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(query)
+    val scored = docs
+      .select("doc_id", "embeddings")
+      .as[(Long, Array[Array[Float]])]
+      .map { case (docId, emb) => (docId, MaxSim.scoreDouble(qBc.value, emb)) }
+      .toDF("doc_id", "score")
+    graft.operators.Rankers.topKGlobal(
+      scored, Seq(col("score").desc, col("doc_id").asc), topK)
+  }
 
   /** S5 sparse approximate-score aggregation
     * (build_sparse_centroid_scores consumers, search.rs:256-302):

@@ -177,4 +177,66 @@ object NpyImport {
       "seed" -> "42"))
     new MultiVectorIndex(spark, outPath)
   }
+
+  /** B11 inverse: export a parquet index as a reference-format npy
+    * directory (the same file contract [[importIndex]] reads —
+    * centroids/cutoffs/weights/avg_residual/cluster_threshold npy,
+    * per-chunk `k.codes.npy` (i8) + `k.residuals.npy` (u1, [T × B]) +
+    * `doclens.k.json`, and `plan.json`). Docs are chunked in id order
+    * (`chunkDocs` per chunk, reference default 50k — index.rs:88-102),
+    * so driver memory is bounded by one chunk exactly as on import. */
+  def exportIndex(idx: MultiVectorIndex, outDir: String, chunkDocs: Int = 50000): Unit = {
+    val codec = idx.codec
+    val q = codec.quantizer
+    Files.createDirectories(Paths.get(outDir))
+
+    def writeFloats(name: String, xs: Array[Float], shape: Seq[Int]): Unit = {
+      val b = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putFloat)
+      writeNpy(s"$outDir/$name", "f4", shape, b.array())
+    }
+    writeFloats("centroids.npy", codec.centroids,
+      Seq(codec.numCentroids, codec.dim))
+    writeFloats("bucket_cutoffs.npy", q.bucketCutoffs, Seq(q.bucketCutoffs.length))
+    writeFloats("bucket_weights.npy", q.bucketWeights, Seq(q.bucketWeights.length))
+    writeFloats("avg_residual.npy", codec.avgResidual, Seq(codec.avgResidual.length))
+    writeFloats("cluster_threshold.npy", Array(codec.clusterThreshold), Seq(1))
+
+    val mapper = MultiVectorIndex.jsonMapper
+    val nDocs = idx.numDocuments
+    val numChunks = math.max(1L, (nDocs + chunkDocs - 1) / chunkDocs).toInt
+    var numTokens = 0L
+    (0 until numChunks).foreach { k =>
+      val lo = k.toLong * chunkDocs
+      val hi = math.min(nDocs, lo + chunkDocs)
+      // one chunk's tokens in (doc, tok) order — bounded collect
+      val rows = idx.tokens
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "tok", "code", "residual")
+        .orderBy("doc_id", "tok")
+        .collect()
+      val t = rows.length
+      val cb = ByteBuffer.allocate(t * 8).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach(r => cb.putLong(r.getInt(2).toLong))
+      writeNpy(s"$outDir/$k.codes.npy", "i8", Seq(t), cb.array())
+      val bytesPer = if (t == 0) 0 else rows(0).getAs[Array[Byte]](3).length
+      val rb = ByteBuffer.allocate(t * bytesPer)
+      rows.foreach(r => rb.put(r.getAs[Array[Byte]](3)))
+      writeNpy(s"$outDir/$k.residuals.npy", "u1", Seq(t, bytesPer), rb.array())
+      val doclens = {
+        val m = new Array[Long]((hi - lo).toInt)
+        rows.foreach(r => m((r.getLong(0) - lo).toInt) += 1)
+        m
+      }
+      Files.write(Paths.get(s"$outDir/doclens.$k.json"),
+        doclens.mkString("[", ",", "]").getBytes("UTF-8"))
+      numTokens += t
+    }
+    val plan = mapper.createObjectNode()
+    plan.put("nbits", q.nbits)
+    plan.put("num_chunks", numChunks)
+    plan.put("num_documents", nDocs)
+    plan.put("num_embeddings", numTokens)
+    Files.write(Paths.get(s"$outDir/plan.json"), mapper.writeValueAsBytes(plan))
+  }
 }

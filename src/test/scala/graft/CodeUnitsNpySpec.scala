@@ -442,37 +442,11 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     Seq(srcPath, refDir, impPath).foreach(graft.util.Fs.deleteRecursively)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(refDir))
     val idx = graft.index.MultiVectorIndex.build(spark, docs, srcPath)
-    val codec = idx.codec
-    val dim = codec.dim
 
-    def writeFloats(name: String, arr: Array[Float], shape: Seq[Int]): Unit = {
-      val b = java.nio.ByteBuffer.allocate(arr.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      arr.foreach(b.putFloat)
-      NpyImport.writeNpy(s"$refDir/$name", "f4", shape, b.array())
-    }
-    writeFloats("centroids.npy", codec.centroids, Seq(codec.numCentroids, dim))
-    writeFloats("bucket_cutoffs.npy", codec.quantizer.bucketCutoffs,
-      Seq(codec.quantizer.bucketCutoffs.length))
-    writeFloats("bucket_weights.npy", codec.quantizer.bucketWeights,
-      Seq(codec.quantizer.bucketWeights.length))
-    writeFloats("avg_residual.npy", codec.avgResidual, Seq(dim))
-    writeFloats("cluster_threshold.npy", Array(codec.clusterThreshold), Seq(1))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$refDir/plan.json"),
-      s"""{"nbits": ${codec.quantizer.nbits}, "num_chunks": 1}""".getBytes)
-
-    val toks = idx.tokens.orderBy("doc_id", "tok").collect()
-    val codes = toks.map(_.getInt(2).toLong)
-    val cb = java.nio.ByteBuffer.allocate(codes.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    codes.foreach(cb.putLong)
-    NpyImport.writeNpy(s"$refDir/0.codes.npy", "i8", Seq(codes.length), cb.array())
-    val resRows = toks.map(_.getAs[Array[Byte]](3))
-    val rb = java.nio.ByteBuffer.allocate(resRows.length * resRows(0).length)
-    resRows.foreach(rb.put)
-    NpyImport.writeNpy(s"$refDir/0.residuals.npy", "u1",
-      Seq(resRows.length, resRows(0).length), rb.array())
-    val doclens = idx.doclens.orderBy("doc_id").collect().map(_.getLong(1))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$refDir/doclens.0.json"),
-      doclens.mkString("[", ",", "]").getBytes)
+    // exportIndex writes the same reference layout importIndex reads;
+    // chunkDocs=8 forces the multi-chunk path (20 docs -> 3 chunks)
+    NpyImport.exportIndex(idx, refDir, chunkDocs = 8)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$refDir/2.codes.npy")))
 
     val imported = NpyImport.importIndex(spark, refDir, impPath)
     assert(imported.numDocuments === 20L)
