@@ -33,20 +33,29 @@ object Fts {
   }
 
   /** F3 index build: `(term, doc_id, tf)` postings from
-    * `docs(idCol, textCol)`. The unicode61 path uses the builtin
-    * regexp tokenizer (`[\p{L}\p{Nd}]+` ≡ Character.isLetterOrDigit
-    * runs, codegen'd — no UDF object round-trip on the corpus-wide hot
-    * path); trigram/identifier-aware keep the JVM-kernel UDFs. */
+    * `docs(idCol, textCol)`. The unicode61 and trigram paths use builtin
+    * codegen'd expressions (`[\p{L}\p{Nd}]+` runs ≡
+    * Character.isLetterOrDigit; sliding `substr` over the lowercased
+    * text ≡ [[Tokenizers.trigram]]) — no UDF object round-trip on the
+    * corpus-wide hot path; identifier-aware keeps the JVM-kernel UDF
+    * (camel/snake splitting has no builtin twin). */
   def buildPostings(
       docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String = "unicode61"
   ): DataFrame = {
-    val terms =
-      if (tokenizerName == "unicode61")
-        expr(s"regexp_extract_all(lower(`$textCol`), '[\\\\p{L}\\\\p{Nd}]+', 0)")
-      else tokenizer(tokenizerName)(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"), explode(terms).as("term"))
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val terms = tokenizerName match {
+      case "unicode61" =>
+        expr("regexp_extract_all(lower(_text), '[\\\\p{L}\\\\p{Nd}]+', 0)")
+      case "trigram" =>
+        val lc = lower(col("_text"))
+        when(length(lc) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(lc) - 2),
+            i => lc.substr(i, lit(3))))
+      case other => tokenizer(other)(col("_text"))
+    }
+    base
+      .select(col("doc_id"), explode(terms).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
   }

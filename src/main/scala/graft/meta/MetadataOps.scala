@@ -120,7 +120,7 @@ object MetadataOps {
     val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
     val bounds =
       if (numRanges <= 1) Array.empty[Double]
-      else df.stat.approxQuantile(idCol, probs, 0.001).distinct.sorted
+      else df.stat.approxQuantile(idCol, probs, 0.01).distinct.sorted
     val partCol =
       if (bounds.isEmpty) lit(0)
       else aggregate(array(bounds.map(lit).toIndexedSeq: _*), lit(0),
