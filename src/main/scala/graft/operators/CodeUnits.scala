@@ -9,13 +9,17 @@ import graft.search.SearchParams
   * structured embedding text (C2), incremental reindex state (C7), and
   * env-tunable search parameters (C8).
   *
-  * C1 note: the reference parses 25 languages with tree-sitter
+  * C1 note: the reference parses 26 code languages with tree-sitter and
+  * indexes 11 text/config formats as whole-file documents
   * (colgrep/src/parser/). Tree-sitter JNI is not available in this
-  * environment, so extraction here is a regex-based structural parser
-  * covering function/class/constant definitions for the common
-  * brace/def languages — the `CodeUnit` schema, partition-local
-  * extraction plumbing, and downstream pipeline (C2 text → E2 encode →
-  * index) are the real, swappable contract.
+  * environment, so code extraction here is a regex-based structural
+  * parser over the same language set (function/class/constant shapes,
+  * plus language-gated forms: Haskell type signatures, OCaml let,
+  * R `<- function`, Zig container consts, SQL DDL, CSS rules, and
+  * Vue/Svelte/HTML script-block extraction); text formats get the
+  * reference's one-document-per-file treatment. The `CodeUnit` schema,
+  * partition-local extraction plumbing, and downstream pipeline (C2
+  * text → E2 encode → index) are the real, swappable contract.
   */
 object CodeUnits {
 
@@ -28,7 +32,7 @@ object CodeUnits {
   final case class CodeUnit(
       file: String,
       language: String,
-      kind: String,       // function | class | constant | raw_code
+      kind: String,       // function | method | class | constant | raw_code | document | section
       name: String,
       signature: String,
       startLine: Int,
@@ -52,30 +56,62 @@ object CodeUnits {
       variables: Seq[String] = Seq.empty,
       imports: Seq[String] = Seq.empty)
 
+  /** Extension → language, mirroring the reference's detection table
+    * (colgrep/src/parser/language.rs:8-63) — 26 code languages plus the
+    * text/config formats below. */
   private val ExtLang = Map(
-    "py" -> "python", "scala" -> "scala", "rs" -> "rust", "go" -> "go",
-    "js" -> "javascript", "ts" -> "typescript", "java" -> "java",
-    "c" -> "c", "h" -> "c", "cpp" -> "cpp", "rb" -> "ruby",
+    "py" -> "python", "scala" -> "scala", "sc" -> "scala",
+    "rs" -> "rust", "go" -> "go",
+    "js" -> "javascript", "jsx" -> "javascript", "mjs" -> "javascript",
+    "ts" -> "typescript", "tsx" -> "typescript", "java" -> "java",
+    "c" -> "c", "h" -> "c",
+    "cpp" -> "cpp", "cc" -> "cpp", "cxx" -> "cpp", "hpp" -> "cpp", "hxx" -> "cpp",
+    "rb" -> "ruby",
     "cs" -> "csharp", "php" -> "php", "kt" -> "kotlin", "kts" -> "kotlin",
-    "swift" -> "swift")
+    "swift" -> "swift",
+    "lua" -> "lua", "ex" -> "elixir", "exs" -> "elixir", "hs" -> "haskell",
+    "ml" -> "ocaml", "mli" -> "ocaml", "r" -> "r", "rmd" -> "r",
+    "zig" -> "zig", "jl" -> "julia", "sql" -> "sql",
+    "vue" -> "vue", "svelte" -> "svelte", "css" -> "css", "qml" -> "qml",
+    "html" -> "html", "htm" -> "html",
+    "md" -> "markdown", "markdown" -> "markdown",
+    "txt" -> "text", "text" -> "text", "rst" -> "text",
+    "adoc" -> "asciidoc", "asciidoc" -> "asciidoc", "org" -> "org",
+    "yaml" -> "yaml", "yml" -> "yaml", "toml" -> "toml", "json" -> "json",
+    "sh" -> "shell", "bash" -> "shell", "zsh" -> "shell",
+    "ps1" -> "powershell")
 
-  def languageOf(path: String): String =
-    ExtLang.getOrElse(path.reverse.takeWhile(_ != '.').reverse.toLowerCase, "text")
+  /** Formats indexed as whole-file documents, not parsed as code
+    * (colgrep/src/parser/language.rs:67-83 `is_text_format`). */
+  private[operators] val TextFormats = Set(
+    "markdown", "text", "yaml", "toml", "json", "dockerfile", "makefile",
+    "shell", "powershell", "asciidoc", "org")
+
+  def languageOf(path: String): String = {
+    val fname = path.substring(path.lastIndexOf('/') + 1).toLowerCase
+    if (fname == "dockerfile") "dockerfile"
+    else if (fname == "makefile" || fname == "gnumakefile") "makefile"
+    else if (!fname.contains('.')) "text"
+    else ExtLang.getOrElse(fname.reverse.takeWhile(_ != '.').reverse, "text")
+  }
 
   private val Mods =
-    """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec)\s+)*"""
+    """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|declare|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|mutable|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec|local)\s+)*"""
 
   /** Keyword-introduced function defs; group 1 = Go receiver (if any),
     * group 2 = name. `fun` is Kotlin, `func` Go/Swift, `fn` Rust,
-    * `function` JS/PHP. */
+    * `function` JS/PHP/Lua, `defp`/`defmacro` Elixir, `macro` Julia.
+    * Dotted/colon names (`function M.insert(`, Lua method sugar
+    * `function M:get(`) capture whole; [[extractUnits]] splits the last
+    * segment off as the name and the prefix as the receiver. */
   private val FuncRe = java.util.regex.Pattern.compile(
     "^[ \\t]*" + Mods +
-      """(?:def|fn|func|fun|function)\s+(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*)""",
+      """(?:defmacrop?|defp?|fn|func|fun|function|macro)\s+(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*(?:[.:][A-Za-z_][A-Za-z0-9_]*)*)""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ClassRe = java.util.regex.Pattern.compile(
     "^[ \\t]*" + Mods +
-      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension)\s+([A-Za-z_][A-Za-z0-9_]*)""",
+      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type)\s+([A-Za-z_][A-Za-z0-9_]*)""",
     java.util.regex.Pattern.MULTILINE)
 
   /** C-family methods declared modifier-first with the return type before
@@ -91,6 +127,33 @@ object CodeUnits {
   private val ConstRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
     java.util.regex.Pattern.MULTILINE)
+
+  // --- language-gated definition shapes (no shared-keyword form) ---
+
+  /** Haskell top-level type signature `name :: Type`. */
+  private val HsSigRe = java.util.regex.Pattern.compile(
+    """^([a-z_][A-Za-z0-9_']*)\s*::""", java.util.regex.Pattern.MULTILINE)
+
+  /** OCaml `let [rec] name` (gated: `let` is a variable elsewhere). */
+  private val OcamlLetRe = java.util.regex.Pattern.compile(
+    """^let\s+(?:rec\s+)?([a-z_][A-Za-z0-9_']*)""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** R `name <- function(...)`. */
+  private val RFuncRe = java.util.regex.Pattern.compile(
+    """^[ \t]*([A-Za-z_.][\w.]*)\s*(?:<-|=)\s*function\s*\(""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** Zig container type `const Name = struct/enum/union/opaque`. */
+  private val ZigTypeRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*(?:extern\s+|packed\s+)?(?:struct|enum|union|opaque)""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** SQL DDL: `CREATE [OR REPLACE] <kind> [IF NOT EXISTS] name`; group 1
+    * is the object kind (function/procedure → function, else class). */
+  private val SqlCreateRe = java.util.regex.Pattern.compile(
+    """^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?(table|view|materialized\s+view|function|procedure|index|trigger|schema)\s+(?:if\s+not\s+exists\s+)?[`"\[]?([A-Za-z_][\w.$]*)""",
+    java.util.regex.Pattern.MULTILINE | java.util.regex.Pattern.CASE_INSENSITIVE)
 
   /** Leading `(?<![A-Za-z0-9_])` word guard keeps a blocked keyword
     * position from re-matching one char into the identifier (`def foo(`
@@ -182,7 +245,195 @@ object CodeUnits {
     * [[extract]]). */
   def extractUnits(path: String, source: String): Seq[CodeUnit] = {
     if (source == null || source.isEmpty) return Seq.empty
-    val lang = languageOf(path)
+    languageOf(path) match {
+      case l if TextFormats(l) => documentUnits(path, l, source)
+      case l @ ("vue" | "svelte") => sfcUnits(path, l, source)
+      case "html" => htmlUnits(path, source)
+      case "css" => cssUnits(path, source)
+      case l => codeUnits(path, l, source, 0)
+    }
+  }
+
+  /** Text/config formats: ONE document unit per file — name = file stem,
+    * signature = first non-empty line, docstring = first paragraph (≤5
+    * lines), matching colgrep/src/parser/text.rs:18-123. Blank files
+    * yield nothing. */
+  private[operators] def documentUnits(path: String, lang: String, source: String): Seq[CodeUnit] = {
+    val lines = source.split("\n", -1)
+    if (lines.forall(_.trim.isEmpty)) return Seq.empty
+    val fname = path.substring(path.lastIndexOf('/') + 1)
+    val dot = fname.lastIndexOf('.')
+    val stem = if (dot > 0) fname.substring(0, dot) else fname
+    val signature = lines.find(_.trim.nonEmpty).map(_.trim).getOrElse("")
+    val doc = lines.iterator.map(_.trim).takeWhile(_.nonEmpty).take(5).mkString(" ")
+    Seq(CodeUnit(path, lang, "document", stem, signature, 1, lines.length,
+      source, Seq.empty, docstring = doc.take(512), qualifiedName = s"$path::$stem"))
+  }
+
+  /** `<script>` blocks of an HTML-ish file as (0-indexed start line,
+    * content); external scripts (`src=`) skipped
+    * (colgrep/src/parser/html.rs:25-88, vue.rs:26-74). */
+  private[operators] def scriptBlocks(source: String): Seq[(Int, String)] = {
+    val lines = source.split("\n", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inScript = false
+    var start = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (!inScript) {
+        if (t.startsWith("<script") && !t.contains("src=") && t.contains('>')) {
+          val after = t.substring(t.indexOf('>') + 1)
+          val close = after.indexOf("</script")
+          if (close >= 0) { // one-line <script>…</script>
+            if (after.substring(0, close).trim.nonEmpty)
+              out += ((i, after.substring(0, close)))
+          } else {
+            inScript = true
+            buf.clear()
+            if (after.trim.nonEmpty) { buf += after; start = i }
+            else start = i + 1
+          }
+        }
+      } else {
+        val close = lines(i).indexOf("</script")
+        if (close >= 0) {
+          if (lines(i).substring(0, close).trim.nonEmpty)
+            buf += lines(i).substring(0, close)
+          if (buf.nonEmpty) out += ((start, buf.mkString("\n")))
+          inScript = false
+        } else buf += lines(i)
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Vue/Svelte SFC: script blocks parsed with the TS/JS rules (line
+    * numbers shifted to file positions), plus the template markup as one
+    * raw_code unit named "template" — Vue: lines inside `<template>`;
+    * Svelte: non-empty lines outside `<script>`/`<style>`
+    * (colgrep/src/parser/vue.rs:165-196, svelte.rs:82-133). */
+  private[operators] def sfcUnits(path: String, lang: String, source: String): Seq[CodeUnit] = {
+    val scriptUnits = scriptBlocks(source).flatMap { case (off, content) =>
+      codeUnits(path, "typescript", content, off)
+        .filterNot(_.kind == "raw_code")
+        .map(u => u.copy(language = lang))
+    }
+    val lines = source.split("\n", -1)
+    val template: Option[(Int, String)] =
+      if (lang == "vue") {
+        val s = lines.indexWhere(l => l.trim.startsWith("<template"))
+        val e = lines.indexWhere(l => l.trim.startsWith("</template"))
+        if (s >= 0 && e > s + 1) Some((s + 1, lines.slice(s + 1, e).mkString("\n")))
+        else None
+      } else {
+        var inBlock = false
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        lines.zipWithIndex.foreach { case (l, i) =>
+          val t = l.trim
+          if (t.startsWith("<script") || t.startsWith("<style")) inBlock = true
+          else if (t.startsWith("</script") || t.startsWith("</style")) inBlock = false
+          else if (!inBlock && t.nonEmpty) kept += ((i, l))
+        }
+        if (kept.isEmpty) None
+        else Some((kept.head._1, kept.map(_._2).mkString("\n")))
+      }
+    val templateUnit = template.map { case (startLine0, content) =>
+      val sig = content.split("\n").find(_.trim.nonEmpty).map(_.trim).getOrElse("")
+      CodeUnit(path, lang, "raw_code", "template", sig, startLine0 + 1,
+        startLine0 + math.max(1, content.split("\n", -1).length), content,
+        Seq.empty, qualifiedName = s"$path::template")
+    }
+    scriptUnits ++ templateUnit
+  }
+
+  /** HTML: script blocks parsed as JavaScript + the whole markup as one
+    * raw_code `html_structure` unit (colgrep/src/parser/html.rs:130-196). */
+  private[operators] def htmlUnits(path: String, source: String): Seq[CodeUnit] = {
+    val scriptUnits = scriptBlocks(source).flatMap { case (off, content) =>
+      codeUnits(path, "javascript", content, off)
+        .filterNot(_.kind == "raw_code")
+        .map(u => u.copy(language = "html"))
+    }
+    val lines = source.split("\n", -1)
+    val structure =
+      if (lines.forall(_.trim.isEmpty)) None
+      else {
+        val sig = lines.find(_.trim.nonEmpty).map(_.trim).getOrElse("")
+        Some(CodeUnit(path, "html", "raw_code", "html_structure", sig, 1,
+          lines.length, source, Seq.empty,
+          qualifiedName = s"$path::html_structure"))
+      }
+    scriptUnits ++ structure
+  }
+
+  /** CSS: each top-level rule (`selector { … }`, including at-rules)
+    * becomes a section unit named by its selector. The reference parses
+    * CSS with tree-sitter (colgrep/src/parser/language.rs:118); a
+    * selector-per-rule split is the regex-framework equivalent. */
+  private[operators] def cssUnits(path: String, source: String): Seq[CodeUnit] = {
+    val lines = source.split("\n", -1)
+    val lineStarts = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
+    def lineOf(off: Int): Int = {
+      var lo = 0; var hi = lines.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (lineStarts(mid) <= off) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[CodeUnit]
+    var depth = 0
+    var segStart = 0 // where the pending selector text begins
+    var ruleStart = -1
+    var ruleSel = ""
+    var i = 0
+    while (i < source.length) {
+      val ch = source.charAt(i)
+      if (ch == '/' && i + 1 < source.length && source.charAt(i + 1) == '*') {
+        val end = source.indexOf("*/", i + 2)
+        val after = if (end < 0) source.length else end + 2
+        // a comment before any selector text must not leak into the name
+        if (depth == 0 && source.substring(segStart, i).trim.isEmpty) segStart = after
+        i = after - 1
+      } else ch match {
+        case '{' =>
+          if (depth == 0) {
+            ruleSel = source.substring(segStart, i).trim.replaceAll("\\s+", " ")
+            ruleStart = segStart
+          }
+          depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && ruleSel.nonEmpty) {
+            var rs = ruleStart
+            while (rs < i && source.charAt(rs).isWhitespace) rs += 1
+            val s = lineOf(rs)
+            val e = lineOf(i)
+            out += CodeUnit(path, "css", "section", ruleSel.take(80), ruleSel,
+              s + 1, e + 1, lines.slice(s, e + 1).mkString("\n"), Seq.empty,
+              qualifiedName = ruleSel.take(80))
+            ruleSel = ""
+            segStart = i + 1
+          }
+        case ';' if depth == 0 => segStart = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (out.isEmpty && lines.exists(_.trim.nonEmpty))
+      out += CodeUnit(path, "css", "raw_code", "", lines.find(_.trim.nonEmpty).map(_.trim).getOrElse(""),
+        1, lines.length, source, Seq.empty)
+    out.toSeq
+  }
+
+  /** Code-language extraction (the regex parser proper). `lineOffset`
+    * shifts reported line numbers — used when the source is an embedded
+    * script block of a larger file. */
+  private[operators] def codeUnits(path: String, lang: String, source: String,
+      lineOffset: Int): Seq[CodeUnit] = {
     val lines = source.split("\n", -1)
     val lineStart = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
     val imports = {
@@ -222,25 +473,55 @@ object CodeUnits {
           defs0 += ((m.start(), m.end(), n, kind, recv(m), retHint(m)))
       }
     }
-    scan(FuncRe, "function", _.group(2),
-      m => Option(m.group(1)).map(receiverType).getOrElse(""))
+    // dotted/colon function names (`function M.insert(`, Lua `M:get`):
+    // last segment is the name, the prefix the receiver. Outside Lua a
+    // ':' is a type ascription (`def foo: Int`) — strip, don't split.
+    def splitDotted(raw: String): (String, String) = {
+      val colonCut = if (lang == "lua") raw.lastIndexOf(':') else -1
+      val base = if (lang == "lua") raw else raw.takeWhile(_ != ':')
+      val cut = math.max(base.lastIndexOf('.'), colonCut)
+      if (cut >= 0) (base.substring(0, cut), base.substring(cut + 1)) else ("", base)
+    }
+    scan(FuncRe, "function", m => splitDotted(m.group(2))._2,
+      m => {
+        val pre = splitDotted(m.group(2))._1
+        if (pre.nonEmpty) receiverType(pre)
+        else Option(m.group(1)).map(receiverType).getOrElse("")
+      })
     scan(ClassRe, "class", _.group(1))
     if (lang == "java" || lang == "csharp")
       scan(CMethodRe, "function", _.group(2), retHint = _.group(1))
     scan(ConstRe, "constant", _.group(1))
+    lang match {
+      case "haskell" => scan(HsSigRe, "function", _.group(1))
+      case "ocaml" => scan(OcamlLetRe, "function", _.group(1))
+      case "r" => scan(RFuncRe, "function", _.group(1))
+      case "zig" => scan(ZigTypeRe, "class", _.group(1))
+      case "sql" =>
+        val m = SqlCreateRe.matcher(source)
+        while (m.find()) {
+          val kind =
+            if (m.group(1).toLowerCase.startsWith("function") ||
+                m.group(1).toLowerCase.startsWith("procedure")) "function"
+            else "class"
+          defs0 += ((m.start(), m.end(), m.group(2), kind, "", ""))
+        }
+      case _ =>
+    }
     val kindPrio = Map("class" -> 3, "function" -> 2, "constant" -> 1)
     val defs = defs0.toSeq.groupBy(_._1).valuesIterator
       .map(ds => ds.maxBy(d => kindPrio(d._4)))
       .toSeq.sortBy(_._1)
     if (defs.isEmpty)
       return Seq(CodeUnit(path, lang, "raw_code", "", lines.headOption.getOrElse("").trim,
-        1, lines.length, source, Seq.empty, imports = imports))
+        1 + lineOffset, lines.length + lineOffset, source, Seq.empty, imports = imports))
     // class nesting. Indentation languages (python/ruby/text): a stack of
     // (indent, className) — defs at or left of a class's indent close its
     // scope. Brace languages: a single char walk tracking brace depth, so
     // a def inside `class X { ... }` gets parent X regardless of
     // indentation (the regex twin of tree-sitter's node nesting).
-    val indentScoped = Set("python", "ruby", "text")
+    val indentScoped = Set("python", "ruby", "text", "elixir", "lua",
+      "julia", "haskell", "ocaml", "sql")
     val parentOf: IndexedSeq[String] =
       if (indentScoped(lang)) {
         val classStack = scala.collection.mutable.Stack.empty[(Int, String)]
@@ -354,7 +635,8 @@ object CodeUnits {
       var complexity = 1
       val cxm = ComplexityRe.matcher(code)
       while (cxm.find()) complexity += 1
-      CodeUnit(path, lang, kind, name, lines(start).trim, start + 1, end + 1,
+      CodeUnit(path, lang, kind, name, lines(start).trim,
+        start + 1 + lineOffset, end + 1 + lineOffset,
         code, calls.toSeq.take(16),
         docstring = docstringOf(lines, start, code),
         parameters = params.take(16),
@@ -399,7 +681,12 @@ object CodeUnits {
       .replaceAll("[/_.]", " ")
       .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
     val sb = new StringBuilder
-    sb.append(s"# ${u.kind.capitalize}: ${if (u.qualifiedName.nonEmpty) u.qualifiedName else u.name}\n")
+    // documents/sections header on the bare name (embed.rs:124-133);
+    // code units on the class-qualified name
+    val headerName =
+      if (u.kind == "document" || u.kind == "section") u.name
+      else if (u.qualifiedName.nonEmpty) u.qualifiedName else u.name
+    sb.append(s"# ${u.kind.capitalize}: $headerName\n")
     sb.append(s"Signature: ${u.signature}\n")
     if (u.parentClass.nonEmpty) sb.append(s"In class: ${u.parentClass}\n")
     if (u.extendsClass.nonEmpty) sb.append(s"Extends: ${u.extendsClass}\n")

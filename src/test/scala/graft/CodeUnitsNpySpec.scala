@@ -40,8 +40,14 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(byName("Reader").kind === "class")
     assert(byName("parse_header").startLine === 5)
     assert(units.forall(u => u.endLine >= u.startLine))
-    // no definitions -> one raw_code unit
-    val raw = CodeUnits.extractUnits("notes.txt", "just some text\nmore")
+    // text formats -> one document unit per file (text.rs:18-58)
+    val doc = CodeUnits.extractUnits("notes.txt", "just some text\nmore")
+    assert(doc.length === 1 && doc.head.kind === "document")
+    assert(doc.head.name === "notes" && doc.head.signature === "just some text")
+    assert(doc.head.docstring === "just some text more")
+    assert(doc.head.qualifiedName === "notes.txt::notes")
+    // a code file with no definitions is still a raw_code unit
+    val raw = CodeUnits.extractUnits("empty.py", "# nothing here\n")
     assert(raw.length === 1 && raw.head.kind === "raw_code")
   }
 
@@ -225,6 +231,185 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(php("helper").kind === "function" && php("helper").parentClass === "")
   }
 
+  test("C1: Lua dotted/colon method names, Elixir defmodule/defp, Julia structs/macros") {
+    val luaSrc =
+      """local M = {}
+        |local function helper(x)
+        |  return x + 1
+        |end
+        |function M.insert(item)
+        |  return helper(item)
+        |end
+        |function M:get(i)
+        |  return self.items[i]
+        |end
+        |""".stripMargin
+    val lua = CodeUnits.extractUnits("lib/list.lua", luaSrc).map(u => u.name -> u).toMap
+    assert(lua("helper").kind === "function")
+    assert(lua("insert").kind === "method" && lua("insert").parentClass === "M")
+    assert(lua("get").kind === "method" && lua("get").parentClass === "M")
+
+    val exSrc =
+      """defmodule Cache do
+        |  def get(key) do
+        |    fetch(key)
+        |  end
+        |  defp fetch(key) do
+        |    key
+        |  end
+        |  defmacro log(x) do
+        |    x
+        |  end
+        |end
+        |""".stripMargin
+    val ex = CodeUnits.extractUnits("lib/cache.ex", exSrc).map(u => u.name -> u).toMap
+    assert(ex("Cache").kind === "class")
+    assert(ex("get").kind === "method" && ex("get").parentClass === "Cache")
+    assert(ex("fetch").kind === "method" && ex("fetch").calledBy.contains("get"))
+    assert(ex("log").kind === "method")
+
+    val jlSrc =
+      """abstract type Shape end
+        |mutable struct Point
+        |    x::Float64
+        |end
+        |function area(p)
+        |    p.x * 2
+        |end
+        |macro trace(ex)
+        |    ex
+        |end
+        |""".stripMargin
+    val jl = CodeUnits.extractUnits("src/geom.jl", jlSrc).map(u => u.name -> u).toMap
+    assert(jl("Shape").kind === "class" && jl("Point").kind === "class")
+    assert(jl("area").kind === "function" && jl("trace").kind === "function")
+  }
+
+  test("C1: Haskell signatures, OCaml let/module, R functions, Zig containers, SQL DDL") {
+    val hs = CodeUnits.extractUnits("src/Parse.hs",
+      "parseHeader :: String -> Int\nparseHeader s = length s\n")
+      .map(u => u.name -> u).toMap
+    assert(hs("parseHeader").kind === "function")
+
+    val ml = CodeUnits.extractUnits("lib/tree.ml",
+      "module Tree = struct\nlet rec walk t = walk t\nlet empty = []\nend\n")
+      .map(u => u.name -> u).toMap
+    assert(ml("Tree").kind === "class")
+    assert(ml("walk").kind === "function" || ml("walk").kind === "method")
+    assert(ml.contains("empty"))
+
+    val r = CodeUnits.extractUnits("analysis.R",
+      "normalize <- function(x) {\n  x / max(x)\n}\nSCALE = 2\n")
+      .map(u => u.name -> u).toMap
+    assert(r("normalize").kind === "function")
+
+    val zig = CodeUnits.extractUnits("src/widget.zig",
+      "pub const Widget = struct {\n    pub fn init() Widget {\n        return .{};\n    }\n};\n")
+      .map(u => u.name -> u).toMap
+    assert(zig("Widget").kind === "class")
+    assert(zig("init").kind === "method" && zig("init").parentClass === "Widget")
+
+    val sql = CodeUnits.extractUnits("schema.sql",
+      """CREATE TABLE users (id INT, name TEXT);
+        |create or replace function add_user(n text) returns int as $$ $$;
+        |CREATE INDEX IF NOT EXISTS idx_users ON users(name);
+        |""".stripMargin).map(u => u.name -> u).toMap
+    assert(sql("users").kind === "class")
+    assert(sql("add_user").kind === "function")
+    assert(sql("idx_users").kind === "class")
+  }
+
+  test("C1: text formats become one document unit per file (text.rs semantics)") {
+    val md = CodeUnits.extractUnits("docs/guide.md",
+      "# Guide\nIntro paragraph here.\n\n## Section 2\nMore.\n")
+    assert(md.length === 1)
+    assert(md.head.kind === "document" && md.head.name === "guide")
+    assert(md.head.signature === "# Guide")
+    assert(md.head.docstring === "# Guide Intro paragraph here.")
+    assert(md.head.qualifiedName === "docs/guide.md::guide")
+
+    // filename-detected formats
+    assert(CodeUnits.languageOf("deploy/Dockerfile") === "dockerfile")
+    assert(CodeUnits.languageOf("Makefile") === "makefile")
+    assert(CodeUnits.languageOf("GNUmakefile") === "makefile")
+    val dk = CodeUnits.extractUnits("deploy/Dockerfile", "FROM alpine\nRUN true\n")
+    assert(dk.head.kind === "document" && dk.head.name === "Dockerfile")
+
+    // shell/yaml/json/toml are documents too, not parsed as code
+    val sh = CodeUnits.extractUnits("bin/run.sh", "#!/bin/sh\nfoo() { echo hi; }\n")
+    assert(sh.length === 1 && sh.head.kind === "document")
+    assert(CodeUnits.extractUnits("conf/app.yaml", "key: value\n").head.kind === "document")
+    assert(CodeUnits.extractUnits("pkg.json", "{\"a\": 1}\n").head.kind === "document")
+    // blank files yield nothing
+    assert(CodeUnits.extractUnits("empty.md", "\n  \n") === Seq.empty)
+  }
+
+  test("C1: Vue/Svelte/HTML script blocks parse with file-position lines; template unit") {
+    val vueSrc =
+      """<template>
+        |  <div>{{ total }}</div>
+        |</template>
+        |<script>
+        |function compute(items) {
+        |  return items.length
+        |}
+        |const MAX_ITEMS = 10
+        |</script>
+        |""".stripMargin
+    val vue = CodeUnits.extractUnits("ui/App.vue", vueSrc)
+    val byName = vue.map(u => u.name -> u).toMap
+    assert(byName("compute").kind === "function")
+    assert(byName("compute").startLine === 5) // file position, not block position
+    assert(byName("compute").language === "vue")
+    assert(byName.contains("MAX_ITEMS"))
+    assert(byName("template").kind === "raw_code")
+    assert(byName("template").code.contains("{{ total }}"))
+    assert(byName("template").qualifiedName === "ui/App.vue::template")
+
+    val svSrc =
+      """<script>
+        |  export function toggle(on) { return !on }
+        |</script>
+        |<p>Hello {name}</p>
+        |<style>p { color: red }</style>
+        |""".stripMargin
+    val sv = CodeUnits.extractUnits("ui/Hello.svelte", svSrc).map(u => u.name -> u).toMap
+    assert(sv("toggle").kind === "function" && sv("toggle").startLine === 2)
+    assert(sv("template").code.contains("Hello {name}"))
+    assert(!sv("template").code.contains("color: red")) // style excluded
+
+    val htmlSrc =
+      """<html><body>
+        |<script src="ext.js"></script>
+        |<script>
+        |function init() { render() }
+        |</script>
+        |</body></html>
+        |""".stripMargin
+    val html = CodeUnits.extractUnits("index.html", htmlSrc).map(u => u.name -> u).toMap
+    assert(html("init").kind === "function" && html("init").startLine === 4)
+    assert(html("html_structure").kind === "raw_code")
+    assert(html("html_structure").qualifiedName === "index.html::html_structure")
+  }
+
+  test("C1: CSS rules become selector-named sections") {
+    val css =
+      """/* base { } in a comment */
+        |.button:hover {
+        |  color: red;
+        |}
+        |@media (max-width: 600px) {
+        |  .nav { display: none; }
+        |}
+        |""".stripMargin
+    val units = CodeUnits.extractUnits("style/main.css", css)
+    val names = units.map(_.name)
+    assert(names.contains(".button:hover"))
+    assert(names.exists(_.startsWith("@media")))
+    val hover = units.find(_.name == ".button:hover").get
+    assert(hover.kind === "section" && hover.startLine === 2 && hover.endLine === 4)
+  }
+
   test("C1: brace-depth nesting attributes parents regardless of indentation") {
     // methods at zero indent inside a brace-style class still nest
     val src =
@@ -326,8 +511,11 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(txt.contains("File: lib io File Reader py"))
     assert(txt.contains("def parse_header"))
     // raw code units are code-only (embed.rs:115-119)
-    val raw = CodeUnits.extractUnits("notes.txt", "plain text").head
-    assert(CodeUnits.embedText(raw) === "plain text")
+    val raw = CodeUnits.extractUnits("empty.py", "# nothing\npass_through()").head
+    assert(CodeUnits.embedText(raw) === "# nothing\npass_through()")
+    // documents get the header form with the Document label (embed.rs:129)
+    val doc = CodeUnits.extractUnits("notes.txt", "plain text").head
+    assert(CodeUnits.embedText(doc).startsWith("# Document: notes\n"))
   }
 
   test("C7: diffState detects new, changed, and deleted files") {
