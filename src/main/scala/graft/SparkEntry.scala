@@ -467,6 +467,25 @@ object SparkEntry {
           Rankers.definitionNameBoost(Seq("src5"), col("source")), 3).as("boost"))
     }),
 
+    // C1 (document path): text-format extraction — one document unit per
+    // file with file-stem name, first-non-empty-line signature, and
+    // leading-paragraph docstring. Multi-line content is synthesized
+    // identically on both sides so the line logic is actually exercised.
+    "c1_doc_units" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          concat(lit("# "), col("source"), lit("\n"), col("text"),
+            lit("\n\nlang: "), col("lang")).as("content"))
+      docs.as[(Long, String)].flatMap { case (id, content) =>
+        graft.operators.CodeUnits.extractUnits(s"notes/doc_$id.md", content)
+          .map(u => (id, u.name, u.kind, u.signature, u.docstring,
+            u.startLine.toLong, u.endLine.toLong, u.qualifiedName))
+      }.toDF("doc_id", "name", "kind", "signature", "docstring",
+        "start_line", "end_line", "qualified_name")
+    }),
+
     // ---- streaming shape: tumbling-window aggregation over events ----
     "st_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1104,6 +1123,17 @@ object SparkEntry {
         |  round(CASE WHEN source = 'src3' THEN 1.25 ELSE 1.0 END *
         |        CASE WHEN source = 'src5' THEN 1.5 ELSE 1.0 END, 3) AS boost
         |FROM d""".stripMargin,
+    "c1_doc_units" ->
+      """SELECT doc_id,
+        |  'doc_' || doc_id AS name,
+        |  'document' AS kind,
+        |  trim('# ' || source) AS signature,
+        |  substr(trim('# ' || source) || ' ' || trim(text), 1, 512) AS docstring,
+        |  CAST(1 AS BIGINT) AS start_line,
+        |  CAST(4 AS BIGINT) AS end_line,
+        |  'notes/doc_' || doc_id || '.md::doc_' || doc_id AS qualified_name
+        |FROM documents
+        |WHERE length(trim(text)) > 0""".stripMargin,
     "st_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value
