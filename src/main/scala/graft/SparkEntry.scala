@@ -486,6 +486,39 @@ object SparkEntry {
         "start_line", "end_line", "qualified_name")
     }),
 
+    // C2 (document path): the structured embedding text built from a
+    // document unit's analysis fields (embed.rs:115-200 header form).
+    "c2_embed_text" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          concat(lit("# "), col("source"), lit("\n"), col("text"),
+            lit("\n\nlang: "), col("lang")).as("content"))
+      docs.as[(Long, String)].map { case (id, content) =>
+        val u = graft.operators.CodeUnits.extractUnits(s"notes/doc_$id.md", content).head
+        (id, graft.operators.CodeUnits.embedText(u))
+      }.toDF("doc_id", "embed_text")
+    }),
+
+    // C3 regex pre-filter + C4 path scoping (prefix, include glob,
+    // excluded dir) composed the way colgrep's CLI applies them.
+    "c3_c4_scope_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("path",
+        concat(lit("repo/"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("src/"))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("src/util/"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("tests/"))
+            .otherwise(lit("vendor/")),
+          col("source"), lit("_"), col("doc_id"), lit(".py")))
+      val scoped = Rankers.pathScope(d, col("path"),
+        prefix = Some("repo/"),
+        includeGlobs = Seq("repo/src/**"),
+        excludeDirs = Seq("util"))
+      Rankers.regexPrefilter(scoped, col("text"), "spark.{0,30}join")
+        .select(col("doc_id"), col("path"))
+    }),
+
     // ---- streaming shape: tumbling-window aggregation over events ----
     "st_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1134,6 +1167,28 @@ object SparkEntry {
         |  'notes/doc_' || doc_id || '.md::doc_' || doc_id AS qualified_name
         |FROM documents
         |WHERE length(trim(text)) > 0""".stripMargin,
+    "c2_embed_text" ->
+      """SELECT doc_id,
+        |  '# Document: doc_' || doc_id || chr(10) ||
+        |  'Signature: ' || trim('# ' || source) || chr(10) ||
+        |  'Doc: ' || substr(trim('# ' || source) || ' ' || trim(text), 1, 512) || chr(10) ||
+        |  'Flow: complexity 1' || chr(10) ||
+        |  'File: notes doc ' || doc_id || ' md' || chr(10) || chr(10) ||
+        |  '# ' || source || chr(10) || text || chr(10) || chr(10) || 'lang: ' || lang
+        |  AS embed_text
+        |FROM documents WHERE length(trim(text)) > 0""".stripMargin,
+    "c3_c4_scope_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  'repo/' || CASE WHEN doc_id % 4 = 0 THEN 'src/'
+        |    WHEN doc_id % 4 = 1 THEN 'src/util/'
+        |    WHEN doc_id % 4 = 2 THEN 'tests/' ELSE 'vendor/' END
+        |    || source || '_' || doc_id || '.py' AS path
+        |  FROM documents)
+        |SELECT doc_id, path FROM d
+        |WHERE path LIKE 'repo/%'
+        |  AND regexp_matches(path, '^(repo/src/.*)$')
+        |  AND NOT regexp_matches(path, '(^|/)util(/|$)')
+        |  AND regexp_matches(text, 'spark.{0,30}join')""".stripMargin,
     "st_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value
