@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked JVM's stdout raw (no "[info] " decoration) so the
+// one-line JSON contract of graft.Bench/graft.Verify is machine-parseable
+// straight from `sbt "runMain ..."` output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
