@@ -157,16 +157,20 @@ object CodeUnits {
 
   /** Leading `(?<![A-Za-z0-9_])` word guard keeps a blocked keyword
     * position from re-matching one char into the identifier (`def foo(`
-    * must not yield call `oo`); keyword lookbehinds allow 1-4 spaces. */
+    * must not yield call `oo`); keyword lookbehinds allow 1-4 spaces.
+    * Uppercase-initial names are calls too (constructors, `Some(x)`,
+    * Scala `apply` sugar — tree-sitter's call_expression casts the same
+    * wide net); definition keywords and `@decorator(` are excluded. */
   private val CallRe = java.util.regex.Pattern.compile(
-    """(?<![A-Za-z0-9_])(?<!\bdef[ \t]{1,4})(?<!\bfn[ \t]{1,4})(?<!\bfun[ \t]{1,4})(?<!\bfunc[ \t]{1,4})(?<!\bfunction[ \t]{1,4})([a-z_][A-Za-z0-9_]*)\s*\(""")
+    """(?<![A-Za-z0-9_])(?<!\bdef[ \t]{1,4})(?<!\bdefp[ \t]{1,4})(?<!\bfn[ \t]{1,4})(?<!\bfun[ \t]{1,4})(?<!\bfunc[ \t]{1,4})(?<!\bfunction[ \t]{1,4})(?<!\bmacro[ \t]{1,4})(?<!\bclass[ \t]{1,4})(?<!\bstruct[ \t]{1,4})(?<!\bimpl[ \t]{1,4})(?<!\benum[ \t]{1,4})(?<!\btrait[ \t]{1,4})(?<!\binterface[ \t]{1,4})(?<!\bextension[ \t]{1,4})(?<!@)([A-Za-z_][A-Za-z0-9_]*)\s*\(""")
 
-  /** Control-flow keywords that read as `name(` to the regex but are
-    * never call expressions under a real grammar. */
+  /** Control-flow and definition keywords that read as `name(` to the
+    * regex but are never call expressions under a real grammar. */
   private val CallStop = Set(
     "if", "for", "while", "switch", "match", "catch", "return", "when",
     "unless", "until", "elif", "except", "raise", "throw", "case", "do",
-    "not", "and", "or", "in", "defer", "loop", "foreach")
+    "not", "and", "or", "in", "defer", "loop", "foreach", "function",
+    "new", "assert", "yield", "typeof", "sizeof", "await")
   private val VarRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
     java.util.regex.Pattern.MULTILINE)

@@ -410,6 +410,27 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(hover.kind === "section" && hover.startLine === 2 && hover.endLine === 4)
   }
 
+  test("C1 layer 2: constructor and uppercase calls captured; definitions are not calls") {
+    val src =
+      """def build(n):
+        |    buf = Buffer(n)
+        |    opt = Some(5)
+        |    return buf
+        |class Buffer(Base):
+        |    pass
+        |""".stripMargin
+    val byName = CodeUnits.extractUnits("lib/b.py", src).map(u => u.name -> u).toMap
+    assert(byName("build").calls.contains("Buffer"))
+    assert(byName("build").calls.contains("Some"))
+    // `class Buffer(Base)` is a definition, not a call of Buffer
+    assert(!byName("Buffer").calls.contains("Buffer"))
+    val js = CodeUnits.extractUnits("a.js",
+      "function go() {\n  const w = new Widget(1)\n  items.map(function(x) { return x })\n}\n")
+      .map(u => u.name -> u).toMap
+    assert(js("go").calls.contains("Widget"))
+    assert(!js("go").calls.contains("function")) // anonymous fn keyword
+  }
+
   test("C1: brace-depth nesting attributes parents regardless of indentation") {
     // methods at zero indent inside a brace-style class still nest
     val src =
