@@ -111,7 +111,7 @@ object CodeUnits {
 
   private val ClassRe = java.util.regex.Pattern.compile(
     "^[ \\t]*" + Mods +
-      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type)\s+([A-Za-z_][A-Za-z0-9_]*)""",
+      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type)\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)""",
     java.util.regex.Pattern.MULTILINE)
 
   /** C-family methods declared modifier-first with the return type before
@@ -228,15 +228,23 @@ object CodeUnits {
       val raw = Option(dsM.group(1)).getOrElse(dsM.group(2))
       return raw.trim.take(512)
     }
-    // comment block immediately above the definition
+    // comment block immediately above the definition (`--` covers
+    // Lua/Haskell/SQL line comments; `@doc "..."` is Elixir's attribute)
     val block = scala.collection.mutable.ArrayBuffer.empty[String]
     var li = startLine - 1
-    while (li >= 0 && lines(li).trim.matches("""^(///|//|#|\*|/\*\*?|\*/).*|^\s*$""") &&
+    while (li >= 0 && lines(li).trim.matches("""^(///|//|#|\*|/\*\*?|\*/|--).*|^\s*$""") &&
         lines(li).trim.nonEmpty) {
       block += lines(li).trim
-        .replaceAll("""^(///|//|#|\*+/?|/\*+)\s?""", "")
+        .replaceAll("""^(///|//|--(?: ?\|)?|#|\*+/?|/\*+)\s?""", "")
         .replaceAll("""\s*\*+/\s*$""", "")
       li -= 1
+    }
+    if (block.isEmpty && startLine >= 1) {
+      // Elixir: @doc "..." / @doc """...""" directly above the def
+      val above = lines(startLine - 1).trim
+      val am = java.util.regex.Pattern
+        .compile("""^@doc\s+"{1,3}(.*?)"{0,3}\s*$""").matcher(above)
+      if (am.find() && am.group(1).nonEmpty) block += am.group(1)
     }
     block.reverse.mkString(" ").trim.take(512)
   }

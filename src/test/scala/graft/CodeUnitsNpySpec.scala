@@ -262,6 +262,11 @@ class CodeUnitsNpySpec extends AnyFunSuite {
         |  end
         |end
         |""".stripMargin
+    val exDotted = CodeUnits.extractUnits("lib/app.ex",
+      "defmodule MyApp.Cache do\n  def get(k) do\n    k\n  end\nend\n")
+      .map(u => u.name -> u).toMap
+    assert(exDotted.contains("MyApp.Cache"))
+    assert(exDotted("get").parentClass === "MyApp.Cache")
     val ex = CodeUnits.extractUnits("lib/cache.ex", exSrc).map(u => u.name -> u).toMap
     assert(ex("Cache").kind === "class")
     assert(ex("get").kind === "method" && ex("get").parentClass === "Cache")
@@ -429,6 +434,21 @@ class CodeUnitsNpySpec extends AnyFunSuite {
       .map(u => u.name -> u).toMap
     assert(js("go").calls.contains("Widget"))
     assert(!js("go").calls.contains("function")) // anonymous fn keyword
+  }
+
+  test("C1 layer 1: dash-comment and @doc docstrings (Lua/Haskell/SQL/Elixir)") {
+    val lua = CodeUnits.extractUnits("m.lua",
+      "-- adds two numbers\nfunction add(a, b)\n  return a + b\nend\n")
+    assert(lua.head.docstring === "adds two numbers")
+    val hs = CodeUnits.extractUnits("P.hs",
+      "-- | Parse a header line\nparseHeader :: String -> Int\nparseHeader s = 1\n")
+    assert(hs.head.docstring === "Parse a header line")
+    val sql = CodeUnits.extractUnits("s.sql",
+      "-- user accounts\nCREATE TABLE users (id INT);\n")
+    assert(sql.head.docstring === "user accounts")
+    val ex = CodeUnits.extractUnits("c.ex",
+      "defmodule C do\n  @doc \"Fetches a key\"\n  def get(k) do\n    k\n  end\nend\n")
+    assert(ex.find(_.name == "get").get.docstring === "Fetches a key")
   }
 
   test("C1: brace-depth nesting attributes parents regardless of indentation") {
