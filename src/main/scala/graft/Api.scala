@@ -260,6 +260,18 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame =
     new Searcher(index).rerank(query, docs, topK)
 
+  /** POST /indices/{name}/metadata/check (handlers/metadata.rs:38-110):
+    * partition the given doc ids into (existing, missing) by metadata
+    * presence. Bounded by the request size, so the collect is safe. */
+  def metadataCheck(ids: Seq[Long]): (Seq[Long], Seq[Long]) = {
+    if (ids.isEmpty) return (Seq.empty, Seq.empty)
+    if (!graft.util.Fs.exists(metaPath)) return (Seq.empty, ids)
+    val present = metadata.select("_subset_")
+      .filter(col("_subset_").isin(ids: _*))
+      .collect().map(_.getLong(0)).toSet
+    (ids.filter(present), ids.filterNot(present))
+  }
+
   // ---- npy interchange (B11, both directions) ----
 
   /** Export the vector index in the reference's npy/json directory
@@ -302,6 +314,13 @@ object GraftIndex {
   /** GET /indices/{name} — open an existing index directory. */
   def open(spark: SparkSession, path: String): GraftIndex =
     new GraftIndex(spark, path)
+
+  /** GET /indices (handlers/documents.rs:1093-1099) — names of index
+    * directories under `rootDir` (those carrying a manifest). */
+  def list(rootDir: String): Seq[String] =
+    graft.util.Fs.listDirs(rootDir)
+      .filter(n => graft.util.Fs.exists(s"$rootDir/$n/manifest.json"))
+      .sorted
 
   /** Import a reference-format npy index directory (B11). */
   def importNpy(spark: SparkSession, refDir: String, path: String): GraftIndex = {

@@ -34,6 +34,13 @@ object Fs {
     f.exists(p)
   }
 
+  /** Names of the immediate subdirectories of `path` (empty if absent). */
+  def listDirs(path: String): Seq[String] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   def deleteRecursively(path: String): Unit = {
     val (f, p) = fs(path)
     if (f.exists(p)) f.delete(p, true): Unit

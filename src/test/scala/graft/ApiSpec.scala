@@ -123,6 +123,22 @@ class ApiSpec extends AnyFunSuite {
     assert(!graft.util.Fs.exists(path))
   }
 
+  test("metadata/check partitions ids by presence; GET /indices lists index dirs") {
+    val root = "/tmp/graft_api_list"
+    graft.util.Fs.deleteRecursively(root)
+    val gi = GraftIndex.create(spark, s"$root/alpha",
+      docs.filter(col("doc_id") < 4), metaJson = Some(metaJsonFor(0L until 4L)))
+    // a directory without a manifest is not an index
+    graft.util.Fs.writeBytes(s"$root/not_an_index/placeholder", Array[Byte](1))
+    assert(GraftIndex.list(root) === Seq("alpha"))
+
+    val (existing, missing) = gi.metadataCheck(Seq(0L, 2L, 99L))
+    assert(existing === Seq(0L, 2L) && missing === Seq(99L))
+    assert(gi.metadataCheck(Seq.empty) === ((Seq.empty, Seq.empty)))
+    gi.drop()
+    assert(GraftIndex.list(root) === Seq.empty)
+  }
+
   test("addDocuments ingest is O(batch): untouched FTS postings files byte-identical") {
     import scala.jdk.CollectionConverters._
     def files(dir: String): Map[String, Long] = {
