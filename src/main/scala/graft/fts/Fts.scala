@@ -43,12 +43,19 @@ object Fts {
       docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String = "unicode61"
   ): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    // trigram pre-lowers in its own projection: an expression embedded in
+    // a transform() lambda is evaluated PER ELEMENT, so lower() inside
+    // the sliding substr would re-lower the whole string once per
+    // trigram — O(len²) per document
+    val base =
+      if (tokenizerName == "trigram")
+        docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("_text"))
+      else docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
     val terms = tokenizerName match {
       case "unicode61" =>
         expr("regexp_extract_all(lower(_text), '[\\\\p{L}\\\\p{Nd}]+', 0)")
       case "trigram" =>
-        val lc = lower(col("_text"))
+        val lc = col("_text")
         when(length(lc) < 3, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), length(lc) - 2),
             i => lc.substr(i, lit(3))))
@@ -94,14 +101,16 @@ object Fts {
     val stats = doclens0.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val terms = queryTerms.distinct.toDF("term")
+    // literal In predicate (not a broadcast join): it reaches the parquet
+    // scan as a pushed filter, and postings are term-sorted within
+    // partitions, so row-group stats prune everything but the query's
+    // terms — a broadcast join would scan the full postings table
+    val matched = postings.filter(col("term").isin(queryTerms.distinct: _*))
     // df over the full corpus (FTS5 computes idf on the whole table;
     // subset filtering restricts candidates, not statistics)
-    val dfTable = postings
-      .join(broadcast(terms), "term")
+    val dfTable = matched
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val scored = postings
-      .join(broadcast(terms), "term")
+    val scored = matched
       .join(broadcast(dfTable), "term")
       .join(doclens, "doc_id")
       .crossJoin(broadcast(stats))
