@@ -140,4 +140,35 @@ object KernelProperties extends Properties("kernels") {
       graft.meta.SafeRegex.matches(s, p) ==
         java.util.regex.Pattern.compile(p).matcher(s).find()
     }
+
+  // ---- C1 extraction: total on arbitrary input, spans always valid ----
+
+  private val srcCharGen: Gen[Char] = Gen.frequency(
+    (20, Gen.alphaNumChar),
+    (6, Gen.oneOf(' ', '\n', '\t')),
+    (4, Gen.oneOf('{', '}', '(', ')', '"', '\'', ';', ':', '.', ',')),
+    (2, Gen.oneOf('/', '*', '#', '-', '@', '=', '<', '>', '[', ']', '|', '\\')),
+    (1, Gen.oneOf('\u00e9', '\u4e2d', '\u00a0')))
+  private val srcGen: Gen[String] =
+    Gen.listOf(srcCharGen).map(_.mkString)
+  private val srcWithKeywordsGen: Gen[String] = for {
+    pre <- srcGen
+    kw <- Gen.oneOf("def f(", "class X {", "function g()", "fn h(", "-- c\n",
+      "CREATE TABLE t (", "<script>", "\"\"\"d\"\"\"", "@doc \"x\"", "let y =")
+    post <- srcGen
+  } yield pre + kw + post
+  private val pathGen: Gen[String] = for {
+    stem <- Gen.identifier.map(_.take(10))
+    ext <- Gen.oneOf("py", "rs", "java", "lua", "ex", "hs", "ml", "r", "zig",
+      "jl", "sql", "css", "vue", "svelte", "html", "md", "yaml", "sh", "xyz", "")
+  } yield if (ext.isEmpty) stem else s"$stem.$ext"
+
+  property("extractUnits is total with in-bounds ordered line spans") =
+    forAll(pathGen, Gen.oneOf(srcGen, srcWithKeywordsGen)) { (path, src) =>
+      val units = graft.operators.CodeUnits.extractUnits(path, src)
+      val nLines = src.split("\n", -1).length
+      Prop(units.forall(u =>
+        u.startLine >= 1 && u.endLine >= u.startLine && u.endLine <= nLines)) &&
+        Prop(units.forall(u => graft.operators.CodeUnits.embedText(u) != null))
+    }
 }
