@@ -63,4 +63,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_min") || plan.contains("partial"),
       s"no partial (map-side) aggregation before the shuffle:\n$plan")
   }
+
+  test("BM25 query terms reach the postings scan as a pushed In filter") {
+    import spark.implicits._
+    val fts = "/tmp/graft_plan_fts"
+    graft.util.Fs.deleteRecursively(fts)
+    val docs = (0L until 200L).map(i => (i, s"alpha beta gamma$i"))
+      .toDF("doc_id", "text")
+    val idx = graft.fts.FtsIndex.build(spark, docs, "doc_id", "text", fts)
+    val plan = planOf(graft.fts.Fts.bm25(
+      spark, idx.postings, Seq("alpha", "beta"), doclensOpt = Some(idx.doclens)))
+    assert(plan.contains("In(term,") || plan.contains("In(term "),
+      s"query-term predicate not pushed into the postings scan:\n$plan")
+  }
 }
