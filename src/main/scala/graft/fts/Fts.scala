@@ -32,44 +32,59 @@ object Fts {
     case "identifier_aware" => tokenizeIdentifierAware
   }
 
-  /** F3 index build: `(term, doc_id, tf)` postings from
-    * `docs(idCol, textCol)`. The unicode61 and trigram paths use builtin
-    * codegen'd expressions (`[\p{L}\p{Nd}]+` runs ≡
-    * Character.isLetterOrDigit; sliding `substr` over the lowercased
-    * text ≡ [[Tokenizers.trigram]]) — no UDF object round-trip on the
-    * corpus-wide hot path; identifier-aware keeps the JVM-kernel UDF
-    * (camel/snake splitting has no builtin twin). */
-  def buildPostings(
+  /** `(doc_id, _terms)` — the tokenizer applied per document.
+    *
+    * Trigram is deliberately the JVM tokenizer UDF, not a builtin
+    * `transform(sequence, i -> substr(i, 3))` chain: measured at sf0.1
+    * the builtin runs 2-6× SLOWER because `UTF8String.substring` scans
+    * from the string start to find each char boundary — O(len²) per
+    * document — while the UDF's `java.lang.String` slices are O(1)
+    * indexed. unicode61 stays builtin (`regexp_extract_all` is a single
+    * linear pass). */
+  private def withTerms(
       docs: DataFrame, idCol: String, textCol: String,
-      tokenizerName: String = "unicode61"
-  ): DataFrame = {
-    // trigram pre-lowers in its own projection: an expression embedded in
-    // a transform() lambda is evaluated PER ELEMENT, so lower() inside
-    // the sliding substr would re-lower the whole string once per
-    // trigram — O(len²) per document
-    val base =
-      if (tokenizerName == "trigram")
-        docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("_text"))
-      else docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      tokenizerName: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
     val terms = tokenizerName match {
       case "unicode61" =>
         expr("regexp_extract_all(lower(_text), '[\\\\p{L}\\\\p{Nd}]+', 0)")
-      case "trigram" =>
-        val lc = col("_text")
-        when(length(lc) < 3, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length(lc) - 2),
-            i => lc.substr(i, lit(3))))
       case other => tokenizer(other)(col("_text"))
     }
-    base
-      .select(col("doc_id"), explode(terms).as("term"))
+    base.select(col("doc_id"), terms.as("_terms"))
+  }
+
+  def buildPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String = "unicode61"
+  ): DataFrame =
+    withTerms(docs, idCol, textCol, tokenizerName)
+      .select(col("doc_id"), explode(col("_terms")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-  }
 
   /** Doc length table `(doc_id, dl)` from postings. */
   def docLengths(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** Doc lengths computed straight from the source text: `dl` equals
+    * the postings' `sum(tf)` by construction (total term occurrences),
+    * and the `dl > 0` filter reproduces the postings-derived id set
+    * (docs with no terms have no postings rows) — one narrow map over
+    * the corpus instead of re-aggregating the exploded postings. For
+    * trigram the count is pure arithmetic (`max(len-2, 0)`): no term
+    * materialization at all. */
+  def docLengthsOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizerName: String): DataFrame = {
+    val dl =
+      if (tokenizerName == "trigram")
+        docs.select(col(idCol).as("doc_id"),
+          greatest(length(col(textCol)) - 2, lit(0)).cast("long").as("dl"))
+      else
+        withTerms(docs, idCol, textCol, tokenizerName)
+          .select(col("doc_id"), size(col("_terms")).cast("long").as("dl"))
+    dl.filter(col("dl") > 0)
+  }
 
   /** F4 BM25 search. `andSemantics=true` = FTS5 implicit AND
     * (sanitize_fts5_query, text_search.rs:949-969); false = OR

@@ -50,10 +50,10 @@ object FtsIndex {
       docs: DataFrame, idCol: String, textCol: String,
       path: String,
       tokenizerName: String = "unicode61"): FtsIndex = {
-    val postings = Fts.buildPostings(docs, idCol, textCol, tokenizerName).cache()
-    writePostings(spark, postings, path)
-    Fs.rewrite(postings.groupBy("doc_id").agg(sum("tf").as("dl")), s"$path/doclens")
-    postings.unpersist()
+    writePostings(spark, Fts.buildPostings(docs, idCol, textCol, tokenizerName), path)
+    // doclens from the source text (one narrow scan), not a second
+    // aggregation over the exploded postings
+    Fs.rewrite(Fts.docLengthsOf(docs, idCol, textCol, tokenizerName), s"$path/doclens")
     val node = graft.index.MultiVectorIndex.jsonMapper.createObjectNode()
     node.put("tokenizer", tokenizerName)
     Fs.writeBytes(s"$path/fts.json",
@@ -111,7 +111,7 @@ object FtsIndex {
     val fresh = Fts.buildPostings(docs, idCol, textCol, idx.tokenizerName)
     fresh.sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Append).parquet(s"${idx.path}/postings")
-    fresh.groupBy("doc_id").agg(sum("tf").as("dl"))
+    Fts.docLengthsOf(docs, idCol, textCol, idx.tokenizerName)
       .write.mode(SaveMode.Append).parquet(s"${idx.path}/doclens")
     new FtsIndex(idx.spark, idx.path)
   }
@@ -142,8 +142,11 @@ object FtsIndex {
     val fresh = Fts.buildPostings(docs, idCol, textCol, idx.tokenizerName)
     val kept = idx.postings.join(broadcast(changed), Seq("doc_id"), "left_anti")
     writePostings(spark, kept.unionByName(fresh), idx.path)
-    Fs.rewrite(spark.read.parquet(s"${idx.path}/postings")
-      .groupBy("doc_id").agg(sum("tf").as("dl")), s"${idx.path}/doclens")
+    // doclens patched the same way: untouched rows kept, changed docs
+    // recomputed from their text — O(changed), not a full postings re-agg
+    Fs.rewrite(idx.doclens.join(broadcast(changed), Seq("doc_id"), "left_anti")
+      .unionByName(Fts.docLengthsOf(docs, idCol, textCol, idx.tokenizerName)),
+      s"${idx.path}/doclens")
     new FtsIndex(spark, idx.path)
   }
 
