@@ -29,13 +29,17 @@ object Multimodal {
   ))
 
   /** Magic-byte format sniffing as a pure column expression (first bytes
-    * of the payload in hex — PNG / JPEG / RIFF-WAV / MP4 ftyp). */
-  def sniffFormat(payloadCol: String): org.apache.spark.sql.Column =
-    when(substring(hex(col(payloadCol)), 1, 8) === "89504E47", "png")
-      .when(substring(hex(col(payloadCol)), 1, 6) === "FFD8FF", "jpeg")
-      .when(substring(hex(col(payloadCol)), 1, 8) === "52494646", "wav")
-      .when(substring(hex(col(payloadCol)), 9, 8) === "66747970", "mp4")
+    * of the payload in hex — PNG / JPEG / RIFF-WAV / MP4 ftyp). Only a
+    * 12-byte binary prefix is hexed: hexing the whole payload would
+    * allocate 2× a multi-megabyte blob per row to read ≤16 chars. */
+  def sniffFormat(payloadCol: String): org.apache.spark.sql.Column = {
+    val prefix = hex(substring(col(payloadCol), 1, 12))
+    when(substring(prefix, 1, 8) === "89504E47", "png")
+      .when(substring(prefix, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(prefix, 1, 8) === "52494646", "wav")
+      .when(substring(prefix, 9, 8) === "66747970", "mp4")
       .otherwise("unknown")
+  }
 
   /** Payload statistics: byte length, sniffed format, hex-md5 checksum —
     * scan-speed column math, no shuffle. */
