@@ -60,6 +60,23 @@ object CodeIndexer {
     }
   }
 
+  /** Read a source tree into `(path, source)` rows — the colgrep CLI's
+    * directory walk as a Spark scan. Built on the `binaryFile` source
+    * (recursive, glob-filterable, distributed) with an oversize cap
+    * mirroring colgrep's skip of generated/vendored megafiles; decoding
+    * is UTF-8 with replacement, matching String(bytes) semantics. */
+  def readTree(
+      spark: SparkSession, root: String,
+      glob: Option[String] = None,
+      maxBytes: Long = 2L * 1024 * 1024): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(root)
+      .filter(col("length") <= maxBytes)
+      .select(col("path"), col("content").cast("string").as("source"))
+  }
+
   def units(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/units")
 

@@ -559,6 +559,29 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(CodeUnits.embedText(doc).startsWith("# Document: notes\n"))
   }
 
+  test("C7: readTree walks a source tree into (path, source) rows with an oversize cap") {
+    import java.nio.file.{Files, Paths}
+    val root = "/tmp/graft_readtree"
+    graft.util.Fs.deleteRecursively(root)
+    Files.createDirectories(Paths.get(s"$root/pkg"))
+    Files.write(Paths.get(s"$root/pkg/mod.py"), "def f():\n    return 1\n".getBytes)
+    Files.write(Paths.get(s"$root/notes.md"), "# Notes\nbody\n".getBytes)
+    Files.write(Paths.get(s"$root/huge.py"), Array.fill(64)("x").mkString.getBytes)
+    val all = graft.operators.CodeIndexer.readTree(spark, root)
+      .collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(all.keySet === Set("mod.py", "notes.md", "huge.py"))
+    assert(all("mod.py").contains("def f()"))
+    // oversize cap drops megafiles
+    val capped = graft.operators.CodeIndexer.readTree(spark, root, maxBytes = 32)
+      .collect().map(_.getString(0).split('/').last).toSet
+    assert(!capped.contains("huge.py") && capped.contains("notes.md"))
+    // glob restriction + end-to-end extraction over the tree
+    val py = graft.operators.CodeIndexer.readTree(spark, root, glob = Some("*.py"))
+    val units = graft.operators.CodeUnits.extract(spark, py).collect()
+    assert(units.exists(u => u.getAs[String]("name") == "f"))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("C7: diffState detects new, changed, and deleted files") {
     import spark.implicits._
     val files = Seq(("a.py", "v2"), ("b.py", "same"), ("new.py", "x")).toDF("path", "source")
