@@ -66,20 +66,35 @@ object Fts {
   def docLengths(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(sum("tf").as("dl"))
 
+  /** Trigram doc length without materializing the grams: the tokenizer
+    * emits exactly `max(len(lower(text)) - 2, 0)` grams where `len` is
+    * UTF-16 code units of the LOWERCASED text (Tokenizers.trigram slides
+    * over `String` indices). Spark's builtin `length()` counts code
+    * points of the raw text, which disagrees for non-BMP chars and
+    * lowercase-expanding chars (U+0130), so the count is taken on the
+    * JVM over the same base the tokenizer uses. */
+  private val trigramDl = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      val n = s.toLowerCase.length
+      if (n < 3) 0L else (n - 2).toLong
+    }
+  }
+
   /** Doc lengths computed straight from the source text: `dl` equals
     * the postings' `sum(tf)` by construction (total term occurrences),
     * and the `dl > 0` filter reproduces the postings-derived id set
     * (docs with no terms have no postings rows) — one narrow map over
     * the corpus instead of re-aggregating the exploded postings. For
-    * trigram the count is pure arithmetic (`max(len-2, 0)`): no term
-    * materialization at all. */
+    * trigram the count is arithmetic on the lowercased UTF-16 length
+    * (see [[trigramDl]]): no term materialization at all. */
   def docLengthsOf(
       docs: DataFrame, idCol: String, textCol: String,
       tokenizerName: String): DataFrame = {
     val dl =
       if (tokenizerName == "trigram")
         docs.select(col(idCol).as("doc_id"),
-          greatest(length(col(textCol)) - 2, lit(0)).cast("long").as("dl"))
+          trigramDl(col(textCol)).as("dl"))
       else
         withTerms(docs, idCol, textCol, tokenizerName)
           .select(col("doc_id"), size(col("_terms")).cast("long").as("dl"))

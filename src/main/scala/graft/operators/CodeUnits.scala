@@ -87,16 +87,29 @@ object CodeUnits {
     "markdown", "text", "yaml", "toml", "json", "dockerfile", "makefile",
     "shell", "powershell", "asciidoc", "org")
 
-  def languageOf(path: String): String = {
+  /** `None` for unknown extensions and extensionless files (other than
+    * the Dockerfile/Makefile filename forms) — the reference's
+    * detect_language returns None and the file is skipped entirely
+    * (colgrep/src/parser/language.rs:8-63), so arbitrary binary or
+    * unrecognized files are never indexed as text. */
+  def languageOf(path: String): Option[String] = {
     val fname = path.substring(path.lastIndexOf('/') + 1).toLowerCase
-    if (fname == "dockerfile") "dockerfile"
-    else if (fname == "makefile" || fname == "gnumakefile") "makefile"
-    else if (!fname.contains('.')) "text"
-    else ExtLang.getOrElse(fname.reverse.takeWhile(_ != '.').reverse, "text")
+    if (fname == "dockerfile") Some("dockerfile")
+    else if (fname == "makefile" || fname == "gnumakefile") Some("makefile")
+    else if (!fname.contains('.')) None
+    else ExtLang.get(fname.reverse.takeWhile(_ != '.').reverse)
   }
 
   private val Mods =
     """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|declare|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|mutable|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec|local)\s+)*"""
+
+  /** Definition anchor: line start OR just after a statement-ending `;`,
+    * so co-located defs on one line (`def a = 1; def b = 2`, minified JS)
+    * each match — tree-sitter keeps co-located defs
+    * (colgrep/src/parser/ast.rs); a pure `^` anchor would collapse them
+    * to the first. The `;` form is a lookbehind so match start (used for
+    * offset-dedup and span math) stays at the definition itself. */
+  private val DefAnchor = """(?:^|(?<=;))[ \t]*"""
 
   /** Keyword-introduced function defs; group 1 = Go receiver (if any),
     * group 2 = name. `fun` is Kotlin, `func` Go/Swift, `fn` Rust,
@@ -105,12 +118,12 @@ object CodeUnits {
     * `function M:get(`) capture whole; [[extractUnits]] splits the last
     * segment off as the name and the prefix as the receiver. */
   private val FuncRe = java.util.regex.Pattern.compile(
-    "^[ \\t]*" + Mods +
+    DefAnchor + Mods +
       """(?:defmacrop?|defp?|fn|func|fun|function|macro)\s+(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*(?:[.:][A-Za-z_][A-Za-z0-9_]*)*)""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ClassRe = java.util.regex.Pattern.compile(
-    "^[ \\t]*" + Mods +
+    DefAnchor + Mods +
       """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type)\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)""",
     java.util.regex.Pattern.MULTILINE)
 
@@ -120,12 +133,12 @@ object CodeUnits {
     * and the pattern would false-positive on calls. Group 1 = return
     * type, group 2 = name. */
   private val CMethodRe = java.util.regex.Pattern.compile(
-    """^[ \t]*(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
+    DefAnchor + """(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
       """([A-Za-z_][\w.]*(?:<[^(\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ConstRe = java.util.regex.Pattern.compile(
-    """^[ \t]*(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
+    DefAnchor + """(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
     java.util.regex.Pattern.MULTILINE)
 
   // --- language-gated definition shapes (no shared-keyword form) ---
@@ -258,11 +271,12 @@ object CodeUnits {
   def extractUnits(path: String, source: String): Seq[CodeUnit] = {
     if (source == null || source.isEmpty) return Seq.empty
     languageOf(path) match {
-      case l if TextFormats(l) => documentUnits(path, l, source)
-      case l @ ("vue" | "svelte") => sfcUnits(path, l, source)
-      case "html" => htmlUnits(path, source)
-      case "css" => cssUnits(path, source)
-      case l => codeUnits(path, l, source, 0)
+      case None => Seq.empty // unknown extension: file skipped entirely
+      case Some(l) if TextFormats(l) => documentUnits(path, l, source)
+      case Some(l @ ("vue" | "svelte")) => sfcUnits(path, l, source)
+      case Some("html") => htmlUnits(path, source)
+      case Some("css") => cssUnits(path, source)
+      case Some(l) => codeUnits(path, l, source, 0)
     }
   }
 
@@ -278,7 +292,10 @@ object CodeUnits {
     val stem = if (dot > 0) fname.substring(0, dot) else fname
     val signature = lines.find(_.trim.nonEmpty).map(_.trim).getOrElse("")
     val doc = lines.iterator.map(_.trim).takeWhile(_.nonEmpty).take(5).mkString(" ")
-    Seq(CodeUnit(path, lang, "document", stem, signature, 1, lines.length,
+    // endLine counts like Rust's `source.lines()`: a file ending in '\n'
+    // contributes no trailing empty line (text.rs end_line = lines.len())
+    val endLine = if (lines.last.isEmpty) lines.length - 1 else lines.length
+    Seq(CodeUnit(path, lang, "document", stem, signature, 1, endLine,
       source, Seq.empty, docstring = doc.take(512), qualifiedName = s"$path::$stem"))
   }
 
@@ -290,22 +307,53 @@ object CodeUnits {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var inScript = false
+    // open tag seen but its '>' not yet (attributes span lines): collect
+    // the attribute text so the src= check covers the whole tag region
+    var inOpenTag = false
+    var attrBuf = new StringBuilder
     var start = 0
     var i = 0
     while (i < lines.length) {
       val t = lines(i).trim
-      if (!inScript) {
-        if (t.startsWith("<script") && !t.contains("src=") && t.contains('>')) {
-          val after = t.substring(t.indexOf('>') + 1)
-          val close = after.indexOf("</script")
-          if (close >= 0) { // one-line <script>…</script>
-            if (after.substring(0, close).trim.nonEmpty)
-              out += ((i, after.substring(0, close)))
-          } else {
-            inScript = true
-            buf.clear()
-            if (after.trim.nonEmpty) { buf += after; start = i }
-            else start = i + 1
+      if (inOpenTag) {
+        val gt = lines(i).indexOf('>')
+        if (gt < 0) attrBuf.append(' ').append(lines(i))
+        else {
+          attrBuf.append(' ').append(lines(i).substring(0, gt))
+          inOpenTag = false
+          // src= only counts inside the attribute region of the tag
+          if (!attrBuf.toString.contains("src=")) {
+            val after = lines(i).substring(gt + 1)
+            val close = after.indexOf("</script")
+            if (close >= 0) {
+              if (after.substring(0, close).trim.nonEmpty)
+                out += ((i, after.substring(0, close)))
+            } else {
+              inScript = true
+              buf.clear()
+              if (after.trim.nonEmpty) { buf += after; start = i }
+              else start = i + 1
+            }
+          }
+        }
+      } else if (!inScript) {
+        if (t.startsWith("<script")) {
+          val gt = t.indexOf('>')
+          if (gt < 0) { // open tag continues on later lines
+            inOpenTag = true
+            attrBuf = new StringBuilder(t)
+          } else if (!t.substring(0, gt).contains("src=")) {
+            val after = t.substring(gt + 1)
+            val close = after.indexOf("</script")
+            if (close >= 0) { // one-line <script>…</script>
+              if (after.substring(0, close).trim.nonEmpty)
+                out += ((i, after.substring(0, close)))
+            } else {
+              inScript = true
+              buf.clear()
+              if (after.trim.nonEmpty) { buf += after; start = i }
+              else start = i + 1
+            }
           }
         }
       } else {
