@@ -489,6 +489,63 @@ object CodeUnits {
     out.toSeq
   }
 
+  /** Offsets that sit inside string literals, comments, or parenthesized
+    * headers — positions where a `;` is not a statement boundary. Same
+    * lexer approximation as the brace-depth walk in [[codeUnits]], plus
+    * `#`/`--` line comments for the languages that use them, plus paren
+    * depth (so `for(;;)` separators don't anchor definitions). */
+  private[operators] def maskedOffsets(source: String, lang: String): java.util.BitSet = {
+    val masked = new java.util.BitSet(source.length)
+    val hashComment = Set("python", "ruby", "elixir", "r", "julia", "perl")(lang)
+    val dashComment = Set("lua", "sql", "haskell")(lang)
+    val S_CODE = 0; val S_STR = 1; val S_LINE = 2; val S_BLOCK = 3
+    var state = S_CODE
+    var strQuote = ' '
+    var paren = 0
+    var i = 0
+    while (i < source.length) {
+      val ch = source.charAt(i)
+      state match {
+        case S_STR =>
+          masked.set(i)
+          if (ch == '\\') { if (i + 1 < source.length) masked.set(i + 1); i += 1 }
+          else if (ch == strQuote || ch == '\n') state = S_CODE
+        case S_LINE =>
+          if (ch == '\n') state = S_CODE else masked.set(i)
+        case S_BLOCK =>
+          masked.set(i)
+          if (ch == '*' && i + 1 < source.length && source.charAt(i + 1) == '/') {
+            masked.set(i + 1); state = S_CODE; i += 1
+          }
+        case _ => ch match {
+          case '"' | '`' => state = S_STR; strQuote = ch; masked.set(i)
+          case '\'' =>
+            val lookEnd = math.min(i + 4, source.length)
+            var j = i + 1
+            if (j < lookEnd && source.charAt(j) == '\\') j += 1
+            var closes = false
+            while (j < lookEnd && !closes) {
+              if (source.charAt(j) == '\'') closes = true
+              j += 1
+            }
+            if (closes) { state = S_STR; strQuote = '\''; masked.set(i) }
+          case '#' if hashComment => state = S_LINE; masked.set(i)
+          case '-' if dashComment && i + 1 < source.length && source.charAt(i + 1) == '-' =>
+            state = S_LINE; masked.set(i); masked.set(i + 1); i += 1
+          case '/' if i + 1 < source.length && source.charAt(i + 1) == '/' =>
+            state = S_LINE; masked.set(i); masked.set(i + 1); i += 1
+          case '/' if i + 1 < source.length && source.charAt(i + 1) == '*' =>
+            state = S_BLOCK; masked.set(i); masked.set(i + 1); i += 1
+          case '(' => if (paren > 0) masked.set(i); paren += 1
+          case ')' => paren = math.max(0, paren - 1); if (paren > 0) masked.set(i)
+          case _ => if (paren > 0) masked.set(i)
+        }
+      }
+      i += 1
+    }
+    masked
+  }
+
   /** Code-language extraction (the regex parser proper). `lineOffset`
     * shifts reported line numbers — used when the source is an embedded
     * script block of a larger file. */
@@ -569,7 +626,21 @@ object CodeUnits {
       case _ =>
     }
     val kindPrio = Map("class" -> 3, "function" -> 2, "constant" -> 1)
-    val defs = defs0.toSeq.groupBy(_._1).valuesIterator
+    // a `;`-anchored match whose `;` sits inside a string literal, a
+    // comment, or a paren header (`for(;;)`) is not a statement boundary —
+    // drop it before span math (line-anchored matches are untouched)
+    lazy val masked = maskedOffsets(source, lang)
+    // Go for-headers carry no parens (`for i := 0; cond; i++`) — a line
+    // led by the `for` keyword never hosts a `;`-anchored definition
+    def forHeaderLine(off: Int): Boolean = {
+      val t = lines(lineOf(off)).dropWhile(c => c == ' ' || c == '\t')
+      t.startsWith("for") && (t.length == 3 || !Character.isLetterOrDigit(t.charAt(3)))
+    }
+    val defs = defs0.toSeq
+      .filter { case (off, _, _, _, _, _) =>
+        off == 0 || source.charAt(off - 1) != ';' ||
+          (!masked.get(off - 1) && !forHeaderLine(off)) }
+      .groupBy(_._1).valuesIterator
       .map(ds => ds.maxBy(d => kindPrio(d._4)))
       .toSeq.sortBy(_._1)
     if (defs.isEmpty)
@@ -667,8 +738,17 @@ object CodeUnits {
 
     val units = defs.zipWithIndex.map { case ((off, endOff, name, kind0, recv, retHint), i) =>
       val start = lineOf(off)
-      val end = if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1
-      val code = lines.slice(start, end + 1).mkString("\n")
+      // next def on the SAME line (co-located `def a = 1; def b = 2`)
+      // would otherwise give end = start - 1: clamp, and truncate this
+      // unit's text at the next def's offset instead of the line end
+      val end = math.max(start,
+        if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1)
+      val lineEndOff = lineStart(end) + lines(end).length
+      val unitEndOff = math.max(endOff,
+        if (i + 1 < defs.length) math.min(lineEndOff, defs(i + 1)._1) else lineEndOff)
+      val codeStart =
+        if (i > 0 && lineOf(defs(i - 1)._1) == start) off else lineStart(start)
+      val code = source.substring(codeStart, unitEndOff)
       val parent = if (recv.nonEmpty) recv else parentOf(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       val cm = CallRe.matcher(code)
@@ -676,7 +756,6 @@ object CodeUnits {
       while (cm.find()) {
         if (cm.group(1) != name && !CallStop(cm.group(1))) calls += cm.group(1)
       }
-      val unitEndOff = lineStart(end) + lines(end).length
       val (params, ret0) =
         if (kind == "function" || kind == "method")
           paramsAndReturn(source.substring(endOff, unitEndOff))
@@ -695,7 +774,10 @@ object CodeUnits {
       var complexity = 1
       val cxm = ComplexityRe.matcher(code)
       while (cxm.find()) complexity += 1
-      CodeUnit(path, lang, kind, name, lines(start).trim,
+      // signature = the unit's own first line: equals lines(start).trim
+      // except for a second co-located def, whose line prefix is the
+      // preceding unit's text
+      CodeUnit(path, lang, kind, name, code.takeWhile(_ != '\n').trim,
         start + 1 + lineOffset, end + 1 + lineOffset,
         code, calls.toSeq.take(16),
         docstring = docstringOf(lines, start, code),

@@ -334,9 +334,12 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(md.head.qualifiedName === "docs/guide.md::guide")
 
     // filename-detected formats
-    assert(CodeUnits.languageOf("deploy/Dockerfile") === "dockerfile")
-    assert(CodeUnits.languageOf("Makefile") === "makefile")
-    assert(CodeUnits.languageOf("GNUmakefile") === "makefile")
+    assert(CodeUnits.languageOf("deploy/Dockerfile") === Some("dockerfile"))
+    assert(CodeUnits.languageOf("Makefile") === Some("makefile"))
+    assert(CodeUnits.languageOf("GNUmakefile") === Some("makefile"))
+    // unknown extensions and extensionless files are skipped (None), not indexed
+    assert(CodeUnits.languageOf("data/blob.xyz") === None)
+    assert(CodeUnits.languageOf("bin/tool") === None)
     val dk = CodeUnits.extractUnits("deploy/Dockerfile", "FROM alpine\nRUN true\n")
     assert(dk.head.kind === "document" && dk.head.name === "Dockerfile")
 
@@ -347,6 +350,48 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(CodeUnits.extractUnits("pkg.json", "{\"a\": 1}\n").head.kind === "document")
     // blank files yield nothing
     assert(CodeUnits.extractUnits("empty.md", "\n  \n") === Seq.empty)
+  }
+
+  test("C1: co-located defs on one line get clamped spans, truncated code, no crash") {
+    // first line of the file (end = start - 1 used to index lineStart(-1))
+    val first = CodeUnits.extractUnits("a.scala", "def a = 1; def b = 2")
+    assert(first.map(_.name) === Seq("a", "b"))
+    assert(first.forall(u => u.endLine >= u.startLine))
+    assert(first.head.code.trim === "def a = 1;")
+    assert(first(1).code.trim === "def b = 2")
+    assert(first(1).signature === "def b = 2")
+
+    // later line (unitEndOff < endOff used to crash paramsAndReturn)
+    val later = CodeUnits.extractUnits("b.js",
+      "var top = 1\nfunction a(){}; function b(){}\nfunction c(){}\n")
+    val fs = later.filter(_.kind == "function")
+    assert(fs.map(_.name) === Seq("a", "b", "c"))
+    assert(fs.forall(u => u.endLine >= u.startLine))
+    assert(!fs.head.code.contains("function b"))
+  }
+
+  test("C1: ';' inside strings, comments, and paren headers does not anchor defs") {
+    val str = CodeUnits.extractUnits("s.scala",
+      "val msg = \"stop here; def bogus = 1\"\n")
+    assert(!str.exists(_.name == "bogus"))
+
+    val cmt = CodeUnits.extractUnits("c.js",
+      "// old code; function bogus2(){}\nfunction ok(){}\n")
+    assert(cmt.exists(_.name == "ok") && !cmt.exists(_.name == "bogus2"))
+
+    val blk = CodeUnits.extractUnits("k.js",
+      "/* x; function bogus3(){} */\nfunction ok2(){}\n")
+    assert(blk.exists(_.name == "ok2") && !blk.exists(_.name == "bogus3"))
+
+    // `;` inside a for-header is not a statement boundary
+    val hdr = CodeUnits.extractUnits("h.go",
+      "func m() {\n  for i := 0; fn ok; i++ {\n  }\n}\n")
+    assert(hdr.map(_.name) === Seq("m"))
+
+    // hash comments for hash-comment languages
+    val py = CodeUnits.extractUnits("p.py",
+      "# setup; def bogus4(): pass\ndef real():\n    pass\n")
+    assert(py.exists(_.name == "real") && !py.exists(_.name == "bogus4"))
   }
 
   test("C1: Vue/Svelte/HTML script blocks parse with file-position lines; template unit") {
