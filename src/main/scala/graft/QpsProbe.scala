@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search.{QpsHarness, RecallHarness, SearchParams, Searcher}
+import graft.index.MultiVectorIndex
+
+/** Throughput bisection for the warm-QPS twin: times the 64-query batch
+  * under parameter variations to locate the dominant funnel cost
+  * (candidate generation vs approx scoring vs exact rerank). */
+object QpsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val workDir = "/tmp/graft_bench_qps"
+    val idx =
+      if (graft.util.Fs.exists(s"$workDir/manifest.json"))
+        new MultiVectorIndex(spark, workDir)
+      else MultiVectorIndex.build(spark,
+        RecallHarness.clusteredCorpus(spark, QpsHarness.NumDocs,
+          tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim), workDir)
+    println(s"QPS_PROBE K=${idx.codec.numCentroids} docs=${idx.numDocuments} dim=${idx.dim}")
+    val queries = RecallHarness.queriesFrom(spark, QpsHarness.NumQueries,
+      tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim).cache()
+    queries.count()
+    val searcher = new Searcher(idx)
+    val variants = Seq(
+      "default" -> SearchParams(),
+      "nFull=512" -> SearchParams(nFullScores = 512),
+      "nFull=64" -> SearchParams(nFullScores = 64),
+      "probe=2" -> SearchParams(nIvfProbe = 2),
+      "probe=2,nFull=512" -> SearchParams(nIvfProbe = 2, nFullScores = 512))
+    variants.foreach { case (name, p) =>
+      searcher.search(queries, p).count() // warm per variant
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcher.search(queries, p).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QPS_PROBE $name%-18s best=${times.min}%.3f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    // batch-size scaling: does per-batch fixed overhead amortize?
+    Seq(128, 256).foreach { nq =>
+      val qs = RecallHarness.queriesFrom(spark, nq,
+        tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim).cache()
+      qs.count()
+      searcher.search(qs, SearchParams()).count()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcher.search(qs, SearchParams()).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QPS_PROBE batch=$nq%-4d best=${times.min}%.3f s  qps=${nq / times.min}%.1f")
+      qs.unpersist()
+    }
+    // corpus scaling: the distributed fixed costs should amortize — a
+    // 10x corpus must not cost 10x per batch (the in-process reference's
+    // advantage inverts with corpus growth)
+    val big = "/tmp/graft_qps_52k"
+    val idxBig =
+      if (graft.util.Fs.exists(s"$big/manifest.json")) new MultiVectorIndex(spark, big)
+      else MultiVectorIndex.build(spark,
+        RecallHarness.clusteredCorpus(spark, 52000L,
+          tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim), big)
+    val searcherBig = new Searcher(idxBig)
+    searcherBig.search(queries, SearchParams()).count()
+    val tBig = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      searcherBig.search(queries, SearchParams()).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"QPS_PROBE corpus=52k batch=64 K=${idxBig.codec.numCentroids} best=${tBig.min}%.3f s  qps=${64 / tBig.min}%.1f")
+    spark.stop()
+  }
+}

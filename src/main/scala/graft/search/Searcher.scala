@@ -188,13 +188,19 @@ final class Searcher(index: MultiVectorIndex) {
         }
         row
       }
-    // Small batches score on the driver (a per-element GEMM of a few
-    // queries is microseconds — a Spark job would be pure overhead);
-    // large batches run as one tiny distributed stage.
+    // Small batches score on the driver (a Spark job would be pure
+    // overhead) but in PARALLEL across driver cores — single-threaded
+    // this was the dominant cost of a warm 64-query batch at K=4096
+    // (4.3 GFLOPs ≈ 2 s, measured round 9). Large batches run as one
+    // tiny distributed stage.
     val scoreMatrices: scala.collection.Map[Long, Array[Array[Float]]] =
-      if (qids.size <= 64)
-        qids.map(qid => qid -> scoreOne(queryMap(qid), codec.centroids)).toMap
-      else
+      if (qids.size <= 64) {
+        val arr = qids.toArray
+        val out = new Array[Array[Array[Float]]](arr.length)
+        java.util.stream.IntStream.range(0, arr.length).parallel()
+          .forEach(i => out(i) = scoreOne(queryMap(arr(i)), codec.centroids))
+        arr.zip(out).toMap
+      } else
         spark.sparkContext
           .parallelize(qids, math.min(qids.size, 32).max(1))
           .map(qid => (qid, scoreOne(queriesBc.value(qid), codecBc.value.centroids)))
@@ -256,25 +262,37 @@ final class Searcher(index: MultiVectorIndex) {
       .filter(col("_r") <= nDecompress)
       .select("query_id", "doc_id")
 
-    // S7: exact MaxSim on decompressed survivors. Survivors are bounded
-    // by queries × n_full/4 rows — a driver-known bound, so the tokens
-    // join is planned from it: broadcast for typical batches (the tokens
-    // table never shuffles), shuffle join for mega-batches where the
-    // build side would not fit. Double-precision scoring so the declared
-    // oracle queries hash-match DuckDB's arithmetic.
+    // S7: exact MaxSim on decompressed survivors. Grouped by DOC, not by
+    // (query, doc): with a dense rerank set (n_full/4 docs per query and
+    // overlapping survivor lists) a per-pair grouping decodes the same
+    // doc once per query that reranks it (12.6× redundant decode at the
+    // QPS twin's shape, measured round 9) and shuffles its packed
+    // residuals that many times. Each surviving doc is decoded ONCE and
+    // scored against every query in its survivor list (queries come from
+    // the broadcast, so the fan-out adds no shuffled bytes). Survivors
+    // are bounded by queries × n_full/4 rows — a driver-known bound, so
+    // the tokens join is planned from it: broadcast for typical batches
+    // (the tokens table never shuffles), shuffle join for mega-batches
+    // where the build side would not fit. Double-precision scoring so
+    // the declared oracle queries hash-match DuckDB's arithmetic.
     val survivorsBound = qids.size.toLong * nDecompress
+    val survivorsByDoc = survivors
+      .groupBy("doc_id").agg(collect_list("query_id").as("qids"))
     val exact = index.tokens
-      .join(graft.util.Plan.broadcastIfBounded(survivors, survivorsBound), "doc_id")
-      .groupBy("query_id", "doc_id")
-      .agg(collect_list(struct(col("tok"), col("code"), col("residual"))).as("toks"))
-      .as[(Long, Long, Array[(Int, Int, Array[Byte])])]
+      .join(graft.util.Plan.broadcastIfBounded(survivorsByDoc, survivorsBound), "doc_id")
+      .groupBy("doc_id")
+      .agg(first(col("qids")).as("qids"),
+        collect_list(struct(col("tok"), col("code"), col("residual"))).as("toks"))
+      .as[(Long, Array[Long], Array[(Int, Int, Array[Byte])])]
       .mapPartitions { rows =>
         val codecV = codecBc.value
-        rows.map { case (qid, docId, toks) =>
+        val queriesV = queriesBc.value
+        rows.flatMap { case (docId, docQids, toks) =>
           val docEmb = toks.sortBy(_._1).map { case (_, code, packed) =>
             codecV.decode(code, packed)
           }
-          (qid, docId, MaxSim.scoreDouble(queriesBc.value(qid), docEmb))
+          docQids.iterator.map(qid =>
+            (qid, docId, MaxSim.scoreDouble(queriesV(qid), docEmb)))
         }
       }
       .toDF("query_id", "doc_id", "score")
