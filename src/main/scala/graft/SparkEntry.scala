@@ -31,7 +31,8 @@ object SparkEntry {
     * cover are benched at real scale elsewhere (v_index_search,
     * m_delete_reseq, u_append_ivf, b8_ivf_build). */
   val verifyOnly: Set[String] =
-    Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip")
+    Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
+      "u1_dispatch", "u3_expand", "f_lifecycle")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -671,6 +672,199 @@ object SparkEntry {
         .select(col("doc_id"), col("tok").cast("long").as("tok"))
     }),
 
+    // U1: the 3-mode update dispatcher (index.rs:1431-1591) replayed as
+    // observed post-state vs DuckDB-recomputed invariants. Build 20 docs
+    // (pre-state dumped), then: batch A under bufferSize=100 → mode 2
+    // (cheap append + buffer, centroid count unchanged); batch B under
+    // bufferSize=12 → mode 3 (delete buffered, expand centroids on
+    // outliers of buffer ∪ new, re-append). The oracle recomputes every
+    // value from the dumps: doc-count arithmetic, the expansion formula
+    // K → K + min(4·max(1,ceil(n_out/256)), n_out) from the dumped
+    // outlier rows (update.rs:621-751), prefix-stability of the original
+    // 20 docs' codes (codebook only grows — old codes must be
+    // byte-identical), and buffer teardown after the flush.
+    "u1_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      def docsIn(lo: Long, hi: Long) = emb
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .groupBy((col("doc_id") - lo).as("doc_id")).agg(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+            x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_u1_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx0 = graft.index.MultiVectorIndex.build(s, docsIn(0, 20), path)
+      val k0 = idx0.codec.numCentroids
+      val n0 = idx0.numDocuments
+      (0 until k0).toDF("cid").write.mode("overwrite").parquet(s"$path/cent0")
+      idx0.docCodes.select(col("doc_id"),
+        array_join(transform(col("codes"), x => x.cast("string")), ",").as("codes"))
+        .write.mode("overwrite").parquet(s"$path/pre_codes")
+      // mode 2 (startFromScratch lowered so the rebuild path can't fire)
+      val batchA = docsIn(20, 30)
+      batchA.select("doc_id").write.mode("overwrite").parquet(s"$path/batchA")
+      val idx1 = graft.index.Updater.update(s, path, batchA,
+        graft.index.UpdateConfig(startFromScratch = 10, bufferSize = 100))
+      val k1 = idx1.codec.numCentroids
+      val n1 = idx1.numDocuments
+      val buf1 = s.read.parquet(s"$path/buffer").count()
+      // the outlier set mode 3 will compute (same codec — delete/append
+      // never touch the codebook; same token vectors: buffer ∪ new)
+      val newTok = emb.filter(col("doc_id") >= 20 && col("doc_id") < 46)
+        .select(col("doc_id"), (col("vec_id") % 5).cast("int").as("tok"),
+          col("embedding").as("vec"))
+      graft.index.Updater.findOutliers(s, newTok, idx1.codec)
+        .select("doc_id", "tok")
+        .write.mode("overwrite").parquet(s"$path/outrows")
+      // mode 3
+      val batchB = docsIn(30, 46)
+      batchB.select("doc_id").write.mode("overwrite").parquet(s"$path/batchB")
+      val idx2 = graft.index.Updater.update(s, path, batchB,
+        graft.index.UpdateConfig(startFromScratch = 10, bufferSize = 12))
+      val k2 = idx2.codec.numCentroids
+      val n2 = idx2.numDocuments
+      idx2.docCodes.select(col("doc_id"),
+        array_join(transform(col("codes"), x => x.cast("string")), ",").as("codes"))
+        .write.mode("overwrite").parquet(s"$path/post_codes")
+      val stable = s.read.parquet(s"$path/pre_codes").as("p")
+        .join(s.read.parquet(s"$path/post_codes").as("q"), "doc_id")
+        .filter(col("p.codes") === col("q.codes")).count()
+      val bufCleared = if (graft.util.Fs.exists(s"$path/buffer")) 0L else 1L
+      Seq(
+        ("a_pre", "num_docs", n0), ("a_pre", "num_centroids", k0.toLong),
+        ("b_append", "num_docs", n1), ("b_append", "num_centroids", k1.toLong),
+        ("b_append", "buffer_len", buf1),
+        ("c_expand", "num_docs", n2), ("c_expand", "num_centroids", k2.toLong),
+        ("c_expand", "stable_prefix_codes", stable),
+        ("c_expand", "buffer_cleared", bufCleared)
+      ).toDF("stage", "metric", "value")
+    }),
+
+    // U3: centroid expansion in isolation (update.rs:621-751) — the
+    // pre-expansion codebook is dumped, outliers of a fresh batch are
+    // clustered, and the oracle checks (a) the old centroid PREFIX is
+    // byte-identical after expansion (existing codes stay valid) and
+    // (b) the number of appended centroids follows
+    // min(4·max(1,ceil(n/256)), n) recomputed from the dumped outlier
+    // rows. The new centroids' values are k-means output (no SQL twin) —
+    // only their count is checked.
+    "u3_expand" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.filter(col("doc_id") < 30).groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_u3_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val codec = idx.codec
+      val k0 = codec.numCentroids
+      (0 until k0).map(c => (c.toLong, codec.centroid(c)))
+        .toDF("cid", "cvec").write.mode("overwrite").parquet(s"$path/cent0")
+      val newTok = emb.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select(col("doc_id"), (col("vec_id") % 5).cast("int").as("tok"),
+          col("embedding").as("vec"))
+      val outliers = graft.index.Updater.findOutliers(s, newTok, codec)
+      outliers.select("doc_id", "tok")
+        .write.mode("overwrite").parquet(s"$path/outrows")
+      val codec2 = graft.index.Updater.expandCentroids(
+        s, outliers, codec, graft.index.UpdateConfig())
+      val k2 = codec2.numCentroids
+      val rows =
+        (0 until k0).map(c => ("old", c.toLong, codec2.centroid(c)(0).toDouble)) ++
+          (k0 until k2).map(c => ("new", c.toLong, 0.0))
+      rows.toDF("part", "cid", "v0")
+        .select(col("part"), col("cid"), round(col("v0"), 4).as("v0"))
+    }),
+
+    // F3: FTS lifecycle equivalence (text_search.rs:579-686, 839-948) —
+    // build on 200 docs, append 100, update_rows every 7th doc's text,
+    // delete every doc ≡ 4 mod 5 with dense renumber; the resulting
+    // postings+doclens must equal an index REBUILT from scratch over the
+    // equivalent final corpus (dumped for the oracle to read).
+    "f_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = "/tmp/graft_ftslc_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx0 = graft.fts.FtsIndex.build(
+        s, docs.filter(col("doc_id") < 200), "doc_id", "text", s"$path/lc")
+      val idx1 = graft.fts.FtsIndex.appendRows(idx0,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), "doc_id", "text")
+      val idx2 = graft.fts.FtsIndex.updateRows(idx1,
+        docs.filter(col("doc_id") % 7 === 0 && col("doc_id") < 300)
+          .select(col("doc_id"), upper(col("text")).as("text")),
+        "doc_id", "text")
+      val idx3 = graft.fts.FtsIndex.delete(idx2, (0L until 300L).filter(_ % 5 == 4))
+      // rebuild twin over the equivalent final corpus, renumbered the
+      // same dense way (new_id = rank among survivors by old id)
+      val fin = docs.filter(col("doc_id") < 300)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+        .filter(col("doc_id") % 5 =!= 4)
+        .withColumn("new_id",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("doc_id"))
+            .cast("long") - 1)
+        .select(col("new_id").as("doc_id"), col("text"))
+      graft.fts.FtsIndex.build(s, fin, "doc_id", "text", s"$path/rebuild")
+      idx3.postings.join(idx3.doclens, "doc_id")
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"))
+    }),
+
+    // E3: hierarchical Ward pooling (next-plaid-onnx hierarchy.rs:90-128,
+    // 404-598) — per-doc token bags pooled at factor 2; raw vectors and
+    // the Ward cluster ASSIGNMENT are dumped, and the oracle recomputes
+    // the cluster count (= ceil(n_tokens/2), fclusterMaxclust contract)
+    // and the per-cluster mean arithmetic from scratch in SQL. The
+    // assignment itself is Lance-Williams linkage (no SQL twin — covered
+    // by the hand-computed fixture units in WardSpec).
+    "e3_pool" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val path = "/tmp/graft_e3_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      emb.select(col("doc_id"), (col("vec_id") % 5).cast("int").as("tok"),
+        col("embedding").as("vec"))
+        .write.mode("overwrite").parquet(s"$path/raw")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+        .as[(Long, Array[Array[Float]])]
+      docs.flatMap { case (d, e) =>
+        val maxclust = math.max(1, (e.length + 1) / 2)
+        val labels =
+          if (e.length <= 1 || maxclust >= e.length) Array.tabulate(e.length)(identity)
+          else graft.core.Ward.fclusterMaxclust(
+            graft.core.Ward.linkage(graft.core.Ward.pdistCosine(e), e.length),
+            e.length, maxclust)
+        labels.zipWithIndex.map { case (c, tok) => (d, tok, c) }
+      }.toDF("doc_id", "tok", "cluster")
+        .write.mode("overwrite").parquet(s"$path/labels")
+      docs.flatMap { case (d, e) =>
+        val pooled = graft.core.Ward.poolDocument(e, 2)
+        pooled.zipWithIndex.map { case (v, c) =>
+          (d, c.toLong, pooled.length.toLong, v(0).toDouble, v.map(_.toDouble).sum)
+        }
+      }.toDF("doc_id", "cluster", "n_clusters", "v0", "vsum")
+        .select(col("doc_id"), col("cluster"), col("n_clusters"),
+          round(col("v0"), 4).as("v0"), round(col("vsum"), 3).as("vsum"))
+    }),
+
     // B11 round trip: export the parquet index as a reference-format npy
     // directory, re-import it, and reconstruct — must match the original
     // index's reconstruction dump exactly (mmap.rs:1757-1889 contract,
@@ -1293,6 +1487,72 @@ object SparkEntry {
       """SELECT doc_id, tok,
         |  round(vec[1]::DOUBLE, 4) AS v0,
         |  round(list_sum(list_transform(vec, x -> x::DOUBLE)), 3) AS vsum
-        |FROM read_parquet('/tmp/graft_npy__root_testdata_sf0_01/recon0/*.parquet')""".stripMargin
+        |FROM read_parquet('/tmp/graft_npy__root_testdata_sf0_01/recon0/*.parquet')""".stripMargin,
+    "u1_dispatch" ->
+      """WITH pre AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/pre_codes/*.parquet')),
+        |k0 AS (SELECT count(*) AS k
+        |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/cent0/*.parquet')),
+        |a AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/batchA/*.parquet')),
+        |b AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/batchB/*.parquet')),
+        |o AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/outrows/*.parquet'))
+        |SELECT 'a_pre' AS stage, 'num_docs' AS metric,
+        |  CAST((SELECT n FROM pre) AS BIGINT) AS value
+        |UNION ALL SELECT 'a_pre', 'num_centroids', (SELECT k FROM k0)
+        |UNION ALL SELECT 'b_append', 'num_docs', (SELECT n FROM pre) + (SELECT n FROM a)
+        |UNION ALL SELECT 'b_append', 'num_centroids', (SELECT k FROM k0)
+        |UNION ALL SELECT 'b_append', 'buffer_len', (SELECT n FROM a)
+        |UNION ALL SELECT 'c_expand', 'num_docs',
+        |  (SELECT n FROM pre) + (SELECT n FROM a) + (SELECT n FROM b)
+        |UNION ALL SELECT 'c_expand', 'num_centroids',
+        |  (SELECT k FROM k0) + least(greatest(1,
+        |     CAST(ceil((SELECT n FROM o) / 256.0) AS BIGINT)) * 4, (SELECT n FROM o))
+        |UNION ALL SELECT 'c_expand', 'stable_prefix_codes', (SELECT n FROM pre)
+        |UNION ALL SELECT 'c_expand', 'buffer_cleared', 1""".stripMargin,
+    "u3_expand" ->
+      """WITH c0 AS (SELECT cid, cvec
+        |  FROM read_parquet('/tmp/graft_u3__root_testdata_sf0_01/cent0/*.parquet')),
+        |o AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_u3__root_testdata_sf0_01/outrows/*.parquet')),
+        |nk AS (SELECT least(greatest(1, CAST(ceil(n / 256.0) AS BIGINT)) * 4, n) AS v FROM o),
+        |newr AS (SELECT row_number() OVER () - 1 AS r
+        |  FROM read_parquet('/tmp/graft_u3__root_testdata_sf0_01/outrows/*.parquet'))
+        |SELECT 'old' AS part, CAST(cid AS BIGINT) AS cid,
+        |  round(cvec[1]::DOUBLE, 4) AS v0 FROM c0
+        |UNION ALL
+        |SELECT 'new', (SELECT count(*) FROM c0) + r, 0.0
+        |FROM newr WHERE r < (SELECT v FROM nk)""".stripMargin,
+    "f_lifecycle" ->
+      """SELECT p.term, p.doc_id, CAST(p.tf AS BIGINT) AS tf, CAST(d.dl AS BIGINT) AS dl
+        |FROM read_parquet('/tmp/graft_ftslc__root_testdata_sf0_01/rebuild/postings/*.parquet') p
+        |JOIN read_parquet('/tmp/graft_ftslc__root_testdata_sf0_01/rebuild/doclens/*.parquet') d
+        |  USING (doc_id)""".stripMargin,
+    "e3_pool" ->
+      """WITH raw AS (SELECT doc_id, tok, vec
+        |  FROM read_parquet('/tmp/graft_e3__root_testdata_sf0_01/raw/*.parquet')),
+        |lab AS (SELECT doc_id, tok, cluster
+        |  FROM read_parquet('/tmp/graft_e3__root_testdata_sf0_01/labels/*.parquet')),
+        |nt AS (SELECT doc_id, count(*) AS n FROM raw GROUP BY 1),
+        |j AS (SELECT r.doc_id, l.cluster, r.vec
+        |  FROM raw r JOIN lab l ON r.doc_id = l.doc_id AND r.tok = l.tok),
+        |dims AS (
+        |  SELECT doc_id, cluster, i, CAST(avg(v) AS FLOAT)::DOUBLE AS md
+        |  FROM (
+        |    SELECT doc_id, cluster,
+        |      unnest(range(1, len(vec) + 1)) AS i,
+        |      unnest(list_transform(vec, x -> x::DOUBLE)) AS v
+        |    FROM j)
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT doc_id, cluster,
+        |    max(CASE WHEN i = 1 THEN md END) AS v0d, sum(md) AS vsumd
+        |  FROM dims GROUP BY 1, 2)
+        |SELECT a.doc_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  CAST(ceil(nt.n / 2.0) AS BIGINT) AS n_clusters,
+        |  round(a.v0d, 4) AS v0, round(a.vsumd, 3) AS vsum
+        |FROM agg a JOIN nt ON a.doc_id = nt.doc_id""".stripMargin
   )
 }
