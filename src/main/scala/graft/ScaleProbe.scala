@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-point probe ABOVE sf0.1 — the round-7/8 verdicts' standing
+  * caveat was "nothing has ever been executed above sf0.1, so the
+  * 100 TB claims rest on plan reading, not measurement". This main
+  * replicates the sf0.1 tables `factor`× into /tmp with deterministic
+  * perturbation and then runs the UNCHANGED [[SparkEntry.queries]]
+  * code paths against the scaled directory, so every number is
+  * directly comparable to a bench line-item at sf0.1:
+  *
+  *   - `documents` ×factor: every 10th replica keeps the original
+  *     text — exact-duplicate families of factor/10, the worst-case
+  *     input for LSH bucket skew (families collide in every band) —
+  *     while the rest have every 3rd word replaced by a hash-derived
+  *     token, which breaks all 3-shingles vs the base (Jaccard ≈ 0,
+  *     so dedup finds exactly the planted families).
+  *   - `embeddings` ×factor with deterministic per-dim jitter (±0.01
+  *     from `hash(vec_id, r, dim)`) — replicas are near- but not
+  *     exact-duplicates, so k-means/IVF geometry stays non-degenerate.
+  *   - `lineitem` ×factor with order keys renumbered so key
+  *     cardinality scales with the data, as in a real large table.
+  *
+  * At factor=100 that is 500k docs / 200k vectors / 60M lineitem rows
+  * (sf10-equivalent for the text tables). Prints one JSON line:
+  * `{"metric":"scale_probe","factor":N,"gen_sec":...,"queries":{...},
+  * "rows":{...}}`.
+  *
+  * Usage: `SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe 100"`
+  * (optional second arg: comma-separated query subset).
+  */
+object ScaleProbe {
+
+  /** Headline set: one representative per heavy layer — TPC-H-ish agg,
+    * the four text-dedup paths, vector similarity join, FTS build +
+    * BM25, IVF build, and the full funnel search (which also builds
+    * the multi-vector index for the whole scaled corpus). */
+  val DefaultQueries: Seq[String] = Seq(
+    "q1_pricing_agg", "p_exact_dedup", "p_minhash_sig", "p_lsh_pairs",
+    "p_simhash", "p_ngram_jaccard", "p_srp_join", "f_bm25",
+    "b8_ivf_build", "v_index_search")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq else DefaultQueries
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 64))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor).select(col("id").as("r"))
+    def gen(name: String)(df: => DataFrame): Unit =
+      if (!graft.util.Fs.exists(s"$base/$name.parquet"))
+        df.write.parquet(s"$base/$name.parquet")
+
+    val tGen0 = System.nanoTime()
+    gen("documents") {
+      spark.read.parquet(s"$sfDir/documents.parquet").crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") * factor + col("r")).as("doc_id"),
+          when(col("r") % 10 === 0, col("text")).otherwise(expr(
+            """array_join(zip_with(split(text, ' '), sequence(1, size(split(text, ' '))),
+              |  (w, i) -> if(i % 3 = 0, conv(abs(hash(doc_id, r, i)), 10, 36), w)), ' ')"""
+              .stripMargin)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
+    }
+    gen("embeddings") {
+      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = src.count()
+      src.crossJoin(broadcast(reps))
+        .select(
+          (col("r") * n + col("vec_id")).as("vec_id"),
+          expr(
+            """transform(embedding, (x, i) ->
+              |  cast(x + (pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.02 as float))"""
+              .stripMargin).as("embedding"),
+          col("label"))
+        .repartition(64)
+    }
+    gen("lineitem") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(broadcast(reps))
+        .select((col("l_orderkey") * factor + col("r")).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .repartition(128)
+    }
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+
+    // same warm-up as Bench so first-query numbers are comparable
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(100L).write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+      val t0 = System.nanoTime()
+      try {
+        rows(name) = fn(spark, base).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+    }
+
+    val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"scale_probe","factor":$factor,"gen_sec":$genSec%.1f,""" +
+        s""""queries":$qs,"rows":$rs,"errors":$es,"sf_base":"$sfDir"}"""
+    println(line)
+    spark.stop()
+  }
+}

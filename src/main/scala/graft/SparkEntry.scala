@@ -32,7 +32,8 @@ object SparkEntry {
     * m_delete_reseq, u_append_ivf, b8_ivf_build). */
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
-      "u1_dispatch", "u3_expand", "f_lifecycle")
+      "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
+      "b2_partitions", "b4_assign")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -865,6 +866,148 @@ object SparkEntry {
           round(col("v0"), 4).as("v0"), round(col("vsum"), 3).as("vsum"))
     }),
 
+    // B2: the K / sample-size heuristics (kmeans.rs:273-276, 304-309)
+    // recomputed from a dumped (n_docs, n_tokens) row — the SQL twin
+    // re-derives 2^floor(log2(16*sqrt(tokens))) and
+    // min(floor(1 + 16*sqrt(120*docs)), docs) independently.
+    "b2_partitions" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val nTok = emb.count()
+      val nDocs = nTok / 5
+      val path = "/tmp/graft_b2_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      Seq((nDocs, nTok)).toDF("n_docs", "n_tokens")
+        .write.mode("overwrite").parquet(s"$path/counts")
+      Seq(
+        ("num_partitions", graft.index.GraftKMeans.numPartitions(nTok.toDouble).toLong),
+        ("num_sample_docs", graft.index.GraftKMeans.numSampleDocs(nDocs))
+      ).toDF("metric", "value")
+    }),
+
+    // B4+B5: nearest-centroid assignment (argmax dot, ties -> lowest
+    // cid, codec.rs NaN fixture) and the residual, against a trained
+    // codec whose centroids are dumped — the oracle recomputes the
+    // argmax per token from the raw dot products in SQL. res0 is
+    // computed in double arithmetic on both sides so the float-path
+    // UNDER test is assign() itself.
+    "b4_assign" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_b4_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val codec = idx.codec
+      (0 until codec.numCentroids).map(c => (c.toLong, codec.centroid(c)))
+        .toDF("cid", "cvec").write.mode("overwrite").parquet(s"$path/cent")
+      val tok = emb.select(col("doc_id"), (col("vec_id") % 5).cast("int").as("tok"),
+        col("embedding").as("vec"))
+      tok.write.mode("overwrite").parquet(s"$path/tok")
+      val bc = s.sparkContext.broadcast(codec)
+      tok.as[(Long, Int, Array[Float])].map { case (d, tk, v) =>
+        val cid = bc.value.assign(v)
+        (d, tk, cid.toLong, v(0).toDouble - bc.value.centroid(cid)(0).toDouble)
+      }.toDF("doc_id", "tok", "cid", "res0")
+        .select(col("doc_id"), col("tok"), col("cid"),
+          round(col("res0"), 4).as("res0"))
+    }),
+
+    // Streaming ingest (SURVEY §2 streaming row; state.rs update
+    // serialization ≅ micro-batch serial apply): three micro-batches
+    // flow through a MemoryStream → foreachBatch → U1 dispatcher sink,
+    // sized so batch 1 takes mode 2 (append + buffer) and batch 2 takes
+    // mode 3 (flush + expand), then a REPLAY of the last batch must be
+    // skipped by the batchId manifest (at-least-once → effectively-
+    // once). The oracle recomputes every value from the dumped per-
+    // batch doc lists: doc-count arithmetic per stage, the buffer
+    // length mode 2 must leave behind (mode 3 would clear it — a wrong
+    // dispatch mode fails the compare), prefix-stability of batch-0
+    // codes across the later flush, dense final ids, and the recorded
+    // last_stream_batch_id.
+    "st_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_stream_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val all = docs.as[(Long, Array[Array[Float]])].collect().sortBy(_._1)
+      val n = all.length
+      // batch sizes n/2, n/4, n-3n/4; bufferSize between them so batch 1
+      // appends+buffers (mode 2) and batch 2 overflows the buffer (mode 3)
+      val cuts = Seq(0, n / 2, n / 2 + n / 4, n)
+      val bufferSize = n / 4 + n / 8
+      val cfg = graft.index.UpdateConfig(startFromScratch = 0, bufferSize = bufferSize)
+      val batches = (0 until 3).map { k =>
+        all.slice(cuts(k), cuts(k + 1)).zipWithIndex
+          .map { case ((gid, e), i) => (k.toLong, gid, i.toLong, e) }
+      }
+      batches.flatten.map { case (k, gid, _, _) => (k, gid) }
+        .toDF("batch", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/batches")
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Array[Float]])]
+      def ingest(k: Int): Unit = {
+        stream.addData(batches(k).map { case (_, _, lid, e) => (lid, e) }.toSeq)
+        graft.streaming.StreamingIngest.runOnce(graft.streaming.StreamingIngest.indexSink(
+          stream.toDF().toDF("doc_id", "embeddings"), s"$path/idx", cfg,
+          checkpoint = Some(s"$path/ckpt")))
+      }
+      def codesDump(to: String): Unit =
+        new graft.index.MultiVectorIndex(s, s"$path/idx").docCodes
+          .select(col("doc_id"),
+            array_join(transform(col("codes"), x => x.cast("string")), ",").as("codes"))
+          .write.mode("overwrite").parquet(to)
+      ingest(0)
+      val n0 = new graft.index.MultiVectorIndex(s, s"$path/idx").numDocuments
+      codesDump(s"$path/pre_codes")
+      ingest(1)
+      val n1 = new graft.index.MultiVectorIndex(s, s"$path/idx").numDocuments
+      val buf1 = if (graft.util.Fs.exists(s"$path/idx/buffer"))
+        s.read.parquet(s"$path/idx/buffer").count() else 0L
+      ingest(2)
+      val idx2 = new graft.index.MultiVectorIndex(s, s"$path/idx")
+      val n2 = idx2.numDocuments
+      codesDump(s"$path/post_codes")
+      val stable = s.read.parquet(s"$path/pre_codes").as("p")
+        .join(s.read.parquet(s"$path/post_codes").as("q"), "doc_id")
+        .filter(col("p.codes") === col("q.codes")).count()
+      val ids = idx2.docCodes.agg(
+        countDistinct(col("doc_id")).as("d"), max(col("doc_id")).as("m")).head()
+      val dense = if (ids.getLong(0) == n2 && ids.getLong(1) == n2 - 1) 1L else 0L
+      val bufCleared = if (graft.util.Fs.exists(s"$path/idx/buffer")) 0L else 1L
+      // replay of the already-applied last micro-batch: must be skipped
+      val replayDf = batches(2).map { case (_, _, lid, e) => (lid, e) }.toSeq
+        .toDF("doc_id", "embeddings")
+      val applied = if (graft.streaming.StreamingIngest.applyBatch(
+        replayDf, 2L, s"$path/idx", cfg)) 1L else 0L
+      val nReplay = new graft.index.MultiVectorIndex(s, s"$path/idx").numDocuments
+      val lastId = graft.streaming.StreamingIngest.lastAppliedBatchId(s"$path/idx").get
+      Seq(
+        ("b0_build", "num_docs", n0),
+        ("b1_mode2", "num_docs", n1), ("b1_mode2", "buffer_len", buf1),
+        ("b2_mode3", "num_docs", n2), ("b2_mode3", "buffer_cleared", bufCleared),
+        ("b2_mode3", "stable_b0_codes", stable), ("b2_mode3", "ids_dense", dense),
+        ("replay", "applied", applied), ("replay", "num_docs", nReplay),
+        ("manifest", "last_stream_batch_id", lastId)
+      ).toDF("stage", "metric", "value")
+    }),
+
     // B11 round trip: export the parquet index as a reference-format npy
     // directory, re-import it, and reconstruct — must match the original
     // index's reconstruction dump exactly (mmap.rs:1757-1889 contract,
@@ -1553,6 +1696,46 @@ object SparkEntry {
         |SELECT a.doc_id, CAST(a.cluster AS BIGINT) AS cluster,
         |  CAST(ceil(nt.n / 2.0) AS BIGINT) AS n_clusters,
         |  round(a.v0d, 4) AS v0, round(a.vsumd, 3) AS vsum
-        |FROM agg a JOIN nt ON a.doc_id = nt.doc_id""".stripMargin
+        |FROM agg a JOIN nt ON a.doc_id = nt.doc_id""".stripMargin,
+    "b2_partitions" ->
+      """WITH c AS (SELECT n_docs, n_tokens
+        |  FROM read_parquet('/tmp/graft_b2__root_testdata_sf0_01/counts/*.parquet'))
+        |SELECT 'num_partitions' AS metric,
+        |  CAST(pow(2, floor(log2(16 * sqrt(n_tokens)))) AS BIGINT) AS value FROM c
+        |UNION ALL SELECT 'num_sample_docs',
+        |  least(CAST(floor(1 + 16 * sqrt(120.0 * n_docs)) AS BIGINT), n_docs) FROM c""".stripMargin,
+    "b4_assign" ->
+      """WITH t AS (SELECT doc_id, tok, vec
+        |  FROM read_parquet('/tmp/graft_b4__root_testdata_sf0_01/tok/*.parquet')),
+        |c AS (SELECT cid, cvec
+        |  FROM read_parquet('/tmp/graft_b4__root_testdata_sf0_01/cent/*.parquet')),
+        |dots AS (
+        |  SELECT t.doc_id, t.tok, c.cid,
+        |    list_dot_product(list_transform(t.vec, x -> x::DOUBLE),
+        |                     list_transform(c.cvec, x -> x::DOUBLE)) AS dot,
+        |    t.vec[1]::DOUBLE - c.cvec[1]::DOUBLE AS r0
+        |  FROM t CROSS JOIN c),
+        |best AS (
+        |  SELECT doc_id, tok, cid, r0,
+        |    row_number() OVER (PARTITION BY doc_id, tok ORDER BY dot DESC, cid ASC) AS rn
+        |  FROM dots)
+        |SELECT doc_id, CAST(tok AS INTEGER) AS tok, CAST(cid AS BIGINT) AS cid,
+        |  round(r0, 4) AS res0
+        |FROM best WHERE rn = 1""".stripMargin,
+    "st_stream_ingest" ->
+      """WITH b AS (SELECT batch, doc_id
+        |  FROM read_parquet('/tmp/graft_stream__root_testdata_sf0_01/batches/*.parquet'))
+        |SELECT 'b0_build' AS stage, 'num_docs' AS metric,
+        |  CAST((SELECT count(*) FROM b WHERE batch = 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'b1_mode2', 'num_docs', (SELECT count(*) FROM b WHERE batch <= 1)
+        |UNION ALL SELECT 'b1_mode2', 'buffer_len', (SELECT count(*) FROM b WHERE batch = 1)
+        |UNION ALL SELECT 'b2_mode3', 'num_docs', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'b2_mode3', 'buffer_cleared', 1
+        |UNION ALL SELECT 'b2_mode3', 'stable_b0_codes',
+        |  (SELECT count(*) FROM b WHERE batch = 0)
+        |UNION ALL SELECT 'b2_mode3', 'ids_dense', 1
+        |UNION ALL SELECT 'replay', 'applied', 0
+        |UNION ALL SELECT 'replay', 'num_docs', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'manifest', 'last_stream_batch_id', (SELECT max(batch) FROM b)""".stripMargin
   )
 }
