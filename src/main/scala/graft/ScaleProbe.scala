@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * "rows":{...}}`.
   *
   * Usage: `SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe 100"`
-  * (optional second arg: comma-separated query subset).
+  * (optional second arg: comma-separated query subset; optional third
+  * arg: comma-separated tables to generate, for single-table points
+  * like `1000 q1_pricing_agg lineitem` = 600M rows).
   */
 object ScaleProbe {
 
@@ -57,14 +59,22 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val tables =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("documents", "embeddings", "lineitem")
     val reps = spark.range(factor).select(col("id").as("r"))
     def gen(name: String)(df: => DataFrame): Unit =
-      if (!graft.util.Fs.exists(s"$base/$name.parquet"))
+      if (tables(name) && !graft.util.Fs.exists(s"$base/$name.parquet"))
         df.write.parquet(s"$base/$name.parquet")
 
+    // repartition the SOURCE (KBs) before the multiplying crossJoin, not
+    // the multiplied output (GBs): the single-file source otherwise
+    // leaves the whole generation single-partition.
+    val nPart = cpus.toInt
     val tGen0 = System.nanoTime()
     gen("documents") {
-      spark.read.parquet(s"$sfDir/documents.parquet").crossJoin(broadcast(reps))
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(nPart).crossJoin(broadcast(reps))
         .select(
           (col("doc_id") * factor + col("r")).as("doc_id"),
           when(col("r") % 10 === 0, col("text")).otherwise(expr(
@@ -72,12 +82,11 @@ object ScaleProbe {
               |  (w, i) -> if(i % 3 = 0, conv(abs(hash(doc_id, r, i)), 10, 36), w)), ' ')"""
               .stripMargin)).as("text"),
           col("lang"), col("source"), col("n_chars"))
-        .repartition(64)
     }
     gen("embeddings") {
       val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val n = src.count()
-      src.crossJoin(broadcast(reps))
+      src.repartition(nPart).crossJoin(broadcast(reps))
         .select(
           (col("r") * n + col("vec_id")).as("vec_id"),
           expr(
@@ -85,15 +94,14 @@ object ScaleProbe {
               |  cast(x + (pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.02 as float))"""
               .stripMargin).as("embedding"),
           col("label"))
-        .repartition(64)
     }
     gen("lineitem") {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(broadcast(reps))
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .repartition(nPart).crossJoin(broadcast(reps))
         .select((col("l_orderkey") * factor + col("r")).as("l_orderkey"),
           col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-        .repartition(128)
     }
     val genSec = (System.nanoTime() - tGen0) / 1e9
 

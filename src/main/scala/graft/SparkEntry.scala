@@ -33,7 +33,7 @@ object SparkEntry {
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
-      "b2_partitions", "b4_assign")
+      "b2_partitions", "b3_codec", "b4_assign")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -885,6 +885,41 @@ object SparkEntry {
       ).toDF("metric", "value")
     }),
 
+    // B3: codec training (index.rs:182-287) — cutoffs at quantiles
+    // i/2^nbits, weights at midpoint quantiles (i+0.5)/2^nbits, numpy
+    // "linear" interpolation. The residual sample is dumped and the
+    // oracle recomputes all 31 points with DuckDB's quantile_cont (the
+    // same (n-1)-linear definition), an implementation-independent twin
+    // of Quantiles + Quantizer.train.
+    "b3_codec" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_b3_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val bc = s.sparkContext.broadcast(idx.codec)
+      val resid = emb.select(col("embedding").as("vec")).as[Array[Float]]
+        .flatMap { v =>
+          val cent = bc.value.centroid(bc.value.assign(v))
+          v.indices.map(i => v(i) - cent(i))
+        }.toDF("v")
+      resid.write.mode("overwrite").parquet(s"$path/resid")
+      val qz = graft.core.Quantizer.train(
+        resid.as[Float].collect(), nbits = 4)
+      (qz.bucketCutoffs.zipWithIndex.map { case (c, i) => ("cutoff", i.toLong, c.toDouble) } ++
+        qz.bucketWeights.zipWithIndex.map { case (w, i) => ("weight", i.toLong, w.toDouble) })
+        .toSeq.toDF("kind", "i", "value")
+        .select(col("kind"), col("i"), round(col("value"), 4).as("value"))
+    }),
+
     // B4+B5: nearest-centroid assignment (argmax dot, ties -> lowest
     // cid, codec.rs NaN fixture) and the residual, against a trained
     // codec whose centroids are dumped — the oracle recomputes the
@@ -1704,6 +1739,19 @@ object SparkEntry {
         |  CAST(pow(2, floor(log2(16 * sqrt(n_tokens)))) AS BIGINT) AS value FROM c
         |UNION ALL SELECT 'num_sample_docs',
         |  least(CAST(floor(1 + 16 * sqrt(120.0 * n_docs)) AS BIGINT), n_docs) FROM c""".stripMargin,
+    "b3_codec" ->
+      """WITH r AS (SELECT v
+        |  FROM read_parquet('/tmp/graft_b3__root_testdata_sf0_01/resid/*.parquet')),
+        |qc AS (SELECT quantile_cont(v, list_transform(range(1, 16),
+        |  i -> i / 16.0)) AS c FROM r),
+        |qw AS (SELECT quantile_cont(v, list_transform(range(0, 16),
+        |  i -> (i + 0.5) / 16.0)) AS w FROM r)
+        |SELECT 'cutoff' AS kind, CAST(t.i AS BIGINT) AS i,
+        |  round(qc.c[t.i + 1]::DOUBLE, 4) AS value
+        |FROM range(0, 15) t(i) CROSS JOIN qc
+        |UNION ALL
+        |SELECT 'weight', CAST(t.i AS BIGINT), round(qw.w[t.i + 1]::DOUBLE, 4)
+        |FROM range(0, 16) t(i) CROSS JOIN qw""".stripMargin,
     "b4_assign" ->
       """WITH t AS (SELECT doc_id, tok, vec
         |  FROM read_parquet('/tmp/graft_b4__root_testdata_sf0_01/tok/*.parquet')),
