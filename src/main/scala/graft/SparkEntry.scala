@@ -33,7 +33,7 @@ object SparkEntry {
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
-      "b2_partitions", "b3_codec", "b4_assign")
+      "b2_partitions", "b3_codec", "b4_assign", "c7_reindex")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -1043,6 +1043,49 @@ object SparkEntry {
       ).toDF("stage", "metric", "value")
     }),
 
+    // C7: incremental reindex ≡ scratch rebuild (colgrep mod.rs:
+    // 1615-1956). A 120-file Python tree (sources derived from the
+    // documents table: each file defines f_i with a comment payload and
+    // calls f_{(3i+1)%140}, giving a real cross-file call graph) is
+    // synced, then patched — every 7th file modified, every 5th
+    // deleted, 20 added — and synced again through the hash-diff path.
+    // The resulting units AND the recomputed index-wide called_by
+    // edges must equal a fresh sync of the final tree into an empty
+    // dir (dumped for the oracle). Unit ids are stable content hashes,
+    // so equality is row-exact.
+    "c7_reindex" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 140)
+        .withColumn("snip",
+          substring(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), 1, 60))
+      def pyFiles(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("src/m_"), col("doc_id") % 10, lit("/f_"), col("doc_id"),
+          lit(".py")).as("path"),
+        concat(lit("def f_"), col("doc_id"), lit("(x):\n    # "), col("snip"),
+          lit("\n    return f_"), (col("doc_id") * 3 + 1) % 140,
+          lit("(x) + "), col("doc_id"), lit("\n")).as("source"))
+      val v1 = pyFiles(docs.filter(col("doc_id") < 120))
+      val v2 = pyFiles(docs
+        .withColumn("snip",
+          when(col("doc_id") % 7 === 0, upper(col("snip"))).otherwise(col("snip")))
+        .filter(col("doc_id") % 5 =!= 4))
+      val path = "/tmp/graft_c7_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      graft.operators.CodeIndexer.sync(s, v1, s"$path/inc")
+      graft.operators.CodeIndexer.sync(s, v2, s"$path/inc")
+      graft.operators.CodeIndexer.sync(s, v2, s"$path/scratch")
+      def dump(d: String) = graft.operators.CodeIndexer.units(s, d)
+        .join(graft.operators.CodeIndexer.calledBy(s, d)
+          .select(col("unit_id"), array_join(col("called_by"), ",").as("called_by")),
+          Seq("unit_id"), "left")
+        .select(col("unit_id"), col("file"), col("kind"), col("name"),
+          col("start_line").cast("long").as("start_line"),
+          col("end_line").cast("long").as("end_line"),
+          coalesce(col("called_by"), lit("")).as("called_by"))
+      dump(s"$path/scratch").write.mode("overwrite").parquet(s"$path/dump")
+      dump(s"$path/inc")
+    }),
+
     // B11 round trip: export the parquet index as a reference-format npy
     // directory, re-import it, and reconstruct — must match the original
     // index's reconstruction dump exactly (mmap.rs:1757-1889 contract,
@@ -1770,6 +1813,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(tok AS INTEGER) AS tok, CAST(cid AS BIGINT) AS cid,
         |  round(r0, 4) AS res0
         |FROM best WHERE rn = 1""".stripMargin,
+    "c7_reindex" ->
+      """SELECT unit_id, file, kind, name, start_line, end_line, called_by
+        |FROM read_parquet('/tmp/graft_c7__root_testdata_sf0_01/dump/*.parquet')""".stripMargin,
     "st_stream_ingest" ->
       """WITH b AS (SELECT batch, doc_id
         |  FROM read_parquet('/tmp/graft_stream__root_testdata_sf0_01/batches/*.parquet'))
