@@ -69,8 +69,11 @@ object ScaleProbe {
 
     // repartition the SOURCE (KBs) before the multiplying crossJoin, not
     // the multiplied output (GBs): the single-file source otherwise
-    // leaves the whole generation single-partition.
-    val nPart = cpus.toInt
+    // leaves the whole generation single-partition. 2 tasks per core:
+    // the output files (~40 MB) sit under the parquet split size, so
+    // file count IS the read parallelism, and CPU-heavy consumers
+    // (shingling, encode) straggle at exactly 1 task per core.
+    val nPart = cpus.toInt * 2
     val tGen0 = System.nanoTime()
     gen("documents") {
       spark.read.parquet(s"$sfDir/documents.parquet")
