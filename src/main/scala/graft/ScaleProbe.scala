@@ -128,6 +128,40 @@ object ScaleProbe {
       }
     }
 
+    // Sparse-funnel scale point: the large-K formulation
+    // (sparseCentroidThreshold = 0) at SERVING params over the index
+    // v_index_search just built on the scaled corpus — everywhere else
+    // the sparse path only executes on toy oracle corpora. Also times
+    // the dense path at the same params for a like-for-like split.
+    if (times.contains("v_index_search")) try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val idxPath = "/tmp/graft_idx_" + base.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = new graft.index.MultiVectorIndex(spark, idxPath)
+      val searcher = new graft.search.Searcher(idx)
+      val queries = spark.read.parquet(s"$base/embeddings.parquet")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+        .filter(col("doc_id") < 64)
+        .groupBy(col("doc_id").as("query_id")).agg(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+            x => x.getField("embedding")).as("embeddings"))
+      Seq("sparse_search_64q" -> graft.search.SearchParams(sparseCentroidThreshold = 0),
+        "dense_search_64q" -> graft.search.SearchParams()).foreach { case (name, p) =>
+        val t0 = System.nanoTime()
+        rows(name) = searcher.search(queries, p).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      }
+    } catch {
+      case e: Throwable =>
+        errors("sparse_search_64q") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+    }
+
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")

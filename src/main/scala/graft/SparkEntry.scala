@@ -33,7 +33,7 @@ object SparkEntry {
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
-      "b2_partitions", "b3_codec", "b4_assign", "c7_reindex")
+      "b2_partitions", "b3_codec", "b4_assign", "c5_hybrid", "c7_reindex")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -1086,6 +1086,50 @@ object SparkEntry {
       dump(s"$path/inc")
     }),
 
+    // C5/F9: full hybrid ORCHESTRATION twin (handlers/search.rs:
+    // 289-293 + text_search.rs:1000-1075) — HybridSearch.search end to
+    // end with an exhaustive funnel: fetch_k = 3·top_k over-fetch on
+    // BOTH legs, BM25 keyword leg on the index's 40-doc id space,
+    // per-query min-max normalization, alpha-weighted relative-score
+    // fusion, final top-10. The oracle recomputes the semantic leg
+    // (exact MaxSim from the recon dump), the keyword leg (BM25 from
+    // the dumped raw corpus), and the fusion arithmetic from scratch.
+    "c5_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_c5_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      new graft.search.Searcher(idx).reconstruct(docs.select("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/recon")
+      emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$path/qtok")
+      val nDocs = idx.numDocuments
+      val ftsDocs = t(s, dir, "documents")
+        .filter(col("doc_id") < nDocs).select(col("doc_id"), col("text"))
+      ftsDocs.write.mode("overwrite").parquet(s"$path/ftsdocs")
+      val fts = graft.fts.FtsIndex.build(s, ftsDocs, "doc_id", "text", s"$path/fts")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("embeddings"))
+      graft.search.HybridSearch.search(s, idx, fts, queries, "data query",
+        graft.search.HybridParams(topK = 10, alpha = 0.75,
+          fusion = "relative_score",
+          searchParams = graft.search.SearchParams(
+            nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+            centroidScoreThreshold = None)))
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 5).as("score"), col("rank").cast("long").as("rank"))
+    }),
+
     // B11 round trip: export the parquet index as a reference-format npy
     // directory, re-import it, and reconstruct — must match the original
     // index's reconstruction dump exactly (mmap.rs:1757-1889 contract,
@@ -1813,6 +1857,66 @@ object SparkEntry {
         |SELECT doc_id, CAST(tok AS INTEGER) AS tok, CAST(cid AS BIGINT) AS cid,
         |  round(r0, 4) AS res0
         |FROM best WHERE rn = 1""".stripMargin,
+    "c5_hybrid" ->
+      """WITH recon AS (SELECT doc_id, tok, vec
+        |  FROM read_parquet('/tmp/graft_c5__root_testdata_sf0_01/recon/*.parquet')),
+        |qtok AS (SELECT query_id, vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_c5__root_testdata_sf0_01/qtok/*.parquet')),
+        |pairs AS (
+        |  SELECT q.query_id, d.doc_id, q.vec_id AS qv,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * d.vec[i]::DOUBLE)) AS sim
+        |  FROM qtok q CROSS JOIN recon d),
+        |m AS (SELECT query_id, doc_id, qv, max(sim) AS best FROM pairs GROUP BY 1,2,3),
+        |semsc AS (SELECT query_id, doc_id, sum(best) AS score FROM m GROUP BY 1,2),
+        |sem AS (SELECT query_id, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM semsc) WHERE rn <= 30),
+        |doc AS (SELECT doc_id, text
+        |  FROM read_parquet('/tmp/graft_c5__root_testdata_sf0_01/ftsdocs/*.parquet')),
+        |tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM doc),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1,2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['data','query']) AS term),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM post
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    greatest(ln((s.n_docs - f.df + 0.5)/(f.df + 0.5)), 1e-6)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sco
+        |  FROM post p JOIN q USING(term) JOIN dfq f USING(term)
+        |  JOIN dl d USING(doc_id) CROSS JOIN stats s),
+        |kwagg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nm
+        |          FROM sc GROUP BY doc_id),
+        |kw0 AS (SELECT doc_id, score FROM (
+        |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM kwagg WHERE nm = 2) WHERE rn <= 30),
+        |qids AS (SELECT DISTINCT query_id FROM qtok),
+        |kw AS (SELECT qids.query_id, kw0.doc_id, kw0.score FROM qids CROSS JOIN kw0),
+        |nsem AS (SELECT query_id, doc_id,
+        |    CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS s_sem
+        |  FROM (SELECT query_id, doc_id, score,
+        |          min(score) OVER (PARTITION BY query_id) AS mn,
+        |          max(score) OVER (PARTITION BY query_id) AS mx FROM sem)),
+        |nkw AS (SELECT query_id, doc_id,
+        |    CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS s_kw
+        |  FROM (SELECT query_id, doc_id, score,
+        |          min(score) OVER (PARTITION BY query_id) AS mn,
+        |          max(score) OVER (PARTITION BY query_id) AS mx FROM kw)),
+        |fused AS (
+        |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+        |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    0.75 * coalesce(s_sem, 0) + 0.25 * coalesce(s_kw, 0) AS score
+        |  FROM nsem a FULL OUTER JOIN nkw b
+        |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+        |SELECT query_id, doc_id, round(score, 5) AS score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM fused QUALIFY rank <= 10""".stripMargin,
     "c7_reindex" ->
       """SELECT unit_id, file, kind, name, start_line, end_line, called_by
         |FROM read_parquet('/tmp/graft_c7__root_testdata_sf0_01/dump/*.parquet')""".stripMargin,
