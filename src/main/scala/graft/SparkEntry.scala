@@ -33,7 +33,8 @@ object SparkEntry {
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
-      "b2_partitions", "b3_codec", "b4_assign", "c5_hybrid", "c7_reindex")
+      "b2_partitions", "b3_codec", "b4_assign", "b6_bucketize",
+      "c5_hybrid", "c7_reindex")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -918,6 +919,46 @@ object SparkEntry {
         qz.bucketWeights.zipWithIndex.map { case (w, i) => ("weight", i.toLong, w.toDouble) })
         .toSeq.toDF("kind", "i", "value")
         .select(col("kind"), col("i"), round(col("value"), 4).as("value"))
+    }),
+
+    // B6: residual bucketization (codec.rs:356-470 searchsorted-right
+    // semantics: bucket = count of cutoffs strictly below the value).
+    // The trained cutoffs and a residual sample are dumped; the Spark
+    // side reports the bucket each value lands in AFTER a full
+    // quantize->unpack round trip (so the nbits bit-packing layout is
+    // on the verified path too), and the oracle recomputes the bucket
+    // count-below join in SQL.
+    "b6_bucketize" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_b6_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val qz = idx.codec.quantizer
+      qz.bucketCutoffs.zipWithIndex.map { case (c, i) => (i.toLong, c.toDouble) }
+        .toSeq.toDF("i", "cutoff")
+        .write.mode("overwrite").parquet(s"$path/cutoffs")
+      val bc = s.sparkContext.broadcast(idx.codec)
+      val resid = emb.select(col("vec_id"), col("embedding").as("vec"))
+        .as[(Long, Array[Float])]
+        .map { case (vid, v) =>
+          val cent = bc.value.centroid(bc.value.assign(v))
+          (vid, v.indices.map(i => (v(i) - cent(i)).toDouble).toArray)
+        }.toDF("vec_id", "residual")
+      resid.write.mode("overwrite").parquet(s"$path/resid")
+      resid.as[(Long, Array[Double])].flatMap { case (vid, r) =>
+        val packed = bc.value.quantizer.quantize(r.map(_.toFloat))
+        val buckets = bc.value.quantizer.unpackBuckets(packed, r.length)
+        r.indices.map(i => (vid, i, buckets(i).toLong))
+      }.toDF("vec_id", "dim_i", "bucket")
     }),
 
     // B4+B5: nearest-centroid assignment (argmax dot, ties -> lowest
@@ -1839,6 +1880,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'weight', CAST(t.i AS BIGINT), round(qw.w[t.i + 1]::DOUBLE, 4)
         |FROM range(0, 16) t(i) CROSS JOIN qw""".stripMargin,
+    "b6_bucketize" ->
+      """WITH r AS (SELECT vec_id, residual
+        |  FROM read_parquet('/tmp/graft_b6__root_testdata_sf0_01/resid/*.parquet')),
+        |c AS (SELECT cutoff
+        |  FROM read_parquet('/tmp/graft_b6__root_testdata_sf0_01/cutoffs/*.parquet')),
+        |vals AS (SELECT vec_id, unnest(range(0, len(residual))) AS dim_i,
+        |  unnest(residual) AS v FROM r)
+        |SELECT vec_id, CAST(dim_i AS INTEGER) AS dim_i,
+        |  (SELECT count(*) FROM c WHERE c.cutoff < vals.v) AS bucket
+        |FROM vals""".stripMargin,
     "b4_assign" ->
       """WITH t AS (SELECT doc_id, tok, vec
         |  FROM read_parquet('/tmp/graft_b4__root_testdata_sf0_01/tok/*.parquet')),
