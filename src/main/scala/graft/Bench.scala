@@ -56,7 +56,11 @@ object Bench {
       else try {
         import graft.search.RecallHarness._
         val Seq((r, ndcg)) = hardQuality(spark, "/tmp/graft_bench_recall", recallDocs)
-        if (math.abs(ndcg - HardNdcgBaseline) > HardGateDrift)
+        // the stored baseline is calibrated at exactly HardBaselineDocs;
+        // a different corpus size reports metrics without gating (its
+        // default-funnel NDCG is a different number, not a regression)
+        if (recallDocs == HardBaselineDocs &&
+            math.abs(ndcg - HardNdcgBaseline) > HardGateDrift)
           errors("ndcg_at_10") =
             s"hard ndcg@10 $ndcg drifted >±$HardGateDrift from baseline $HardNdcgBaseline"
         s""","recall_at_10":$r,"ndcg_at_10":$ndcg,"recall_docs":$recallDocs""" +
@@ -74,7 +78,8 @@ object Bench {
     // 55.3 QPS CPU docker number modulo tokens/doc (see QpsHarness).
     // SPARK_GRAFT_QPS=0 skips it.
     val qpsField =
-      if (sys.env.get("SPARK_GRAFT_QPS").contains("0")) ""
+      if (sys.env.get("SPARK_GRAFT_QPS").exists(v =>
+        v.toDoubleOption.forall(_ <= 0))) ""
       else try {
         import graft.search.QpsHarness
         val (sec, qps, buildSec) = QpsHarness.measure(spark, "/tmp/graft_bench_qps")

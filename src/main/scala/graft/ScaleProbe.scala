@@ -140,12 +140,14 @@ object ScaleProbe {
       val idx = new graft.index.MultiVectorIndex(spark, idxPath)
       val searcher = new graft.search.Searcher(idx)
       val queries = spark.read.parquet(s"$base/embeddings.parquet")
+        // filter BEFORE the typed map — a filter above .map cannot push
+        // into the scan, and the scaled table is millions of rows
+        .filter(col("vec_id") < 64 * 5)
         .select((col("vec_id") / 5).cast("long").as("doc_id"),
           col("vec_id"), col("embedding"))
         .as[(Long, Long, Array[Float])]
         .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
         .toDF("doc_id", "vec_id", "embedding")
-        .filter(col("doc_id") < 64)
         .groupBy(col("doc_id").as("query_id")).agg(
           transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
             x => x.getField("embedding")).as("embeddings"))

@@ -1089,7 +1089,8 @@ object SparkEntry {
     // documents table: each file defines f_i with a comment payload and
     // calls f_{(3i+1)%140}, giving a real cross-file call graph) is
     // synced, then patched — every 7th file modified, every 5th
-    // deleted, 20 added — and synced again through the hash-diff path.
+    // deleted, 16 added (ids 120-139 minus its four %5==4 ids) — and
+    // synced again through the hash-diff path.
     // The resulting units AND the recomputed index-wide called_by
     // edges must equal a fresh sync of the final tree into an empty
     // dir (dumped for the oracle). Unit ids are stable content hashes,

@@ -498,6 +498,10 @@ object CodeUnits {
     val masked = new java.util.BitSet(source.length)
     val hashComment = Set("python", "ruby", "elixir", "r", "julia", "perl")(lang)
     val dashComment = Set("lua", "sql", "haskell")(lang)
+    // languages where ' delimits full strings (vs char literals /
+    // lifetimes, which keep the short-lookahead heuristic below)
+    val sqStringLang = Set("python", "javascript", "typescript", "ruby",
+      "php", "shell", "sql", "lua", "r", "elixir")(lang)
     val S_CODE = 0; val S_STR = 1; val S_LINE = 2; val S_BLOCK = 3
     var state = S_CODE
     var strQuote = ' '
@@ -519,7 +523,15 @@ object CodeUnits {
           }
         case _ => ch match {
           case '"' | '`' => state = S_STR; strQuote = ch; masked.set(i)
+          case '\'' if sqStringLang =>
+            // full string delimiter (python/js/ruby/...): an apostrophe
+            // cannot appear in code outside strings/comments in these
+            // languages, so no lookahead heuristic is needed
+            state = S_STR; strQuote = '\''; masked.set(i)
           case '\'' =>
+            // char-literal languages (rust lifetimes, C/Java chars):
+            // only mask when a closing quote sits within 3 chars, so a
+            // lifetime `'a` or an apostrophe in prose is not a string
             val lookEnd = math.min(i + 4, source.length)
             var j = i + 1
             if (j < lookEnd && source.charAt(j) == '\\') j += 1
@@ -630,9 +642,11 @@ object CodeUnits {
     // comment, or a paren header (`for(;;)`) is not a statement boundary —
     // drop it before span math (line-anchored matches are untouched)
     lazy val masked = maskedOffsets(source, lang)
-    // Go for-headers carry no parens (`for i := 0; cond; i++`) — a line
-    // led by the `for` keyword never hosts a `;`-anchored definition
-    def forHeaderLine(off: Int): Boolean = {
+    // Go for-headers carry no parens (`for i := 0; cond; i++`), so their
+    // `;`s sit at depth 0 unmasked. Go-only: in paren-header languages a
+    // line CAN legitimately host `for(...);function f(){}` (minified JS)
+    // and the header `;`s are already paren-masked there.
+    def forHeaderLine(off: Int): Boolean = lang == "go" && {
       val t = lines(lineOf(off)).dropWhile(c => c == ' ' || c == '\t')
       t.startsWith("for") && (t.length == 3 || !Character.isLetterOrDigit(t.charAt(3)))
     }

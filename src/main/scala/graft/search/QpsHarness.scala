@@ -33,14 +33,20 @@ object QpsHarness {
       numQueries: Int = NumQueries,
       reps: Int = 3): (Double, Double, Double) = {
     val tB0 = System.nanoTime()
-    val idx =
+    // a cached index is only reused when its shape matches the requested
+    // corpus — otherwise the reported qps_docs/qps_dim metadata would
+    // describe a corpus that was not the one measured
+    val cached =
       if (graft.util.Fs.exists(s"$workDir/manifest.json"))
-        new MultiVectorIndex(spark, workDir)
-      else {
-        val corpus = RecallHarness.clusteredCorpus(
-          spark, numDocs, tokensPerDoc = TokensPerDoc, dim = Dim)
-        MultiVectorIndex.build(spark, corpus, workDir)
-      }
+        Some(new MultiVectorIndex(spark, workDir))
+          .filter(i => i.numDocuments == numDocs && i.dim == Dim)
+      else None
+    val idx = cached.getOrElse {
+      graft.util.Fs.deleteRecursively(workDir)
+      val corpus = RecallHarness.clusteredCorpus(
+        spark, numDocs, tokensPerDoc = TokensPerDoc, dim = Dim)
+      MultiVectorIndex.build(spark, corpus, workDir)
+    }
     val buildSec = (System.nanoTime() - tB0) / 1e9
     val queries: DataFrame = RecallHarness.queriesFrom(
       spark, numQueries, tokensPerDoc = TokensPerDoc, dim = Dim).cache()

@@ -138,11 +138,15 @@ object RecallHarness {
   //
   // Calibration sweep (50k docs, 200 queries, round 9):
   //   default(probe=8,thr=0.4)  recall@10=0.6500  ndcg@10=0.8506  ← baseline
-  //   probe=1                   recall@10=0.6000  ndcg@10=0.8086  ← fails gate
-  //   probe=2                   recall@10=0.6500  ndcg@10=0.8334  ← fails gate
-  //   probe=16                  recall@10=0.6500  ndcg@10=0.8433
+  //   probe=1                   recall@10=0.6000  ndcg@10=0.8086  ← fails gate (drift .042)
+  //   probe=2                   recall@10=0.6500  ndcg@10=0.8334  ← fails gate (drift .0172)
+  //   probe=16                  recall@10=0.6500  ndcg@10=0.8433  ← passes  (drift .0073)
   // (probe=16 < probe=8 is real funnel behavior: a larger candidate pool
   // pushes true docs past the approx-score n_full_scores cut.)
+  // The measurement is deterministic for a fixed corpus/code (identical
+  // on local[8] and local[32]), so the window only needs to absorb
+  // genuine funnel jitter, not run noise: 0.015 places the gate between
+  // probe=16's benign 0.0073 and probe=2's degradation at 0.0172.
   // ---------------------------------------------------------------------
 
   val HardNumClusters = 2000
@@ -159,7 +163,10 @@ object RecallHarness {
     * RecallSpec), far below the window. */
   val HardNdcgBaseline = 0.8506
   val HardRecallBaseline = 0.6500
-  val HardGateDrift = 0.02
+  val HardGateDrift = 0.015
+  /** Corpus size the baseline was calibrated at — Bench only GATES at
+    * this size (other sizes report metrics without a baseline). */
+  val HardBaselineDocs = 50000L
   /** nIvfProbe=1 NDCG at calibration — documents the gate's dynamic range. */
   val HardProbe1Ndcg = 0.8086
 
@@ -219,19 +226,4 @@ object RecallHarness {
     } finally graft.util.Fs.deleteRecursively(workDir)
   }
 
-  /** Build-and-measure entry used by Bench and the spec: returns
-    * (recall@10, ndcg@10) with reference-default pruned parameters. */
-  def measure(
-      spark: SparkSession,
-      workDir: String,
-      numDocs: Long,
-      numQueries: Int = 100): (Double, Double) = {
-    graft.util.Fs.deleteRecursively(workDir)
-    val corpus = clusteredCorpus(spark, numDocs)
-    val idx = MultiVectorIndex.build(spark, corpus, workDir)
-    val queries = queriesFrom(spark, numQueries)
-    val r = qualityAtK(idx, queries, SearchParams()) // reference defaults
-    graft.util.Fs.deleteRecursively(workDir)
-    r
-  }
 }

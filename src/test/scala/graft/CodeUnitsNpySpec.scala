@@ -392,6 +392,27 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val py = CodeUnits.extractUnits("p.py",
       "# setup; def bogus4(): pass\ndef real():\n    pass\n")
     assert(py.exists(_.name == "real") && !py.exists(_.name == "bogus4"))
+
+    // single-quoted strings are full strings in python/js (not the
+    // 3-char char-literal heuristic): a long quoted payload must mask
+    // its ';'
+    val sq = CodeUnits.extractUnits("q.py",
+      "x = 'stop here; def bogus5(): pass'\ndef real2():\n    pass\n")
+    assert(sq.exists(_.name == "real2") && !sq.exists(_.name == "bogus5"))
+    val sqjs = CodeUnits.extractUnits("q.js",
+      "var s = 'a; function bogus6(){}'\nfunction ok3(){}\n")
+    assert(sqjs.exists(_.name == "ok3") && !sqjs.exists(_.name == "bogus6"))
+    // rust lifetimes still never open a string
+    val rs = CodeUnits.extractUnits("l.rs",
+      "fn f<'a>(x: &'a str) -> &'a str { x }; fn g() {}\n")
+    assert(rs.map(_.name) === Seq("f", "g"))
+
+    // a COMPLETE for-statement followed by a ';'-anchored def on the
+    // same line is legit in paren-header languages (minified JS) — the
+    // for-header guard is Go-only
+    val minjs = CodeUnits.extractUnits("m.js",
+      "for(i=0;i<n;i++);function init(){}\n")
+    assert(minjs.exists(_.name == "init"))
   }
 
   test("C1: Vue/Svelte/HTML script blocks parse with file-position lines; template unit") {
