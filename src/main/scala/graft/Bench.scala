@@ -29,6 +29,31 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // warm search-QPS twin (separate field, NOT part of the query
+    // total): SciFact-sized corpus (5,200 docs, dim 128), warm pass then
+    // best of N timed batch searches — comparable to the reference's
+    // 55.3 QPS CPU docker number modulo tokens/doc (see QpsHarness).
+    // Measured BEFORE the query suite: a latency metric taken at the
+    // tail of 50+ queries reads the suite's GC/broadcast backlog, not
+    // search throughput (measured round 9: 1.35 s/batch after the suite
+    // vs 0.96 s in a fresh JVM). SPARK_GRAFT_QPS=0 skips it.
+    val qpsField =
+      if (sys.env.get("SPARK_GRAFT_QPS").exists(v =>
+        v.toDoubleOption.forall(_ <= 0))) ""
+      else try {
+        import graft.search.QpsHarness
+        val (sec, qps, buildSec) = QpsHarness.measure(spark, "/tmp/graft_bench_qps")
+        f""","qps_warm":$qps%.1f,"qps_sec":$sec%.3f,"qps_build_sec":$buildSec%.1f""" +
+          s""","qps_docs":${QpsHarness.NumDocs},"qps_queries":${QpsHarness.NumQueries}""" +
+          s""","qps_dim":${QpsHarness.Dim},"qps_tokens_per_doc":${QpsHarness.TokensPerDoc}"""
+      } catch {
+        case e: Throwable =>
+          errors("qps_warm") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          ""
+      }
+
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.verifyOnly(name) }
       .foreach { case (name, fn) =>
@@ -68,27 +93,6 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors("recall_at_10") = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          ""
-      }
-
-    // warm search-QPS twin (separate field, NOT part of the query
-    // total): SciFact-sized corpus (5,200 docs, dim 128), warm pass then
-    // best of 3 timed batch searches — comparable to the reference's
-    // 55.3 QPS CPU docker number modulo tokens/doc (see QpsHarness).
-    // SPARK_GRAFT_QPS=0 skips it.
-    val qpsField =
-      if (sys.env.get("SPARK_GRAFT_QPS").exists(v =>
-        v.toDoubleOption.forall(_ <= 0))) ""
-      else try {
-        import graft.search.QpsHarness
-        val (sec, qps, buildSec) = QpsHarness.measure(spark, "/tmp/graft_bench_qps")
-        f""","qps_warm":$qps%.1f,"qps_sec":$sec%.3f,"qps_build_sec":$buildSec%.1f""" +
-          s""","qps_docs":${QpsHarness.NumDocs},"qps_queries":${QpsHarness.NumQueries}""" +
-          s""","qps_dim":${QpsHarness.Dim},"qps_tokens_per_doc":${QpsHarness.TokensPerDoc}"""
-      } catch {
-        case e: Throwable =>
-          errors("qps_warm") = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
           ""
       }

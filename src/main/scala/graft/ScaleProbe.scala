@@ -151,8 +151,12 @@ object ScaleProbe {
         .groupBy(col("doc_id").as("query_id")).agg(
           transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
             x => x.getField("embedding")).as("embeddings"))
+      // localIndexBudgetBytes = 0: this probe measures the DISTRIBUTED
+      // plans' scaling — the serving fast path would absorb the ×100
+      // index (~21 MB packed) and measure the wrong code path
       Seq("sparse_search_64q" -> graft.search.SearchParams(sparseCentroidThreshold = 0),
-        "dense_search_64q" -> graft.search.SearchParams()).foreach { case (name, p) =>
+        "dense_search_64q" -> graft.search.SearchParams(localIndexBudgetBytes = 0)
+      ).foreach { case (name, p) =>
         val t0 = System.nanoTime()
         rows(name) = searcher.search(queries, p).count()
         times(name) = (System.nanoTime() - t0) / 1e9

@@ -63,6 +63,18 @@ final class MultiVectorIndex(val spark: SparkSession, val path: String) {
 
   def numDocuments: Long = manifest("num_documents").toLong
   def dim: Int = manifest("embedding_dim").toInt
+
+  /** Conservative estimate of the collected JVM footprint of the packed
+    * index (tokens + per-doc codes + IVF lists) — the build-side size
+    * the serving fast path's broadcast dispatch compares against its
+    * budget (see [[graft.search.SearchParams.localIndexBudgetBytes]]).
+    * Per vector: packed residual bytes + array/tuple headers + the code
+    * and ivf entries; per doc: map-entry and array overhead. */
+  def packedBytesEstimate: Long = {
+    val nEmb = manifest("num_embeddings").toLong
+    val nbits = manifest("nbits").toInt
+    nEmb * (dim.toLong * nbits / 8 + 72) + numDocuments * 160
+  }
 }
 
 object MultiVectorIndex {

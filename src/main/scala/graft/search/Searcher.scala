@@ -30,7 +30,19 @@ final case class SearchParams(
       * batch_size = 2000). The switch to the sparse path stays keyed on K:
       * with chunking the batch size Q no longer multiplies into the
       * broadcast footprint. */
-    denseScoreBudgetBytes: Long = 1L << 30
+    denseScoreBudgetBytes: Long = 1L << 30,
+    /** Serving fast path: when the packed index's estimated collected
+      * footprint ([[graft.index.MultiVectorIndex.packedBytesEstimate]])
+      * fits this budget, the whole S1–S8 funnel runs as ONE stage — the
+      * index is collected once per Searcher and broadcast (the build
+      * side of a broadcast hash join, same dispatch idea), and each
+      * query executes the funnel locally in its task. Result-identical
+      * to the distributed funnel (same probe/score/cut/rerank kernels
+      * and tie-breaks); what changes is that a warm batch pays one
+      * stage instead of ~7 shuffle barriers. Above the budget — the
+      * 100 TB regime — the distributed funnel is the only correct
+      * plan and runs unchanged. 0 disables the fast path. */
+    localIndexBudgetBytes: Long = 256L << 20
 )
 
 /** Batch late-interaction search: the reference's per-query funnel
@@ -65,6 +77,9 @@ final class Searcher(index: MultiVectorIndex) {
   ): DataFrame = {
     if (index.manifest("num_partitions").toInt > params.sparseCentroidThreshold)
       return searchSparse(queries, params, subset)
+    if (params.localIndexBudgetBytes > 0 &&
+        index.packedBytesEstimate <= params.localIndexBudgetBytes)
+      return searchLocal(queries, params, subset)
     val k = index.codec.numCentroids
 
     val queryMap: Map[Long, Array[Array[Float]]] = queries
@@ -175,19 +190,7 @@ final class Searcher(index: MultiVectorIndex) {
     val kLocal = k
     val qids = queryMap.keys.toSeq.sorted
     def scoreOne(emb: Array[Array[Float]], cents: Array[Float]): Array[Array[Float]] =
-      emb.map { qvec =>
-        val row = new Array[Float](kLocal)
-        var c = 0
-        while (c < kLocal) {
-          var s = 0.0f
-          val off = c * dimLocal
-          var i = 0
-          while (i < dimLocal) { s += cents(off + i) * qvec(i); i += 1 }
-          row(c) = s
-          c += 1
-        }
-        row
-      }
+      Searcher.centroidScores(emb, cents, kLocal, dimLocal)
     // Small batches score on the driver (a Spark job would be pure
     // overhead) but in PARALLEL across driver cores — single-threaded
     // this was the dominant cost of a warm 64-query batch at K=4096
@@ -482,6 +485,143 @@ final class Searcher(index: MultiVectorIndex) {
       .filter(col("rank") <= params.topK)
   }
 
+  // ---------------------------------------------------------------------
+  // Serving fast path: the whole funnel as ONE stage over a broadcast
+  // index image (dispatch: SearchParams.localIndexBudgetBytes).
+  // ---------------------------------------------------------------------
+
+  /** Collected-once image of a small index — IVF lists, per-doc code
+    * arrays (tok order, the S5 input), packed token residuals (tok
+    * order, the S7 input). Built lazily on the first fast-path search of
+    * this Searcher and broadcast; sized by
+    * [[graft.index.MultiVectorIndex.packedBytesEstimate]]. */
+  private lazy val localImageBc
+      : org.apache.spark.broadcast.Broadcast[Searcher.LocalIndexImage] = {
+    val ivfM: Map[Int, Array[Long]] = index.ivf
+      .select("code", "doc_ids").as[(Int, Array[Long])]
+      .collect().toMap
+    val codesM: Map[Long, Array[Int]] = index.docCodes
+      .select("doc_id", "codes").as[(Long, Array[Int])]
+      .collect().toMap
+    val toksM: Map[Long, Array[(Int, Array[Byte])]] = index.tokens
+      .select("doc_id", "tok", "code", "residual")
+      .as[(Long, Int, Int, Array[Byte])]
+      .collect()
+      .groupBy(_._1)
+      .map { case (d, rows) => d -> rows.sortBy(_._2).map(r => (r._3, r._4)) }
+    spark.sparkContext.broadcast(Searcher.LocalIndexImage(ivfM, codesM, toksM))
+  }
+
+  /** Codec broadcast shared across fast-path calls (the codec is
+    * immutable per index) — a repeated warm batch must not pay a fresh
+    * broadcast each call. */
+  private lazy val codecBcShared
+      : org.apache.spark.broadcast.Broadcast[graft.index.Codec] =
+    spark.sparkContext.broadcast(index.codec)
+
+  /** The dense funnel executed per query inside ONE task, against the
+    * broadcast index image. Stage-for-stage the same S1–S8 semantics,
+    * kernels, and tie-breaks as [[searchDenseChunk]] (float approx
+    * scores, double exact scores, doc_id-ascending ties), so results are
+    * bit-identical to the distributed funnel — asserted by
+    * IndexSearchSpec's equivalence test and every search oracle. The
+    * tombstone table is re-read per call (it can grow after the image
+    * was built); the image itself is immutable build output. */
+  private def searchLocal(
+      queries: DataFrame,
+      params: SearchParams,
+      subset: Option[DataFrame]): DataFrame = {
+    val codec = index.codec
+    val k = codec.numCentroids
+    val dim = codec.dim
+    val queryMap: Map[Long, Array[Array[Float]]] = queries
+      .select("query_id", "embeddings")
+      .as[(Long, Array[Array[Float]])]
+      .collect().toMap
+    val qids: Array[Long] = queryMap.keys.toArray.sorted
+    val img = localImageBc
+
+    // S4: subset ids collected (bounded by the corpus, which fits the
+    // local budget by dispatch); probe scaling and the eligible-centroid
+    // mask use the same arithmetic as the distributed path
+    val subsetIds: Option[Array[Long]] =
+      subset.map(_.select("doc_id").as[Long].collect())
+    val nProbe = subsetIds match {
+      case Some(ids) =>
+        val scaled = params.nIvfProbe.toLong * math.max(
+          index.numDocuments / math.max(ids.length.toLong, 1L), 1L)
+        math.min(scaled, k.toLong).toInt
+      case None => params.nIvfProbe
+    }
+    val eligible: Option[Array[Boolean]] = subsetIds.map { ids =>
+      val mask = new Array[Boolean](k)
+      val codes = img.value.docCodes
+      ids.foreach(d => codes.get(d).foreach(_.foreach(c => mask(c) = true)))
+      mask
+    }
+    val subsetSet: Option[java.util.HashSet[java.lang.Long]] = subsetIds.map { ids =>
+      val s = new java.util.HashSet[java.lang.Long](ids.length * 2)
+      ids.foreach(s.add(_))
+      s
+    }
+    val tombstones: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      index.tombstonesOpt.foreach(
+        _.select("doc_id").as[Long].collect().foreach(s.add(_)))
+      s
+    }
+
+    val queriesBc = spark.sparkContext.broadcast(queryMap)
+    val codecBc = codecBcShared
+    val nDecompress = math.max(params.nFullScores / 4, params.topK)
+    val topK = params.topK
+    val threshold = params.centroidScoreThreshold
+    val kL = k; val dimL = dim; val nProbeL = nProbe
+    val slices = math.max(1, math.min(qids.length,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
+      .flatMap { qid =>
+        val im = img.value
+        val cdc = codecBc.value
+        val emb = queriesBc.value(qid)
+        // S1 + S2: this query's centroid-score matrix and probe set
+        val scores = Searcher.centroidScores(emb, cdc.centroids, kL, dimL)
+        val probed = Searcher.probeCentroids(scores, nProbeL, threshold, eligible)
+        // S3 + S4: gather IVF lists, dedup, subset/tombstone restriction
+        val cands = new scala.collection.mutable.HashSet[Long]
+        probed.foreach(c =>
+          im.ivf.getOrElse(c, Array.emptyLongArray).foreach(cands += _))
+        // S5: approximate codes-only MaxSim (inner-join semantics on
+        // docCodes: a candidate without a codes row is dropped)
+        val approx = cands.iterator
+          .filter(d => subsetSet.forall(_.contains(d)) && !tombstones.contains(d))
+          .flatMap(d => im.docCodes.get(d)
+            .map(codes => (d, MaxSim.approxScore(scores, codes))))
+          .toArray
+        // S6: funnel cut — approx desc, doc asc (the distributed
+        // window's float ordering and tie-break)
+        val surv = approx.sortWith { (a, b) =>
+          val c = java.lang.Float.compare(b._2, a._2)
+          c < 0 || (c == 0 && a._1 < b._1)
+        }.take(nDecompress)
+        // S7: decode each survivor once, exact double-precision MaxSim
+        val exact = surv.flatMap { case (d, _) =>
+          im.toks.get(d).map { toks =>
+            val docEmb = toks.map { case (code, packed) => cdc.decode(code, packed) }
+            (d, MaxSim.scoreDouble(emb, docEmb))
+          }
+        }
+        // S8: final top-k — score desc, doc asc
+        exact.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(b._2, a._2)
+          c < 0 || (c == 0 && a._1 < b._1)
+        }.iterator.take(topK).zipWithIndex.map { case ((d, s), i) =>
+          (qid, d, s, i + 1)
+        }
+      }
+      .toDF("query_id", "doc_id", "score", "rank")
+  }
+
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
   def reconstruct(docIds: DataFrame): DataFrame = {
     val codecBc = spark.sparkContext.broadcast(index.codec)
@@ -538,6 +678,34 @@ final class Searcher(index: MultiVectorIndex) {
 }
 
 object Searcher {
+
+  /** Collected image of a small index for the serving fast path: IVF
+    * lists, per-doc codes (tok order), packed residuals (tok order). */
+  private[search] final case class LocalIndexImage(
+      ivf: Map[Int, Array[Long]],
+      docCodes: Map[Long, Array[Int]],
+      toks: Map[Long, Array[(Int, Array[Byte])]])
+
+  /** S1 GEMM kernel: per-query-token scores against all K centroids
+    * (row-major centroid matrix). Shared by the dense distributed path
+    * (driver / tiny stage) and the local fast path (in-task), so both
+    * produce identical float accumulation order. */
+  private[graft] def centroidScores(
+      emb: Array[Array[Float]], cents: Array[Float],
+      k: Int, dim: Int): Array[Array[Float]] =
+    emb.map { qvec =>
+      val row = new Array[Float](k)
+      var c = 0
+      while (c < k) {
+        var s = 0.0f
+        val off = c * dim
+        var i = 0
+        while (i < dim) { s += cents(off + i) * qvec(i); i += 1 }
+        row(c) = s
+        c += 1
+      }
+      row
+    }
 
   /** S11 rerank kernel — index-free form (the REST rerank endpoint
     * scores ad-hoc docs without touching an index — api/src/routes.rs

@@ -118,6 +118,27 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("serving fast path is bit-identical to the distributed funnel (with and without subset)") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val subset = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    // reference serving defaults (threshold on), which is exactly the
+    // parameterization the oracles and the QPS twin run
+    val base = SearchParams()
+    assert(idx.packedBytesEstimate <= base.localIndexBudgetBytes,
+      "fixture index must dispatch to the fast path")
+    def run(p: SearchParams, sub: Option[DataFrame]) = searcher
+      .search(queries, p, subset = sub)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val distributed = base.copy(localIndexBudgetBytes = 0L)
+    assert(run(base, None) === run(distributed, None))
+    assert(run(base, Some(subset)) === run(distributed, Some(subset)))
+  }
+
   test("centroid threshold keeps a centroid when ANY query token clears it (search.rs:417-425)") {
     // token 0 selects c0 with 0.3 (below 0.4); token 1 selects c1 but
     // scores 0.45 on c0 — the reference keeps c0 via token 1's score
