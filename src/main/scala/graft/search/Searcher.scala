@@ -58,6 +58,13 @@ final case class SearchParams(
   * probing and S5 approximate scoring — the reference computes this
   * matrix once per query too (search.rs:345); recomputing it per
   * partition would be P× redundant GEMM work.
+  *
+  * Open-handle semantics: a Searcher (like its MultiVectorIndex, whose
+  * manifest/codec are lazily cached) snapshots the index when first
+  * used — the fast path's collected image included. After an update
+  * lifecycle (append/delete/rebuild), open a fresh handle, as the
+  * reference reopens its index; only the deferred-delete tombstone
+  * table is re-read per search call on every path.
   */
 final class Searcher(index: MultiVectorIndex) {
   private val spark: SparkSession = index.spark
