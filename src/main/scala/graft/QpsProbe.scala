@@ -45,6 +45,21 @@ object QpsProbe {
       }
       println(f"QPS_PROBE $name%-18s best=${times.min}%.3f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
     }
+    // single-query latency: the reference's serving shape is one query
+    // per HTTP call — best + median of 10 warm calls
+    locally {
+      val q1 = RecallHarness.queriesFrom(spark, 1,
+        tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim).cache()
+      q1.count()
+      searcher.search(q1, SearchParams()).count()
+      val t1 = (1 to 10).map { _ =>
+        val t0 = System.nanoTime()
+        searcher.search(q1, SearchParams()).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"QPS_PROBE batch=1    best=${t1.head * 1000}%.0f ms  median=${t1(4) * 1000}%.0f ms")
+      q1.unpersist()
+    }
     // batch-size scaling: does per-batch fixed overhead amortize?
     Seq(128, 256).foreach { nq =>
       val qs = RecallHarness.queriesFrom(spark, nq,

@@ -540,7 +540,6 @@ final class Searcher(index: MultiVectorIndex) {
       subset: Option[DataFrame]): DataFrame = {
     val codec = index.codec
     val k = codec.numCentroids
-    val dim = codec.dim
     val queryMap: Map[Long, Array[Array[Float]]] = queries
       .select("query_id", "embeddings")
       .as[(Long, Array[Array[Float]])]
@@ -578,55 +577,37 @@ final class Searcher(index: MultiVectorIndex) {
       s
     }
 
-    val queriesBc = spark.sparkContext.broadcast(queryMap)
-    val codecBc = codecBcShared
     val nDecompress = math.max(params.nFullScores / 4, params.topK)
     val topK = params.topK
     val threshold = params.centroidScoreThreshold
-    val kL = k; val dimL = dim; val nProbeL = nProbe
-    val slices = math.max(1, math.min(qids.length,
-      spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
-      .flatMap { qid =>
-        val im = img.value
-        val cdc = codecBc.value
-        val emb = queriesBc.value(qid)
-        // S1 + S2: this query's centroid-score matrix and probe set
-        val scores = Searcher.centroidScores(emb, cdc.centroids, kL, dimL)
-        val probed = Searcher.probeCentroids(scores, nProbeL, threshold, eligible)
-        // S3 + S4: gather IVF lists, dedup, subset/tombstone restriction
-        val cands = new scala.collection.mutable.HashSet[Long]
-        probed.foreach(c =>
-          im.ivf.getOrElse(c, Array.emptyLongArray).foreach(cands += _))
-        // S5: approximate codes-only MaxSim (inner-join semantics on
-        // docCodes: a candidate without a codes row is dropped)
-        val approx = cands.iterator
-          .filter(d => subsetSet.forall(_.contains(d)) && !tombstones.contains(d))
-          .flatMap(d => im.docCodes.get(d)
-            .map(codes => (d, MaxSim.approxScore(scores, codes))))
-          .toArray
-        // S6: funnel cut — approx desc, doc asc (the distributed
-        // window's float ordering and tie-break)
-        val surv = approx.sortWith { (a, b) =>
-          val c = java.lang.Float.compare(b._2, a._2)
-          c < 0 || (c == 0 && a._1 < b._1)
-        }.take(nDecompress)
-        // S7: decode each survivor once, exact double-precision MaxSim
-        val exact = surv.flatMap { case (d, _) =>
-          im.toks.get(d).map { toks =>
-            val docEmb = toks.map { case (code, packed) => cdc.decode(code, packed) }
-            (d, MaxSim.scoreDouble(emb, docEmb))
-          }
-        }
-        // S8: final top-k — score desc, doc asc
-        exact.sortWith { (a, b) =>
-          val c = java.lang.Double.compare(b._2, a._2)
-          c < 0 || (c == 0 && a._1 < b._1)
-        }.iterator.take(topK).zipWithIndex.map { case ((d, s), i) =>
-          (qid, d, s, i + 1)
-        }
+    if (qids.length <= Searcher.LocalDriverBatchLimit) {
+      // Tiny batches (the reference's single-query serving shape) run
+      // the funnel ON the driver: one task costs more in scheduling
+      // than the funnel does in compute (measured: 298 ms/query as a
+      // task vs ~80 ms driver-local). Same funnelOne kernels; the S7
+      // rerank is doc-parallel across driver cores.
+      val im = img.value
+      val cdc = index.codec
+      val rows: Seq[(Long, Long, Double, Int)] = qids.toIndexedSeq.flatMap { qid =>
+        Searcher.funnelOne(im, cdc, qid, queryMap(qid), nProbe, threshold,
+          eligible, subsetSet, tombstones, nDecompress, topK,
+          parallelDocs = true).toSeq
       }
-      .toDF("query_id", "doc_id", "score", "rank")
+      rows.toDF("query_id", "doc_id", "score", "rank")
+    } else {
+      val queriesBc = spark.sparkContext.broadcast(queryMap)
+      val codecBc = codecBcShared
+      val nProbeL = nProbe
+      val slices = math.max(1, math.min(qids.length,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
+        .flatMap { qid =>
+          Searcher.funnelOne(img.value, codecBc.value, qid,
+            queriesBc.value(qid), nProbeL, threshold, eligible, subsetSet,
+            tombstones, nDecompress, topK, parallelDocs = false)
+        }
+        .toDF("query_id", "doc_id", "score", "rank")
+    }
   }
 
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
@@ -692,6 +673,75 @@ object Searcher {
       ivf: Map[Int, Array[Long]],
       docCodes: Map[Long, Array[Int]],
       toks: Map[Long, Array[(Int, Array[Byte])]])
+
+  /** Fast-path batches at or under this size run on the driver (one
+    * task costs more in scheduling than the funnel does in compute);
+    * larger batches fan out as one stage of tasks. */
+  private[search] val LocalDriverBatchLimit = 4
+
+  /** The S1–S8 funnel for ONE query against a collected index image —
+    * the single implementation behind both fast-path execution modes
+    * (driver-local tiny batches and the one-stage task fan-out), so
+    * they cannot drift. Ordering and arithmetic mirror the distributed
+    * funnel exactly: float approx scores, double exact scores,
+    * doc_id-ascending tie-breaks. `parallelDocs` spreads the S7 rerank
+    * across cores (pure per-doc scoring; the S8 sort restores
+    * deterministic order). */
+  private[search] def funnelOne(
+      im: LocalIndexImage, cdc: graft.index.Codec,
+      qid: Long, emb: Array[Array[Float]],
+      nProbe: Int, threshold: Option[Float],
+      eligible: Option[Array[Boolean]],
+      subsetSet: Option[java.util.HashSet[java.lang.Long]],
+      tombstones: java.util.HashSet[java.lang.Long],
+      nDecompress: Int, topK: Int,
+      parallelDocs: Boolean): Iterator[(Long, Long, Double, Int)] = {
+    // S1 + S2: this query's centroid-score matrix and probe set
+    val scores = centroidScores(emb, cdc.centroids, cdc.numCentroids, cdc.dim)
+    val probed = probeCentroids(scores, nProbe, threshold, eligible)
+    // S3 + S4: gather IVF lists, dedup, subset/tombstone restriction
+    val cands = new scala.collection.mutable.HashSet[Long]
+    probed.foreach(c =>
+      im.ivf.getOrElse(c, Array.emptyLongArray).foreach(cands += _))
+    // S5: approximate codes-only MaxSim (inner-join semantics on
+    // docCodes: a candidate without a codes row is dropped)
+    val approx = cands.iterator
+      .filter(d => subsetSet.forall(_.contains(d)) && !tombstones.contains(d))
+      .flatMap(d => im.docCodes.get(d)
+        .map(codes => (d, MaxSim.approxScore(scores, codes))))
+      .toArray
+    // S6: funnel cut — approx desc, doc asc (the distributed window's
+    // float ordering and tie-break)
+    val surv = approx.sortWith { (a, b) =>
+      val c = java.lang.Float.compare(b._2, a._2)
+      c < 0 || (c == 0 && a._1 < b._1)
+    }.take(nDecompress)
+    // S7: decode each survivor once, exact double-precision MaxSim
+    val exact = new Array[(Long, Double)](surv.length)
+    def scoreDoc(i: Int): Unit = {
+      val d = surv(i)._1
+      exact(i) = im.toks.get(d) match {
+        case Some(toks) =>
+          val docEmb = toks.map { case (code, packed) => cdc.decode(code, packed) }
+          (d, MaxSim.scoreDouble(emb, docEmb))
+        case None => null // no tokens row: dropped, as the inner join drops it
+      }
+    }
+    if (parallelDocs)
+      java.util.stream.IntStream.range(0, surv.length).parallel()
+        .forEach(i => scoreDoc(i))
+    else {
+      var i = 0
+      while (i < surv.length) { scoreDoc(i); i += 1 }
+    }
+    // S8: final top-k — score desc, doc asc
+    exact.filter(_ ne null).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(b._2, a._2)
+      c < 0 || (c == 0 && a._1 < b._1)
+    }.iterator.take(topK).zipWithIndex.map { case ((d, s), i) =>
+      (qid, d, s, i + 1)
+    }
+  }
 
   /** S1 GEMM kernel: per-query-token scores against all K centroids
     * (row-major centroid matrix). Shared by the dense distributed path

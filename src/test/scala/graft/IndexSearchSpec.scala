@@ -137,6 +137,14 @@ class IndexSearchSpec extends AnyFunSuite {
     val distributed = base.copy(localIndexBudgetBytes = 0L)
     assert(run(base, None) === run(distributed, None))
     assert(run(base, Some(subset)) === run(distributed, Some(subset)))
+    // tiny batches take the driver-local execution mode (same funnelOne,
+    // doc-parallel rerank) — equally bit-identical
+    val tiny = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    def runTiny(p: SearchParams) = searcher.search(tiny, p)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(runTiny(base) === runTiny(distributed))
   }
 
   test("centroid threshold keeps a centroid when ANY query token clears it (search.rs:417-425)") {
