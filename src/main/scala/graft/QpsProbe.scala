@@ -74,6 +74,42 @@ object QpsProbe {
       println(f"QPS_PROBE batch=$nq%-4d best=${times.min}%.3f s  qps=${nq / times.min}%.1f")
       qs.unpersist()
     }
+    // doc-length sensitivity: SciFact docs average far longer than the
+    // QPS twin's 32 tokens/doc (the documented caveat). Measure the
+    // reference's serving shape — 48-token queries (the [Q]+MASK
+    // expanded length, onnx default_query_length) against 192-token
+    // docs (SciFact abstracts run to the 300-token document_length
+    // cap) — so the caveat has a number instead of a shrug.
+    locally {
+      val long = "/tmp/graft_qps_192tok"
+      val idxL =
+        if (graft.util.Fs.exists(s"$long/manifest.json")) new MultiVectorIndex(spark, long)
+        else MultiVectorIndex.build(spark,
+          RecallHarness.clusteredCorpus(spark, QpsHarness.NumDocs,
+            tokensPerDoc = 192, dim = QpsHarness.Dim), long)
+      val qsL = RecallHarness.queriesFrom(spark, QpsHarness.NumQueries,
+        tokensPerDoc = 48, dim = QpsHarness.Dim).cache()
+      qsL.count()
+      val searcherL = new Searcher(idxL)
+      searcherL.search(qsL, SearchParams()).count()
+      val tL = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcherL.search(qsL, SearchParams()).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QPS_PROBE docs=192tok queries=48tok batch=64 K=${idxL.codec.numCentroids} best=${tL.min}%.3f s  qps=${64 / tL.min}%.1f")
+      // serving mode: f32 rerank (the reference's own precision) — the
+      // default above keeps the oracle-verifiable f64 fixed-order kernel
+      val p32 = SearchParams(rerankFloat32 = true)
+      searcherL.search(qsL, p32).count()
+      val t32 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcherL.search(qsL, p32).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QPS_PROBE docs=192tok f32-rerank batch=64 best=${t32.min}%.3f s  qps=${64 / t32.min}%.1f")
+      qsL.unpersist()
+    }
     // corpus scaling: the distributed fixed costs should amortize — a
     // 10x corpus must not cost 10x per batch (the in-process reference's
     // advantage inverts with corpus growth)

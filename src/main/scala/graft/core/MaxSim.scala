@@ -66,6 +66,47 @@ object MaxSim {
     total
   }
 
+  /** f32 MaxSim with an 8-way-unrolled dot — the serving-mode rerank
+    * kernel (SearchParams.rerankFloat32). Same NaN-safe max/sum
+    * semantics as [[score]]; the unroll breaks the add-chain latency
+    * that binds the sequential kernels. Summation
+    * order differs from [[score]]/[[scoreDouble]], which is exactly the
+    * reference's own situation: its kernel is SIMD f32
+    * (maxsim.rs:270-314), so no sequential order is canonical. NOT used
+    * by the declared oracle queries — those keep [[scoreDouble]]'s fixed
+    * order for DuckDB bit-parity. */
+  def scoreFast(query: Array[Array[Float]], doc: Array[Array[Float]]): Float = {
+    var total = 0.0f
+    var qi = 0
+    while (qi < query.length) {
+      var maxSim = Float.NegativeInfinity
+      val q = query(qi)
+      var di = 0
+      while (di < doc.length) {
+        val d = doc(di)
+        val n = math.min(q.length, d.length)
+        val n8 = n & ~7
+        var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
+        var s4 = 0.0f; var s5 = 0.0f; var s6 = 0.0f; var s7 = 0.0f
+        var i = 0
+        while (i < n8) {
+          s0 += q(i) * d(i); s1 += q(i + 1) * d(i + 1)
+          s2 += q(i + 2) * d(i + 2); s3 += q(i + 3) * d(i + 3)
+          s4 += q(i + 4) * d(i + 4); s5 += q(i + 5) * d(i + 5)
+          s6 += q(i + 6) * d(i + 6); s7 += q(i + 7) * d(i + 7)
+          i += 8
+        }
+        var s = ((s0 + s1) + (s2 + s3)) + ((s4 + s5) + (s6 + s7))
+        while (i < n) { s += q(i) * d(i); i += 1 }
+        if (better(s, maxSim)) maxSim = s
+        di += 1
+      }
+      if (!maxSim.isInfinite && !maxSim.isNaN) total += maxSim
+      qi += 1
+    }
+    total
+  }
+
   /** Approximate (codes-only) MaxSim: per query token take the max centroid
     * score over the doc's code set (search.rs:305-324). `centroidScores` is
     * the per-query-token score row indexed by centroid code. */

@@ -42,7 +42,18 @@ final case class SearchParams(
       * stage instead of ~7 shuffle barriers. Above the budget — the
       * 100 TB regime — the distributed funnel is the only correct
       * plan and runs unchanged. 0 disables the fast path. */
-    localIndexBudgetBytes: Long = 256L << 20
+    localIndexBudgetBytes: Long = 256L << 20,
+    /** Serving mode: S7 exact rerank in f32 with an unrolled dot
+      * ([[graft.core.MaxSim.scoreFast]]) — the reference's own rerank
+      * precision (its kernel is SIMD f32, maxsim.rs:270-314), ~4×
+      * faster on long documents than the default. The default stays
+      * double precision with FIXED summation order because the
+      * declared oracle queries hash-match DuckDB's double arithmetic
+      * bit-for-bit — verifiability is this engine's contract, so the
+      * verified kernel is the default and f32 is the opt-in. Applies
+      * to the fast path and the dense distributed funnel (the sparse
+      * funnel's Aggregator keeps double). */
+    rerankFloat32: Boolean = false
 )
 
 /** Batch late-interaction search: the reference's per-query funnel
@@ -84,9 +95,6 @@ final class Searcher(index: MultiVectorIndex) {
   ): DataFrame = {
     if (index.manifest("num_partitions").toInt > params.sparseCentroidThreshold)
       return searchSparse(queries, params, subset)
-    if (params.localIndexBudgetBytes > 0 &&
-        index.packedBytesEstimate <= params.localIndexBudgetBytes)
-      return searchLocal(queries, params, subset)
     val k = index.codec.numCentroids
 
     val queryMap: Map[Long, Array[Array[Float]]] = queries
@@ -94,6 +102,14 @@ final class Searcher(index: MultiVectorIndex) {
       .as[(Long, Array[Array[Float]])]
       .collect()
       .toMap
+    // Fast-path dispatch is also bounded in BATCH size: its phase-A/B
+    // intermediates collect queries × n_full/4 rows to the driver, a
+    // bound that holds for serving batches but not for mega-batches —
+    // those take the dense funnel's chunked flow below.
+    if (params.localIndexBudgetBytes > 0 &&
+        queryMap.size <= Searcher.LocalMaxBatch &&
+        index.packedBytesEstimate <= params.localIndexBudgetBytes)
+      return searchLocal(queryMap, params, subset)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
     // with a subset filter, probe more centroids so recall holds — and
@@ -186,6 +202,7 @@ final class Searcher(index: MultiVectorIndex) {
     val codec = index.codec
     val dim = codec.dim
     val k = codec.numCentroids
+    val rerank32 = params.rerankFloat32
     val queriesBc = spark.sparkContext.broadcast(queryMap)
     val codecBc = spark.sparkContext.broadcast(codec)
 
@@ -301,8 +318,11 @@ final class Searcher(index: MultiVectorIndex) {
           val docEmb = toks.sortBy(_._1).map { case (_, code, packed) =>
             codecV.decode(code, packed)
           }
-          docQids.iterator.map(qid =>
-            (qid, docId, MaxSim.scoreDouble(queriesV(qid), docEmb)))
+          docQids.iterator.map { qid =>
+            val s = if (rerank32) MaxSim.scoreFast(queriesV(qid), docEmb).toDouble
+                    else MaxSim.scoreDouble(queriesV(qid), docEmb)
+            (qid, docId, s)
+          }
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -535,15 +555,11 @@ final class Searcher(index: MultiVectorIndex) {
     * tombstone table is re-read per call (it can grow after the image
     * was built); the image itself is immutable build output. */
   private def searchLocal(
-      queries: DataFrame,
+      queryMap: Map[Long, Array[Array[Float]]],
       params: SearchParams,
       subset: Option[DataFrame]): DataFrame = {
     val codec = index.codec
     val k = codec.numCentroids
-    val queryMap: Map[Long, Array[Array[Float]]] = queries
-      .select("query_id", "embeddings")
-      .as[(Long, Array[Array[Float]])]
-      .collect().toMap
     val qids: Array[Long] = queryMap.keys.toArray.sorted
     val img = localImageBc
 
@@ -580,34 +596,81 @@ final class Searcher(index: MultiVectorIndex) {
     val nDecompress = math.max(params.nFullScores / 4, params.topK)
     val topK = params.topK
     val threshold = params.centroidScoreThreshold
-    if (qids.length <= Searcher.LocalDriverBatchLimit) {
-      // Tiny batches (the reference's single-query serving shape) run
-      // the funnel ON the driver: one task costs more in scheduling
-      // than the funnel does in compute (measured: 298 ms/query as a
-      // task vs ~80 ms driver-local). Same funnelOne kernels; the S7
-      // rerank is doc-parallel across driver cores.
-      val im = img.value
-      val cdc = index.codec
-      val rows: Seq[(Long, Long, Double, Int)] = qids.toIndexedSeq.flatMap { qid =>
-        Searcher.funnelOne(im, cdc, qid, queryMap(qid), nProbe, threshold,
-          eligible, subsetSet, tombstones, nDecompress, topK,
-          parallelDocs = true).toSeq
-      }
-      rows.toDF("query_id", "doc_id", "score", "rank")
-    } else {
-      val queriesBc = spark.sparkContext.broadcast(queryMap)
-      val codecBc = codecBcShared
-      val nProbeL = nProbe
-      val slices = math.max(1, math.min(qids.length,
-        spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
-        .flatMap { qid =>
-          Searcher.funnelOne(img.value, codecBc.value, qid,
-            queriesBc.value(qid), nProbeL, threshold, eligible, subsetSet,
-            tombstones, nDecompress, topK, parallelDocs = false)
+    val rerank32 = params.rerankFloat32
+    val cdc = index.codec
+    val driverMode = qids.length <= Searcher.LocalDriverBatchLimit
+
+    // Phase A — S1–S6 per query, NO decode: each query's post-cut
+    // survivor set. Tiny batches (the reference's single-query serving
+    // shape) run on the driver — one task costs more in scheduling than
+    // the funnel does in compute — with the S1 GEMM token-parallel;
+    // larger batches fan out as one stage.
+    val survivors: Seq[(Long, Array[Long])] =
+      if (driverMode) {
+        val im = img.value
+        qids.toIndexedSeq.map { qid =>
+          qid -> Searcher.funnelSurvivors(im, cdc, queryMap(qid), nProbe,
+            threshold, eligible, subsetSet, tombstones, nDecompress,
+            parallelTokens = true)
         }
-        .toDF("query_id", "doc_id", "score", "rank")
-    }
+      } else {
+        val queriesBc = spark.sparkContext.broadcast(queryMap)
+        val codecBc = codecBcShared
+        val nProbeL = nProbe
+        val slices = math.max(1, math.min(qids.length,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
+          .map { qid =>
+            qid -> Searcher.funnelSurvivors(img.value, codecBc.value,
+              queriesBc.value(qid), nProbeL, threshold, eligible, subsetSet,
+              tombstones, nDecompress, parallelTokens = false)
+          }
+          .collect().toSeq
+      }
+
+    // Phase B — S7 doc-grouped: decode each UNIQUE surviving doc once
+    // and score it against every query that kept it (the distributed
+    // path's doc-grouped rerank; per-(query,doc) decode was up to
+    // batch-size× redundant on overlapping survivor sets). The scored
+    // pairs are driver-bounded (queries × nDecompress rows).
+    val docToQids: Array[(Long, Array[Long])] = survivors
+      .flatMap { case (q, ds) => ds.iterator.map(d => (d, q)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray
+      .sortBy(_._1)
+    val scored: Seq[(Long, Long, Double)] =
+      if (driverMode) {
+        val im = img.value
+        val out = new Array[Seq[(Long, Long, Double)]](docToQids.length)
+        java.util.stream.IntStream.range(0, docToQids.length).parallel()
+          .forEach { i =>
+            val (d, qs) = docToQids(i)
+            out(i) = Searcher.scoreDocForQueries(
+              im, cdc, d, qs, queryMap, rerank32)
+          }
+        out.toIndexedSeq.flatten
+      } else {
+        val queriesBc = spark.sparkContext.broadcast(queryMap)
+        val codecBc = codecBcShared
+        val slices = math.max(1, math.min(docToQids.length,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(docToQids.toIndexedSeq, slices)
+          .flatMap { case (d, qs) =>
+            Searcher.scoreDocForQueries(
+              img.value, codecBc.value, d, qs, queriesBc.value, rerank32)
+          }
+          .collect().toIndexedSeq
+      }
+
+    // S8 — final top-k per query, assembled driver-side (≤ nDecompress
+    // rows per query): score desc, doc asc, as in the distributed window.
+    val rows: Seq[(Long, Long, Double, Int)] = scored
+      .groupBy(_._1).toIndexedSeq.flatMap { case (qid, ss) =>
+        ss.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(b._3, a._3)
+          c < 0 || (c == 0 && a._2 < b._2)
+        }.take(topK).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
+      }
+    rows.toDF("query_id", "doc_id", "score", "rank")
   }
 
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
@@ -679,25 +742,34 @@ object Searcher {
     * larger batches fan out as one stage of tasks. */
   private[search] val LocalDriverBatchLimit = 4
 
-  /** The S1–S8 funnel for ONE query against a collected index image —
-    * the single implementation behind both fast-path execution modes
-    * (driver-local tiny batches and the one-stage task fan-out), so
-    * they cannot drift. Ordering and arithmetic mirror the distributed
-    * funnel exactly: float approx scores, double exact scores,
-    * doc_id-ascending tie-breaks. `parallelDocs` spreads the S7 rerank
-    * across cores (pure per-doc scoring; the S8 sort restores
-    * deterministic order). */
-  private[search] def funnelOne(
+  /** Fast-path ceiling on batch size: phase A/B collect
+    * queries × n_full/4 intermediate rows to the driver (~100 MB at
+    * this bound with default params). Mega-batches above it use the
+    * dense funnel's chunked flow, which never materializes more than
+    * one memory-budgeted chunk. */
+  private[search] val LocalMaxBatch = 4096
+
+  /** S1–S6 for ONE query against a collected index image: probe,
+    * candidate gather, approximate scoring, funnel cut — NO decode.
+    * Returns the post-cut survivor doc ids. The single implementation
+    * behind both fast-path execution modes (driver-local tiny batches
+    * and the one-stage task fan-out), so they cannot drift. Ordering
+    * and arithmetic mirror the distributed funnel exactly: float
+    * approx scores, doc_id-ascending ties at the cut.
+    * `parallelTokens` spreads the S1 GEMM across cores (independent
+    * rows — bit-identical either way). */
+  private[search] def funnelSurvivors(
       im: LocalIndexImage, cdc: graft.index.Codec,
-      qid: Long, emb: Array[Array[Float]],
+      emb: Array[Array[Float]],
       nProbe: Int, threshold: Option[Float],
       eligible: Option[Array[Boolean]],
       subsetSet: Option[java.util.HashSet[java.lang.Long]],
       tombstones: java.util.HashSet[java.lang.Long],
-      nDecompress: Int, topK: Int,
-      parallelDocs: Boolean): Iterator[(Long, Long, Double, Int)] = {
+      nDecompress: Int,
+      parallelTokens: Boolean): Array[Long] = {
     // S1 + S2: this query's centroid-score matrix and probe set
-    val scores = centroidScores(emb, cdc.centroids, cdc.numCentroids, cdc.dim)
+    val scores = centroidScores(emb, cdc.centroids, cdc.numCentroids,
+      cdc.dim, parallel = parallelTokens)
     val probed = probeCentroids(scores, nProbe, threshold, eligible)
     // S3 + S4: gather IVF lists, dedup, subset/tombstone restriction
     val cands = new scala.collection.mutable.HashSet[Long]
@@ -712,57 +784,63 @@ object Searcher {
       .toArray
     // S6: funnel cut — approx desc, doc asc (the distributed window's
     // float ordering and tie-break)
-    val surv = approx.sortWith { (a, b) =>
+    approx.sortWith { (a, b) =>
       val c = java.lang.Float.compare(b._2, a._2)
       c < 0 || (c == 0 && a._1 < b._1)
-    }.take(nDecompress)
-    // S7: decode each survivor once, exact double-precision MaxSim
-    val exact = new Array[(Long, Double)](surv.length)
-    def scoreDoc(i: Int): Unit = {
-      val d = surv(i)._1
-      exact(i) = im.toks.get(d) match {
-        case Some(toks) =>
-          val docEmb = toks.map { case (code, packed) => cdc.decode(code, packed) }
-          (d, MaxSim.scoreDouble(emb, docEmb))
-        case None => null // no tokens row: dropped, as the inner join drops it
-      }
-    }
-    if (parallelDocs)
-      java.util.stream.IntStream.range(0, surv.length).parallel()
-        .forEach(i => scoreDoc(i))
-    else {
-      var i = 0
-      while (i < surv.length) { scoreDoc(i); i += 1 }
-    }
-    // S8: final top-k — score desc, doc asc
-    exact.filter(_ ne null).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(b._2, a._2)
-      c < 0 || (c == 0 && a._1 < b._1)
-    }.iterator.take(topK).zipWithIndex.map { case ((d, s), i) =>
-      (qid, d, s, i + 1)
-    }
+    }.take(nDecompress).map(_._1)
   }
+
+  /** S7 for ONE surviving doc: decode once, exact-score against every
+    * query that kept it. Kernel choice mirrors the distributed S7
+    * (double fixed-order by default for oracle bit-parity; opt-in f32
+    * serving kernel). A doc without a tokens row is dropped, as the
+    * distributed inner join drops it. */
+  private[search] def scoreDocForQueries(
+      im: LocalIndexImage, cdc: graft.index.Codec,
+      d: Long, qids: Array[Long],
+      queryMap: scala.collection.Map[Long, Array[Array[Float]]],
+      rerankFloat32: Boolean): Seq[(Long, Long, Double)] =
+    im.toks.get(d) match {
+      case Some(toks) =>
+        val docEmb = toks.map { case (code, packed) => cdc.decode(code, packed) }
+        qids.toIndexedSeq.map { qid =>
+          val emb = queryMap(qid)
+          val s = if (rerankFloat32) MaxSim.scoreFast(emb, docEmb).toDouble
+                  else MaxSim.scoreDouble(emb, docEmb)
+          (qid, d, s)
+        }
+      case None => Nil
+    }
 
   /** S1 GEMM kernel: per-query-token scores against all K centroids
     * (row-major centroid matrix). Shared by the dense distributed path
     * (driver / tiny stage) and the local fast path (in-task), so both
-    * produce identical float accumulation order. */
+    * produce identical float accumulation order. `parallel` spreads
+    * the independent token rows across cores (driver-mode latency);
+    * per-row arithmetic is identical either way. */
   private[graft] def centroidScores(
       emb: Array[Array[Float]], cents: Array[Float],
-      k: Int, dim: Int): Array[Array[Float]] =
-    emb.map { qvec =>
-      val row = new Array[Float](k)
+      k: Int, dim: Int, parallel: Boolean = false): Array[Array[Float]] = {
+    def row(qvec: Array[Float]): Array[Float] = {
+      val r = new Array[Float](k)
       var c = 0
       while (c < k) {
         var s = 0.0f
         val off = c * dim
         var i = 0
         while (i < dim) { s += cents(off + i) * qvec(i); i += 1 }
-        row(c) = s
+        r(c) = s
         c += 1
       }
-      row
+      r
     }
+    if (parallel) {
+      val out = new Array[Array[Float]](emb.length)
+      java.util.stream.IntStream.range(0, emb.length).parallel()
+        .forEach(i => out(i) = row(emb(i)))
+      out
+    } else emb.map(row)
+  }
 
   /** S11 rerank kernel — index-free form (the REST rerank endpoint
     * scores ad-hoc docs without touching an index — api/src/routes.rs

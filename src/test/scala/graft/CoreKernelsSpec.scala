@@ -25,6 +25,30 @@ class CoreKernelsSpec extends AnyFunSuite {
     // skipped from the total; q1 contributes 1.0
     val s = MaxSim.score(query, doc)
     assert(s == 1.0f)
+    // the serving f32 kernel shares the NaN semantics
+    assert(MaxSim.scoreFast(query, doc) == 1.0f)
+  }
+
+  test("serving f32 rerank kernel agrees with the oracle f64 kernel") {
+    // deterministic pseudo-random multi-vector fixtures (incl. a
+    // non-multiple-of-4 dim for the unroll tail)
+    val rnd = new scala.util.Random(42)
+    for (dim <- Seq(7, 64, 128)) {
+      def vecs(n: Int) = Array.fill(n)(
+        MaxSim.l2Normalize(Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+      val query = vecs(13)
+      val docs = Array.fill(50)(vecs(37))
+      val f64 = docs.map(d => MaxSim.scoreDouble(query, d))
+      val f32 = docs.map(d => MaxSim.scoreFast(query, d).toDouble)
+      // per-score relative agreement within float precision
+      f64.zip(f32).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4 * math.max(1.0, math.abs(a)),
+          s"dim=$dim: $a vs $b")
+      }
+      // ranking agreement (the property search actually depends on)
+      assert(f64.zipWithIndex.sortBy(-_._1).map(_._2).toSeq ===
+        f32.zipWithIndex.sortBy(-_._1).map(_._2).toSeq)
+    }
   }
 
   test("quantile matches numpy linear interpolation") {
