@@ -107,8 +107,27 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
 
   // ---- search (POST /indices/{name}/search, /search/filtered) ----
 
+  /** Searcher reused across calls while the on-disk index is unchanged
+    * (manifest stamp), so a serving loop keeps the fast path's
+    * collected image and broadcasts warm instead of re-collecting the
+    * index every call. Any update — through this facade or outside
+    * it — rewrites the manifest and gets a fresh handle; deferred
+    * deletes don't touch the manifest and are re-read per search
+    * inside Searcher. */
+  @volatile private var cachedSearcher: (Searcher, (Long, Long)) = _
+  private def searcher: Searcher = {
+    val stamp = graft.util.Fs.stamp(s"$path/manifest.json")
+    val cur = cachedSearcher
+    if (cur != null && cur._2 == stamp) cur._1
+    else {
+      val s = new Searcher(new MultiVectorIndex(spark, path))
+      cachedSearcher = (s, stamp)
+      s
+    }
+  }
+
   def search(queries: DataFrame, params: SearchParams = SearchParams()): DataFrame =
-    new Searcher(index).search(queries, params)
+    searcher.search(queries, params)
 
   def searchFiltered(
       queries: DataFrame,
@@ -116,7 +135,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       params: SearchParams = SearchParams()): DataFrame = {
     val subset = MetadataOps.whereCondition(metadata, "_subset_", cond, condParams)
       .withColumnRenamed("_subset_", "doc_id")
-    new Searcher(index).search(queries, params, Some(subset))
+    searcher.search(queries, params, Some(subset))
   }
 
   def hybrid(
@@ -126,7 +145,8 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     val filter = cond.map { case (c, ps) =>
       (metadata.withColumnRenamed("_subset_", "doc_id"), c, ps)
     }
-    HybridSearch.search(spark, index, ftsIndex, queries, textQuery, params, filter)
+    HybridSearch.search(spark, index, ftsIndex, queries, textQuery, params,
+      filter, searcherOpt = Some(searcher))
   }
 
   // ---- metadata routes ----
@@ -258,7 +278,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   // ---- rerank (POST /rerank) ----
 
   def rerank(query: Array[Array[Float]], docs: DataFrame, topK: Int): DataFrame =
-    new Searcher(index).rerank(query, docs, topK)
+    searcher.rerank(query, docs, topK)
 
   /** POST /indices/{name}/metadata/check (handlers/metadata.rs:38-110):
     * partition the given doc ids into (existing, missing) by metadata

@@ -57,7 +57,8 @@ object QpsProbe {
         searcher.search(q1, SearchParams()).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"QPS_PROBE batch=1    best=${t1.head * 1000}%.0f ms  median=${t1(4) * 1000}%.0f ms")
+      val med = (t1(4) + t1(5)) / 2 // even-sized sample: mean of the middle two
+      println(f"QPS_PROBE batch=1    best=${t1.head * 1000}%.0f ms  median=${med * 1000}%.0f ms")
       q1.unpersist()
     }
     // batch-size scaling: does per-batch fixed overhead amortize?

@@ -37,7 +37,11 @@ object HybridSearch {
       queries: DataFrame,
       textQuery: String,
       params: HybridParams = HybridParams(),
-      filter: Option[(DataFrame, String, Seq[Where.Param])] = None
+      filter: Option[(DataFrame, String, Seq[Where.Param])] = None,
+      /** Caller-cached Searcher (GraftIndex reuses one across calls so
+        * the serving fast path's image stays warm); a fresh one is
+        * built when absent. */
+      searcherOpt: Option[Searcher] = None
   ): DataFrame = {
     require(params.alpha >= 0.0 && params.alpha <= 1.0, s"alpha out of range: ${params.alpha}")
     require(Set("semantic", "keyword", "hybrid")(params.mode), s"bad mode: ${params.mode}")
@@ -58,7 +62,7 @@ object HybridSearch {
     }
     val fetchK = if (params.mode == "hybrid") Hybrid.fetchK(params.topK) else params.topK
 
-    def semList: DataFrame = new Searcher(index)
+    def semList: DataFrame = searcherOpt.getOrElse(new Searcher(index))
       .search(queries, params.searchParams.copy(topK = fetchK), subset)
       .select("query_id", "doc_id", "score", "rank")
 

@@ -522,8 +522,13 @@ final class Searcher(index: MultiVectorIndex) {
     * order, the S7 input). Built lazily on the first fast-path search of
     * this Searcher and broadcast; sized by
     * [[graft.index.MultiVectorIndex.packedBytesEstimate]]. */
+  /** Manifest stamp at the moment the image was collected — the fast
+    * path refuses to serve from a stale image (see [[searchLocal]]). */
+  @volatile private var localImageStamp: (Long, Long) = _
+
   private lazy val localImageBc
       : org.apache.spark.broadcast.Broadcast[Searcher.LocalIndexImage] = {
+    localImageStamp = graft.util.Fs.stamp(s"${index.path}/manifest.json")
     val ivfM: Map[Int, Array[Long]] = index.ivf
       .select("code", "doc_ids").as[(Int, Array[Long])]
       .collect().toMap
@@ -558,10 +563,21 @@ final class Searcher(index: MultiVectorIndex) {
       queryMap: Map[Long, Array[Array[Float]]],
       params: SearchParams,
       subset: Option[DataFrame]): DataFrame = {
-    val codec = index.codec
-    val k = codec.numCentroids
+    val cdc = index.codec
+    val k = cdc.numCentroids
     val qids: Array[Long] = queryMap.keys.toArray.sorted
     val img = localImageBc
+    // Refuse to serve from a stale image: compact()/rebuild rewrite the
+    // manifest (and renumber ids), and silently answering from the
+    // pre-rewrite image would resurrect deleted docs in the OLD id
+    // space. Deferred deletes don't touch the manifest and stay
+    // correct — tombstones are re-read below on every call.
+    val nowStamp = graft.util.Fs.stamp(s"${index.path}/manifest.json")
+    if (localImageStamp != nowStamp)
+      throw new IllegalStateException(
+        s"index at ${index.path} changed on disk since this Searcher collected " +
+        s"its image (manifest stamp $localImageStamp -> $nowStamp); " +
+        "open a fresh Searcher/GraftIndex handle after updates")
 
     // S4: subset ids collected (bounded by the corpus, which fits the
     // local budget by dispatch); probe scaling and the eligible-centroid
@@ -597,80 +613,87 @@ final class Searcher(index: MultiVectorIndex) {
     val topK = params.topK
     val threshold = params.centroidScoreThreshold
     val rerank32 = params.rerankFloat32
-    val cdc = index.codec
     val driverMode = qids.length <= Searcher.LocalDriverBatchLimit
+    // one query broadcast serves BOTH phases and is destroyed when the
+    // call's results are materialized — a warm serving loop must not
+    // accumulate per-call broadcast blocks
+    val queriesBc =
+      if (driverMode) null
+      else spark.sparkContext.broadcast(queryMap)
 
-    // Phase A — S1–S6 per query, NO decode: each query's post-cut
-    // survivor set. Tiny batches (the reference's single-query serving
-    // shape) run on the driver — one task costs more in scheduling than
-    // the funnel does in compute — with the S1 GEMM token-parallel;
-    // larger batches fan out as one stage.
-    val survivors: Seq[(Long, Array[Long])] =
-      if (driverMode) {
-        val im = img.value
-        qids.toIndexedSeq.map { qid =>
-          qid -> Searcher.funnelSurvivors(im, cdc, queryMap(qid), nProbe,
-            threshold, eligible, subsetSet, tombstones, nDecompress,
-            parallelTokens = true)
+    try {
+      // Phase A — S1–S6 per query, NO decode: each query's post-cut
+      // survivor set. Tiny batches (the reference's single-query serving
+      // shape) run on the driver — one task costs more in scheduling than
+      // the funnel does in compute — with the S1 GEMM token-parallel;
+      // larger batches fan out as one stage.
+      val survivors: Seq[(Long, Array[Long])] =
+        if (driverMode) {
+          val im = img.value
+          qids.toIndexedSeq.map { qid =>
+            qid -> Searcher.funnelSurvivors(im, cdc, queryMap(qid), nProbe,
+              threshold, eligible, subsetSet, tombstones, nDecompress,
+              parallelTokens = true)
+          }
+        } else {
+          val codecBc = codecBcShared
+          val nProbeL = nProbe
+          val qBc = queriesBc
+          val slices = math.max(1, math.min(qids.length,
+            spark.sparkContext.defaultParallelism))
+          spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
+            .map { qid =>
+              qid -> Searcher.funnelSurvivors(img.value, codecBc.value,
+                qBc.value(qid), nProbeL, threshold, eligible, subsetSet,
+                tombstones, nDecompress, parallelTokens = false)
+            }
+            .collect().toSeq
         }
-      } else {
-        val queriesBc = spark.sparkContext.broadcast(queryMap)
-        val codecBc = codecBcShared
-        val nProbeL = nProbe
-        val slices = math.max(1, math.min(qids.length,
-          spark.sparkContext.defaultParallelism))
-        spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
-          .map { qid =>
-            qid -> Searcher.funnelSurvivors(img.value, codecBc.value,
-              queriesBc.value(qid), nProbeL, threshold, eligible, subsetSet,
-              tombstones, nDecompress, parallelTokens = false)
-          }
-          .collect().toSeq
-      }
 
-    // Phase B — S7 doc-grouped: decode each UNIQUE surviving doc once
-    // and score it against every query that kept it (the distributed
-    // path's doc-grouped rerank; per-(query,doc) decode was up to
-    // batch-size× redundant on overlapping survivor sets). The scored
-    // pairs are driver-bounded (queries × nDecompress rows).
-    val docToQids: Array[(Long, Array[Long])] = survivors
-      .flatMap { case (q, ds) => ds.iterator.map(d => (d, q)) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray
-      .sortBy(_._1)
-    val scored: Seq[(Long, Long, Double)] =
-      if (driverMode) {
-        val im = img.value
-        val out = new Array[Seq[(Long, Long, Double)]](docToQids.length)
-        java.util.stream.IntStream.range(0, docToQids.length).parallel()
-          .forEach { i =>
-            val (d, qs) = docToQids(i)
-            out(i) = Searcher.scoreDocForQueries(
-              im, cdc, d, qs, queryMap, rerank32)
-          }
-        out.toIndexedSeq.flatten
-      } else {
-        val queriesBc = spark.sparkContext.broadcast(queryMap)
-        val codecBc = codecBcShared
-        val slices = math.max(1, math.min(docToQids.length,
-          spark.sparkContext.defaultParallelism * 2))
-        spark.sparkContext.parallelize(docToQids.toIndexedSeq, slices)
-          .flatMap { case (d, qs) =>
-            Searcher.scoreDocForQueries(
-              img.value, codecBc.value, d, qs, queriesBc.value, rerank32)
-          }
-          .collect().toIndexedSeq
-      }
+      // Phase B — S7 doc-grouped: decode each UNIQUE surviving doc once
+      // and score it against every query that kept it (the distributed
+      // path's doc-grouped rerank; per-(query,doc) decode was up to
+      // batch-size× redundant on overlapping survivor sets). The scored
+      // pairs are driver-bounded (queries × nDecompress rows).
+      val docToQids: Array[(Long, Array[Long])] = survivors
+        .flatMap { case (q, ds) => ds.iterator.map(d => (d, q)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray
+        .sortBy(_._1)
+      val scored: Seq[(Long, Long, Double)] =
+        if (driverMode) {
+          val im = img.value
+          val out = new Array[Seq[(Long, Long, Double)]](docToQids.length)
+          java.util.stream.IntStream.range(0, docToQids.length).parallel()
+            .forEach { i =>
+              val (d, qs) = docToQids(i)
+              out(i) = Searcher.scoreDocForQueries(
+                im, cdc, d, qs, queryMap, rerank32)
+            }
+          out.toIndexedSeq.flatten
+        } else {
+          val codecBc = codecBcShared
+          val qBc = queriesBc
+          val slices = math.max(1, math.min(docToQids.length,
+            spark.sparkContext.defaultParallelism * 2))
+          spark.sparkContext.parallelize(docToQids.toIndexedSeq, slices)
+            .flatMap { case (d, qs) =>
+              Searcher.scoreDocForQueries(
+                img.value, codecBc.value, d, qs, qBc.value, rerank32)
+            }
+            .collect().toIndexedSeq
+        }
 
-    // S8 — final top-k per query, assembled driver-side (≤ nDecompress
-    // rows per query): score desc, doc asc, as in the distributed window.
-    val rows: Seq[(Long, Long, Double, Int)] = scored
-      .groupBy(_._1).toIndexedSeq.flatMap { case (qid, ss) =>
-        ss.sortWith { (a, b) =>
-          val c = java.lang.Double.compare(b._3, a._3)
-          c < 0 || (c == 0 && a._2 < b._2)
-        }.take(topK).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
-      }
-    rows.toDF("query_id", "doc_id", "score", "rank")
+      // S8 — final top-k per query, assembled driver-side (≤ nDecompress
+      // rows per query): score desc, doc asc, as in the distributed window.
+      val rows: Seq[(Long, Long, Double, Int)] = scored
+        .groupBy(_._1).toIndexedSeq.flatMap { case (qid, ss) =>
+          ss.sortWith { (a, b) =>
+            val c = java.lang.Double.compare(b._3, a._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }.take(topK).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
+        }
+      rows.toDF("query_id", "doc_id", "score", "rank")
+    } finally if (queriesBc != null) queriesBc.destroy()
   }
 
   /** S10 reconstruction: decompressed embeddings for given doc ids. */

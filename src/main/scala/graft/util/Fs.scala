@@ -46,6 +46,19 @@ object Fs {
     if (f.exists(p)) f.delete(p, true): Unit
   }
 
+  /** (modification time, length) stamp of a side file — cheap change
+    * detection for cached readers (a rewritten manifest.json means the
+    * index tables changed underneath an open handle). (0, 0) when
+    * absent. */
+  def stamp(path: String): (Long, Long) = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) (0L, 0L)
+    else {
+      val st = f.getFileStatus(p)
+      (st.getModificationTime, st.getLen)
+    }
+  }
+
   /** Small side-file read (manifest.json, codec.json, fts.json). */
   def readBytes(path: String): Array[Byte] = {
     val (f, p) = fs(path)
