@@ -147,6 +147,24 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(runTiny(base) === runTiny(distributed))
   }
 
+  test("fast path fails loudly when the index is rewritten under a held Searcher") {
+    val p = "/tmp/graft_stale_guard_idx"
+    graft.util.Fs.deleteRecursively(p)
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 30), p)
+    val searcher = new Searcher(new MultiVectorIndex(spark, p))
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    assert(searcher.search(queries).count() > 0) // collects the image
+    // rebuild at the same path with a different doc count (the
+    // compact()/rebuild shape): manifest stamp changes
+    MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 20), p)
+    val e = intercept[IllegalStateException] { searcher.search(queries).count() }
+    assert(e.getMessage.contains("changed on disk"))
+    // a fresh handle serves the rewritten index
+    assert(new Searcher(new MultiVectorIndex(spark, p)).search(queries).count() > 0)
+    graft.util.Fs.deleteRecursively(p)
+  }
+
   test("centroid threshold keeps a centroid when ANY query token clears it (search.rs:417-425)") {
     // token 0 selects c0 with 0.3 (below 0.4); token 1 selects c1 but
     // scores 0.45 on c0 — the reference keeps c0 via token 1's score
