@@ -303,7 +303,8 @@ object SparkEntry {
       searcher
         .search(queries, graft.search.SearchParams(
           topK = 5, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
-          centroidScoreThreshold = None))
+          centroidScoreThreshold = None,
+          rerankFloat32 = false)) // pin f64 fixed-order: DuckDB bit-parity
         .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
           round(col("score"), 3).as("score"))
     }),
@@ -338,7 +339,8 @@ object SparkEntry {
       searcher
         .search(queries, graft.search.SearchParams(
           topK = 5, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
-          centroidScoreThreshold = None, sparseCentroidThreshold = 0))
+          centroidScoreThreshold = None, sparseCentroidThreshold = 0,
+          rerankFloat32 = false)) // pin f64 fixed-order: DuckDB bit-parity
         .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
           round(col("score"), 3).as("score"))
     }),
@@ -913,12 +915,33 @@ object SparkEntry {
           v.indices.map(i => v(i) - cent(i))
         }.toDF("v")
       resid.write.mode("overwrite").parquet(s"$path/resid")
-      val qz = graft.core.Quantizer.train(
-        resid.as[Float].collect(), nbits = 4)
-      (qz.bucketCutoffs.zipWithIndex.map { case (c, i) => ("cutoff", i.toLong, c.toDouble) } ++
-        qz.bucketWeights.zipWithIndex.map { case (w, i) => ("weight", i.toLong, w.toDouble) })
+      val vals = resid.as[Float].collect()
+      val qz = graft.core.Quantizer.train(vals, nbits = 4)
+      // The hashed output is the f64 twin (Quantiles.quantilesDouble ==
+      // DuckDB quantile_cont arithmetic, bit-for-bit); the engine's f32
+      // kernel stays on the verified path via the 1e-4 in-query assert.
+      // Hashing the f32 values directly failed in r9: a point straddling a
+      // 4-decimal rounding boundary differs after round() even when the f32
+      // and f64 quantiles agree to ~1e-7.
+      val nq = 16
+      val cutQs = (1 until nq).map(_.toDouble / nq).toArray
+      val wQs = (0 until nq).map(i => (i + 0.5) / nq).toArray
+      val cutD = graft.core.Quantiles.quantilesDouble(vals, cutQs)
+      val wD = graft.core.Quantiles.quantilesDouble(vals, wQs)
+      cutD.indices.foreach { i =>
+        require(math.abs(qz.bucketCutoffs(i) - cutD(i)) <= 1e-4,
+          s"f32 cutoff $i drifted from f64 twin: ${qz.bucketCutoffs(i)} vs ${cutD(i)}")
+      }
+      wD.indices.foreach { i =>
+        require(math.abs(qz.bucketWeights(i) - wD(i)) <= 1e-4,
+          s"f32 weight $i drifted from f64 twin: ${qz.bucketWeights(i)} vs ${wD(i)}")
+      }
+      (cutD.zipWithIndex.map { case (c, i) => ("cutoff", i.toLong, c) } ++
+        wD.zipWithIndex.map { case (w, i) => ("weight", i.toLong, w) })
         .toSeq.toDF("kind", "i", "value")
-        .select(col("kind"), col("i"), round(col("value"), 4).as("value"))
+        // + 0.0 normalizes IEEE -0.0 to +0.0 (both sides; the driver's
+        // hash distinguishes the two where == does not)
+        .select(col("kind"), col("i"), (round(col("value"), 4) + lit(0.0)).as("value"))
     }),
 
     // B6: residual bucketization (codec.rs:356-470 searchsorted-right
@@ -993,7 +1016,7 @@ object SparkEntry {
         (d, tk, cid.toLong, v(0).toDouble - bc.value.centroid(cid)(0).toDouble)
       }.toDF("doc_id", "tok", "cid", "res0")
         .select(col("doc_id"), col("tok"), col("cid"),
-          round(col("res0"), 4).as("res0"))
+          (round(col("res0"), 4) + lit(0.0)).as("res0"))
     }),
 
     // Streaming ingest (SURVEY §2 streaming row; state.rs update
@@ -1167,7 +1190,8 @@ object SparkEntry {
           fusion = "relative_score",
           searchParams = graft.search.SearchParams(
             nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
-            centroidScoreThreshold = None)))
+            centroidScoreThreshold = None,
+            rerankFloat32 = false))) // pin f64 fixed-order: DuckDB bit-parity
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 5).as("score"), col("rank").cast("long").as("rank"))
     }),
@@ -1876,10 +1900,10 @@ object SparkEntry {
         |qw AS (SELECT quantile_cont(v, list_transform(range(0, 16),
         |  i -> (i + 0.5) / 16.0)) AS w FROM r)
         |SELECT 'cutoff' AS kind, CAST(t.i AS BIGINT) AS i,
-        |  round(qc.c[t.i + 1]::DOUBLE, 4) AS value
+        |  round(qc.c[t.i + 1]::DOUBLE, 4) + 0.0 AS value
         |FROM range(0, 15) t(i) CROSS JOIN qc
         |UNION ALL
-        |SELECT 'weight', CAST(t.i AS BIGINT), round(qw.w[t.i + 1]::DOUBLE, 4)
+        |SELECT 'weight', CAST(t.i AS BIGINT), round(qw.w[t.i + 1]::DOUBLE, 4) + 0.0
         |FROM range(0, 16) t(i) CROSS JOIN qw""".stripMargin,
     "b6_bucketize" ->
       """WITH r AS (SELECT vec_id, residual
@@ -1907,7 +1931,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id, tok ORDER BY dot DESC, cid ASC) AS rn
         |  FROM dots)
         |SELECT doc_id, CAST(tok AS INTEGER) AS tok, CAST(cid AS BIGINT) AS cid,
-        |  round(r0, 4) AS res0
+        |  round(r0, 4) + 0.0 AS res0
         |FROM best WHERE rn = 1""".stripMargin,
     "c5_hybrid" ->
       """WITH recon AS (SELECT doc_id, tok, vec

@@ -37,4 +37,29 @@ object Quantiles {
       sorted(lo) * (1.0f - w) + sorted(hi) * w
     }
   }
+
+  /** Full-double quantiles over the same sorted-interpolation definition,
+    * with DuckDB `quantile_cont`'s exact arithmetic: `lo + (hi - lo) * frac`
+    * all in f64 (empirically bit-identical to DuckDB 1.0 over f32 inputs —
+    * the two-sided `lo*(1-w)+hi*w` form is NOT). Used by the b3_codec
+    * oracle twin so the hashed output compares identical arithmetic; the
+    * engine's f32 `quantiles` stays the codec-training kernel (it mirrors
+    * the reference's f32 cast, utils.rs:94-157) and is asserted within
+    * 1e-4 of this twin in-query. */
+  def quantilesDouble(arr: Array[Float], qs: Array[Double]): Array[Double] = {
+    if (arr.isEmpty) return Array.fill(qs.length)(0.0)
+    val sorted = arr.clone()
+    java.util.Arrays.sort(sorted)
+    val n = sorted.length
+    qs.map { q =>
+      val idx = q * (n - 1).toDouble
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      if (lo == hi) sorted(lo).toDouble
+      else {
+        val l = sorted(lo).toDouble
+        l + (sorted(hi).toDouble - l) * (idx - lo)
+      }
+    }
+  }
 }

@@ -29,17 +29,23 @@ final case class Codec(
 
   /** B4 nearest-centroid assignment: argmax dot product (embeddings and
     * centroids are L2-normalized). NaN scores never win (codec.rs fixture:
-    * NaN centroid rows are skipped when finite choices exist). */
+    * NaN centroid rows are skipped when finite choices exist).
+    *
+    * The dot accumulates in double with f64 products (each f32·f32 product
+    * is exact in f64), so near-tied centroids resolve identically to any
+    * f64 evaluation of the same sequential sum — the b4_assign oracle's
+    * DuckDB list_dot_product twin computes exactly this. f32 accumulation
+    * (the pre-round-10 kernel) flipped the argmax on near-ties. */
   def assign(vec: Array[Float]): Int = {
     val k = numCentroids
     var best = -1
-    var bestScore = Float.NegativeInfinity
+    var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < k) {
-      var s = 0.0f
+      var s = 0.0
       val off = c * dim
       var i = 0
-      while (i < dim) { s += centroids(off + i) * vec(i); i += 1 }
+      while (i < dim) { s += centroids(off + i).toDouble * vec(i); i += 1 }
       if (!s.isNaN && (best < 0 || s > bestScore || bestScore.isNaN)) {
         best = c; bestScore = s
       }

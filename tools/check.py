@@ -10,6 +10,7 @@ Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
 """
 import json
 import math
+import struct
 import subprocess
 import sys
 from pathlib import Path
@@ -17,16 +18,23 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT = Path(ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out")
 SKIP = "--skip-verify" in sys.argv
+# --only=q1,q2 limits both the Spark run and the compare (local iteration)
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def run_verify():
-    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}']
+    extra = (" " + ",".join(sorted(ONLY))) if ONLY else ""
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}{extra}']
     env = dict(**__import__("os").environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, cwd="/root/repo", env=env,
                        capture_output=True, text=True, timeout=1800)
@@ -51,10 +59,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    # The driver HASHES values, so the local gate must be bit-exact: no
+    # float tolerance, and -0.0 != 0.0. (Round 9 shipped two queries this
+    # tolerant compare called green that the driver's hash failed.)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return struct.pack("<d", a) == struct.pack("<d", b)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
     return a == b
@@ -71,6 +82,8 @@ def main():
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if ONLY is not None and name not in ONLY:
+            continue
         spark_dir = OUT / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output")
@@ -101,16 +114,9 @@ def main():
                     break
             if mismatch:
                 break
-        # bit-exactness probe (the driver hashes values)
-        bitexact = all(
-            got[c].equals(want[c]) or
-            (got[c].dtype == want[c].dtype == "float64" and
-             (got[c].fillna(0) == want[c].fillna(0)).all())
-            for c in got.columns)
         if exact:
             n_pass += 1
-            print(f"PASS {name} ({len(got)} rows)"
-                  + ("" if bitexact else "  [WARN not bit-exact]"))
+            print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
             c, i, a, b = mismatch
