@@ -27,7 +27,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The serving-mode f32 MaxSim kernel uses the Vector API (incubator on
+// JDK 17). Compile-time: javac needs the module for src/main/java.
+// Runtime: forked run/test JVMs get it too; graft.core.MaxSim probes
+// availability and falls back to the scalar kernel if the flag is absent
+// (e.g. a caller embedding the jar without it).
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -98,17 +98,17 @@ object QpsProbe {
         searcherL.search(qsL, SearchParams()).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"QPS_PROBE docs=192tok queries=48tok batch=64 K=${idxL.codec.numCentroids} best=${tL.min}%.3f s  qps=${64 / tL.min}%.1f")
-      // serving mode: f32 rerank (the reference's own precision) — the
-      // default above keeps the oracle-verifiable f64 fixed-order kernel
-      val p32 = SearchParams(rerankFloat32 = true)
-      searcherL.search(qsL, p32).count()
-      val t32 = (1 to 3).map { _ =>
+      println(f"QPS_PROBE docs=192tok queries=48tok batch=64 K=${idxL.codec.numCentroids} best=${tL.min}%.3f s  qps=${64 / tL.min}%.1f  (default: f32 rerank, simd=${graft.core.MaxSim.simdAvailable})")
+      // oracle-contract kernel: f64 fixed-order rerank (what every
+      // declared oracle query pins) — the cost of verifiability
+      val p64 = SearchParams(rerankFloat32 = false)
+      searcherL.search(qsL, p64).count()
+      val t64 = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        searcherL.search(qsL, p32).count()
+        searcherL.search(qsL, p64).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"QPS_PROBE docs=192tok f32-rerank batch=64 best=${t32.min}%.3f s  qps=${64 / t32.min}%.1f")
+      println(f"QPS_PROBE docs=192tok f64-rerank batch=64 best=${t64.min}%.3f s  qps=${64 / t64.min}%.1f")
       qsL.unpersist()
     }
     // corpus scaling: the distributed fixed costs should amortize — a

@@ -66,16 +66,33 @@ object MaxSim {
     total
   }
 
-  /** f32 MaxSim with an 8-way-unrolled dot — the serving-mode rerank
-    * kernel (SearchParams.rerankFloat32). Same NaN-safe max/sum
-    * semantics as [[score]]; the unroll breaks the add-chain latency
-    * that binds the sequential kernels. Summation
-    * order differs from [[score]]/[[scoreDouble]], which is exactly the
-    * reference's own situation: its kernel is SIMD f32
-    * (maxsim.rs:270-314), so no sequential order is canonical. NOT used
-    * by the declared oracle queries — those keep [[scoreDouble]]'s fixed
-    * order for DuckDB bit-parity. */
-  def scoreFast(query: Array[Array[Float]], doc: Array[Array[Float]]): Float = {
+  /** True when the JDK Vector API module is loadable at runtime — the
+    * [[scoreFast]] serving kernel then runs lane-parallel
+    * ([[SimdMaxSim]], AVX2/AVX-512 via `jdk.incubator.vector`); without
+    * the module (a caller embedding the jar without
+    * `--add-modules=jdk.incubator.vector`) it falls back to the scalar
+    * unrolled kernel below. Probed once per JVM. */
+  val simdAvailable: Boolean =
+    try { SimdMaxSim.selfTest(); true }
+    catch { case _: Throwable => false }
+
+  /** f32 MaxSim — the serving-mode rerank kernel
+    * (SearchParams.rerankFloat32): SIMD ([[SimdMaxSim.score]]) when the
+    * Vector API is present, else the 8-way-unrolled scalar kernel. Same
+    * NaN-safe max/sum semantics as [[score]]. Summation order differs
+    * from [[score]]/[[scoreDouble]], which is exactly the reference's
+    * own situation: its kernel is SIMD f32 (maxsim.rs:270-314), so no
+    * sequential order is canonical. NOT used by the declared oracle
+    * queries — those keep [[scoreDouble]]'s fixed order for DuckDB
+    * bit-parity. */
+  def scoreFast(query: Array[Array[Float]], doc: Array[Array[Float]]): Float =
+    if (simdAvailable) SimdMaxSim.score(query, doc)
+    else scoreFastScalar(query, doc)
+
+  /** Scalar 8-way-unrolled f32 MaxSim — [[scoreFast]]'s fallback when
+    * the Vector API module is absent; the unroll breaks the add-chain
+    * latency that binds the sequential kernels. */
+  def scoreFastScalar(query: Array[Array[Float]], doc: Array[Array[Float]]): Float = {
     var total = 0.0f
     var qi = 0
     while (qi < query.length) {

@@ -39,21 +39,31 @@ final case class SearchParams(
       * query executes the funnel locally in its task. Result-identical
       * to the distributed funnel (same probe/score/cut/rerank kernels
       * and tie-breaks); what changes is that a warm batch pays one
-      * stage instead of ~7 shuffle barriers. Above the budget — the
-      * 100 TB regime — the distributed funnel is the only correct
-      * plan and runs unchanged. 0 disables the fast path. */
-    localIndexBudgetBytes: Long = 256L << 20,
-    /** Serving mode: S7 exact rerank in f32 with an unrolled dot
-      * ([[graft.core.MaxSim.scoreFast]]) — the reference's own rerank
-      * precision (its kernel is SIMD f32, maxsim.rs:270-314), ~4×
-      * faster on long documents than the default. The default stays
-      * double precision with FIXED summation order because the
-      * declared oracle queries hash-match DuckDB's double arithmetic
-      * bit-for-bit — verifiability is this engine's contract, so the
-      * verified kernel is the default and f32 is the opt-in. Applies
-      * to the fast path and the dense distributed funnel (the sparse
-      * funnel's Aggregator keeps double). */
-    rerankFloat32: Boolean = false
+      * stage instead of ~7 shuffle barriers. The budget bounds the fast
+      * path's estimated DRIVER RESIDENCY — dispatch compares it against
+      * [[Searcher.LocalResidencyFactor]] (3) × the packed-image
+      * estimate, since a collected image transiently costs ~3× its
+      * packed size (the collect's intermediate rows, the driver-held
+      * image, and the broadcast block). The 768 MB default admits the
+      * same ≤256 MB images as the previous 256 MB image-size budget,
+      * with the footprint now counted honestly (~10% of the default
+      * 8 GB driver heap). Above the budget — the 100 TB regime — the
+      * distributed funnel is the only correct plan and runs unchanged.
+      * 0 disables the fast path. */
+    localIndexBudgetBytes: Long = 768L << 20,
+    /** S7 exact-rerank precision. Default (true): f32 with a SIMD /
+      * unrolled dot ([[graft.core.MaxSim.scoreFast]]) — the reference's
+      * own rerank precision (its kernel is SIMD f32, maxsim.rs:270-314),
+      * several × faster on long documents. `false` switches to double
+      * precision with FIXED summation order, which is what every
+      * declared oracle query pins explicitly so its scores hash-match
+      * DuckDB's double arithmetic bit-for-bit — verifiability stays on
+      * the contract path, while a default-constructed SearchParams
+      * serves at the reference's own arithmetic. Ranking equivalence
+      * between the two kernels is unit-tested. Honored identically by
+      * the fast path and both distributed funnels (dense and sparse),
+      * which stay result-identical at either setting. */
+    rerankFloat32: Boolean = true
 )
 
 /** Batch late-interaction search: the reference's per-query funnel
@@ -478,7 +488,10 @@ final class Searcher(index: MultiVectorIndex) {
       .select("query_id", "doc_id")
 
     // S7: survivors' tokens decode against centroid rows fetched by join
-    // (no broadcast codebook), then exact double-precision MaxSim
+    // (no broadcast codebook), then exact MaxSim — kernel choice follows
+    // params.rerankFloat32 like the dense/fast paths, so all three
+    // funnels stay result-identical at any given setting
+    val rerank32 = params.rerankFloat32
     val survivorsBound = qids.size.toLong * nDecompress
     val exact = index.tokens
       .join(graft.util.Plan.broadcastIfBounded(survivors, survivorsBound), "doc_id")
@@ -499,7 +512,9 @@ final class Searcher(index: MultiVectorIndex) {
         val qs = queriesBc.value
         rows.map { case (qid, docId, toks) =>
           val docEmb = toks.sortBy(_._1).map(_._2)
-          (qid, docId, MaxSim.scoreDouble(qs(qid), docEmb))
+          val s = if (rerank32) MaxSim.scoreFast(qs(qid), docEmb).toDouble
+                  else MaxSim.scoreDouble(qs(qid), docEmb)
+          (qid, docId, s)
         }
       }
       .toDF("query_id", "doc_id", "score")

@@ -51,6 +51,35 @@ class CoreKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("SIMD f32 kernel active and equivalent to the scalar fallback") {
+    // build.sbt forks test JVMs with --add-modules=jdk.incubator.vector,
+    // so the Vector API path must be live here — a regression to the
+    // scalar fallback would silently forfeit the serving-QPS headline
+    assert(MaxSim.simdAvailable, "Vector API kernel not active under sbt test")
+    val rnd = new scala.util.Random(7)
+    // dims exercise the vector body + scalar tail (17 = 16-lane + 1);
+    // doc counts exercise the 4-wide block + remainder (5 = 1 block + 1)
+    for (dim <- Seq(3, 17, 128); nDocs <- Seq(1, 5, 12)) {
+      def vecs(n: Int) = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() - 0.5f))
+      val query = vecs(9)
+      val doc = vecs(nDocs)
+      val simd = SimdMaxSim.score(query, doc).toDouble
+      val scalar = MaxSim.scoreFastScalar(query, doc).toDouble
+      assert(math.abs(simd - scalar) <= 1e-4 * math.max(1.0, math.abs(scalar)),
+        s"dim=$dim nDocs=$nDocs: simd=$simd scalar=$scalar")
+    }
+    // ragged doc-token lengths force the blocked path's per-pair fallback
+    val q = Array(Array.fill(16)(0.5f))
+    val ragged = Array(Array.fill(16)(0.25f), Array.fill(8)(1.0f),
+      Array.fill(16)(0.1f), Array.fill(3)(2.0f), Array.fill(16)(0.0f))
+    assert(math.abs(SimdMaxSim.score(q, ragged) -
+      MaxSim.scoreFastScalar(q, ragged)) < 1e-4f)
+    // NaN doc token never wins; -inf stays dropped when doc set is empty
+    val nanDoc = Array(Array.fill(16)(Float.NaN), Array.fill(16)(0.5f))
+    assert(SimdMaxSim.score(q, nanDoc) == MaxSim.scoreFastScalar(q, nanDoc))
+    assert(SimdMaxSim.score(q, Array.empty[Array[Float]]) == 0.0f)
+  }
+
   test("quantile matches numpy linear interpolation") {
     val arr = Array(1.0f, 2.0f, 3.0f, 4.0f)
     assert(Quantiles.quantile(arr, 0.0) == 1.0f)
