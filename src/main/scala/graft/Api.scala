@@ -114,9 +114,9 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     * it — rewrites the manifest and gets a fresh handle; deferred
     * deletes don't touch the manifest and are re-read per search
     * inside Searcher. */
-  @volatile private var cachedSearcher: (Searcher, (Long, Long)) = _
+  @volatile private var cachedSearcher: (Searcher, String) = _
   private def searcher: Searcher = {
-    val stamp = graft.util.Fs.stamp(s"$path/manifest.json")
+    val stamp = MultiVectorIndex.readBuildId(path)
     val cur = cachedSearcher
     if (cur != null && cur._2 == stamp) cur._1
     else {

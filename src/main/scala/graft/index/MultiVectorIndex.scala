@@ -311,7 +311,25 @@ object MultiVectorIndex {
   private[graft] def writeManifest(path: String, kv: Map[String, String]): Unit = {
     val node = jsonMapper.createObjectNode()
     kv.foreach { case (k, v) => node.put(k, v) }
+    // Every manifest write marks an index-state change (build, append,
+    // delete, rebuild): stamp a fresh build id, ALWAYS overwriting one
+    // carried in from an old manifest map. The serving fast path keys
+    // its stale-image guard on this — a (mtime,length) stamp can
+    // collide when a rebuild lands within filesystem timestamp
+    // granularity with a same-length manifest (coarse object-store
+    // mtimes, same digit-width counts).
+    node.put("build_id", java.util.UUID.randomUUID().toString)
     graft.util.Fs.writeBytes(s"$path/manifest.json", jsonMapper.writeValueAsBytes(node))
+  }
+
+  /** The current on-disk build id at `path`, read fresh (no caching) —
+    * the stale-image guard's comparison key. Indexes written before
+    * build ids existed fall back to the (mtime,length) stamp. */
+  private[graft] def readBuildId(path: String): String = {
+    val m = jsonMapper.readTree(graft.util.Fs.readBytes(s"$path/manifest.json"))
+    val id = m.path("build_id")
+    if (id.isMissingNode || id.isNull) graft.util.Fs.stamp(s"$path/manifest.json").toString
+    else id.asText()
   }
 
   def saveCodec(spark: SparkSession, path: String, codec: Codec): Unit = {

@@ -115,10 +115,14 @@ final class Searcher(index: MultiVectorIndex) {
     // Fast-path dispatch is also bounded in BATCH size: its phase-A/B
     // intermediates collect queries × n_full/4 rows to the driver, a
     // bound that holds for serving batches but not for mega-batches —
-    // those take the dense funnel's chunked flow below.
+    // those take the dense funnel's chunked flow below. The budget
+    // bounds estimated driver RESIDENCY (~3x the packed image: the
+    // transient collect rows, the driver copy, and the broadcast
+    // block), not the raw image size — see localIndexBudgetBytes.
     if (params.localIndexBudgetBytes > 0 &&
         queryMap.size <= Searcher.LocalMaxBatch &&
-        index.packedBytesEstimate <= params.localIndexBudgetBytes)
+        index.packedBytesEstimate * Searcher.LocalResidencyFactor <=
+          params.localIndexBudgetBytes)
       return searchLocal(queryMap, params, subset)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
@@ -537,13 +541,13 @@ final class Searcher(index: MultiVectorIndex) {
     * order, the S7 input). Built lazily on the first fast-path search of
     * this Searcher and broadcast; sized by
     * [[graft.index.MultiVectorIndex.packedBytesEstimate]]. */
-  /** Manifest stamp at the moment the image was collected — the fast
+  /** Manifest build id at the moment the image was collected — the fast
     * path refuses to serve from a stale image (see [[searchLocal]]). */
-  @volatile private var localImageStamp: (Long, Long) = _
+  @volatile private var localImageStamp: String = _
 
   private lazy val localImageBc
       : org.apache.spark.broadcast.Broadcast[Searcher.LocalIndexImage] = {
-    localImageStamp = graft.util.Fs.stamp(s"${index.path}/manifest.json")
+    localImageStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
     val ivfM: Map[Int, Array[Long]] = index.ivf
       .select("code", "doc_ids").as[(Int, Array[Long])]
       .collect().toMap
@@ -586,12 +590,15 @@ final class Searcher(index: MultiVectorIndex) {
     // manifest (and renumber ids), and silently answering from the
     // pre-rewrite image would resurrect deleted docs in the OLD id
     // space. Deferred deletes don't touch the manifest and stay
-    // correct — tombstones are re-read below on every call.
-    val nowStamp = graft.util.Fs.stamp(s"${index.path}/manifest.json")
+    // correct — tombstones are re-read below on every call. Keyed on
+    // the manifest's build_id (a per-write UUID), not (mtime,length):
+    // a rebuild within filesystem timestamp granularity producing a
+    // same-length manifest must still trip the guard.
+    val nowStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
     if (localImageStamp != nowStamp)
       throw new IllegalStateException(
         s"index at ${index.path} changed on disk since this Searcher collected " +
-        s"its image (manifest stamp $localImageStamp -> $nowStamp); " +
+        s"its image (manifest build id $localImageStamp -> $nowStamp); " +
         "open a fresh Searcher/GraftIndex handle after updates")
 
     // S4: subset ids collected (bounded by the corpus, which fits the
@@ -635,6 +642,12 @@ final class Searcher(index: MultiVectorIndex) {
     val queriesBc =
       if (driverMode) null
       else spark.sparkContext.broadcast(queryMap)
+    // fan-out mode ships the subset/tombstone sets once via broadcast —
+    // captured in the task closure they'd be re-serialized into EVERY
+    // task (slices × set size, a real cost for large subsets)
+    val filterBc =
+      if (driverMode) null
+      else spark.sparkContext.broadcast((subsetSet, tombstones))
 
     try {
       // Phase A — S1–S6 per query, NO decode: each query's post-cut
@@ -656,11 +669,13 @@ final class Searcher(index: MultiVectorIndex) {
           val qBc = queriesBc
           val slices = math.max(1, math.min(qids.length,
             spark.sparkContext.defaultParallelism))
+          val fBc = filterBc
           spark.sparkContext.parallelize(qids.toIndexedSeq, slices)
             .map { qid =>
+              val (sub, tomb) = fBc.value
               qid -> Searcher.funnelSurvivors(img.value, codecBc.value,
-                qBc.value(qid), nProbeL, threshold, eligible, subsetSet,
-                tombstones, nDecompress, parallelTokens = false)
+                qBc.value(qid), nProbeL, threshold, eligible, sub,
+                tomb, nDecompress, parallelTokens = false)
             }
             .collect().toSeq
         }
@@ -708,7 +723,10 @@ final class Searcher(index: MultiVectorIndex) {
           }.take(topK).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
         }
       rows.toDF("query_id", "doc_id", "score", "rank")
-    } finally if (queriesBc != null) queriesBc.destroy()
+    } finally {
+      if (queriesBc != null) queriesBc.destroy()
+      if (filterBc != null) filterBc.destroy()
+    }
   }
 
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
@@ -786,6 +804,12 @@ object Searcher {
     * dense funnel's chunked flow, which never materializes more than
     * one memory-budgeted chunk. */
   private[search] val LocalMaxBatch = 4096
+
+  /** Driver-residency multiplier for the fast-path dispatch: a packed
+    * image estimated at N bytes transiently costs ~3N on the driver
+    * (collected intermediate rows + the held image + its broadcast
+    * block). localIndexBudgetBytes bounds N × this factor. */
+  private[search] val LocalResidencyFactor = 3L
 
   /** S1–S6 for ONE query against a collected index image: probe,
     * candidate gather, approximate scoring, funnel cut — NO decode.

@@ -162,6 +162,16 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changed on disk"))
     // a fresh handle serves the rewritten index
     assert(new Searcher(new MultiVectorIndex(spark, p)).search(queries).count() > 0)
+
+    // the guard keys on build_id, not (mtime,length): a manifest rewrite
+    // with IDENTICAL content (same length, possibly same mtime on coarse
+    // filesystems) still trips it
+    val s2 = new Searcher(new MultiVectorIndex(spark, p))
+    assert(s2.search(queries).count() > 0) // collects the image
+    val m = new MultiVectorIndex(spark, p).manifest - "build_id"
+    MultiVectorIndex.writeManifest(p, m)
+    val e2 = intercept[IllegalStateException] { s2.search(queries).count() }
+    assert(e2.getMessage.contains("changed on disk"))
     graft.util.Fs.deleteRecursively(p)
   }
 
