@@ -105,6 +105,41 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       FtsIndex.metadataToTextUdf(to_json(struct(
         m.columns.filterNot(_ == "_subset_").toIndexedSeq.map(col): _*))).as("text"))
 
+  // ---- async updates (the API's queued-update shape + /health) ----
+
+  /** [[addDocuments]] queued on this index's serial update lane
+    * (documents.rs:1199-1210: record queued → spawn → per-index lock →
+    * stage/complete/failed records). Searches proceed concurrently —
+    * they serve from the current on-disk build until the update's
+    * atomic swap lands, exactly the reference's serving behavior.
+    * Progress is observable via [[updateHealth]]/[[updateInProgress]]
+    * while the future runs. */
+  def addDocumentsAsync(
+      docs: DataFrame,
+      metaJson: Option[DataFrame] = None,
+      cfg: UpdateConfig = UpdateConfig()): java.util.concurrent.Future[GraftIndex] = {
+    val n = docs.count()
+    UpdateJobs.submit(path, n, "document update queued")(() =>
+      addDocuments(docs, metaJson, cfg))
+  }
+
+  /** [[deleteDocuments]] on the same serial lane — updates and deletes
+    * for one index never interleave (the reference holds one per-index
+    * lock across both worker queues). */
+  def deleteDocumentsAsync(
+      ids: Option[Seq[Long]] = None,
+      cond: Option[(String, Seq[Where.Param])] = None,
+      deferred: Boolean = false): java.util.concurrent.Future[GraftIndex] =
+    UpdateJobs.submit(path, ids.map(_.size.toLong).getOrElse(0L),
+      "document delete queued")(() => deleteDocuments(ids, cond, deferred))
+
+  /** GET /health for this index: current update progress (None when
+    * nothing is queued/running and any terminal status has aged out). */
+  def updateHealth: Option[UpdateJobs.Progress] = UpdateJobs.progressOf(path)
+
+  /** Update-in-progress flag (queued or running). */
+  def updateInProgress: Boolean = UpdateJobs.updateInProgress(path)
+
   // ---- search (POST /indices/{name}/search, /search/filtered) ----
 
   /** Searcher reused across calls while the on-disk index is unchanged
@@ -126,8 +161,25 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** A search that races a concurrent update can observe the index
+    * flip between handle construction and the fast path's stale-image
+    * guard; the facade does what a serving loop would — drop the cached
+    * handle and retry on a fresh one (bounded: another racing update
+    * just retries again, and a search between updates always wins). */
+  private def retryingStale[A](attempts: Int = 3)(f: Searcher => A): A = {
+    val s = searcher
+    try f(s)
+    catch {
+      case e: IllegalStateException
+          if attempts > 1 && e.getMessage != null &&
+            e.getMessage.contains("changed on disk") =>
+        cachedSearcher = null
+        retryingStale(attempts - 1)(f)
+    }
+  }
+
   def search(queries: DataFrame, params: SearchParams = SearchParams()): DataFrame =
-    searcher.search(queries, params)
+    retryingStale()(_.search(queries, params))
 
   def searchFiltered(
       queries: DataFrame,
@@ -135,7 +187,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       params: SearchParams = SearchParams()): DataFrame = {
     val subset = MetadataOps.whereCondition(metadata, "_subset_", cond, condParams)
       .withColumnRenamed("_subset_", "doc_id")
-    searcher.search(queries, params, Some(subset))
+    retryingStale()(_.search(queries, params, Some(subset)))
   }
 
   def hybrid(
@@ -145,8 +197,8 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     val filter = cond.map { case (c, ps) =>
       (metadata.withColumnRenamed("_subset_", "doc_id"), c, ps)
     }
-    HybridSearch.search(spark, index, ftsIndex, queries, textQuery, params,
-      filter, searcherOpt = Some(searcher))
+    retryingStale()(s => HybridSearch.search(spark, index, ftsIndex, queries,
+      textQuery, params, filter, searcherOpt = Some(s)))
   }
 
   // ---- metadata routes ----

@@ -289,4 +289,68 @@ class ApiSpec extends AnyFunSuite {
     assert(hit.nonEmpty && hit.head.getLong(0) === 1L)
     gi.drop()
   }
+
+  test("async update: serialized per index, progress observable, search concurrent") {
+    val path = "/tmp/graft_api_async"
+    graft.util.Fs.deleteRecursively(path)
+    UpdateJobs.reset()
+    val gi = GraftIndex.create(spark, path, docs.filter(col("doc_id") < 20))
+    val qs = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+
+    // two queued updates for the SAME index serialize in order (the
+    // per-index lane); their progress is observable while they run
+    val upCfg = graft.index.UpdateConfig(startFromScratch = 0, bufferSize = 1000)
+    val f1 = gi.addDocumentsAsync(
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") - 20), cfg = upCfg)
+    val f2 = gi.addDocumentsAsync(
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") - 25), cfg = upCfg)
+    // progress exists immediately after submit (queued or already live)
+    val p0 = gi.updateHealth
+    assert(p0.isDefined, "no progress entry after async submit")
+    assert(Set("queued", "running").contains(p0.get.status))
+    assert(gi.updateInProgress)
+
+    // searches proceed while the updates run — a racing build flip is
+    // absorbed by the facade's stale-handle retry
+    var sawResults = 0
+    while (!f2.isDone) {
+      assert(gi.search(qs, exhaustive).count() > 0)
+      sawResults += 1
+    }
+    f1.get(); f2.get()
+    assert(sawResults >= 0) // loop may complete zero times on a fast box
+    assert(gi.search(qs, exhaustive).count() > 0) // post-update search
+    assert(gi.count === 30L, "both queued updates must have applied in order")
+
+    // terminal status: complete, with processed counts and frozen elapsed
+    val done = gi.updateHealth
+    assert(done.exists(_.status === "complete"), s"status after drain: $done")
+    assert(done.flatMap(_.processedDocuments).exists(_ > 0))
+    assert(!gi.updateInProgress)
+    val h = UpdateJobs.healthStatuses()
+    assert(h.exists(s => s.indexPath == path && s.status == "complete"))
+
+    // failure capture: a throwing update records `failed` + the error,
+    // and the future rethrows on get()
+    val bad = UpdateJobs.submit(path, 1L, "doomed update")(() =>
+      throw new RuntimeException("boom-async"))
+    intercept[java.util.concurrent.ExecutionException] { bad.get() }
+    val failed = gi.updateHealth
+    assert(failed.exists(_.status === "failed"))
+    assert(failed.flatMap(_.error).exists(_.contains("boom-async")))
+
+    // a new queue onto the failed entry resets it to queued/running and
+    // ends complete (the saturating re-queue path)
+    val f3 = gi.addDocumentsAsync(
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 32)
+        .withColumn("doc_id", col("doc_id") - 30), cfg = upCfg)
+    f3.get()
+    assert(gi.updateHealth.exists(_.status === "complete"))
+    assert(gi.count === 32L)
+    gi.drop()
+    UpdateJobs.reset()
+  }
 }
