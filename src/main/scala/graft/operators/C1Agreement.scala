@@ -1,0 +1,132 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/** C1 agreement measurement: scores the regex/lexer parser
+  * ([[CodeUnits.extractUnits]]) against the reference's tree-sitter
+  * ground truth, mined from the colgrep fixture suite
+  * (`colgrep/src/parser/tests/test_*.rs`) — each test carries a source
+  * literal and the unit names tree-sitter is asserted to extract
+  * (`get_unit_by_name(&units, "...")`, 334 call sites across 25+
+  * languages). A name counts as agreed when our parser emits a unit
+  * whose `name` or `qualifiedName` matches (tree-sitter's `name` is the
+  * bare identifier; ours sometimes qualifies).
+  *
+  * Also sweeps the whole reference repo as a real multi-language corpus
+  * (19+ languages) for robustness: every file must parse without
+  * throwing, and per-language unit counts are reported.
+  *
+  * Pure JVM main (no Spark): `sbt "runMain graft.operators.C1Agreement"`.
+  */
+object C1Agreement {
+
+  private val extOf = Map(
+    "c" -> "c", "cpp" -> "cpp", "csharp" -> "cs", "css" -> "css",
+    "elixir" -> "ex", "go" -> "go", "haskell" -> "hs", "java" -> "java",
+    "javascript" -> "js", "julia" -> "jl", "kotlin" -> "kt", "lua" -> "lua",
+    "ocaml" -> "ml", "php" -> "php", "python" -> "py", "qml" -> "qml",
+    "ruby" -> "rb", "rust" -> "rs", "scala" -> "scala", "sql" -> "sql",
+    "svelte" -> "svelte", "swift" -> "swift", "typescript" -> "ts",
+    "vue" -> "vue", "zig" -> "zig")
+
+  final case class LangScore(lang: String, fixtures: Int, expected: Int,
+      matched: Int, errors: Int) {
+    def pct: Double = if (expected == 0) 100.0 else 100.0 * matched / expected
+  }
+
+  private var verbose = false
+
+  def scoreFixtures(testsDir: String): Seq[LangScore] = {
+    val dir = new java.io.File(testsDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("test_") && f.getName.endsWith(".rs"))
+      .sortBy(_.getName)
+    val sourceRe =
+      """(?s)let source\s*=\s*r(#{1,2})"(.*?)"\1\s*;""".r
+    val parseRe = """parse\(\s*source\s*,\s*Language::(\w+)\s*,\s*"([^"]+)"""".r
+    val nameRe = """get_unit_by_name\(\s*&\w+\s*,\s*"([^"]+)"""".r
+
+    files.flatMap { f =>
+      val lang = f.getName.stripPrefix("test_").stripSuffix(".rs")
+      if (lang == "recursion_guard") None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val blocks = text.split("""#\[test\]""").drop(1)
+        var fixtures = 0; var expected = 0; var matched = 0; var errors = 0
+        blocks.foreach { block =>
+          val srcOpt = sourceRe.findFirstMatchIn(block).map(_.group(2))
+          val fileName = parseRe.findFirstMatchIn(block).map(_.group(2))
+            .getOrElse("test." + extOf.getOrElse(lang, lang))
+          val names = nameRe.findAllMatchIn(block).map(_.group(1)).toSeq
+          (srcOpt, names) match {
+            case (Some(src), ns) if ns.nonEmpty =>
+              fixtures += 1
+              expected += ns.size
+              try {
+                val units = CodeUnits.extractUnits(fileName, src)
+                val got = units.flatMap(u => Seq(u.name, u.qualifiedName)).toSet
+                matched += ns.count(got.contains)
+                if (verbose) ns.filterNot(got.contains).foreach(n =>
+                  println(s"MISS [$lang] '$n' (got: ${units.map(_.name).mkString(",")})"))
+              } catch { case _: Throwable => errors += 1 }
+            case _ => // no raw-string source or no name assertions: skip
+          }
+        }
+        if (fixtures == 0) None
+        else Some(LangScore(lang, fixtures, expected, matched, errors))
+      }
+    }.toSeq
+  }
+
+  final case class CorpusScore(ext: String, files: Int, units: Int, errors: Int)
+
+  /** Parse every recognized source file under `root` (robustness sweep:
+    * real-world code, no ground truth — errors and unit yield only). */
+  def sweepCorpus(root: String): Seq[CorpusScore] = {
+    val exts = extOf.values.toSet
+    val byExt = mutable.HashMap.empty[String, (Int, Int, Int)]
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory && !f.getName.startsWith(".") && f.getName != "target")
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else if (f.isFile) {
+        val ext = f.getName.split('.').lastOption.getOrElse("")
+        if (exts(ext) && f.length < 2 * 1024 * 1024) {
+          val (nf, nu, ne) = byExt.getOrElse(ext, (0, 0, 0))
+          try {
+            val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val units = CodeUnits.extractUnits(f.getPath, src)
+            byExt.update(ext, (nf + 1, nu + units.size, ne))
+          } catch { case _: Throwable => byExt.update(ext, (nf + 1, nu, ne + 1)) }
+        }
+      }
+    }
+    walk(new java.io.File(root))
+    byExt.toSeq.map { case (e, (nf, nu, ne)) => CorpusScore(e, nf, nu, ne) }
+      .sortBy(_.ext)
+  }
+
+  def main(args: Array[String]): Unit = {
+    verbose = args.contains("--verbose")
+    val testsDir = args.filterNot(_ == "--verbose").headOption
+      .getOrElse("/root/reference/colgrep/src/parser/tests")
+    val scores = scoreFixtures(testsDir)
+    println("C1_AGREEMENT per-language vs tree-sitter fixture assertions:")
+    println(f"${"lang"}%-12s ${"fixtures"}%8s ${"expected"}%9s ${"matched"}%8s ${"agree%"}%7s ${"errors"}%7s")
+    scores.foreach { s =>
+      println(f"${s.lang}%-12s ${s.fixtures}%8d ${s.expected}%9d ${s.matched}%8d ${s.pct}%6.1f%% ${s.errors}%7d")
+    }
+    val tot = LangScore("TOTAL", scores.map(_.fixtures).sum,
+      scores.map(_.expected).sum, scores.map(_.matched).sum,
+      scores.map(_.errors).sum)
+    println(f"${tot.lang}%-12s ${tot.fixtures}%8d ${tot.expected}%9d ${tot.matched}%8d ${tot.pct}%6.1f%% ${tot.errors}%7d")
+
+    val corpusRoot = if (args.length > 1) args(1) else "/root/reference"
+    println(s"\nC1_CORPUS sweep of $corpusRoot (real files, crash/yield check):")
+    val corpus = sweepCorpus(corpusRoot)
+    corpus.foreach { c =>
+      println(f".${c.ext}%-11s files=${c.files}%5d units=${c.units}%6d errors=${c.errors}%3d")
+    }
+    println(s"C1_CORPUS total files=${corpus.map(_.files).sum} " +
+      s"units=${corpus.map(_.units).sum} errors=${corpus.map(_.errors).sum}")
+  }
+}

@@ -101,7 +101,7 @@ object CodeUnits {
   }
 
   private val Mods =
-    """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|declare|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|mutable|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec|local)\s+)*"""
+    """(?:(?:pub(?:\([^)\n]{0,40}\))?|export|declare|public|private(?:\[[^\]\n]*\])?|protected(?:\[[^\]\n]*\])?|internal|static|async|final|override|open|suspend|mutating|mutable|abstract|default|inline|sealed|data|case|annotation|lateinit|operator|tailrec|local|implicit)\s+)*"""
 
   /** Definition anchor: line start OR just after a statement-ending `;`,
     * so co-located defs on one line (`def a = 1; def b = 2`, minified JS)
@@ -119,12 +119,12 @@ object CodeUnits {
     * segment off as the name and the prefix as the receiver. */
   private val FuncRe = java.util.regex.Pattern.compile(
     DefAnchor + Mods +
-      """(?:defmacrop?|defp?|fn|func|fun|function|macro)\s+(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*(?:[.:][A-Za-z_][A-Za-z0-9_]*)*)""",
+      """(?:defmacrop?|defp?|fn|func|fun|function|macro)\s+(?:<[^>\n]{0,40}>\s+)?(?:\(([^)\n]*)\)\s*|self\.)?([A-Za-z_][A-Za-z0-9_]*(?:[.:][A-Za-z_][A-Za-z0-9_]*)*)""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ClassRe = java.util.regex.Pattern.compile(
     DefAnchor + Mods +
-      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type)\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)""",
+      """(?:class|trait|object|struct|interface|impl|enum|protocol|extension|defmodule|defprotocol|defimpl|module|type|newtype)\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)""",
     java.util.regex.Pattern.MULTILINE)
 
   /** C-family methods declared modifier-first with the return type before
@@ -135,6 +135,58 @@ object CodeUnits {
   private val CMethodRe = java.util.regex.Pattern.compile(
     DefAnchor + """(?:(?:public|private|protected|internal|static|async|override|virtual|sealed|abstract|final|synchronized|unsafe)\s+)+""" +
       """([A-Za-z_][\w.]*(?:<[^(\n]{0,80}>)?(?:\[\])*)\s+([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** C/C++ free functions and out-of-line methods: return type first,
+    * NO modifier required (`int add(int a, int b) {`,
+    * `void Shape::draw() const {`). Gated to c/cpp — elsewhere the
+    * two-identifiers-then-paren shape false-positives. The opening `{`
+    * is required after the parameter list (params may span lines but
+    * contain no `;{}`), so prototypes and call statements never match.
+    * Group 1 = return type, group 2 = possibly-qualified name. */
+  private val CFuncRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:static|inline|extern|virtual|constexpr|explicit|friend|const|unsigned|signed|long|short|struct|enum)\s+)*([A-Za-z_]\w*(?:::\w+)*(?:<[^>\n]{0,60}>)?(?:\s*[*&]+)?)\s+[*&]*((?:[A-Za-z_]\w*::)*operator\s*[^\s(]{1,3}|[A-Za-z_]\w*(?:::~?\w+)*)\s*\(([^;{}]*)\)\s*(?:const\s*|override\s*|final\s*|noexcept\s*)*(?:->\s*[\w:<>*&\s]{1,40})?\{""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** Keywords that read as the type/name tokens of [[CFuncRe]] but are
+    * control flow (`else if (x) {`) or operators, never definitions. */
+  private val CFuncStop = Set(
+    "if", "else", "while", "for", "switch", "return", "do", "case",
+    "sizeof", "catch", "new", "delete", "throw", "goto", "defined")
+
+  /** JS/TS class-body methods: `name(args) {` with no `function`
+    * keyword (incl. `constructor`, `get`/`set`/`static`/`async`
+    * accessors). A real call followed by a block is invalid JS at
+    * statement level, so the main false-positive risk is control-flow
+    * keywords — stopped via [[CFuncStop]]-style filtering at the scan
+    * site. Params must not contain `;{})` so multi-line calls with
+    * function arguments never match. Group 1 = name. */
+  private val JsMethodRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:public|private|protected|static|async|readonly|override|get|set)\s+)*([A-Za-z_$][\w$]*)\s*(?:<[^>\n]{0,40}>)?\s*\(([^;{})]*)\)\s*(?::\s*[\w\[\]<>,.|&\s]{1,60})?\{""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** JS/TS arrow-function bindings: `const f = (a, b) => ...` (optional
+    * type annotations, async, single bare param). Group 1 = name. */
+  private val JsArrowRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*(?::[^=\n]{0,80})?=\s*(?:async\s+)?(?:\([^)\n]*\)|[A-Za-z_$][\w$]*)\s*(?::\s*[\w\[\]<>,.|&\s]{1,60})?=>""",
+    java.util.regex.Pattern.MULTILINE)
+
+  private val JsMethodStop = Set(
+    "if", "else", "while", "for", "switch", "return", "catch", "do",
+    "function", "typeof", "new", "delete", "in", "of", "yield", "await",
+    "case", "with", "super")
+
+  /** QML shapes: component instantiation (`Rectangle {`), `signal
+    * name(...)`, handler bindings (`onTriggered: {`), `property <type>
+    * name`, and `id: name`. */
+  private val QmlComponentRe = java.util.regex.Pattern.compile(
+    """^[ \t]*([A-Z]\w*(?:\.[A-Z]\w*)*)\s*\{""", java.util.regex.Pattern.MULTILINE)
+  private val QmlSignalRe = java.util.regex.Pattern.compile(
+    """^[ \t]*signal\s+([a-z]\w*)""", java.util.regex.Pattern.MULTILINE)
+  private val QmlHandlerRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(on[A-Z]\w*)\s*:""", java.util.regex.Pattern.MULTILINE)
+  private val QmlPropertyRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:required\s+|readonly\s+|default\s+)*property\s+[\w<>.]+\s+(\w+)""",
     java.util.regex.Pattern.MULTILINE)
 
   private val ConstRe = java.util.regex.Pattern.compile(
@@ -494,18 +546,27 @@ object CodeUnits {
     * lexer approximation as the brace-depth walk in [[codeUnits]], plus
     * `#`/`--` line comments for the languages that use them, plus paren
     * depth (so `for(;;)` separators don't anchor definitions). */
-  private[operators] def maskedOffsets(source: String, lang: String): java.util.BitSet = {
+  private[graft] def maskedOffsets(source: String, lang: String): java.util.BitSet = {
     val masked = new java.util.BitSet(source.length)
-    val hashComment = Set("python", "ruby", "elixir", "r", "julia", "perl")(lang)
+    val hashComment =
+      Set("python", "ruby", "elixir", "r", "julia", "perl", "shell")(lang)
     val dashComment = Set("lua", "sql", "haskell")(lang)
     // languages where ' delimits full strings (vs char literals /
     // lifetimes, which keep the short-lookahead heuristic below)
     val sqStringLang = Set("python", "javascript", "typescript", "ruby",
       "php", "shell", "sql", "lua", "r", "elixir")(lang)
+    // languages with triple-quoted strings ("""..""" / '''..''') that
+    // span newlines — a ';' on line 2+ of a docstring must stay masked
+    val tripleLang = Set("python", "elixir", "julia")(lang)
     val S_CODE = 0; val S_STR = 1; val S_LINE = 2; val S_BLOCK = 3
+    val S_TRIPLE = 4
     var state = S_CODE
     var strQuote = ' '
     var paren = 0
+    def tripleAt(idx: Int, q: Char): Boolean =
+      idx + 2 < source.length &&
+        source.charAt(idx) == q && source.charAt(idx + 1) == q &&
+        source.charAt(idx + 2) == q
     var i = 0
     while (i < source.length) {
       val ch = source.charAt(i)
@@ -513,7 +574,16 @@ object CodeUnits {
         case S_STR =>
           masked.set(i)
           if (ch == '\\') { if (i + 1 < source.length) masked.set(i + 1); i += 1 }
-          else if (ch == strQuote || ch == '\n') state = S_CODE
+          // backtick strings (JS/TS templates, Go raw strings) span
+          // newlines; the newline bailout stays for '/"' strings only
+          // (an unterminated one must not swallow the rest of the file)
+          else if (ch == strQuote || (ch == '\n' && strQuote != '`')) state = S_CODE
+        case S_TRIPLE =>
+          masked.set(i)
+          if (ch == '\\') { if (i + 1 < source.length) masked.set(i + 1); i += 1 }
+          else if (tripleAt(i, strQuote)) {
+            masked.set(i + 1); masked.set(i + 2); i += 2; state = S_CODE
+          }
         case S_LINE =>
           if (ch == '\n') state = S_CODE else masked.set(i)
         case S_BLOCK =>
@@ -522,12 +592,19 @@ object CodeUnits {
             masked.set(i + 1); state = S_CODE; i += 1
           }
         case _ => ch match {
-          case '"' | '`' => state = S_STR; strQuote = ch; masked.set(i)
+          case '"' | '`' =>
+            if (ch == '"' && tripleLang && tripleAt(i, '"')) {
+              state = S_TRIPLE; strQuote = '"'
+              masked.set(i); masked.set(i + 1); masked.set(i + 2); i += 2
+            } else { state = S_STR; strQuote = ch; masked.set(i) }
           case '\'' if sqStringLang =>
             // full string delimiter (python/js/ruby/...): an apostrophe
             // cannot appear in code outside strings/comments in these
             // languages, so no lookahead heuristic is needed
-            state = S_STR; strQuote = '\''; masked.set(i)
+            if (tripleLang && tripleAt(i, '\'')) {
+              state = S_TRIPLE; strQuote = '\''
+              masked.set(i); masked.set(i + 1); masked.set(i + 2); i += 2
+            } else { state = S_STR; strQuote = '\''; masked.set(i) }
           case '\'' =>
             // char-literal languages (rust lifetimes, C/Java chars):
             // only mask when a closing quote sits within 3 chars, so a
@@ -620,6 +697,34 @@ object CodeUnits {
     scan(ClassRe, "class", _.group(1))
     if (lang == "java" || lang == "csharp")
       scan(CMethodRe, "function", _.group(2), retHint = _.group(1))
+    if (lang == "c" || lang == "cpp") {
+      // qualified names (`Shape::draw`, `Ns::Cls::~Cls`): last segment
+      // is the name, the segment before it the receiver type
+      def cqName(raw: String): (String, String) = {
+        val parts = raw.split("::")
+        if (parts.length > 1) (parts(parts.length - 2), parts.last)
+        else ("", raw)
+      }
+      scan(CFuncRe, "function",
+        m => {
+          val (_, n) = cqName(m.group(2))
+          val t = m.group(1).takeWhile(c => c.isLetterOrDigit || c == '_')
+          if (CFuncStop(n) || CFuncStop(t)) "" else n
+        },
+        recv = m => cqName(m.group(2))._1,
+        retHint = _.group(1))
+    }
+    if (lang == "javascript" || lang == "typescript") {
+      scan(JsMethodRe, "function",
+        m => { val n = m.group(1); if (JsMethodStop(n)) "" else n })
+      scan(JsArrowRe, "function", _.group(1))
+    }
+    if (lang == "qml") {
+      scan(QmlComponentRe, "class", _.group(1))
+      scan(QmlSignalRe, "function", _.group(1))
+      scan(QmlHandlerRe, "function", _.group(1))
+      scan(QmlPropertyRe, "constant", _.group(1))
+    }
     scan(ConstRe, "constant", _.group(1))
     lang match {
       case "haskell" => scan(HsSigRe, "function", _.group(1))

@@ -413,6 +413,29 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val minjs = CodeUnits.extractUnits("m.js",
       "for(i=0;i<n;i++);function init(){}\n")
     assert(minjs.exists(_.name == "init"))
+
+    // multiline strings: a ';' on line 2+ of a JS backtick template or a
+    // python triple-quoted string stays masked (the newline bailout is
+    // for unterminated '/" strings only)
+    val tpl = CodeUnits.extractUnits("t.js",
+      "const q = `line one\nstop; function bogus7(){}\n`\nfunction ok4(){}\n")
+    assert(tpl.exists(_.name == "ok4") && !tpl.exists(_.name == "bogus7"))
+    val triple = CodeUnits.extractUnits("d.py",
+      "DOC = \"\"\"first line\nsecond; def bogus8(): pass\n\"\"\"\ndef real3():\n    pass\n")
+    assert(triple.exists(_.name == "real3") && !triple.exists(_.name == "bogus8"))
+    val triSq = CodeUnits.extractUnits("e.py",
+      "DOC = '''x\ny; def bogus9(): pass\n'''\ndef real4():\n    pass\n")
+    assert(triSq.exists(_.name == "real4") && !triSq.exists(_.name == "bogus9"))
+
+    // '#' comments are masked for shell (it sits in sqStringLang, so the
+    // lexer must also know its comment form; .sh files themselves index
+    // as whole-file documents per the reference's is_text_format)
+    val shSrc = "# teardown; x\necho 'a;b' # trail; y\n"
+    val shMask = CodeUnits.maskedOffsets(shSrc, "shell")
+    assert(shMask.get(shSrc.indexOf("; x")), "';' in shell comment unmasked")
+    assert(shMask.get(shSrc.indexOf("; y")), "';' in shell trailing comment unmasked")
+    assert(shMask.get(shSrc.indexOf(";b")), "';' in shell string unmasked")
+    assert(!shMask.get(shSrc.indexOf("echo")), "shell code wrongly masked")
   }
 
   test("C1: Vue/Svelte/HTML script blocks parse with file-position lines; template unit") {
