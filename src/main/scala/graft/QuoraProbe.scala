@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.MultiVectorIndex
+import graft.search.{RecallHarness, SearchParams, Searcher}
+
+/** Distributed-funnel throughput at the reference's LARGEST published
+  * corpus scale: quora, 522,931 docs (BASELINE.md — 17.7 CPU QPS,
+  * NDCG@10 0.8519, P95 235 ms, reference numbers include query
+  * encoding). This probe builds a 522,931-doc clustered corpus (16
+  * tokens/doc — quora questions are short), indexes it once into /tmp,
+  * and times 64-query batches with the serving fast path DISABLED
+  * (`localIndexBudgetBytes = 0`), so the number measured is the
+  * DISTRIBUTED dense funnel — the plan that runs when the index no
+  * longer fits one node, i.e. the 100 TB-regime code path.
+  *
+  * Per-stage attribution: the funnel is one DataFrame plan, so stages
+  * are split by differencing parameter variations —
+  * `nFullScores = topK` skips nearly all of S7 (exact rerank), so
+  * (default − rerankLight) ≈ rerank cost and rerankLight ≈ S1–S6
+  * (GEMM + probe + approx scoring + cut) + fixed per-batch cost.
+  *
+  * Usage: `SPARK_DRIVER_MEM=24g sbt "runMain graft.QuoraProbe"`.
+  */
+object QuoraProbe {
+  val NumDocs = 522931L
+  val TokensPerDoc = 16
+  val QueryTokens = 48 // the reference's expanded query length
+  val Dim = 128
+  val Batch = 64
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val workDir = "/tmp/graft_quora_522k"
+    val t0 = System.nanoTime()
+    val idx =
+      if (graft.util.Fs.exists(s"$workDir/manifest.json"))
+        new MultiVectorIndex(spark, workDir)
+      else MultiVectorIndex.build(spark,
+        RecallHarness.clusteredCorpus(spark, NumDocs,
+          tokensPerDoc = TokensPerDoc, dim = Dim, numClusters = 5000), workDir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    println(f"QUORA_PROBE K=${idx.codec.numCentroids} docs=${idx.numDocuments} " +
+      f"dim=${idx.dim} tokens=${idx.manifest("num_embeddings")} build/open=$buildSec%.1f s")
+
+    val queries = RecallHarness.queriesFrom(spark, Batch,
+      tokensPerDoc = QueryTokens, dim = Dim, numClusters = 5000).cache()
+    queries.count()
+    val searcher = new Searcher(idx)
+
+    // fast path OFF: this measures the distributed plan
+    val variants = Seq(
+      "dense distributed (default params)" ->
+        SearchParams(localIndexBudgetBytes = 0),
+      "rerank-light (nFull=topK: S1-S6 + fixed cost)" ->
+        SearchParams(localIndexBudgetBytes = 0, nFullScores = 10),
+      "top_k=100 (the BEIR table's setting)" ->
+        SearchParams(localIndexBudgetBytes = 0, topK = 100),
+      "sparse funnel (forced, same params)" ->
+        SearchParams(localIndexBudgetBytes = 0, sparseCentroidThreshold = 0))
+    variants.foreach { case (name, p) =>
+      searcher.search(queries, p).count() // warm
+      val times = (1 to 3).map { _ =>
+        val s = System.nanoTime()
+        searcher.search(queries, p).count()
+        (System.nanoTime() - s) / 1e9
+      }
+      println(f"QUORA_PROBE $name%-46s best=${times.min}%.2f s  " +
+        f"qps=${Batch / times.min}%.1f  (${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
+
+    // single-query latency on the distributed plan (P95-comparable shape)
+    locally {
+      val q1 = RecallHarness.queriesFrom(spark, 1,
+        tokensPerDoc = QueryTokens, dim = Dim, numClusters = 5000).cache()
+      q1.count()
+      val p = SearchParams(localIndexBudgetBytes = 0)
+      searcher.search(q1, p).count()
+      val t1 = (1 to 10).map { _ =>
+        val s = System.nanoTime()
+        searcher.search(q1, p).count()
+        (System.nanoTime() - s) / 1e9
+      }.sorted
+      println(f"QUORA_PROBE batch=1 best=${t1.head * 1000}%.0f ms  " +
+        f"median=${(t1(4) + t1(5)) / 2 * 1000}%.0f ms  p90=${t1(8) * 1000}%.0f ms")
+    }
+    spark.stop()
+  }
+}

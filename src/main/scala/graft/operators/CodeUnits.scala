@@ -154,6 +154,20 @@ object CodeUnits {
     "if", "else", "while", "for", "switch", "return", "do", "case",
     "sizeof", "catch", "new", "delete", "throw", "goto", "defined")
 
+  /** Go `const Name [type] = ...` — CamelCase consts are idiomatic, so
+    * the all-caps ConstRe heuristic misses them (tree-sitter extracts
+    * any const_declaration). Gated to go. Group 1 = name. */
+  private val GoConstRe = java.util.regex.Pattern.compile(
+    """^[ \t]*const\s+([A-Za-z_]\w*)(?:\s+[\w\[\]*.]+)?\s*=""",
+    java.util.regex.Pattern.MULTILINE)
+
+  /** C++ destructors with a body or `= default` (`virtual ~Shape() =
+    * default;` parses as function_definition under tree-sitter; a bare
+    * declaration `~Shape();` does not and is not matched here). */
+  private val CppDtorRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:virtual\s+)?((?:\w+::)*~\w+)\s*\(\s*(?:void)?\s*\)\s*(?:=\s*default\s*;|(?:noexcept\s*)?\{)""",
+    java.util.regex.Pattern.MULTILINE)
+
   /** JS/TS class-body methods: `name(args) {` with no `function`
     * keyword (incl. `constructor`, `get`/`set`/`static`/`async`
     * accessors). A real call followed by a block is invalid JS at
@@ -429,9 +443,29 @@ object CodeUnits {
     * (colgrep/src/parser/vue.rs:165-196, svelte.rs:82-133). */
   private[operators] def sfcUnits(path: String, lang: String, source: String): Seq[CodeUnit] = {
     val scriptUnits = scriptBlocks(source).flatMap { case (off, content) =>
-      codeUnits(path, "typescript", content, off)
+      val units = codeUnits(path, "typescript", content, off)
         .filterNot(_.kind == "raw_code")
         .map(u => u.copy(language = lang))
+      // Svelte props (`export let name = ...`) are units under
+      // tree-sitter-svelte (svelte.rs prop extraction)
+      val props =
+        if (lang != "svelte") Seq.empty
+        else {
+          val pm = java.util.regex.Pattern
+            .compile("""^[ \t]*export\s+let\s+(\w+)""", java.util.regex.Pattern.MULTILINE)
+            .matcher(content)
+          val contentLines = content.split("\n", -1)
+          val starts = contentLines.scanLeft(0)((a, l) => a + l.length + 1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CodeUnit]
+          while (pm.find()) {
+            val line = starts.lastIndexWhere(_ <= pm.start())
+            out += CodeUnit(path, lang, "constant", pm.group(1),
+              contentLines(line).trim, off + line + 1, off + line + 1,
+              contentLines(line).trim, Seq.empty, qualifiedName = pm.group(1))
+          }
+          out.toSeq
+        }
+      units ++ props
     }
     val lines = source.split("\n", -1)
     val template: Option[(Int, String)] =
@@ -713,7 +747,11 @@ object CodeUnits {
         },
         recv = m => cqName(m.group(2))._1,
         retHint = _.group(1))
+      scan(CppDtorRe, "function",
+        m => m.group(1).split("::").last,
+        recv = m => { val p = m.group(1).split("::"); if (p.length > 1) p(p.length - 2) else "" })
     }
+    if (lang == "go") scan(GoConstRe, "constant", _.group(1))
     if (lang == "javascript" || lang == "typescript") {
       scan(JsMethodRe, "function",
         m => { val n = m.group(1); if (JsMethodStop(n)) "" else n })
@@ -903,7 +941,15 @@ object CodeUnits {
         parameters = params.take(16),
         returnType = ret,
         parentClass = parent,
-        qualifiedName = if (parent.nonEmpty) s"$parent.$name" else name,
+        // Lua method sugar keeps its ':' in the qualified form
+        // (tree-sitter-lua names `function obj:method` "obj:method",
+        // but dot-defined module functions stay "M.greet")
+        qualifiedName =
+          if (parent.nonEmpty && lang == "lua" &&
+              lines(start).matches(""".*:\s*""" +
+                java.util.regex.Pattern.quote(name) + """\s*\(.*"""))
+            s"$parent:$name"
+          else if (parent.nonEmpty) s"$parent.$name" else name,
         extendsClass = extendsClass,
         complexity = complexity,
         hasLoops = LoopRe.matcher(code).find(),

@@ -568,6 +568,51 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(h.parentClass === "Server" && h.qualifiedName === "Server.Handle")
   }
 
+  test("C1: tree-sitter-parity shapes — C funcs, C++ dtor/operator, Go const, JS methods, QML, svelte props, lua colon names") {
+    // C: return-type-first free function, no modifier
+    val c = CodeUnits.extractUnits("m.c", "int add(int a, int b) {\n    return a + b;\n}\n")
+    assert(c.exists(u => u.name == "add" && u.kind == "function"))
+    // control flow never matches the two-token shape
+    val cIf = CodeUnits.extractUnits("i.c", "void f(void) {\n    else if (x) {\n    }\n}\n")
+    assert(!cIf.exists(_.name == "if"))
+    // C++: qualified method, operator, destructor with body/default
+    val cpp = CodeUnits.extractUnits("s.cpp",
+      "double Shape::area() const {\n  return 0;\n}\n" +
+      "Vector Vector::operator+(const Vector& o) {\n  return o;\n}\n" +
+      "virtual ~Shape() = default;\n")
+    assert(cpp.exists(u => u.name == "area" && u.parentClass == "Shape"))
+    assert(cpp.exists(_.name == "operator+"))
+    assert(cpp.exists(_.name == "~Shape"))
+    // a prototype must NOT become a unit (no body)
+    val proto = CodeUnits.extractUnits("p.c", "int add(int a, int b);\n")
+    assert(!proto.exists(_.name == "add"))
+    // Go: CamelCase const
+    val goc = CodeUnits.extractUnits("c.go", "const MaxSize = 1024\n")
+    assert(goc.exists(u => u.name == "MaxSize" && u.kind == "constant"))
+    // JS class-body method + arrow binding
+    val js = CodeUnits.extractUnits("k.js",
+      "class Calc {\n  add(a, b) {\n    return a + b\n  }\n}\nconst mul = (a, b) => a * b\n")
+    assert(js.exists(u => u.name == "add" && u.parentClass == "Calc"))
+    assert(js.exists(_.name == "mul"))
+    assert(!js.exists(_.name == "if"))
+    // QML component/signal/handler/property
+    val qml = CodeUnits.extractUnits("a.qml",
+      "Rectangle {\n    signal toggled(bool on)\n    property int count\n    onTriggered: {\n        count++\n    }\n}\n")
+    assert(qml.exists(u => u.name == "Rectangle" && u.kind == "class"))
+    assert(qml.exists(_.name == "toggled"))
+    assert(qml.exists(_.name == "count"))
+    assert(qml.exists(_.name == "onTriggered"))
+    // svelte props
+    val sv = CodeUnits.extractUnits("w.svelte",
+      "<script>\n  export let name = 'World';\n  function greet() {\n    return name\n  }\n</script>\n<h1>hi</h1>\n")
+    assert(sv.exists(u => u.name == "name" && u.kind == "constant"))
+    assert(sv.exists(_.name == "greet"))
+    // lua colon-method keeps ':' in the qualified name
+    val lua = CodeUnits.extractUnits("o.lua",
+      "function obj:method(arg)\n    return self.value + arg\nend\n")
+    assert(lua.exists(u => u.name == "method" && u.qualifiedName == "obj:method"))
+  }
+
   test("C1 layer 1: modifier-first methods carry parameters and return type") {
     val csSrc =
       """public class Calculator {
