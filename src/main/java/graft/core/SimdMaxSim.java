@@ -56,6 +56,103 @@ public final class SimdMaxSim {
     return s;
   }
 
+  /** out[c] = dot(cents[c*dim .. c*dim+dim), q) for all k rows — the
+   * SIMD scoring pass of the filter-and-refine nearest-centroid
+   * kernels. 4 rows per block share each q-vector load. */
+  public static void rowDots(float[] cents, int k, int dim, float[] q, float[] out) {
+    int lanes = S.length();
+    int bound = dim - (dim % lanes);
+    int c = 0;
+    for (; c + 3 < k; c += 4) {
+      int o0 = c * dim, o1 = o0 + dim, o2 = o1 + dim, o3 = o2 + dim;
+      FloatVector a0 = FloatVector.zero(S), a1 = FloatVector.zero(S);
+      FloatVector a2 = FloatVector.zero(S), a3 = FloatVector.zero(S);
+      int i = 0;
+      for (; i < bound; i += lanes) {
+        FloatVector qv = FloatVector.fromArray(S, q, i);
+        a0 = qv.fma(FloatVector.fromArray(S, cents, o0 + i), a0);
+        a1 = qv.fma(FloatVector.fromArray(S, cents, o1 + i), a1);
+        a2 = qv.fma(FloatVector.fromArray(S, cents, o2 + i), a2);
+        a3 = qv.fma(FloatVector.fromArray(S, cents, o3 + i), a3);
+      }
+      float s0 = a0.reduceLanes(VectorOperators.ADD);
+      float s1 = a1.reduceLanes(VectorOperators.ADD);
+      float s2 = a2.reduceLanes(VectorOperators.ADD);
+      float s3 = a3.reduceLanes(VectorOperators.ADD);
+      for (; i < dim; i++) {
+        float qi = q[i];
+        s0 += qi * cents[o0 + i];
+        s1 += qi * cents[o1 + i];
+        s2 += qi * cents[o2 + i];
+        s3 += qi * cents[o3 + i];
+      }
+      out[c] = s0; out[c + 1] = s1; out[c + 2] = s2; out[c + 3] = s3;
+    }
+    for (; c < k; c++) {
+      int off = c * dim;
+      FloatVector acc = FloatVector.zero(S);
+      int i = 0;
+      for (; i < bound; i += lanes) {
+        acc = FloatVector.fromArray(S, q, i)
+            .fma(FloatVector.fromArray(S, cents, off + i), acc);
+      }
+      float s = acc.reduceLanes(VectorOperators.ADD);
+      for (; i < dim; i++) s += q[i] * cents[off + i];
+      out[c] = s;
+    }
+  }
+
+  /** out[c] = squared L2 distance from q to row c. Same blocking as
+   * {@link #rowDots}; all summands are non-negative, so the f32 error
+   * is bounded by a small multiple of the value itself. */
+  public static void rowDistSq(float[] cents, int k, int dim, float[] q, float[] out) {
+    int lanes = S.length();
+    int bound = dim - (dim % lanes);
+    int c = 0;
+    for (; c + 3 < k; c += 4) {
+      int o0 = c * dim, o1 = o0 + dim, o2 = o1 + dim, o3 = o2 + dim;
+      FloatVector a0 = FloatVector.zero(S), a1 = FloatVector.zero(S);
+      FloatVector a2 = FloatVector.zero(S), a3 = FloatVector.zero(S);
+      int i = 0;
+      for (; i < bound; i += lanes) {
+        FloatVector qv = FloatVector.fromArray(S, q, i);
+        FloatVector d0 = qv.sub(FloatVector.fromArray(S, cents, o0 + i));
+        FloatVector d1 = qv.sub(FloatVector.fromArray(S, cents, o1 + i));
+        FloatVector d2 = qv.sub(FloatVector.fromArray(S, cents, o2 + i));
+        FloatVector d3 = qv.sub(FloatVector.fromArray(S, cents, o3 + i));
+        a0 = d0.fma(d0, a0);
+        a1 = d1.fma(d1, a1);
+        a2 = d2.fma(d2, a2);
+        a3 = d3.fma(d3, a3);
+      }
+      float s0 = a0.reduceLanes(VectorOperators.ADD);
+      float s1 = a1.reduceLanes(VectorOperators.ADD);
+      float s2 = a2.reduceLanes(VectorOperators.ADD);
+      float s3 = a3.reduceLanes(VectorOperators.ADD);
+      for (; i < dim; i++) {
+        float qi = q[i];
+        float d0 = qi - cents[o0 + i]; s0 += d0 * d0;
+        float d1 = qi - cents[o1 + i]; s1 += d1 * d1;
+        float d2 = qi - cents[o2 + i]; s2 += d2 * d2;
+        float d3 = qi - cents[o3 + i]; s3 += d3 * d3;
+      }
+      out[c] = s0; out[c + 1] = s1; out[c + 2] = s2; out[c + 3] = s3;
+    }
+    for (; c < k; c++) {
+      int off = c * dim;
+      FloatVector acc = FloatVector.zero(S);
+      int i = 0;
+      for (; i < bound; i += lanes) {
+        FloatVector d = FloatVector.fromArray(S, q, i)
+            .sub(FloatVector.fromArray(S, cents, off + i));
+        acc = d.fma(d, acc);
+      }
+      float s = acc.reduceLanes(VectorOperators.ADD);
+      for (; i < dim; i++) { float d = q[i] - cents[off + i]; s += d * d; }
+      out[c] = s;
+    }
+  }
+
   /** NaN-safe "better": a candidate NaN never replaces a finite max
    * (maxsim.rs is_score_better). maxCur starts at -inf and only ever
    * takes non-NaN candidates, so the cur-isNaN arm never fires. */

@@ -21,6 +21,13 @@ final case class Codec(
 
   def numCentroids: Int = centroids.length / dim
 
+  /** Filter-and-refine assignment kernel — SIMD speed, bit-identical
+    * results (see [[NearestKernel]]). Lazy + transient: rebuilt per
+    * executor after broadcast deserialization; thread-safe, so one
+    * instance serves all task threads. */
+  @transient private lazy val kernel =
+    new NearestKernel(centroids, numCentroids, dim)
+
   @inline def centroid(code: Int): Array[Float] = {
     val out = new Array[Float](dim)
     System.arraycopy(centroids, code * dim, out, 0, dim)
@@ -36,23 +43,7 @@ final case class Codec(
     * f64 evaluation of the same sequential sum — the b4_assign oracle's
     * DuckDB list_dot_product twin computes exactly this. f32 accumulation
     * (the pre-round-10 kernel) flipped the argmax on near-ties. */
-  def assign(vec: Array[Float]): Int = {
-    val k = numCentroids
-    var best = -1
-    var bestScore = Double.NegativeInfinity
-    var c = 0
-    while (c < k) {
-      var s = 0.0
-      val off = c * dim
-      var i = 0
-      while (i < dim) { s += centroids(off + i).toDouble * vec(i); i += 1 }
-      if (!s.isNaN && (best < 0 || s > bestScore || bestScore.isNaN)) {
-        best = c; bestScore = s
-      }
-      c += 1
-    }
-    if (best < 0) 0 else best
-  }
+  def assign(vec: Array[Float]): Int = kernel.assignF64(vec)
 
   /** B5+B6 fused: residual = vec - centroid(code), then quantize-pack. */
   def encode(vec: Array[Float]): (Int, Array[Byte]) = {

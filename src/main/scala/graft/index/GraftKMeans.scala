@@ -97,8 +97,15 @@ object GraftKMeans {
       var it = 0
       while (it < iters) {
         val kNow = centroids.length / dim
-        val assigned = rows.map { case (docId, tok, vec) =>
-          (nearestEuclidean(centroids, kNow, dim, vec), docId, tok, vec)
+        // assignment is per-row pure and the fold below re-sorts by
+        // (code, doc_id, tok), so parallel order cannot leak into the
+        // result; the kernel is the SIMD filter + exact-f32 refine
+        // (bit-identical to nearestEuclidean — see NearestKernel)
+        val kern = new NearestKernel(centroids, kNow, dim)
+        val assigned = new Array[(Int, Long, Int, Array[Float])](rows.length)
+        java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+          val (docId, tok, vec) = rows(i)
+          assigned(i) = (kern.nearestEuclideanF32(vec), docId, tok, vec)
         }
         val sums = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Long)]
         assigned.sortBy { case (code, docId, tok, _) => (code, docId, tok) }
@@ -135,8 +142,9 @@ object GraftKMeans {
           .mapPartitions { rows =>
             val cents = bc.value
             val kNow = cents.length / dim
+            val kern = new NearestKernel(cents, kNow, dim)
             rows.map { case (docId, tok, vec) =>
-              (nearestEuclidean(cents, kNow, dim, vec), docId, tok, vec)
+              (kern.nearestEuclideanF32(vec), docId, tok, vec)
             }
           }
           .toDF("code", "doc_id", "tok", "vec")
@@ -202,7 +210,7 @@ object GraftKMeans {
     best
   }
 
-  private[index] def nearestEuclidean(
+  private[graft] def nearestEuclidean(
       cents: Array[Float], k: Int, dim: Int, vec: Array[Float]): Int = {
     var best = 0
     var bestDist = Float.PositiveInfinity

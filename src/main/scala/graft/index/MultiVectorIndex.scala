@@ -167,8 +167,9 @@ object MultiVectorIndex {
       .mapPartitions { vecs =>
         val cents = centBc.value
         val kNow = cents.length / dim
+        val kern = new NearestKernel(cents, kNow, dim)
         vecs.map { vec =>
-          val code = bestDot(cents, kNow, dim, vec)
+          val code = kern.nearestDotF32(vec)
           val r = new Array[Float](dim)
           var i = 0
           while (i < dim) { r(i) = vec(i) - cents(code * dim + i); i += 1 }
@@ -287,7 +288,7 @@ object MultiVectorIndex {
       .toDF("doc_id", "embeddings")
   }
 
-  private[index] def bestDot(
+  private[graft] def bestDot(
       cents: Array[Float], k: Int, dim: Int, vec: Array[Float]): Int = {
     var best = -1
     var bestScore = Float.NegativeInfinity

@@ -65,9 +65,9 @@ object Similarity {
       .mapPartitions { rows =>
         val cents = bc.value
         val k = cents.length / dim
-        rows.map { case (id, v) =>
-          (id, GraftKMeans.nearestCosine(cents, k, dim, v))
-        }
+        // SIMD filter + exact-f32 refine; bit-identical to nearestCosine
+        val kern = new graft.index.NearestKernel(cents, k, dim)
+        rows.map { case (id, v) => (id, kern.nearestDotF32(v)) }
       }
       .toDF("vec_id", "code")
     (centroids, assign)
