@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables. */
 object Tables {
@@ -12,17 +13,32 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** `events.ts` is written with nanosecond precision, which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
-    * to a microsecond timestamp (UTC), keeping the raw nanos in `ts_ns`. */
+  /** The generator has written `events.ts` as either int64 nanos (older
+    * rounds; Spark's parquet reader rejects nano timestamps with
+    * [PARQUET_TYPE_ILLEGAL], hence `nanosAsLong`) or as `timestamp[us]`
+    * (current testdata). Branch on the read schema and normalize to the
+    * same two columns either way: `ts` TIMESTAMP (UTC) + `ts_ns` BIGINT
+    * (epoch nanos, matching DuckDB's `epoch_ns(ts)`). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer division: `/` would promote the ~1.7e18 nanos to double
-      // (2^53-exact range exceeded) and can shift a row across an hour
-      // bucket boundary vs the oracle's exact arithmetic
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          // integer division: `/` would promote the ~1.7e18 nanos to double
+          // (2^53-exact range exceeded) and can shift a row across an hour
+          // bucket boundary vs the oracle's exact arithmetic
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        // pyarrow writes tz-naive micros; session TZ is pinned to UTC, so
+        // the cast reinterprets the wall-clock as UTC — same instants the
+        // oracle sees
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

@@ -19,13 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be loud AND persistent: a swallowed exception means the
+    // query silently vanishes from the driver's correctness JSON (this is
+    // how a 6-query regression shipped unnoticed in round 10). Record every
+    // failure as a marker file + sidecar and exit non-zero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.error.txt"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
