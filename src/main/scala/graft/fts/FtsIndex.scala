@@ -62,14 +62,26 @@ object FtsIndex {
   }
 
   /** Reuse an existing artifact if present (declared queries share one
-    * build per scale factor within a run). */
+    * build per scale factor within a run). `sourceFp` — when non-empty —
+    * keys the reuse on the SOURCE DATA's content fingerprint
+    * (`Fs.fingerprint` of the parquet the docs came from), not just the
+    * cache path: regenerated testdata under the same path forces a
+    * rebuild instead of silently serving a stale index. */
   def buildIfMissing(
       spark: SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       path: String,
-      tokenizerName: String = "unicode61"): FtsIndex =
-    if (Fs.exists(s"$path/fts.json")) new FtsIndex(spark, path)
-    else build(spark, docs, idCol, textCol, path, tokenizerName)
+      tokenizerName: String = "unicode61",
+      sourceFp: String = ""): FtsIndex =
+    if (Fs.exists(s"$path/fts.json") &&
+        (sourceFp.isEmpty || Fs.cacheFresh(path, sourceFp)))
+      new FtsIndex(spark, path)
+    else {
+      Fs.deleteRecursively(path)
+      val idx = build(spark, docs, idCol, textCol, path, tokenizerName)
+      if (sourceFp.nonEmpty) Fs.stampCache(path, sourceFp)
+      idx
+    }
 
   /** F3 delete with optional dense re-sequencing of surviving doc ids
     * (the index.rs:1826-1843 alignment invariant — pass the same ids the

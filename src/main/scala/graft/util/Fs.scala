@@ -80,6 +80,37 @@ object Fs {
     finally out.close()
   }
 
+  /** Content fingerprint of a file or directory tree: MD5 over the
+    * sorted (name, length, mtime) triples of every file under `path`.
+    * Status-only — no data is read — so it is cheap even for 100 TB
+    * tables, and it changes whenever the generator rewrites the data in
+    * place, which is exactly the staleness a cache keyed on the PATH
+    * string cannot see. */
+  def fingerprint(path: String): String = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** True when `cacheDir` was stamped (by `stampCache`) with exactly
+    * this source fingerprint — reuse gate for derived artifacts cached
+    * across runs. */
+  def cacheFresh(cacheDir: String, sourceFp: String): Boolean = {
+    val marker = s"$cacheDir/source.fp"
+    exists(marker) && new String(readBytes(marker), "UTF-8").trim == sourceFp
+  }
+
+  def stampCache(cacheDir: String, sourceFp: String): Unit =
+    writeBytes(s"$cacheDir/source.fp", (sourceFp + "\n").getBytes("UTF-8"))
+
   /** Materialize `df` to `<dir>_tmp` (forcing the read of the current
     * version first), then swap it in. Hadoop's rename/delete signal
     * failure by returning false, not by throwing — an unchecked false
