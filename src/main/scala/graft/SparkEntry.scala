@@ -480,6 +480,32 @@ object SparkEntry {
       graft.pipeline.Similarity.srpBucketJoinTopK(s, t(s, dir, "embeddings"), dim = 64)
         .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"),
           col("rank").cast("long").as("rank"))),
+    // multi-probe IVF cosine near-dedup (Similarity.cosineDedupPairs).
+    // The raw embeddings are near-orthogonal (max pairwise cosine 0.51),
+    // so plant near-duplicates: every 5th vector gets a copy with a tiny
+    // deterministic per-coordinate scale. Vectors + trained centroids are
+    // dumped to /tmp; the oracle replays f64 top-2 cell assignment, the
+    // cell self-join, and the exact-cosine >= 0.95 filter from the dumps.
+    "p_cosine_dedup" -> ((s, dir) => {
+      val path = "/tmp/graft_cosdedup_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dup = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.002d * ((i % 7) - 3)) AS FLOAT))")
+            .as("embedding"))
+      val all = emb.union(dup)
+      all.coalesce(1).write.mode("overwrite").parquet(s"$path/vectors")
+      val vectors = s.read.parquet(s"$path/vectors")
+      val (centroids, _) = graft.pipeline.Similarity.buildIvf(s, vectors, dim = 64,
+        numCentroids = 16, seed = 42L)
+      import s.implicits._
+      centroids.grouped(64).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      graft.pipeline.Similarity.cosineDedupPairsWith(s, vectors, centroids,
+          singleAssign = None, dim = 64, minCosine = 0.95, probes = 2)
+        .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
+    }),
     "p_text_stats" -> ((s, dir) =>
       graft.pipeline.TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars").cast("long"), col("n_words").cast("long"),
@@ -1121,6 +1147,41 @@ object SparkEntry {
       ).toDF("stage", "metric", "value")
     }),
 
+    // Streaming exact dedup (StreamingDedup.firstSeen): duplicates are
+    // planted (every 7th doc's text re-appears under two higher ids),
+    // rows arrive over 3 ascending-doc_id micro-batches, so the planted
+    // copies land in later batches than their originals and must be
+    // dropped by flatMapGroupsWithState state carried ACROSS batches.
+    // Ascending arrival makes first-seen ≡ min(doc_id) per hash — the
+    // SQL twin is a row_number()=1 window, no /tmp dump needed.
+    "st_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val input = base
+        .union(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .union(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val n = input.length
+      val batches = Seq(input.slice(0, n / 3), input.slice(n / 3, 2 * n / 3),
+        input.slice(2 * n / 3, n))
+      val ckpt = "/tmp/graft_stdedup_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(ckpt)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup
+        .firstSeen(stream.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("st_stream_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .start()
+      try batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("st_stream_dedup_sink").select("doc_id", "text", "text_hash")
+    }),
+
     // C7: incremental reindex ≡ scratch rebuild (colgrep mod.rs:
     // 1615-1956). A 120-file Python tree (sources derived from the
     // documents table: each file defines f_i with a comment payload and
@@ -1584,6 +1645,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
         |FROM pairs QUALIFY rank <= 10""".stripMargin,
+    "p_cosine_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_cosdedup__root_testdata_sf0_01/vectors/*.parquet')),
+        |c AS (SELECT code, centroid
+        |  FROM read_parquet('/tmp/graft_cosdedup__root_testdata_sf0_01/centroids/*.parquet')),
+        |sc AS (SELECT v.vec_id, c.code,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)) AS s
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, code FROM (
+        |  SELECT vec_id, code,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, code) AS rn
+        |  FROM sc) WHERE rn <= 2),
+        |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM asg x JOIN asg y USING (code) WHERE x.vec_id < y.vec_id),
+        |scored AS (SELECT p.a, p.b,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE)) /
+        |  greatest(sqrt(list_sum(list_transform(va.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(vb.embedding, x -> x::DOUBLE * x::DOUBLE))),
+        |    1e-12) AS cosine
+        |  FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b)
+        |SELECT a, b, round(cosine, 5) AS cosine FROM scored
+        |WHERE cosine >= 0.95""".stripMargin,
     "p_srp_join" ->
       """WITH planes AS (
         |  SELECT r, list_transform(range(0, 64),
@@ -2024,6 +2109,16 @@ object SparkEntry {
         |UNION ALL SELECT 'b2_mode3', 'ids_dense', 1
         |UNION ALL SELECT 'replay', 'applied', 0
         |UNION ALL SELECT 'replay', 'num_docs', (SELECT count(*) FROM b)
-        |UNION ALL SELECT 'manifest', 'last_stream_batch_id', (SELECT max(batch) FROM b)""".stripMargin
+        |UNION ALL SELECT 'manifest', 'last_stream_batch_id', (SELECT max(batch) FROM b)""".stripMargin,
+    "st_stream_dedup" ->
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT doc_id, text,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+        |  FROM inp)
+        |SELECT doc_id, text, text_hash FROM h
+        |QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1""".stripMargin
   )
 }

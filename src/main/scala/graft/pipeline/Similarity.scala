@@ -164,7 +164,13 @@ object Similarity {
     * scalable first pass. */
   /** Multi-probe assignments: each vector lands in its top-`p` nearest
     * cells, so near-duplicate pairs straddling a Voronoi boundary still
-    * share a cell with high probability. `p` rows per vector. */
+    * share a cell with high probability. `p` rows per vector.
+    *
+    * Scores accumulate in f64 index order with ties broken by lower
+    * code — exactly `row_number() OVER (ORDER BY s DESC, code)` over
+    * DuckDB's `list_sum(... ::DOUBLE ...)`, so a SQL oracle reading the
+    * dumped centroids reproduces the assignment bit-for-bit (the same
+    * f32-vs-f64 boundary-flip fix as b4_assign, NearestKernel.scala). */
   def assignTopP(
       spark: SparkSession,
       docs: DataFrame,
@@ -179,17 +185,19 @@ object Similarity {
         val cents = bc.value
         val k = cents.length / dim
         rows.flatMap { case (id, v) =>
-          val scores = new Array[Float](k)
+          val scores = new Array[Double](k)
           var c = 0
           while (c < k) {
-            var s = 0.0f
+            var s = 0.0
             val off = c * dim
             var i = 0
-            while (i < dim) { s += cents(off + i) * v(i); i += 1 }
+            while (i < dim) { s += cents(off + i).toDouble * v(i).toDouble; i += 1 }
             scores(c) = s
             c += 1
           }
-          graft.search.Searcher.topNIndices(scores, math.min(p, k))
+          // k is the centroid count (small); full argsort keeps the
+          // tie-break explicit rather than heap-order-dependent
+          (0 until k).sortBy(c => (-scores(c), c)).take(math.min(p, k))
             .map(code => (id, code))
         }
       }
@@ -210,11 +218,28 @@ object Similarity {
       minCosine: Double,
       seed: Long = 42L,
       probes: Int = 2): DataFrame = {
-    graft.functions.ArrayMath.register(spark)
     val (centroids, assign1) = buildIvf(spark, docs, dim, numCentroids, seed)
-    val assign =
-      if (probes <= 1) assign1
-      else assignTopP(spark, docs, centroids, dim, probes)
+    cosineDedupPairsWith(spark, docs, centroids,
+      if (probes <= 1) Some(assign1) else None, dim, minCosine, probes)
+  }
+
+  /** [[cosineDedupPairs]] with caller-supplied centroids (and optionally
+    * a precomputed single-assign table) — lets the correctness harness
+    * dump the trained centroids so a SQL oracle can replay assignment,
+    * cell self-join, and exact-cosine filter end to end. */
+  def cosineDedupPairsWith(
+      spark: SparkSession,
+      docs: DataFrame,
+      centroids: Array[Float],
+      singleAssign: Option[DataFrame],
+      dim: Int,
+      minCosine: Double,
+      probes: Int): DataFrame = {
+    graft.functions.ArrayMath.register(spark)
+    val assign = singleAssign match {
+      case Some(a) if probes <= 1 => a
+      case _ => assignTopP(spark, docs, centroids, dim, probes)
+    }
     val withEmb = assign.join(docs.select("vec_id", "embedding"), "vec_id")
     val a = withEmb.select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"))
     val b = withEmb.select(col("code"), col("vec_id").as("b"), col("embedding"))
