@@ -44,7 +44,12 @@ object C1Agreement {
     val sourceRe =
       """(?s)let source\s*=\s*r(#{1,2})"(.*?)"\1\s*;""".r
     val parseRe = """parse\(\s*source\s*,\s*Language::(\w+)\s*,\s*"([^"]+)"""".r
-    val nameRe = """get_unit_by_name\(\s*&\w+\s*,\s*"([^"]+)"""".r
+    // group 2 present ⇔ `.is_none()` — a NEGATIVE assertion: the
+    // reference asserts the name is NOT extracted (e.g. cpp pure-virtual
+    // `area`, python `lambda`). Scoring those as expected-present names
+    // understated agreement by 4 rows in round 10.
+    val nameRe =
+      """get_unit_by_name\(\s*&\w+\s*,\s*"([^"]+)"\s*\)\s*(\.\s*is_none\(\s*\))?""".r
 
     files.flatMap { f =>
       val lang = f.getName.stripPrefix("test_").stripSuffix(".rs")
@@ -57,7 +62,9 @@ object C1Agreement {
           val srcOpt = sourceRe.findFirstMatchIn(block).map(_.group(2))
           val fileName = parseRe.findFirstMatchIn(block).map(_.group(2))
             .getOrElse("test." + extOf.getOrElse(lang, lang))
-          val names = nameRe.findAllMatchIn(block).map(_.group(1)).toSeq
+          // (name, mustBeAbsent)
+          val names = nameRe.findAllMatchIn(block)
+            .map(m => (m.group(1), m.group(2) != null)).toSeq
           (srcOpt, names) match {
             case (Some(src), ns) if ns.nonEmpty =>
               fixtures += 1
@@ -65,9 +72,12 @@ object C1Agreement {
               try {
                 val units = CodeUnits.extractUnits(fileName, src)
                 val got = units.flatMap(u => Seq(u.name, u.qualifiedName)).toSet
-                matched += ns.count(got.contains)
-                if (verbose) ns.filterNot(got.contains).foreach(n =>
-                  println(s"MISS [$lang] '$n' (got: ${units.map(_.name).mkString(",")})"))
+                matched += ns.count { case (n, neg) => got.contains(n) != neg }
+                if (verbose) ns.filter { case (n, neg) => got.contains(n) == neg }
+                  .foreach { case (n, neg) =>
+                    val tag = if (neg) "MISS-NEG (wrongly extracted)" else "MISS"
+                    println(s"$tag [$lang] '$n' (got: ${units.map(_.name).mkString(",")})")
+                  }
               } catch { case _: Throwable => errors += 1 }
             case _ => // no raw-string source or no name assertions: skip
           }

@@ -202,6 +202,23 @@ object CodeUnits {
   private val QmlPropertyRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:required\s+|readonly\s+|default\s+)*property\s+[\w<>.]+\s+(\w+)""",
     java.util.regex.Pattern.MULTILINE)
+  /** Inline component declaration `component FancyChip: Rectangle {` —
+    * the declared NAME is the unit; the base type after `:` is its
+    * `extends`, not a second instantiated object (colgrep
+    * test_qml.rs:50-74 asserts no duplicate base-type unit — satisfied
+    * here because QmlComponentRe is line-anchored and the base type sits
+    * mid-line). */
+  private val QmlInlineComponentRe = java.util.regex.Pattern.compile(
+    """^[ \t]*component\s+([A-Z]\w*)\s*:\s*[A-Z][\w.]*\s*\{""",
+    java.util.regex.Pattern.MULTILINE)
+  /** Grouped-binding notation `icon { source: ...; color: ... }` — a
+    * lowercase identifier directly opening a brace block is a nested
+    * attached object (colgrep test_qml.rs:125-143), not a JS statement;
+    * JS keyword blocks inside inline functions are excluded by name. */
+  private val QmlGroupedBindingRe = java.util.regex.Pattern.compile(
+    """^[ \t]*([a-z]\w*)\s*\{[ \t]*$""", java.util.regex.Pattern.MULTILINE)
+  private val QmlGroupStop = Set("else", "try", "do", "finally", "catch",
+    "switch", "function", "return", "export", "import", "default")
 
   private val ConstRe = java.util.regex.Pattern.compile(
     DefAnchor + """(?:(?:val|const|let|static|final)\s+)?([A-Z_][A-Z0-9_]{2,})\s*[:=]""",
@@ -759,9 +776,12 @@ object CodeUnits {
     }
     if (lang == "qml") {
       scan(QmlComponentRe, "class", _.group(1))
+      scan(QmlInlineComponentRe, "class", _.group(1))
       scan(QmlSignalRe, "function", _.group(1))
       scan(QmlHandlerRe, "function", _.group(1))
       scan(QmlPropertyRe, "constant", _.group(1))
+      scan(QmlGroupedBindingRe, "class",
+        m => { val n = m.group(1); if (QmlGroupStop(n)) "" else n })
     }
     scan(ConstRe, "constant", _.group(1))
     lang match {
@@ -893,20 +913,57 @@ object CodeUnits {
     val ExtendsRe = java.util.regex.Pattern.compile(
       """(?:extends|implements)\s+([A-Za-z_][\w.]*)|class\s+\w+\s*\(\s*([A-Za-z_][\w.]*)""")
 
-    val units = defs.zipWithIndex.map { case ((off, endOff, name, kind0, recv, retHint), i) =>
+    // Abstract type containers stay SINGLE units — members are never
+    // split out, and the container's span runs over its whole body
+    // (colgrep mod.rs:51-71 `is_abstract_type_container`: recursion is
+    // skipped for these kinds). Dropping member defs BEFORE span math
+    // makes the container's span extend to the next surviving def.
+    val containerKws: Set[String] = lang match {
+      case "rust" | "scala" => Set("trait")
+      case "typescript" | "vue" | "svelte" => Set("interface", "type", "enum")
+      case "java" | "csharp" => Set("interface", "enum")
+      case "swift" => Set("protocol", "enum")
+      case "kotlin" => Set("interface")
+      case "php" => Set("interface", "trait", "enum")
+      case "cpp" => Set("enum")
+      case _ => Set.empty
+    }
+    val (fdefs, fparents) =
+      if (containerKws.isEmpty || indentScoped(lang)) (defs, parentOf)
+      else {
+        val kwRe = java.util.regex.Pattern.compile(
+          """(?:^|\s)(""" + containerKws.mkString("|") + """)\s""")
+        // names whose lexical children are suppressed; grows transitively
+        // so a class nested in an interface drops its own members too
+        val suppressed = scala.collection.mutable.HashSet.empty[String]
+        val keep = Array.fill(defs.length)(true)
+        defs.indices.foreach { i =>
+          val (off, endOff, name, kind, _, _) = defs(i)
+          if (suppressed.contains(parentOf(i))) {
+            keep(i) = false
+            if (kind == "class") suppressed += name
+          } else if (kind == "class" &&
+              kwRe.matcher(source.substring(off, endOff)).find())
+            suppressed += name // container itself is kept, children dropped
+        }
+        (defs.indices.filter(keep).map(defs),
+          defs.indices.filter(keep).map(parentOf))
+      }
+
+    val units = fdefs.zipWithIndex.map { case ((off, endOff, name, kind0, recv, retHint), i) =>
       val start = lineOf(off)
       // next def on the SAME line (co-located `def a = 1; def b = 2`)
       // would otherwise give end = start - 1: clamp, and truncate this
       // unit's text at the next def's offset instead of the line end
       val end = math.max(start,
-        if (i + 1 < defs.length) lineOf(defs(i + 1)._1) - 1 else lines.length - 1)
+        if (i + 1 < fdefs.length) lineOf(fdefs(i + 1)._1) - 1 else lines.length - 1)
       val lineEndOff = lineStart(end) + lines(end).length
       val unitEndOff = math.max(endOff,
-        if (i + 1 < defs.length) math.min(lineEndOff, defs(i + 1)._1) else lineEndOff)
+        if (i + 1 < fdefs.length) math.min(lineEndOff, fdefs(i + 1)._1) else lineEndOff)
       val codeStart =
-        if (i > 0 && lineOf(defs(i - 1)._1) == start) off else lineStart(start)
+        if (i > 0 && lineOf(fdefs(i - 1)._1) == start) off else lineStart(start)
       val code = source.substring(codeStart, unitEndOff)
-      val parent = if (recv.nonEmpty) recv else parentOf(i)
+      val parent = if (recv.nonEmpty) recv else fparents(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       val cm = CallRe.matcher(code)
       val calls = scala.collection.mutable.LinkedHashSet.empty[String]
