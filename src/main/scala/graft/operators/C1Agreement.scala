@@ -88,6 +88,108 @@ object C1Agreement {
     }.toSeq
   }
 
+  final case class StructScore(lang: String, cases: Int, sigOk: Int,
+      codeOk: Int, fullOk: Int) {
+    def pct(n: Int): Double = if (cases == 0) 100.0 else 100.0 * n / cases
+  }
+
+  /** Span/structure-level agreement: many fixtures assert full
+    * `build_embedding_text` equality (`let expected = ...` +
+    * `assert_eq!(text, expected)`). The expected literal's `Signature:`
+    * line and `Code:` block are tree-sitter's ground truth for the
+    * unit's first line and exact span — a far stronger check than name
+    * presence, and exactly what C2 embedding text depends on.
+    * Scores, per fixture with an expected literal: signature equality,
+    * code-span equality (trailing-whitespace-insensitive), and full
+    * C2 text equality (includes Calls/Uses/Parameters field parity). */
+  def scoreStructure(testsDir: String): Seq[StructScore] = {
+    val dir = new java.io.File(testsDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("test_") && f.getName.endsWith(".rs"))
+      .sortBy(_.getName)
+    val sourceRe = """(?s)let source\s*=\s*r(#{1,2})"(.*?)"\1\s*;""".r
+    val parseRe = """parse\(\s*source\s*,\s*Language::(\w+)\s*,\s*"([^"]+)"""".r
+    val bindRe = """let (\w+) = get_unit_by_name\(\s*&\w+\s*,\s*"([^"]+)"\s*\)\s*\.unwrap\(\)""".r
+    val embedRe = """let text\w* = build_embedding_text\(&?(\w+)\)\s*;""".r
+    val expRawRe = """(?s)let expected\s*=\s*r(#{1,2})"(.*?)"\1\s*;""".r
+    val expStrRe = """(?s)let expected\s*=\s*"((?:[^"\\]|\\.)*)"\s*;""".r
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'
+            case 'r' => sb += '\r'; case c => sb += c
+          }
+          i += 2
+        } else { sb += s.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
+    def rstrip(s: String): String =
+      s.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+
+    files.flatMap { f =>
+      val lang = f.getName.stripPrefix("test_").stripSuffix(".rs")
+      if (lang == "recursion_guard") None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val blocks = text.split("""#\[test\]""").drop(1)
+        var cases = 0; var sigOk = 0; var codeOk = 0; var fullOk = 0
+        blocks.foreach { block =>
+          for (src <- sourceRe.findFirstMatchIn(block).map(_.group(2))) {
+            val fileName = parseRe.findFirstMatchIn(block).map(_.group(2))
+              .getOrElse("test." + extOf.getOrElse(lang, lang))
+            // position-aware: fixtures rebind the same variable (`let unit
+            // = ...`) several times per block — an embed call must resolve
+            // to the LAST binding before it
+            val binds = bindRe.findAllMatchIn(block)
+              .map(m => (m.start, m.group(1), m.group(2))).toSeq
+            val units = try CodeUnits.extractUnits(fileName, src)
+              catch { case _: Throwable => Seq.empty }
+            // pair each build_embedding_text(var) with the next expected
+            // literal after it (fixtures using only .contains() have no
+            // expected literal and are skipped)
+            embedRe.findAllMatchIn(block).foreach { em =>
+              val rest = block.substring(em.end)
+              val expected = expRawRe.findFirstMatchIn(rest).map(m => (m.start, m.group(2)))
+                .orElse(expStrRe.findFirstMatchIn(rest).map(m => (m.start, unescape(m.group(1)))))
+              for {
+                (at, exp) <- expected
+                // the literal must belong to THIS embed call: no second
+                // build_embedding_text between the call and the literal
+                if embedRe.findFirstMatchIn(rest.substring(0, at)).isEmpty
+                uname <- binds.filter(b => b._1 < em.start && b._2 == em.group(1))
+                  .lastOption.map(_._3)
+              } {
+                cases += 1
+                val expSig = exp.linesIterator
+                  .find(_.startsWith("Signature: ")).map(_.stripPrefix("Signature: "))
+                val expCode = {
+                  val i = exp.indexOf("Code:\n")
+                  if (i >= 0) Some(exp.substring(i + 6)) else None
+                }
+                units.find(u => u.name == uname || u.qualifiedName == uname) match {
+                  case Some(u) =>
+                    if (expSig.forall(_ == u.signature)) sigOk += 1
+                    else if (verbose) println(s"SIG [$lang] '$uname' ours='${u.signature}' want='${expSig.get}'")
+                    if (expCode.forall(c => rstrip(c) == rstrip(u.code))) codeOk += 1
+                    else if (verbose) println(s"CODE [$lang] '$uname' ours=<<<${rstrip(u.code)}>>> want=<<<${rstrip(expCode.get)}>>>")
+                    if (CodeUnits.embedText(u) == exp) fullOk += 1
+                  case None => // counted as all-three misses
+                    if (verbose) println(s"NOUNIT [$lang] '$uname'")
+                }
+              }
+            }
+          }
+        }
+        if (cases == 0) None
+        else Some(StructScore(lang, cases, sigOk, codeOk, fullOk))
+      }
+    }.toSeq
+  }
+
   final case class CorpusScore(ext: String, files: Int, units: Int, errors: Int)
 
   /** Parse every recognized source file under `root` (robustness sweep:
@@ -129,6 +231,16 @@ object C1Agreement {
       scores.map(_.expected).sum, scores.map(_.matched).sum,
       scores.map(_.errors).sum)
     println(f"${tot.lang}%-12s ${tot.fixtures}%8d ${tot.expected}%9d ${tot.matched}%8d ${tot.pct}%6.1f%% ${tot.errors}%7d")
+
+    val structs = scoreStructure(testsDir)
+    println("\nC1_STRUCTURE span/signature agreement vs build_embedding_text fixtures:")
+    println(f"${"lang"}%-12s ${"cases"}%6s ${"sig%"}%7s ${"code%"}%7s ${"full%"}%7s")
+    structs.foreach { s =>
+      println(f"${s.lang}%-12s ${s.cases}%6d ${s.pct(s.sigOk)}%6.1f%% ${s.pct(s.codeOk)}%6.1f%% ${s.pct(s.fullOk)}%6.1f%%")
+    }
+    val st = StructScore("TOTAL", structs.map(_.cases).sum, structs.map(_.sigOk).sum,
+      structs.map(_.codeOk).sum, structs.map(_.fullOk).sum)
+    println(f"${st.lang}%-12s ${st.cases}%6d ${st.pct(st.sigOk)}%6.1f%% ${st.pct(st.codeOk)}%6.1f%% ${st.pct(st.fullOk)}%6.1f%%")
 
     val corpusRoot = if (args.length > 1) args(1) else "/root/reference"
     println(s"\nC1_CORPUS sweep of $corpusRoot (real files, crash/yield check):")

@@ -800,6 +800,48 @@ object CodeUnits {
         }
       case _ =>
     }
+    // tree-sitter-haskell's `function` node is the FIRST EQUATION only —
+    // the `name :: ...` type signature is a sibling `signature` node, and
+    // later equations are separate nodes (test_haskell.rs: `length`'s
+    // code is exactly `length [] = 0`, excluding the signature line and
+    // the cons equation). Shift each sig-anchored def to its first
+    // equation line; the equation block spans its indented guard lines.
+    val hsEqEnds = scala.collection.mutable.HashMap.empty[Int, Int]
+    // equation offset → original `::` signature line, so doc comments
+    // above the signature still attach as the unit's docstring
+    val hsSigLine = scala.collection.mutable.HashMap.empty[Int, Int]
+    if (lang == "haskell") {
+      val adjusted = defs0.map { case d @ (off, _, name, kind, recv, ret) =>
+        if (kind != "function") d
+        else {
+          var eq = -1
+          var li = lineOf(off) + 1
+          while (eq < 0 && li < lines.length) {
+            val l = lines(li)
+            val ok = l.startsWith(name) && (l.length == name.length || {
+              val c = l.charAt(name.length)
+              !c.isLetterOrDigit && c != '\'' && c != '_'
+            })
+            if (ok) eq = li else li += 1
+          }
+          if (eq < 0) d
+          else {
+            var endLi = eq
+            var mi = eq + 1
+            while (mi < lines.length && lines(mi).nonEmpty &&
+                (lines(mi).charAt(0) == ' ' || lines(mi).charAt(0) == '\t')) {
+              endLi = mi; mi += 1
+            }
+            val eqOff = lineStart(eq)
+            val eqEnd = lineStart(endLi) + lines(endLi).length
+            hsEqEnds(eqOff) = eqEnd
+            hsSigLine(eqOff) = lineOf(off)
+            (eqOff, math.min(eqEnd, eqOff + name.length), name, kind, recv, ret)
+          }
+        }
+      }
+      defs0.clear(); defs0 ++= adjusted
+    }
     val kindPrio = Map("class" -> 3, "function" -> 2, "constant" -> 1)
     // a `;`-anchored match whose `;` sits inside a string literal, a
     // comment, or a paren header (`for(;;)`) is not a statement boundary —
@@ -952,17 +994,91 @@ object CodeUnits {
 
     val units = fdefs.zipWithIndex.map { case ((off, endOff, name, kind0, recv, retHint), i) =>
       val start = lineOf(off)
-      // next def on the SAME line (co-located `def a = 1; def b = 2`)
-      // would otherwise give end = start - 1: clamp, and truncate this
-      // unit's text at the next def's offset instead of the line end
-      val end = math.max(start,
-        if (i + 1 < fdefs.length) lineOf(fdefs(i + 1)._1) - 1 else lines.length - 1)
-      val lineEndOff = lineStart(end) + lines(end).length
-      val unitEndOff = math.max(endOff,
-        if (i + 1 < fdefs.length) math.min(lineEndOff, fdefs(i + 1)._1) else lineEndOff)
-      val codeStart =
-        if (i > 0 && lineOf(fdefs(i - 1)._1) == start) off else lineStart(start)
+      val coloc = i > 0 && lineOf(fdefs(i - 1)._1) == start
+      val nextOff = if (i + 1 < fdefs.length) fdefs(i + 1)._1 else source.length
+      // Brace-balanced span (tree-sitter node equivalence): the unit runs
+      // to the matching '}' of its first unmasked '{', so a container
+      // covers its whole body — member units OVERLAP it, as in the
+      // reference (colgrep test_cpp.rs:293-311 asserts Point includes its
+      // methods AND distance is its own unit) — and a block's last
+      // function no longer swallows the enclosing closer. The '{' search
+      // stops at an unmasked ';' (prototype/statement end) or the next
+      // def (expression-bodied defs keep the line-based fallback).
+      val balancedEnd: Int = if (indentScoped(lang)) -1 else {
+        var j = off; var open = -1
+        while (j < math.min(nextOff, source.length) && open < 0) {
+          val c = source.charAt(j)
+          if (!masked.get(j)) {
+            if (c == '{') open = j
+            else if (c == ';') j = source.length // statement ends before any body brace
+          }
+          j += 1
+        }
+        if (open < 0) -1 else {
+          var depth = 0; var k = open; var close = -1
+          while (k < source.length && close < 0) {
+            val c = source.charAt(k)
+            if (!masked.get(k)) {
+              if (c == '{') depth += 1
+              else if (c == '}') { depth -= 1; if (depth == 0) close = k }
+            }
+            k += 1
+          }
+          if (close < 0) -1
+          else if (close + 1 < source.length && source.charAt(close + 1) == ';') close + 2
+          else close + 1
+        }
+      }
+      val (end, unitEndOff) =
+        if (balancedEnd > 0) (lineOf(balancedEnd - 1), math.max(endOff, balancedEnd))
+        else if (lang == "haskell" && hsEqEnds.contains(off)) {
+          val e = hsEqEnds(off); (lineOf(e - 1), e)
+        } else {
+          // next def on the SAME line (co-located `def a = 1; def b = 2`)
+          // would otherwise give end = start - 1: clamp, and truncate this
+          // unit's text at the next def's offset instead of the line end
+          val e = math.max(start,
+            if (i + 1 < fdefs.length) lineOf(fdefs(i + 1)._1) - 1 else lines.length - 1)
+          val le = lineStart(e) + lines(e).length
+          (e, math.max(endOff,
+            if (i + 1 < fdefs.length) math.min(le, fdefs(i + 1)._1) else le))
+        }
+      // Preceding attributes/decorators/doc comments fold into the code
+      // span — colgrep ast.rs:362-408 `find_start_with_attributes`
+      // replicated per language (blank lines between attributes are
+      // skipped there too, and the signature stays the declaration line).
+      // Swift attributes are part of the tree-sitter NODE, so they also
+      // become the signature line (test_swift.rs '@propertyWrapper').
+      val prevLine = if (i > 0) lineOf(fdefs(i - 1)._1) else -1
+      def isAttr(l: String): Boolean = lang match {
+        case "rust" => l.startsWith("#[") || l.startsWith("#![") || l.startsWith("///")
+        case "python" | "java" | "kotlin" | "scala" => l.startsWith("@")
+        case "csharp" => l.startsWith("[") && l.endsWith("]")
+        case "javascript" | "typescript" | "vue" | "svelte" =>
+          l.startsWith("@") || l.startsWith("/**") || l.startsWith("*")
+        case "go" => l.startsWith("//")
+        case "swift" => l.startsWith("@")
+        case _ => false
+      }
+      val prefixLine: Int = if (coloc) start else {
+        var first = start
+        var li = start - 1
+        var walking = true
+        while (walking && li > prevLine && li >= 0) {
+          val l = lines(li).trim
+          if (l.isEmpty) li -= 1 // blank lines between attributes: skip
+          else if (isAttr(l)) { first = li; li -= 1 }
+          else walking = false
+        }
+        first
+      }
+      val codeStart = if (coloc) off else lineStart(prefixLine)
       val code = source.substring(codeStart, unitEndOff)
+      val defLineStart = if (coloc) off else lineStart(start)
+      val defLineEnd = math.min(lineStart(start) + lines(start).length, unitEndOff)
+      val sigText =
+        if (lang == "swift" && prefixLine < start) lines(prefixLine).trim
+        else source.substring(defLineStart, math.max(defLineStart, defLineEnd)).trim
       val parent = if (recv.nonEmpty) recv else fparents(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       val cm = CallRe.matcher(code)
@@ -988,13 +1104,11 @@ object CodeUnits {
       var complexity = 1
       val cxm = ComplexityRe.matcher(code)
       while (cxm.find()) complexity += 1
-      // signature = the unit's own first line: equals lines(start).trim
-      // except for a second co-located def, whose line prefix is the
-      // preceding unit's text
-      CodeUnit(path, lang, kind, name, code.takeWhile(_ != '\n').trim,
+      CodeUnit(path, lang, kind, name, sigText,
         start + 1 + lineOffset, end + 1 + lineOffset,
         code, calls.toSeq.take(16),
-        docstring = docstringOf(lines, start, code),
+        docstring = docstringOf(lines,
+          if (lang == "haskell") hsSigLine.getOrElse(off, start) else start, code),
         parameters = params.take(16),
         returnType = ret,
         parentClass = parent,
