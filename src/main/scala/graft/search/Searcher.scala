@@ -51,6 +51,26 @@ final case class SearchParams(
       * distributed funnel is the only correct plan and runs unchanged.
       * 0 disables the fast path. */
     localIndexBudgetBytes: Long = 768L << 20,
+    /** Sharded serving fast path: when the packed image EXCEEDS the
+      * local budget (too big to collect to one node) but the batch is
+      * serving-shaped, the image is split into doc-id slices held
+      * RESIDENT across calls (cached RDD partitions — on a cluster each
+      * executor keeps its slices in memory), and the funnel runs as TWO
+      * shuffle-free jobs over the slices: phase A (S3–S6 per slice, the
+      * global cut merged driver-side — sound because a global survivor
+      * is always within its slice's local top-n) and phase B (S7 doc-
+      * grouped on the slice owning each survivor). The S1 GEMM runs
+      * once per query on the driver (token-parallel) and is broadcast,
+      * like the distributed funnel's one-stage S1. This budget bounds
+      * that broadcast (batch × tokens × K × 4B); bigger batches take
+      * the distributed funnel, whose chunking bounds the same matrices.
+      * Result-identical to both other paths (same kernels, same global
+      * cut and tie-breaks). 0 disables sharded dispatch. */
+    shardedScoreBudgetBytes: Long = 64L << 20,
+    /** Slice count for the sharded fast path; 0 = the session's default
+      * parallelism. The slice layout is cached per Searcher (first call
+      * wins; a changed value rebuilds the resident image). */
+    shardedSlices: Int = 0,
     /** S7 exact-rerank precision. Default (true): f32 with a SIMD /
       * unrolled dot ([[graft.core.MaxSim.scoreFast]]) — the reference's
       * own rerank precision (its kernel is SIMD f32, maxsim.rs:270-314),
@@ -124,6 +144,17 @@ final class Searcher(index: MultiVectorIndex) {
         index.packedBytesEstimate * Searcher.LocalResidencyFactor <=
           params.localIndexBudgetBytes)
       return searchLocal(queryMap, params, subset)
+
+    // Sharded serving fast path: the image is too big to collect to ONE
+    // node (it failed the dispatch above) but the batch is serving-
+    // shaped — serve from doc-sliced resident images instead of paying
+    // the distributed funnel's shuffle barriers. Bounded by the S1
+    // broadcast footprint (batch × tokens × K × 4B).
+    if (params.localIndexBudgetBytes > 0 && params.shardedScoreBudgetBytes > 0 &&
+        queryMap.size <= Searcher.LocalMaxBatch &&
+        queryMap.valuesIterator.map(_.length.toLong).sum * k * 4L <=
+          params.shardedScoreBudgetBytes)
+      return searchSharded(queryMap, params, subset)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
     // with a subset filter, probe more centroids so recall holds — and
@@ -729,6 +760,195 @@ final class Searcher(index: MultiVectorIndex) {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Sharded serving fast path: the index image split into doc-id slices
+  // held RESIDENT across calls (cached RDD partitions — each executor
+  // keeps its slices in memory on a cluster), for indexes too big to
+  // collect to one node (dispatch: SearchParams.shardedScoreBudgetBytes).
+  // ---------------------------------------------------------------------
+
+  @volatile private var shardedImageStamp: String = _
+  @volatile private var shardedImageCache
+      : (Int, org.apache.spark.rdd.RDD[Searcher.LocalIndexImage]) = _
+
+  /** Doc-sliced index image, one [[Searcher.LocalIndexImage]] per
+    * partition (slice = doc_id % slices — dense build ids balance), each
+    * holding only its docs' IVF postings, code arrays, and packed
+    * residuals. Built with ONE co-partitioned shuffle of the three index
+    * tables, then cached; the corpus never reaches the driver. */
+  private def shardedImage(slices: Int)
+      : org.apache.spark.rdd.RDD[Searcher.LocalIndexImage] = synchronized {
+    if (shardedImageCache != null && shardedImageCache._1 == slices)
+      shardedImageCache._2
+    else {
+      if (shardedImageCache != null)
+        shardedImageCache._2.unpersist(blocking = false)
+      shardedImageStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
+      val part = new org.apache.spark.HashPartitioner(slices)
+      val n = slices.toLong
+      val ivfR = index.ivf.select("code", "doc_ids").as[(Int, Array[Long])].rdd
+        .flatMap { case (c, ds) => ds.iterator.map(d => ((d % n).toInt, (c, d))) }
+        .partitionBy(part)
+      val codesR = index.docCodes.select("doc_id", "codes").as[(Long, Array[Int])].rdd
+        .map { case (d, cs) => ((d % n).toInt, (d, cs)) }
+        .partitionBy(part)
+      val toksR = index.tokens.select("doc_id", "tok", "code", "residual")
+        .as[(Long, Int, Int, Array[Byte])].rdd
+        .map { case (d, t, c, r) => ((d % n).toInt, (d, t, c, r)) }
+        .partitionBy(part)
+      val img = ivfR.zipPartitions(codesR, toksR, preservesPartitioning = true) {
+        (ivfIt, codesIt, toksIt) =>
+          val ivfM = scala.collection.mutable.HashMap
+            .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+          ivfIt.foreach { case (_, (c, d)) =>
+            ivfM.getOrElseUpdate(c,
+              new scala.collection.mutable.ArrayBuffer[Long]) += d
+          }
+          val codesM = codesIt.map { case (_, (d, cs)) => d -> cs }.toMap
+          val toksM = toksIt.map(_._2).toSeq.groupBy(_._1).map { case (d, rows) =>
+            d -> rows.sortBy(_._2).map(r => (r._3, r._4)).toArray
+          }
+          Iterator.single(Searcher.LocalIndexImage(
+            ivfM.map { case (c, b) => c -> b.toArray }.toMap, codesM, toksM))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      img.count() // materialize: residency is the point
+      shardedImageCache = (slices, img)
+      img
+    }
+  }
+
+  /** The dense funnel over the sharded resident image: TWO shuffle-free
+    * jobs per call instead of the distributed funnel's ~7 barriers.
+    * Phase A runs S3–S6 per slice from driver-computed S1 matrices and
+    * probe sets (broadcast); the GLOBAL S6 cut merges the per-slice
+    * top-n survivor sets driver-side — equal to the unsharded cut
+    * because every global survivor is inside its slice's local top-n
+    * under the same (approx desc, doc asc) order. Phase B decodes each
+    * global survivor ONCE on the slice that owns it and exact-scores it
+    * for every query that kept it. Result-identical to the local fast
+    * path and the distributed funnel (same kernels and tie-breaks) —
+    * asserted by IndexSearchSpec's sharded equivalence leg. */
+  private def searchSharded(
+      queryMap: Map[Long, Array[Array[Float]]],
+      params: SearchParams,
+      subset: Option[DataFrame]): DataFrame = {
+    val cdc = index.codec
+    val k = cdc.numCentroids
+    val qids: Array[Long] = queryMap.keys.toArray.sorted
+    val slices = if (params.shardedSlices > 0) params.shardedSlices
+      else math.max(2, spark.sparkContext.defaultParallelism)
+    val img = shardedImage(slices)
+    // same stale-image guard as the local fast path (build_id, not mtime)
+    val nowStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
+    if (shardedImageStamp != nowStamp)
+      throw new IllegalStateException(
+        s"index at ${index.path} changed on disk since this Searcher sliced " +
+        s"its image (manifest build id $shardedImageStamp -> $nowStamp); " +
+        "open a fresh Searcher/GraftIndex handle after updates")
+
+    // S4: subset restriction + probe scaling + eligible centroids — the
+    // eligible mask comes from the doc_codes ARTIFACT (one semi-join,
+    // as the distributed path), never from a driver-collected corpus
+    val subsetIds: Option[Array[Long]] =
+      subset.map(_.select("doc_id").as[Long].collect())
+    val nProbe = subsetIds match {
+      case Some(ids) =>
+        val scaled = params.nIvfProbe.toLong * math.max(
+          index.numDocuments / math.max(ids.length.toLong, 1L), 1L)
+        math.min(scaled, k.toLong).toInt
+      case None => params.nIvfProbe
+    }
+    val eligible: Option[Array[Boolean]] = subsetIds.map { ids =>
+      val mask = new Array[Boolean](k)
+      docCodes
+        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .select(explode(col("codes")).as("code")).distinct()
+        .collect().foreach(r => mask(r.getInt(0)) = true)
+      mask
+    }
+    val subsetSet: Option[java.util.HashSet[java.lang.Long]] = subsetIds.map { ids =>
+      val s = new java.util.HashSet[java.lang.Long](ids.length * 2)
+      ids.foreach(s.add(_))
+      s
+    }
+    val tombstones: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      index.tombstonesOpt.foreach(
+        _.select("doc_id").as[Long].collect().foreach(s.add(_)))
+      s
+    }
+
+    // S1 + S2 once per query on the driver, token-parallel (the
+    // reference computes this matrix once per query too); broadcast to
+    // the slices — bounded by shardedScoreBudgetBytes at dispatch
+    val scoresByQ: Map[Long, Array[Array[Float]]] = qids.iterator.map(q =>
+      q -> Searcher.centroidScores(queryMap(q), cdc.centroids, k, cdc.dim,
+        parallel = true)).toMap
+    val probedByQ: Map[Long, Seq[Int]] = qids.iterator.map(q =>
+      q -> Searcher.probeCentroids(scoresByQ(q), nProbe,
+        params.centroidScoreThreshold, eligible)).toMap
+
+    val nDecompress = math.max(params.nFullScores / 4, params.topK)
+    val topK = params.topK
+    val rerank32 = params.rerankFloat32
+    val codecBc = codecBcShared
+    val scoresBc = spark.sparkContext.broadcast(scoresByQ)
+    val probedBc = spark.sparkContext.broadcast(probedByQ)
+    val filterBc = spark.sparkContext.broadcast((subsetSet, tombstones))
+    val queriesBc = spark.sparkContext.broadcast(queryMap)
+    try {
+      // Phase A — S3–S6 per slice; per-slice survivors carry their
+      // approx scores so the driver can finish the global cut exactly
+      val nDec = nDecompress
+      val sliceSurvivors: Array[(Long, Long, Float)] = img.flatMap { slice =>
+        val (sub, tomb) = filterBc.value
+        val probed = probedBc.value
+        scoresBc.value.iterator.flatMap { case (qid, scores) =>
+          Searcher.funnelSurvivorsScored(slice, scores, probed(qid),
+            sub, tomb, nDec)
+            .iterator.map { case (d, s) => (qid, d, s) }
+        }
+      }.collect()
+      // global S6 cut — identical ordering to the per-slice cut
+      val docToQids: Array[(Long, Array[Long])] = sliceSurvivors
+        .groupBy(_._1).iterator.flatMap { case (qid, rows) =>
+          rows.sortWith { (a, b) =>
+            val c = java.lang.Float.compare(b._3, a._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }.take(nDecompress).iterator.map(r => (r._2, qid))
+        }.toArray
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toArray
+        .sortBy(_._1)
+      val docToQidsBc = spark.sparkContext.broadcast(docToQids)
+      // Phase B — S7 on the slice owning each survivor: decode once,
+      // score every query that kept the doc
+      val scored: Array[(Long, Long, Double)] = try {
+        img.flatMap { slice =>
+          docToQidsBc.value.iterator
+            .filter { case (d, _) => slice.toks.contains(d) }
+            .flatMap { case (d, qs) =>
+              Searcher.scoreDocForQueries(
+                slice, codecBc.value, d, qs, queriesBc.value, rerank32)
+            }
+        }.collect()
+      } finally docToQidsBc.destroy()
+      // S8 — final top-k per query, driver-side
+      val rows: Seq[(Long, Long, Double, Int)] = scored
+        .groupBy(_._1).toIndexedSeq.flatMap { case (qid, ss) =>
+          ss.sortWith { (a, b) =>
+            val c = java.lang.Double.compare(b._3, a._3)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }.take(topK).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
+        }
+      rows.toDF("query_id", "doc_id", "score", "rank")
+    } finally {
+      scoresBc.destroy()
+      probedBc.destroy()
+      filterBc.destroy()
+      queriesBc.destroy()
+    }
+  }
+
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
   def reconstruct(docIds: DataFrame): DataFrame = {
     val codecBc = spark.sparkContext.broadcast(index.codec)
@@ -833,6 +1053,24 @@ object Searcher {
     val scores = centroidScores(emb, cdc.centroids, cdc.numCentroids,
       cdc.dim, parallel = parallelTokens)
     val probed = probeCentroids(scores, nProbe, threshold, eligible)
+    funnelSurvivorsScored(im, scores, probed, subsetSet, tombstones,
+      nDecompress).map(_._1)
+  }
+
+  /** S3–S6 against one index image (or image SLICE) from a precomputed
+    * S1 matrix and probe set: gather, filter, approximate-score, cut.
+    * Returns the post-cut survivors WITH their approx scores so a
+    * sharded caller can finish the GLOBAL S6 cut by merging slice
+    * results under the same (score desc, doc asc) ordering — the cut
+    * over a union of per-slice top-n sets equals the unsharded cut
+    * because each slice's global survivors are within its local top-n. */
+  private[search] def funnelSurvivorsScored(
+      im: LocalIndexImage,
+      scores: Array[Array[Float]],
+      probed: Seq[Int],
+      subsetSet: Option[java.util.HashSet[java.lang.Long]],
+      tombstones: java.util.HashSet[java.lang.Long],
+      nDecompress: Int): Array[(Long, Float)] = {
     // S3 + S4: gather IVF lists, dedup, subset/tombstone restriction
     val cands = new scala.collection.mutable.HashSet[Long]
     probed.foreach(c =>
@@ -849,7 +1087,7 @@ object Searcher {
     approx.sortWith { (a, b) =>
       val c = java.lang.Float.compare(b._2, a._2)
       c < 0 || (c == 0 && a._1 < b._1)
-    }.take(nDecompress).map(_._1)
+    }.take(nDecompress)
   }
 
   /** S7 for ONE surviving doc: decode once, exact-score against every

@@ -147,6 +147,30 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(runTiny(base) === runTiny(distributed))
   }
 
+  test("sharded fast path is bit-identical to local fast path and distributed funnel") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val subset = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val base = SearchParams()
+    // budget 1 byte: the packed image can't collect to one node, so a
+    // serving-shaped batch dispatches to the SHARDED resident slices
+    val sharded = base.copy(localIndexBudgetBytes = 1L, shardedSlices = 3)
+    val distributed = base.copy(localIndexBudgetBytes = 0L)
+    def run(p: SearchParams, sub: Option[DataFrame]) = searcher
+      .search(queries, p, subset = sub)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(sharded, None) === run(distributed, None))
+    assert(run(sharded, None) === run(base, None))
+    assert(run(sharded, Some(subset)) === run(distributed, Some(subset)))
+    // a second call reuses the cached resident slices (no rebuild) and
+    // stays identical — the serving-loop shape
+    assert(run(sharded, None) === run(distributed, None))
+  }
+
   test("fast path fails loudly when the index is rewritten under a held Searcher") {
     val p = "/tmp/graft_stale_guard_idx"
     graft.util.Fs.deleteRecursively(p)
