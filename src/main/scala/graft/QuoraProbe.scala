@@ -91,6 +91,45 @@ object QuoraProbe {
       }.sorted
       println(f"QUORA_PROBE batch=1 best=${t1.head * 1000}%.0f ms  " +
         f"median=${(t1(4) + t1(5)) / 2 * 1000}%.0f ms  p90=${t1(8) * 1000}%.0f ms")
+
+      // SHARDED serving fast path at the same corpus: the ~1 GB packed
+      // image exceeds the local collect budget, so serving dispatches to
+      // resident doc-slices — the design answer to the reference's
+      // single-process 235 ms P95 (BASELINE.md:18) at >256 MB images.
+      // First call pays the one-time slice build; steady-state latency
+      // is the serving number.
+      val sp = SearchParams() // defaults: image > budget -> sharded
+      val tSlice0 = System.nanoTime()
+      searcher.search(q1, sp).count() // builds + caches resident slices
+      println(f"QUORA_PROBE sharded slice build+first call " +
+        f"${(System.nanoTime() - tSlice0) / 1e9}%.1f s")
+      val ts = (1 to 10).map { _ =>
+        val s = System.nanoTime()
+        searcher.search(q1, sp).count()
+        (System.nanoTime() - s) / 1e9
+      }.sorted
+      println(f"QUORA_PROBE sharded batch=1 best=${ts.head * 1000}%.0f ms  " +
+        f"median=${(ts(4) + ts(5)) / 2 * 1000}%.0f ms  p90=${ts(8) * 1000}%.0f ms")
+      val qb = RecallHarness.queriesFrom(spark, Batch,
+        tokensPerDoc = QueryTokens, dim = Dim, numClusters = 5000).cache()
+      qb.count()
+      // batch-64 S1 matrices are 402 MB at K=32768 — raise the sharded
+      // broadcast budget so the batch leg measures the sharded plan too
+      val spb = sp.copy(shardedScoreBudgetBytes = 512L << 20)
+      searcher.search(qb, spb).count() // warm
+      val tb = (1 to 3).map { _ =>
+        val s = System.nanoTime()
+        searcher.search(qb, spb).count()
+        (System.nanoTime() - s) / 1e9
+      }
+      println(f"QUORA_PROBE sharded batch=$Batch best=${tb.min}%.2f s  " +
+        f"qps=${Batch / tb.min}%.1f")
+      // result identity vs the distributed funnel at this corpus scale
+      val a = searcher.search(q1, sp).select("query_id", "doc_id", "rank")
+        .collect().map(_.toString).toSet
+      val b = searcher.search(q1, SearchParams(localIndexBudgetBytes = 0))
+        .select("query_id", "doc_id", "rank").collect().map(_.toString).toSet
+      println(s"QUORA_PROBE sharded == distributed: ${a == b} (${a.size} rows)")
     }
     spark.stop()
   }

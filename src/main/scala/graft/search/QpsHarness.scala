@@ -54,6 +54,11 @@ object QpsHarness {
     val searcher = new Searcher(idx)
     def once(): Unit = searcher.search(queries, SearchParams()).count()
     once() // warm: codegen, broadcasts, page cache
+    // after a COLD index build the first warm call still pays JIT and
+    // page-cache effects of the build's own allocations (round-10's
+    // recorded qps_warm was 5x below the isolated number for exactly
+    // this reason) — re-establish warm-up with a second call
+    if (cached.isEmpty) once()
     val best = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       once()
