@@ -512,6 +512,10 @@ object SparkEntry {
           col("n_digits").cast("long"), col("n_punct").cast("long"), col("avg_word_len"))),
     "p_quality" -> ((s, dir) =>
       graft.pipeline.TextStats.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    // Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate-word
+    // fraction + top 1/2/3-gram occupancy — one map-side-combined shuffle
+    "p_repetition" -> ((s, dir) =>
+      graft.pipeline.TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
     "p_token_count" -> ((s, dir) =>
       graft.pipeline.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_ws_tokens").cast("long"),
@@ -625,6 +629,25 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         concat_ws(" ", graft.operators.Encoding.prepareDocumentCol(
           col("text"), 40)).as("d_tokens"))),
+
+    // E4: session-pool parallel encode (lib.rs:1562-1624) — E2 prep →
+    // batch_size chunks round-robined over a per-JVM session pool →
+    // L2-normalized per-token embeddings. Session = HashTokenEncoder
+    // (md5-seeded deterministic stand-in; no ONNX runtime in-sandbox),
+    // so the oracle replays prep + pool plumbing + normalize-and-cast
+    // byte-identically while the tensor math stays honestly fake.
+    "e4_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      graft.operators.Encode.documents(
+          docs, "doc_id", "text",
+          () => graft.operators.HashTokenEncoder(8), poolKey = "e4_oracle_d8",
+          documentLength = 12, batchSize = 4, numSessions = 3)
+        .select(col("doc_id"), posexplode(col("embeddings")).as(Seq("p", "vec")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("tok_pos"),
+          round(element_at(col("vec"), 1).cast("double"), 4).as("v0"),
+          round(aggregate(col("vec"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 3).as("vsum"))
+    }),
 
     // F6: FTS5 query sanitization — unicode61 terms with bare operator
     // words (AND/OR/NOT/NEAR) dropped (text_search.rs:949-969); operator
@@ -1719,6 +1742,30 @@ object SparkEntry {
         |    greatest(len(t), 1), 1.0) AS stop
         |  FROM b)
         |SELECT doc_id, round(lensat * punct * stop, 4) AS quality FROM c""".stripMargin,
+    "p_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+        |      || ' ' || ws[CAST(i AS INT) + 2])) AS gram FROM w),
+        |cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id, n, max(c) AS maxc, sum(c) AS tot,
+        |    count(*) AS ndist FROM cnt GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  round(coalesce(1.0 - a1.ndist / a1.tot, 0.0), 4) AS dup_word_frac,
+        |  round(coalesce(a1.maxc / a1.tot, 0.0), 4) AS top_word_frac,
+        |  round(coalesce(a2.maxc / a2.tot, 0.0), 4) AS top_bigram_frac,
+        |  round(coalesce(a3.maxc / a3.tot, 0.0), 4) AS top_trigram_frac
+        |FROM documents d
+        |LEFT JOIN agg a1 ON d.doc_id = a1.doc_id AND a1.n = 1
+        |LEFT JOIN agg a2 ON d.doc_id = a2.doc_id AND a2.n = 2
+        |LEFT JOIN agg a3 ON d.doc_id = a3.doc_id AND a3.n = 3""".stripMargin,
     "p_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
@@ -1866,6 +1913,41 @@ object SparkEntry {
         |      regexp_split_to_array(text, '\s+'),
         |      t -> regexp_matches(t, '[a-zA-Z0-9]'))), 1, 40), ' ') AS d_tokens
         |FROM documents""".stripMargin,
+    // E4 twin: E2 prep at length 12, then the HashTokenEncoder math —
+    // raw_j = (md5(tok:j)[0,15) hex % 2000001 - 1e6)/1e6, L2-normalize
+    // in f64, cast to f32 (::FLOAT::DOUBLE replays the JVM float
+    // rounding bit-exactly), left-assoc sums matching the Scala fold.
+    "e4_encode" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_slice(list_concat(['[D]'], list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      t -> regexp_matches(t, '[a-zA-Z0-9]'))), 1, 12) AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, i AS tok_pos, toks[CAST(i AS INT)] AS tok
+        |  FROM docs, (SELECT unnest(range(1, 13)) AS i) ix
+        |  WHERE i <= len(toks)),
+        |raw AS (
+        |  SELECT doc_id, tok_pos,
+        |    (('0x' || substr(md5(tok || ':0'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r0,
+        |    (('0x' || substr(md5(tok || ':1'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r1,
+        |    (('0x' || substr(md5(tok || ':2'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r2,
+        |    (('0x' || substr(md5(tok || ':3'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r3,
+        |    (('0x' || substr(md5(tok || ':4'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r4,
+        |    (('0x' || substr(md5(tok || ':5'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r5,
+        |    (('0x' || substr(md5(tok || ':6'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r6,
+        |    (('0x' || substr(md5(tok || ':7'), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS r7
+        |  FROM tok),
+        |nrm AS (
+        |  SELECT *, sqrt(r0*r0 + r1*r1 + r2*r2 + r3*r3 + r4*r4 + r5*r5 + r6*r6 + r7*r7) AS nn
+        |  FROM raw)
+        |SELECT doc_id, CAST(tok_pos AS BIGINT) AS tok_pos,
+        |  round((r0/nn)::FLOAT::DOUBLE, 4) AS v0,
+        |  round((r0/nn)::FLOAT::DOUBLE + (r1/nn)::FLOAT::DOUBLE +
+        |    (r2/nn)::FLOAT::DOUBLE + (r3/nn)::FLOAT::DOUBLE +
+        |    (r4/nn)::FLOAT::DOUBLE + (r5/nn)::FLOAT::DOUBLE +
+        |    (r6/nn)::FLOAT::DOUBLE + (r7/nn)::FLOAT::DOUBLE, 3) AS vsum
+        |FROM nrm""".stripMargin,
     "f_sanitize" ->
       """SELECT doc_id, array_to_string(list_filter(
         |    regexp_extract_all(lower(substr(text, 1, 80) ||

@@ -106,6 +106,46 @@ object TextStats {
       )
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repeated
+    * words and top n-gram mass flag low-quality/boilerplate docs):
+    * duplicate-word fraction, and the fraction of all 1/2/3-gram
+    * occurrences taken by the single most frequent gram.
+    *
+    * Scale shape: the three gram streams union into ONE
+    * (doc_id, n, gram) groupBy — repeated grams collapse map-side
+    * before the only shuffle, and the per-doc rollup rides the same
+    * doc_id partitioning; no self-joins, no windows over the corpus. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+    def grams(n: Int): Column =
+      if (n == 1) col("ws")
+      else {
+        val parts = (0 until n).map(k => s"element_at(ws, i + $k)").mkString(", ")
+        expr(s"CASE WHEN size(ws) >= $n THEN transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $parts)) ELSE CAST(array() AS array<string>) END")
+      }
+    val g = (1 to 3)
+      .map(n => w.select(col("doc_id"), lit(n).as("n"), explode(grams(n)).as("gram")))
+      .reduce(_ unionAll _)
+    val agg = g.groupBy("doc_id", "n", "gram").count()
+      .groupBy("doc_id", "n")
+      .agg(max("count").as("maxc"), sum("count").as("tot"),
+        count(lit(1)).as("ndist"))
+    def pick(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
+    val piv = agg.groupBy("doc_id").agg(
+      pick(1, "maxc").as("maxc1"), pick(1, "tot").as("tot1"), pick(1, "ndist").as("ndist1"),
+      pick(2, "maxc").as("maxc2"), pick(2, "tot").as("tot2"),
+      pick(3, "maxc").as("maxc3"), pick(3, "tot").as("tot3"))
+    docs.select(col(idCol).as("doc_id")).join(piv, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(coalesce(lit(1.0) - col("ndist1") / col("tot1"), lit(0.0)), 4)
+          .as("dup_word_frac"),
+        round(coalesce(col("maxc1") / col("tot1"), lit(0.0)), 4).as("top_word_frac"),
+        round(coalesce(col("maxc2") / col("tot2"), lit(0.0)), 4).as("top_bigram_frac"),
+        round(coalesce(col("maxc3") / col("tot3"), lit(0.0)), 4).as("top_trigram_frac"))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence:
     * fold(h_1, (acc, h_i) -> (acc*31 + h_i) mod 1e9+7) where h_i is the
     * 60-bit term hash reduced mod 1e9+7. Matches DuckDB's `list_reduce`

@@ -177,6 +177,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(0L) !== fp(1L))
   }
 
+  test("repetition signals: gopher fractions on hand-checked fixtures") {
+    val d = docsDf(
+      0L -> "spam spam spam spam",                    // 1 distinct word of 4
+      1L -> "alpha beta gamma delta",                 // all distinct
+      2L -> "go stop go stop go",                     // top bigram "go stop" 2/4
+      3L -> "")                                       // empty -> all zero
+    val rep = TextStats.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep.size === 4)
+    assert(rep(0L).getAs[Double]("dup_word_frac") === 0.75)   // 1 - 1/4
+    assert(rep(0L).getAs[Double]("top_word_frac") === 1.0)
+    assert(rep(0L).getAs[Double]("top_bigram_frac") === 1.0)  // "spam spam" x3
+    assert(rep(1L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(rep(1L).getAs[Double]("top_word_frac") === 0.25)
+    assert(rep(1L).getAs[Double]("top_trigram_frac") === 0.5) // 2 distinct of 2
+    assert(rep(2L).getAs[Double]("top_word_frac") === 0.6)    // go 3/5
+    assert(rep(2L).getAs[Double]("top_bigram_frac") === 0.5)  // "go stop" 2/4
+    assert(rep(3L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(rep(3L).getAs[Double]("top_trigram_frac") === 0.0)
+  }
+
   // ---------- multimodal ----------
 
   test("multimodal plumbing: sniffing, checksums, fake decode, frame sampling") {
