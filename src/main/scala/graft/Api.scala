@@ -96,6 +96,10 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
         FtsIndex.build(spark, textsOf(metadata), "doc_id", "text", s"$path/fts")
       }
     }
+    // stored-config eviction check: the reference applies the persisted
+    // max_documents limit on the add that crosses it (documents.rs:1647-1653
+    // "Eviction will occur on next document addition if over limit")
+    maxDocumentsConfig.foreach { max => if (count > max) enforceMaxDocuments(max) }
     this
   }
 
@@ -201,6 +205,70 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       textQuery, params, filter, searcherOpt = Some(s)))
   }
 
+  // ---- *_with_encoding routes (text in, results out — E4 wired into
+  // the facade; main.rs /search_with_encoding, /update_with_encoding,
+  // /rerank_with_encoding). The encoder factory defaults to the
+  // deterministic stand-in; a real ONNX-backed TokenEncoder plugs in
+  // through the same parameter unchanged. ----
+
+  private def encoderKey = s"$path#encoder"
+
+  /** POST /indices/{name}/search_with_encoding: `queries` is
+    * (query_id, text); E1 prep + session-pool encode, then the normal
+    * vector search. */
+  def searchWithEncoding(
+      queries: DataFrame,
+      params: SearchParams = SearchParams(),
+      mkEncoder: () => graft.operators.TokenEncoder = defaultEncoder,
+      queryLength: Int = graft.operators.Encoding.DefaultQueryLength): DataFrame =
+    search(graft.operators.Encode.queries(
+      queries, "query_id", "text", mkEncoder, encoderKey, queryLength), params)
+
+  /** POST /indices/{name}/search/filtered_with_encoding. */
+  def searchFilteredWithEncoding(
+      queries: DataFrame,
+      cond: String, condParams: Seq[Where.Param],
+      params: SearchParams = SearchParams(),
+      mkEncoder: () => graft.operators.TokenEncoder = defaultEncoder): DataFrame =
+    searchFiltered(graft.operators.Encode.queries(
+      queries, "query_id", "text", mkEncoder, encoderKey), cond, condParams, params)
+
+  /** POST /indices/{name}/update_with_encoding: `docsText` is
+    * (doc_id, text) with local ids 0..n-1; E2 prep + session-pool encode
+    * (+ manifest poolFactor Ward pooling), then the normal add path —
+    * including the stored-config eviction check. */
+  def addDocumentsWithEncoding(
+      docsText: DataFrame,
+      metaJson: Option[DataFrame] = None,
+      cfg: UpdateConfig = UpdateConfig(),
+      mkEncoder: () => graft.operators.TokenEncoder = defaultEncoder,
+      documentLength: Int = graft.operators.Encoding.DefaultDocumentLength): GraftIndex = {
+    val poolFactor = index.manifest.get("pool_factor").map(_.toInt).getOrElse(1)
+    addDocuments(graft.operators.Encode.documents(
+      docsText, "doc_id", "text", mkEncoder, encoderKey, documentLength,
+      poolFactor = poolFactor), metaJson, cfg)
+  }
+
+  /** POST /rerank_with_encoding: encode the query text (driver-side —
+    * one query, bounded) AND the candidate document texts (the
+    * session-pool stage), then exact-MaxSim rerank. `docsText` is
+    * (doc_id, text). */
+  def rerankWithEncoding(
+      queryText: String, docsText: DataFrame, topK: Int,
+      mkEncoder: () => graft.operators.TokenEncoder = defaultEncoder,
+      queryLength: Int = graft.operators.Encoding.DefaultQueryLength,
+      documentLength: Int = graft.operators.Encoding.DefaultDocumentLength): DataFrame = {
+    val emb = mkEncoder().encode(
+      graft.operators.Encoding.prepareQuery(queryText, queryLength))
+    rerank(emb, graft.operators.Encode.documents(
+      docsText, "doc_id", "text", mkEncoder, encoderKey, documentLength), topK)
+  }
+
+  private def defaultEncoder: () => graft.operators.TokenEncoder = {
+    val d = index.dim
+    () => graft.operators.HashTokenEncoder(d)
+  }
+
   // ---- metadata routes ----
 
   def metadataQuery(cond: String, params: Seq[Where.Param]): DataFrame =
@@ -301,6 +369,33 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
 
   // ---- config (PUT /indices/{name}/config: max_documents → U6) ----
 
+  private def configPath = s"$path/config.json"
+
+  /** PUT /indices/{name}/config (documents.rs:1618-1660): persist the
+    * max_documents limit (None removes it). Matching the reference's
+    * response message, the limit does NOT evict immediately — "eviction
+    * will occur on next document addition if over limit"
+    * ([[addDocuments]] checks it after each batch). Stored in its own
+    * config.json (the reference's stored-config pattern, state.rs):
+    * index rebuilds rewrite manifest.json from scratch and must not be
+    * able to drop the limit. */
+  def setMaxDocuments(maxDocuments: Option[Long]): GraftIndex = {
+    val node = MultiVectorIndex.jsonMapper.createObjectNode()
+    maxDocuments.foreach(v => node.put("max_documents", v))
+    graft.util.Fs.writeBytes(configPath,
+      MultiVectorIndex.jsonMapper.writeValueAsBytes(node))
+    this
+  }
+
+  /** The persisted max_documents limit, if any. */
+  def maxDocumentsConfig: Option[Long] =
+    if (!graft.util.Fs.exists(configPath)) None
+    else {
+      val n = MultiVectorIndex.jsonMapper
+        .readTree(graft.util.Fs.readBytes(configPath)).path("max_documents")
+      if (n.isMissingNode || n.isNull) None else Some(n.asLong())
+    }
+
   def enforceMaxDocuments(maxDocuments: Long): GraftIndex = {
     // pending tombstones first: FIFO eviction reasons over the dense
     // prefix, which is only meaningful on a compacted id space
@@ -386,6 +481,27 @@ object GraftIndex {
   /** GET /indices/{name} — open an existing index directory. */
   def open(spark: SparkSession, path: String): GraftIndex =
     new GraftIndex(spark, path)
+
+  /** POST /indices with raw-text documents (the reference's model-loaded
+    * upload path — README "documents uploaded as raw text"): E2 prep +
+    * session-pool encode, then the normal build. Build applies the
+    * config's Ward poolFactor itself, so the encode stage never
+    * pre-pools. `docsText` is (doc_id, text), local ids 0..n-1. */
+  def createWithEncoding(
+      spark: SparkSession,
+      path: String,
+      docsText: DataFrame,
+      metaJson: Option[DataFrame] = None,
+      cfg: IndexConfig = IndexConfig(),
+      mkEncoder: Option[() => graft.operators.TokenEncoder] = None,
+      encoderDim: Int = 128,
+      documentLength: Int = graft.operators.Encoding.DefaultDocumentLength): GraftIndex = {
+    val mk = mkEncoder
+      .getOrElse(() => graft.operators.HashTokenEncoder(encoderDim))
+    create(spark, path, graft.operators.Encode.documents(
+      docsText, "doc_id", "text", mk, s"$path#encoder", documentLength),
+      metaJson, cfg)
+  }
 
   /** GET /indices (handlers/documents.rs:1093-1099) — names of index
     * directories under `rootDir` (those carrying a manifest). */

@@ -123,6 +123,34 @@ class ApiSpec extends AnyFunSuite {
     assert(!graft.util.Fs.exists(path))
   }
 
+  test("stored max_documents config evicts on the NEXT add, not at set time") {
+    // documents.rs:1618-1660: PUT /config persists the limit; the response
+    // says "Eviction will occur on next document addition if over limit"
+    val path = "/tmp/graft_api_cfg"
+    graft.util.Fs.deleteRecursively(path)
+    val gi = GraftIndex.create(spark, path,
+      docs.filter(col("doc_id") < 10), Some(metaJsonFor(0L until 10L)))
+    gi.setMaxDocuments(Some(8L))
+    assert(gi.maxDocumentsConfig === Some(8L))
+    assert(gi.count === 10L)                 // set does NOT evict
+    val burst = docs.filter(col("doc_id") >= 10 && col("doc_id") < 14)
+      .withColumn("doc_id", col("doc_id") - 10)
+    gi.addDocuments(burst, Some(metaJsonFor(0L until 4L, offsetLabel = 10)))
+    assert(gi.count === 8L)                  // 10 + 4 -> FIFO-evicted to 8
+    assert(gi.metadata.count() === 8L)
+    assert(gi.ftsIndex.doclens.count() === 8L)
+    // survivors are the newest 8 in arrival order: old ids 6..9 then the burst
+    val titles = gi.metadata.orderBy(col("_subset_"))
+      .collect().map(_.getAs[String]("title"))
+    assert(titles.take(4).toSeq === Seq("doc 6", "doc 7", "doc 8", "doc 9"))
+    gi.setMaxDocuments(None)                 // remove limit -> adds stop evicting
+    assert(gi.maxDocumentsConfig === None)
+    val more = docs.filter(col("doc_id") >= 14 && col("doc_id") < 16)
+      .withColumn("doc_id", col("doc_id") - 14)
+    gi.addDocuments(more, Some(metaJsonFor(0L until 2L, offsetLabel = 14)))
+    assert(gi.count === 10L)
+  }
+
   test("metadata/check partitions ids by presence; GET /indices lists index dirs") {
     val root = "/tmp/graft_api_list"
     graft.util.Fs.deleteRecursively(root)

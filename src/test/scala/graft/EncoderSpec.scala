@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Encode, EncoderPool, Encoding, HashTokenEncoder, TokenEncoder}
+import graft.search.SearchParams
 
 /** E4 session-pool encode: chunk round-robin, per-session locking, strict
   * model-file selection, and the text-in → index → results-out path with
@@ -120,6 +121,38 @@ class EncoderSpec extends AnyFunSuite {
         did -> graft.core.MaxSim.score(q(qid), emb) }.maxBy(_._2)
       assert(best._1 === qid, s"query $qid should retrieve its own document")
     }
+  }
+
+  test("API with_encoding routes: text-only create, search, rerank round-trip") {
+    import spark.implicits._
+    val texts = Seq(
+      0L -> "spark shuffles data between executors during wide transformations",
+      1L -> "the quick brown fox jumps over the lazy dog repeatedly",
+      2L -> "columnar parquet storage enables predicate pushdown and pruning",
+      3L -> "streaming watermarks bound state for windowed aggregations",
+      4L -> "broadcast joins avoid shuffles when one side is small",
+      5L -> "tokenizers split text into subword units for the encoder")
+    val path = "/tmp/graft_enc_api"
+    graft.util.Fs.deleteRecursively(path)
+    val gi = GraftIndex.createWithEncoding(spark, path,
+      texts.toDF("doc_id", "text"), encoderDim = 64)
+    assert(gi.count === 6L)
+    // text-in search: each doc's own text as query -> itself at rank 1
+    val qdf = texts.toDF("query_id", "text")
+    val hits = gi.searchWithEncoding(qdf,
+        SearchParams(topK = 1, nIvfProbe = Int.MaxValue,
+          nFullScores = 1 << 20, centroidScoreThreshold = None))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    texts.foreach { case (id, _) => assert(hits(id) === id, s"query $id") }
+    // text-in add crosses nothing (no limit) and lands searchable
+    gi.addDocumentsWithEncoding(
+      Seq(0L -> "catalyst optimizes logical plans before execution").toDF("doc_id", "text"))
+    assert(gi.count === 7L)
+    // text-in rerank: both sides encoded from raw text
+    val rr = gi.rerankWithEncoding(
+      "spark shuffles data between executors during wide transformations",
+      texts.toDF("doc_id", "text"), topK = 3).collect()
+    assert(rr.nonEmpty && rr.head.getAs[Long]("doc_id") === 0L)
   }
 
   test("ward pooling hook: poolFactor shrinks token count per document") {
