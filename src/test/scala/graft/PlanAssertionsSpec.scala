@@ -64,6 +64,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partial (map-side) aggregation before the shuffle:\n$plan")
   }
 
+  test("repetition signals aggregate map-side and read only (doc_id, text)") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.TextStats.repetition(df, "doc_id", "text"))
+    // the gram count must partial-aggregate before its shuffle (repeated
+    // grams collapse map-side — the property the 100 TB claim rests on)
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no partial (map-side) aggregation before the gram shuffle:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("score") && !readSchemas.contains("grp"),
+      s"unused columns read at the scan: $readSchemas")
+  }
+
   test("BM25 query terms reach the postings scan as a pushed In filter") {
     import spark.implicits._
     val fts = "/tmp/graft_plan_fts"
