@@ -516,6 +516,21 @@ object SparkEntry {
     // fraction + top 1/2/3-gram occupancy — one map-side-combined shuffle
     "p_repetition" -> ((s, dir) =>
       graft.pipeline.TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
+    // Lee et al. 2022 cross-document duplicated n-gram share — the
+    // memorization/boilerplate signal exact- and near-dedup both miss
+    "p_dup_ngram" -> ((s, dir) =>
+      graft.pipeline.Dedup.crossDocNgramShare(
+        t(s, dir, "documents"), "doc_id", "text", n = 5)),
+    // PII scrub over text with deterministic synthetic PII appended (the
+    // corpus itself is clean, so the redaction paths must be forced)
+    "p_pii_scrub" -> ((s, dir) =>
+      graft.pipeline.Scrub.scrubPii(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@mail.example.org or 10.1."), col("doc_id") % 256,
+            lit(".42 call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")),
+        "doc_id", "text")),
     "p_token_count" -> ((s, dir) =>
       graft.pipeline.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_ws_tokens").cast("long"),
@@ -1766,6 +1781,39 @@ object SparkEntry {
         |LEFT JOIN agg a1 ON d.doc_id = a1.doc_id AND a1.n = 1
         |LEFT JOIN agg a2 ON d.doc_id = a2.doc_id AND a2.n = 2
         |LEFT JOIN agg a3 ON d.doc_id = a3.doc_id AND a3.n = 3""".stripMargin,
+    "p_dup_ngram" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(
+        |    list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh
+        |  FROM w, (SELECT unnest(range(1, (SELECT max(len(ws)) FROM w))) AS i) ix
+        |  WHERE i <= len(ws) - 4),
+        |gd AS (SELECT sh, count(*) AS nd FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM g JOIN gd USING (sh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_shared, 0) AS n_shared,
+        |  round(coalesce(per.n_shared / per.n_grams, 0.0), 4) AS dup_span_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    "p_pii_scrub" ->
+      """WITH b AS (SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@mail.example.org or 10.1.' ||
+        |    (doc_id % 256) || '.42 call 555-123-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM b""".stripMargin,
     "p_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,

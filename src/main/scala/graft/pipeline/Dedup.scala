@@ -209,4 +209,33 @@ object Dedup {
       .select("a", "b")
     jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
   }
+
+  /** Cross-document duplicated n-gram share (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": verbatim
+    * spans occurring in more than one document are the memorization /
+    * boilerplate signal that exact- and near-dedup both miss). Per doc:
+    * the fraction of its distinct n-grams that also occur in at least one
+    * OTHER document.
+    *
+    * Scale shape: distinct (doc, gram) explode → gram-keyed count
+    * (map-side combined) → co-partitioned join back on gram → per-doc
+    * rollup. A stop-gram skews only the probe side of that join (the
+    * build row per gram is single), which AQE's skew split absorbs —
+    * there is no pair blow-up anywhere, unlike a naive
+    * docs-sharing-a-gram self-join. */
+  def crossDocNgramShare(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val g = shingles(docs, idCol, textCol, n)
+    val gd = g.groupBy("sh").agg(count(lit(1)).as("nd"))
+    val per = g.join(gd, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared") / col("n_grams"), lit(0.0)), 4)
+          .as("dup_span_frac"))
+  }
 }

@@ -198,6 +198,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep(3L).getAs[Double]("top_trigram_frac") === 0.0)
   }
 
+  test("crossDocNgramShare flags only spans shared across documents") {
+    val d = docsDf(
+      0L -> "alpha beta gamma delta epsilon zeta",     // shares 5-gram prefix with 1
+      1L -> "alpha beta gamma delta epsilon OTHER",    // ...but not the 2nd 5-gram
+      2L -> "totally different words here now indeed", // no sharing
+      3L -> "tiny doc")                                // < n words -> zero grams
+    val out = Dedup.crossDocNgramShare(d, "doc_id", "text", n = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_grams") === 2)
+    assert(out(0L).getAs[Long]("n_shared") === 1)     // "alpha..epsilon" in both
+    assert(out(0L).getAs[Double]("dup_span_frac") === 0.5)
+    assert(out(1L).getAs[Long]("n_shared") === 1)
+    assert(out(2L).getAs[Long]("n_shared") === 0)
+    assert(out(3L).getAs[Long]("n_grams") === 0)
+    assert(out(3L).getAs[Double]("dup_span_frac") === 0.0)
+  }
+
+  test("scrubPii redacts and counts emails, IPs, phone numbers") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail me at a.b+c@foo-bar.example.com or 192.168.0.1 / 555-123-4567 thanks"),
+      (1L, "clean text with no contact details at all"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Scrub.scrubPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") === 1)
+    assert(out(0L).getAs[Long]("n_ips") === 1)
+    assert(out(0L).getAs[Long]("n_phones") === 1)
+    assert(out(0L).getAs[String]("clean") ===
+      "mail me at <EMAIL> or <IP> / <PHONE> thanks")
+    assert(out(1L).getAs[Long]("n_emails") === 0)
+    assert(out(1L).getAs[String]("clean") ===
+      "clean text with no contact details at all")
+  }
+
   // ---------- multimodal ----------
 
   test("multimodal plumbing: sniffing, checksums, fake decode, frame sampling") {
