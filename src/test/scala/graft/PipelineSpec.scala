@@ -215,6 +215,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Double]("dup_span_frac") === 0.0)
   }
 
+  test("repetition and crossDocNgramShare match brute force on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (_ <- 0 until 3) {
+      val corpus = (0L until 12L).map(i =>
+        i -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val d = docsDf(corpus: _*)
+      def words(t: String): Seq[String] = t.split("\\s+").filter(_.nonEmpty).toSeq
+      def grams(ws: Seq[String], n: Int): Seq[String] =
+        if (ws.length < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+      def topFrac(gs: Seq[String]): Double =
+        if (gs.isEmpty) 0.0
+        else gs.groupBy(identity).values.map(_.size).max.toDouble / gs.size
+
+      val rep = TextStats.repetition(d, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      corpus.foreach { case (id, t) =>
+        val ws = words(t)
+        val expDup = if (ws.isEmpty) 0.0 else 1.0 - ws.distinct.size.toDouble / ws.size
+        assert(math.abs(rep(id).getAs[Double]("dup_word_frac") - expDup) < 6e-5, s"dup doc $id")
+        assert(math.abs(rep(id).getAs[Double]("top_word_frac") - topFrac(ws)) < 6e-5)
+        assert(math.abs(rep(id).getAs[Double]("top_bigram_frac") - topFrac(grams(ws, 2))) < 6e-5)
+        assert(math.abs(rep(id).getAs[Double]("top_trigram_frac") - topFrac(grams(ws, 3))) < 6e-5)
+      }
+
+      val gramSets = corpus.map { case (id, t) => id -> grams(words(t), 2).toSet }.toMap
+      val share = Dedup.crossDocNgramShare(d, "doc_id", "text", n = 2).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      corpus.foreach { case (id, _) =>
+        val mine = gramSets(id)
+        val others = gramSets.filter(_._1 != id).values.flatten.toSet
+        val shared = mine.count(others.contains)
+        assert(share(id).getAs[Long]("n_grams") === mine.size.toLong, s"n_grams doc $id")
+        assert(share(id).getAs[Long]("n_shared") === shared.toLong, s"n_shared doc $id")
+      }
+    }
+  }
+
   test("scrubPii redacts and counts emails, IPs, phone numbers") {
     import spark.implicits._
     val d = Seq(
