@@ -210,6 +210,35 @@ object Dedup {
     jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-document LSH band signatures computed locally — the
+    * byte-identical Scala twin of the batch
+    * `shingles → minhashSignatures → lshBands` pipeline for ONE document
+    * (same md5-derived permutation constants, same universal-hash
+    * arithmetic, same band-sig md5 over comma-joined perm-ordered
+    * minhashes). Zero-shuffle per-row building block for the streaming
+    * near-dedup path; docs with fewer than `shingleSize` tokens yield no
+    * bands, exactly like the batch explode. Equivalence is spec-asserted
+    * against the batch DataFrames. */
+  def localBandSigs(text: String, shingleSize: Int, numPerm: Int,
+      rowsPerBand: Int): Seq[(Int, String)] = {
+    val toks = "[a-z0-9]+".r.findAllIn(
+      Option(text).getOrElse("").toLowerCase).toVector
+    if (toks.length < shingleSize) return Seq.empty
+    val shs = toks.sliding(shingleSize).map(_.mkString(" ")).toSet
+    val (as, bs) = permConsts(numPerm)
+    val bases = shs.toSeq.map(s => Math.floorMod(md5num(s + "#0"), MinhashP))
+    val minh = (0 until numPerm).map { p =>
+      bases.map(h => (as(p) * h + bs(p)) % MinhashP).min
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPerm).groupBy(_ / rowsPerBand).toSeq
+      .map { case (band, perms) =>
+        val sig = perms.sorted.map(minh).mkString(",")
+        band -> md.digest(sig.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+      .sortBy(_._1)
+  }
+
   /** Cross-document duplicated n-gram share (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better": verbatim
     * spans occurring in more than one document are the memorization /

@@ -150,6 +150,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(all === Set(0L, 2L, 4L))
   }
 
+  test("localBandSigs is the byte-identical twin of the batch shingle->minhash->band pipeline") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> "spark joins tables with keys and hashes fast",
+      1L -> "spark joins tables with keys and hashes quickly",
+      2L -> "a completely different document about streaming state",
+      3L -> "tiny",
+      4L -> "spark joins tables with keys and hashes fast") // exact dup of 0
+    val d = corpus.toDF("doc_id", "text")
+    val batch = graft.pipeline.Dedup.lshBands(
+      graft.pipeline.Dedup.minhashSignatures(
+        graft.pipeline.Dedup.shingles(d, "doc_id", "text", 3), 8), 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Any]("band").toString.toLong,
+        r.getAs[String]("band_sig"))).toSet
+    // batch's `band` is `perm div rowsPerBand` (long via div); normalize
+    val local = corpus.flatMap { case (id, t) =>
+      graft.pipeline.Dedup.localBandSigs(t, 3, 8, 2)
+        .map { case (band, sig) => (id, band.toLong, sig) }
+    }.toSet
+    assert(local === batch)
+    assert(!local.exists(_._1 == 3L)) // sub-shingle doc yields no bands
+  }
+
+  test("streaming LSH candidates equal the batch operator on an uncapped corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // planted near-dup families + noise, split across two micro-batches
+    val corpus = (0L until 30L).map { i =>
+      val fam = i % 10
+      if (fam < 3) // three 3-doc near-dup families (i, i+10, i+20 share text)
+        i -> s"family $fam shares this exact long sentence about spark shuffles and state stores verbatim"
+      else
+        i -> s"noise document $i with its own words ${(i * 7) % 97} ${(i * 13) % 89} nothing shared here"
+    }
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.lshCandidates(
+      stream.toDF().toDF("doc_id", "text"))
+    val ckpt = "/tmp/graft_slsh_ckpt_" + System.nanoTime()
+    stream.addData(corpus.take(15))
+    stream.addData(corpus.drop(15))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slsh_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("slsh_out").select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.pipeline.Dedup.shingles(corpus.toDF("doc_id", "text"), "doc_id", "text", 3)
+    val batch = graft.pipeline.Dedup.candidatePairs(
+      graft.pipeline.Dedup.lshBands(
+        graft.pipeline.Dedup.minhashSignatures(sh, 8), 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    // the families must actually be in there (the test isn't vacuous)
+    assert(batch.contains((0L, 10L)) && batch.contains((10L, 20L)))
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
