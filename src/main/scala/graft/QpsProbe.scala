@@ -128,6 +128,37 @@ object QpsProbe {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"QPS_PROBE corpus=52k batch=64 K=${idxBig.codec.numCentroids} best=${tBig.min}%.3f s  qps=${64 / tBig.min}%.1f")
+
+    // sharded serving at the same 52k corpus: force the one-node fast
+    // path off (budget 1 byte) so the doc-sliced resident-image path
+    // serves — isolates the sharded plan's per-call floor at mid scale
+    // (its 522k-corpus numbers live in QuoraProbe; this leg is cheap
+    // enough to run every probe session)
+    locally {
+      val sp = SearchParams(localIndexBudgetBytes = 1L,
+        shardedScoreBudgetBytes = 512L << 20)
+      val q1 = RecallHarness.queriesFrom(spark, 1,
+        tokensPerDoc = QpsHarness.TokensPerDoc, dim = QpsHarness.Dim).cache()
+      q1.count()
+      val t0 = System.nanoTime()
+      searcherBig.search(q1, sp).count() // slice build + first call
+      println(f"QPS_PROBE sharded corpus=52k slice build+first call ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = (1 to 10).map { _ =>
+        val s0 = System.nanoTime()
+        searcherBig.search(q1, sp).count()
+        (System.nanoTime() - s0) / 1e9
+      }.sorted
+      val med = (t1(4) + t1(5)) / 2
+      println(f"QPS_PROBE sharded corpus=52k batch=1 best=${t1.head * 1000}%.0f ms  median=${med * 1000}%.0f ms  p90=${t1(8) * 1000}%.0f ms")
+      searcherBig.search(queries, sp).count()
+      val tb = (1 to 3).map { _ =>
+        val s0 = System.nanoTime()
+        searcherBig.search(queries, sp).count()
+        (System.nanoTime() - s0) / 1e9
+      }
+      println(f"QPS_PROBE sharded corpus=52k batch=64 best=${tb.min}%.3f s  qps=${64 / tb.min}%.1f")
+      q1.unpersist()
+    }
     spark.stop()
   }
 }

@@ -771,6 +771,25 @@ final class Searcher(index: MultiVectorIndex) {
   @volatile private var shardedImageCache
       : (Int, org.apache.spark.rdd.RDD[Searcher.LocalIndexImage]) = _
 
+  /** Reusable broadcast of the empty (subset, tombstone) filter — the
+    * common serving shape. Re-broadcasting an identical empty pair on
+    * EVERY call costs a torrent round per slice set; caching it is safe
+    * because its content never varies. Tombstone presence is re-checked
+    * per call (a deferred delete writes tombstones WITHOUT bumping the
+    * manifest build id, so the cache must never absorb them). */
+  @volatile private var emptyFilterCache: org.apache.spark.broadcast.Broadcast[
+    (Option[java.util.HashSet[java.lang.Long]], java.util.HashSet[java.lang.Long])] = _
+
+  private def emptyFilterBc(): org.apache.spark.broadcast.Broadcast[
+      (Option[java.util.HashSet[java.lang.Long]], java.util.HashSet[java.lang.Long])] =
+    synchronized {
+      if (emptyFilterCache == null)
+        emptyFilterCache = spark.sparkContext.broadcast(
+          (Option.empty[java.util.HashSet[java.lang.Long]],
+            new java.util.HashSet[java.lang.Long]()))
+      emptyFilterCache
+    }
+
   /** Doc-sliced index image, one [[Searcher.LocalIndexImage]] per
     * partition (slice = doc_id % slices — dense build ids balance), each
     * holding only its docs' IVF postings, code arrays, and packed
@@ -894,7 +913,9 @@ final class Searcher(index: MultiVectorIndex) {
     val codecBc = codecBcShared
     val scoresBc = spark.sparkContext.broadcast(scoresByQ)
     val probedBc = spark.sparkContext.broadcast(probedByQ)
-    val filterBc = spark.sparkContext.broadcast((subsetSet, tombstones))
+    val filterBc =
+      if (subsetSet.isEmpty && tombstones.isEmpty) emptyFilterBc()
+      else spark.sparkContext.broadcast((subsetSet, tombstones))
     val queriesBc = spark.sparkContext.broadcast(queryMap)
     try {
       // Phase A — S3–S6 per slice; per-slice survivors carry their
@@ -944,7 +965,7 @@ final class Searcher(index: MultiVectorIndex) {
     } finally {
       scoresBc.destroy()
       probedBc.destroy()
-      filterBc.destroy()
+      if (!(filterBc eq emptyFilterCache)) filterBc.destroy()
       queriesBc.destroy()
     }
   }
