@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Encode, EncoderPool, Encoding, HashTokenEncoder, TokenEncoder}
+import graft.operators.{Encode, EncoderPool, HashTokenEncoder, TokenEncoder}
 import graft.search.SearchParams
 
 /** E4 session-pool encode: chunk round-robin, per-session locking, strict
