@@ -9,6 +9,21 @@ import java.nio.file.{Files, Paths}
   * output unparseable). Failures are recorded per query in an `errors`
   * map — never silently folded into the total as a fast time. */
 object Bench {
+
+  /** Force FULL evaluation of every output column before counting. A
+    * bare `count()` lets Catalyst prune the projections and drop
+    * provably-unique left joins (correct optimizer behavior — a count
+    * doesn't need them), which under-times projection-shaped operators:
+    * measured round 11, `p_dup_ngram` at ×1000 "ran" in 0.34 s because
+    * the whole gram pipeline was optimized away. Hashing every column
+    * into an aggregate defeats the pruning at ~ns/row cost. */
+  def forcedCount(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)"))
+      .collect()(0).getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +74,7 @@ object Bench {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        forcedCount(fn(spark, sfDir))
         times(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

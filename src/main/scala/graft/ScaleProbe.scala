@@ -119,7 +119,7 @@ object ScaleProbe {
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
       val t0 = System.nanoTime()
       try {
-        rows(name) = fn(spark, base).count()
+        rows(name) = Bench.forcedCount(fn(spark, base))
         times(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
