@@ -254,7 +254,19 @@ object Dedup {
     * docs-sharing-a-gram self-join. */
   def crossDocNgramShare(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val g = shingles(docs, idCol, textCol, n)
+    // unlike the MinHash path (whose md5 arithmetic IS the oracle
+    // contract), only gram IDENTITY matters here — shuffle 8-byte
+    // xxhash64 of the word tuple instead of materialized gram strings
+    // (~3x fewer shuffle bytes; a collision merges two grams' doc
+    // counts, negligible below ~10^9 distinct grams)
+    val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    val g = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> xxhash64($parts)) ELSE CAST(array() AS array<bigint>) END")).as("sh"))
+      .distinct()
     val gd = g.groupBy("sh").agg(count(lit(1)).as("nd"))
     val per = g.join(gd, "sh")
       .groupBy("doc_id")

@@ -117,12 +117,17 @@ object TextStats {
     * doc_id partitioning; no self-joins, no windows over the corpus. */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = docs.select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+    // grams are shuffled as 8-byte xxhash64 of the word tuple, never as
+    // materialized strings — the output is COUNTS, so representation is
+    // free, and the hash cuts shuffle bytes ~3x at corpus scale (a
+    // cross-n-gram hash collision would merge two counts; at 2^64 that
+    // needs ~10^9 distinct grams per doc to matter)
     def grams(n: Int): Column =
-      if (n == 1) col("ws")
+      if (n == 1) expr("transform(ws, t -> xxhash64(t))")
       else {
         val parts = (0 until n).map(k => s"element_at(ws, i + $k)").mkString(", ")
         expr(s"CASE WHEN size(ws) >= $n THEN transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> concat_ws(' ', $parts)) ELSE CAST(array() AS array<string>) END")
+          s"i -> xxhash64($parts)) ELSE CAST(array() AS array<bigint>) END")
       }
     val g = (1 to 3)
       .map(n => w.select(col("doc_id"), lit(n).as("n"), explode(grams(n)).as("gram")))
