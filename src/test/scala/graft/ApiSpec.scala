@@ -327,7 +327,12 @@ class ApiSpec extends AnyFunSuite {
       .select(col("doc_id").as("query_id"), col("embeddings"))
 
     // two queued updates for the SAME index serialize in order (the
-    // per-index lane); their progress is observable while they run
+    // per-index lane); their progress is observable while they run.
+    // A latch-blocked job holds the lane first so the queued/running
+    // observation below cannot race a fast box draining both adds
+    // before updateHealth is polled.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val blocker = UpdateJobs.submit(path, 0L, "test gate")(() => gate.await())
     val upCfg = graft.index.UpdateConfig(startFromScratch = 0, bufferSize = 1000)
     val f1 = gi.addDocumentsAsync(
       docs.filter(col("doc_id") >= 20 && col("doc_id") < 25)
@@ -340,6 +345,7 @@ class ApiSpec extends AnyFunSuite {
     assert(p0.isDefined, "no progress entry after async submit")
     assert(Set("queued", "running").contains(p0.get.status))
     assert(gi.updateInProgress)
+    gate.countDown(); blocker.get()
 
     // searches proceed while the updates run — a racing build flip is
     // absorbed by the facade's stale-handle retry
