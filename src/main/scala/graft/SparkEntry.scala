@@ -445,6 +445,14 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    // duplicate-group resolution: connected components over the verified
+    // MinHash-LSH pair graph, min-id canonical survivor per component
+    "p_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
+      graft.pipeline.Dedup.duplicateClusters(docs, "doc_id", pairs)
+    }),
     // dataset mixing: deterministic hash-threshold stratified sampling
     "p_stratified_sample" -> ((s, dir) =>
       graft.pipeline.Mixing.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -1638,6 +1646,40 @@ object SparkEntry {
         |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "p_dedup_groups" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |p AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS r)),
+        |hh AS (SELECT doc_id, perm,
+        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |    % 2147483647 AS h
+        |  FROM sh CROSS JOIN p),
+        |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 4 AS band,
+        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
+        |pr AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(s, t) AS (SELECT a, b FROM e
+        |  UNION SELECT r.s, e2.b FROM reach r JOIN e e2 ON r.t = e2.a),
+        |lbl AS (SELECT s AS doc_id, min(t) AS mn FROM reach GROUP BY s)
+        |SELECT d.doc_id,
+        |  coalesce(least(l.mn, d.doc_id), d.doc_id) AS cluster_id,
+        |  coalesce(least(l.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin,
     "p_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -279,4 +279,78 @@ object Dedup {
         round(coalesce(col("n_shared") / col("n_grams"), lit(0.0)), 4)
           .as("dup_span_frac"))
   }
+
+  /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
+    * components over the undirected pair graph, labeled by the minimum
+    * doc id of each component, plus the keep/drop decision
+    * (`keep = doc_id == cluster_id` — the canonical survivor).
+    *
+    * This is the step that turns pair emitters ([[minhashDedupPairs]],
+    * [[ngramJaccardPairs]], [[Similarity.cosineDedupPairs]]) into an
+    * actionable dedup verdict: transitively-linked near-dup families
+    * (A~B, B~C but A!~C) collapse to one survivor instead of leaking
+    * through pairwise-only filtering.
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the shape GraphFrames' connectedComponents uses).
+    * Each round is two groupBy-shuffles on the edge list; the edge set
+    * provably converges to per-component stars rooted at the minimum
+    * node in O(log n) rounds — no O(diameter) label-propagation chains,
+    * which is what makes this safe for 100 TB-scale pair graphs with
+    * long thin chains. Each round's edge list is localCheckpoint()ed to
+    * truncate the iterative lineage (without it the plan doubles every
+    * round and analysis cost explodes by round ~15).
+    *
+    * `pairs` must have two BIGINT columns `a`, `b`; rows with a == b are
+    * ignored. Output: one row per doc in `docs` — (doc_id, cluster_id,
+    * keep), singletons labeling themselves. */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star: key each edge by BOTH endpoints (symmetric
+      // neighborhood); every strictly-larger neighbor re-points to the
+      // minimum of the neighborhood (including the center)
+      val nbrs = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+      val mins = nbrs.groupBy("v").agg(least(min("u"), first("v")).as("m"))
+      val large = nbrs.join(mins, "v")
+        .filter(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: key each edge by its LARGER endpoint only; the
+      // center and all its smaller neighbors re-point to the minimum
+      val dir = large.select(greatest(col("a"), col("b")).as("v"),
+        least(col("a"), col("b")).as("u"))
+      val smins = dir.groupBy("v").agg(min("u").as("m"))
+      val small = dir.join(smins, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .union(smins.select(col("v").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      // converged when the edge set is stable (stars pointing at roots)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    // at convergence every edge is (member, root); roots label themselves
+    val labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("lbl"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
 }

@@ -434,4 +434,59 @@ class PipelineSpec extends AnyFunSuite {
       spark, media.filter(col("doc_id") === 2), dim = 4).collect()(0).getSeq[Float](1)
     assert(stubFeats === fake)
   }
+
+  // ---------- duplicate-group resolution (connected components) ----------
+
+  /** Brute-force union-find twin for duplicateClusters. */
+  private def ufClusters(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  test("duplicateClusters: chains, triangles, singletons resolve to min-id components") {
+    import spark.implicits._
+    val docs = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // component {0,1,2,3} as a thin chain (transitive closure required),
+    // {4,5,6} as a triangle (redundant edges), {7,8} a pair, 9/10/11 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (8L, 7L)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val expect = ufClusters(12L, Seq((0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (8, 7)))
+    (0L until 12L).foreach { i =>
+      assert(out(i)._1 === expect(i), s"cluster of $i")
+      assert(out(i)._2 === (expect(i) == i), s"keep of $i")
+    }
+  }
+
+  test("duplicateClusters matches union-find on seeded random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60L
+      val nEdges = 20 + trial * 25
+      val pairs = Seq.fill(nEdges)((rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n))
+        .filter { case (a, b) => a != b }
+      val docs = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val out = Dedup.duplicateClusters(docs, "doc_id", pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = ufClusters(n, pairs)
+      (0L until n).foreach(i => assert(out(i) === expect(i), s"trial $trial node $i"))
+    }
+  }
+
+  test("duplicateClusters on an empty pair set labels every doc a singleton") {
+    import spark.implicits._
+    val docs = (0L until 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Dedup.duplicateClusters(docs, "doc_id", empty).collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
+  }
 }
