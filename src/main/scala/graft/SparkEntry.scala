@@ -445,6 +445,11 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    // exact-substring duplicate spans: cross-doc verbatim 15-token windows
+    // merged into maximal removable ranges (Lee et al. 2022 ExactSubstr)
+    "p_dup_spans" -> ((s, dir) =>
+      graft.pipeline.Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 15)),
     // duplicate-group resolution: connected components over the verified
     // MinHash-LSH pair graph, min-id canonical survivor per component
     "p_dedup_groups" -> ((s, dir) => {
@@ -1646,6 +1651,22 @@ object SparkEntry {
         |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "p_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |wp AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 14, 0))) AS pos FROM toks),
+        |w AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+15], ' ') AS gram FROM wp),
+        |gd AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+        |  WHERE nd >= 2),
+        |dup AS (SELECT w.doc_id, w.pos FROM w JOIN gd USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+        |  THEN 1 ELSE 0 END AS b FROM dup),
+        |isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM brk)
+        |SELECT doc_id, min(pos) AS start_pos, max(pos) + 15 AS end_pos,
+        |  count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "p_dedup_groups" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -280,6 +280,59 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * variant, token-granular): every `windowTokens`-token window whose
+    * content appears verbatim in at least one OTHER document is flagged,
+    * and overlapping/adjacent flagged windows merge into maximal spans —
+    * the removable byte ranges ExactSubstr feeds its scrubber.
+    *
+    * Output: one row per maximal duplicated span —
+    * (doc_id, start_pos, end_pos, n_windows) with token-index bounds
+    * (end exclusive) and the count of flagged windows the span merged.
+    *
+    * Scale shape (the reason this beats a suffix array on a cluster):
+    * windows shuffle ONCE keyed by gram hash (8-byte xxhash64 of the
+    * word tuple — identity only, so the oracle's string grams agree up
+    * to 2^-64 collisions); the cross-doc test is a groupBy(gram) count
+    * + a co-partitioned semi-join back — strictly linear in corpus
+    * size, no self-join: a gram shared by a million docs contributes a
+    * million (window → one df row) lookups, never a million² pair
+    * product. Span merging is a per-document window function — state
+    * bounded by one document's flagged windows. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = windowTokens
+    require(L >= 2, s"windowTokens must be >= 2, got $L")
+    val parts = (0 until L).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    val w = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $L THEN transform(sequence(1, size(toks) - ${L - 1}), " +
+          s"i -> struct(CAST(i - 1 AS BIGINT) AS pos, xxhash64($parts) AS g)) " +
+          "ELSE CAST(array() AS array<struct<pos:bigint,g:bigint>>) END")).as("wn"))
+      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.g").as("g"))
+    val crossDoc = w.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val dup = w.join(crossDoc, Seq("g"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + L, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + L).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "n_windows")
+  }
+
   /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
     * components over the undirected pair graph, labeled by the minimum
     * doc id of each component, plus the keep/drop decision

@@ -435,7 +435,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(stubFeats === fake)
   }
 
-  // ---------- duplicate-group resolution (connected components) ----------
+  // ---------- exact-substring duplicate spans ----------
+
+  /** Brute-force twin: flag every L-window appearing verbatim in another
+    * doc, merge overlapping/adjacent windows. */
+  private def bruteSpans(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - L).map(p => (id, p, ts.slice(p, p + L).mkString(" ")))
+    }
+    val crossDoc = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    wins.filter(w => crossDoc(w._3)).groupBy(_._1).flatMap { case (id, ws) =>
+      val ps = ws.map(_._2).sorted
+      val islands = ps.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head.head + L =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map(isl => (id, isl.min.toLong, isl.max.toLong + L, isl.size.toLong))
+    }.toSet
+  }
+
+  test("duplicateSpans: planted shared runs merge into maximal spans, unique docs stay clean") {
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val shared2 = (1 to 8).map(i => s"other$i").mkString(" ")
+    val d = docsDf(
+      0L -> s"unique zero prefix $shared unique zero suffix tokens here now",
+      1L -> s"different one start $shared and also $shared2 trailing words",
+      2L -> s"$shared2 leading this time with completely fresh unique middle",
+      3L -> "totally unrelated text with no duplicated windows at all present")
+    val L = 4
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", windowTokens = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = bruteSpans(Seq(
+      0L -> s"unique zero prefix $shared unique zero suffix tokens here now",
+      1L -> s"different one start $shared and also $shared2 trailing words",
+      2L -> s"$shared2 leading this time with completely fresh unique middle",
+      3L -> "totally unrelated text with no duplicated windows at all present"), L)
+    assert(out === expect)
+    assert(!out.exists(_._1 == 3L), "unique doc must have no spans")
+    // doc 1 carries two distinct shared runs far enough apart to stay split
+    assert(out.count(_._1 == 1L) === 2)
+  }
+
+  test("duplicateSpans matches brute force on seeded random corpora with planted overlaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val base = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val run = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (0L until 20L).map { i =>
+        val body = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // a third of docs get the planted run spliced in
+        i -> (if (i % 3 == 0) s"$body $run ${body.take(40)}" else s"$body $base".take(160))
+      }
+      val L = 5
+      val out = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(out === bruteSpans(docs, L), s"trial $trial")
+    }
+  }
 
   /** Brute-force union-find twin for duplicateClusters. */
   private def ufClusters(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
