@@ -450,6 +450,10 @@ object SparkEntry {
     "p_dup_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
         windowTokens = 15)),
+    // ExactSubstr apply-step: cut duplicated spans, rebuild token stream
+    "p_dedup_scrub" -> ((s, dir) =>
+      graft.pipeline.Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 15)),
     // duplicate-group resolution: connected components over the verified
     // MinHash-LSH pair graph, min-id canonical survivor per component
     "p_dedup_groups" -> ((s, dir) => {
@@ -1667,6 +1671,29 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS start_pos, max(pos) + 15 AS end_pos,
         |  count(*) AS n_windows
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "p_dedup_scrub" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |wp AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 14, 0))) AS pos FROM toks),
+        |w AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+15], ' ') AS gram FROM wp),
+        |gd AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+        |  WHERE nd >= 2),
+        |dup AS (SELECT w.doc_id, w.pos FROM w JOIN gd USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+        |  THEN 1 ELSE 0 END AS b FROM dup),
+        |isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM brk),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toks),
+        |kept AS (SELECT k.doc_id, k.tok, k.pos FROM tok k WHERE NOT EXISTS
+        |  (SELECT 1 FROM spans sp WHERE sp.doc_id = k.doc_id
+        |   AND k.pos >= sp.s AND k.pos < sp.e))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_deduped,
+        |  count(k.tok) AS n_tokens_kept
+        |FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id""".stripMargin,
     "p_dedup_groups" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -333,6 +333,35 @@ object Dedup {
       .select("doc_id", "start_pos", "end_pos", "n_windows")
   }
 
+  /** Apply [[duplicateSpans]]: drop every token covered by a duplicated
+    * span and rebuild the surviving token stream (normalized — lowercase,
+    * single-space — like ExactSubstr's byte-range cut, but on the token
+    * axis the span detector works in).
+    *
+    * Join shape: tokens equi-join their doc's spans (spans per doc are
+    * few and bounded — output of island merging), coverage is decided
+    * per token, survivors re-aggregate ordered by position. All keyed by
+    * doc_id — one co-partitioned join + one groupBy, no skew surface
+    * beyond document length itself. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 15): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, windowTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("""CASE WHEN spans IS NULL THEN toks ELSE
+            filter(toks, (t, i) ->
+              NOT exists(spans, s -> i >= s.start_pos AND i < s.end_pos))
+            END""").as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("text_deduped"),
+        size(col("kept")).cast("long").as("n_tokens_kept"))
+  }
+
   /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
     * components over the undirected pair graph, labeled by the minimum
     * doc id of each component, plus the keep/drop decision

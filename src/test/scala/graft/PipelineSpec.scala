@@ -498,6 +498,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicateSpans cuts exactly the flagged token ranges") {
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val rows = Seq(
+      0L -> s"alpha beta gamma $shared delta epsilon",
+      1L -> s"$shared zeta eta theta iota kappa lambda",
+      2L -> "nothing duplicated in this document at all whatsoever")
+    val out = Dedup.removeDuplicateSpans(docsDf(rows: _*), "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val spans = bruteSpans(rows, 4)
+    rows.foreach { case (id, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val cut = spans.filter(_._1 == id)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cut.exists(s => i >= s._2 && i < s._3) => t }
+      assert(out(id)._1 === kept.mkString(" "), s"doc $id text")
+      assert(out(id)._2 === kept.size.toLong, s"doc $id count")
+    }
+    assert(out(2L)._1 === "nothing duplicated in this document at all whatsoever")
+    assert(out(0L)._2 < 14, "doc 0 must have lost its shared run")
+  }
+
   /** Brute-force union-find twin for duplicateClusters. */
   private def ufClusters(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
