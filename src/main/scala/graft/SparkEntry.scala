@@ -34,7 +34,10 @@ object SparkEntry {
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
       "b2_partitions", "b3_codec", "b4_assign", "b6_bucketize",
-      "c5_hybrid", "c7_reindex")
+      "c5_hybrid", "c7_reindex",
+      // scrub is detect (p_dup_spans, benched) + a doc-keyed cut join;
+      // benching it would double-count the detection chain
+      "p_dedup_scrub")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
