@@ -76,6 +76,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused columns read at the scan: $readSchemas")
   }
 
+  test("duplicate spans: pruned scan, partial gram agg, semi-join flag lookup") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.Dedup.duplicateSpans(df, "doc_id", "text", 4))
+    // the cross-doc gram test must partial-aggregate before its shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no partial (map-side) aggregation before the gram shuffle:\n$plan")
+    // windows join the flagged-gram set as a semi join, never a fan-out join
+    assert(plan.contains("LeftSemi"),
+      s"cross-doc flag lookup is not a semi join:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("score") && !readSchemas.contains("grp"),
+      s"unused columns read at the scan: $readSchemas")
+  }
+
   test("BM25 query terms reach the postings scan as a pushed In filter") {
     import spark.implicits._
     val fts = "/tmp/graft_plan_fts"
