@@ -465,6 +465,15 @@ object SparkEntry {
         shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
       graft.pipeline.Dedup.duplicateClusters(docs, "doc_id", pairs)
     }),
+    // Gopher quality-rule battery: per-doc metrics + per-rule booleans
+    "p_gopher_filter" -> ((s, dir) =>
+      graft.pipeline.TextStats.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+    // token-budgeted source mixing: weights {src0:3, src1:1, src2:0.5},
+    // 4000-token budget — src0's rate saturates at the 1.0 cap
+    "p_token_mix" -> ((s, dir) =>
+      graft.pipeline.Mixing.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "text",
+        "source", Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 0.5),
+        totalTokens = 4000L, seed = 42L)),
     // dataset mixing: deterministic hash-threshold stratified sampling
     "p_stratified_sample" -> ((s, dir) =>
       graft.pipeline.Mixing.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -1590,6 +1599,59 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "p_gopher_filter" ->
+      """WITH base AS (SELECT doc_id, text AS t,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+        |  string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w)::BIGINT AS n_words,
+        |  greatest(len(w), 1)::DOUBLE AS nw,
+        |  len(ls)::DOUBLE AS nl,
+        |  coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE AS wlen,
+        |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS alpha,
+        |  (length(t) - length(replace(t, '#', '')))::DOUBLE
+        |    + (length(t) - length(replace(t, '...', '')))::DOUBLE / 3.0
+        |    + (length(t) - length(replace(t, '…', '')))::DOUBLE AS sym,
+        |  len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE AS bul,
+        |  len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::DOUBLE AS ell,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    s -> list_contains(list_transform(w, x -> lower(x)), s)))::BIGINT AS stop_hits
+        |  FROM base),
+        |v AS (SELECT doc_id, n_words, wlen / nw AS mwl, alpha / nw AS af,
+        |  sym / nw AS sr, bul / greatest(nl, 1) AS bf, ell / greatest(nl, 1) AS ef,
+        |  stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (wlen / nw >= 3.0 AND wlen / nw <= 10.0) AS r_mean_word_len,
+        |  (alpha / nw >= 0.8) AS r_alpha,
+        |  (sym / nw <= 0.1) AS r_symbol,
+        |  (bul / greatest(nl, 1) <= 0.9) AS r_bullet,
+        |  (ell / greatest(nl, 1) <= 0.3) AS r_ellipsis,
+        |  (stop_hits >= 2) AS r_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+        |  round(af, 4) AS alpha_frac, round(sr, 4) AS symbol_ratio,
+        |  round(bf, 4) AS bullet_frac, round(ef, 4) AS ellipsis_frac,
+        |  stop_hits, r_word_count, r_mean_word_len, r_alpha, r_symbol,
+        |  r_bullet, r_ellipsis, r_stop,
+        |  (r_word_count AND r_mean_word_len AND r_alpha AND r_symbol
+        |   AND r_bullet AND r_ellipsis AND r_stop) AS pass
+        |FROM v""".stripMargin,
+    "p_token_mix" ->
+      """WITH c AS (SELECT doc_id, source AS stratum,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |  (CASE WHEN source = 'src0' THEN 3.0 WHEN source = 'src1' THEN 1.0
+        |        WHEN source = 'src2' THEN 0.5 ELSE 0.0 END) / 4.5 * 4000.0 AS target
+        |  FROM documents),
+        |tot AS (SELECT stratum, sum(n_tokens)::BIGINT AS src_tokens FROM c GROUP BY 1),
+        |r AS (SELECT c.doc_id, c.stratum, c.n_tokens,
+        |  least(1.0, c.target / tot.src_tokens::DOUBLE) AS rate
+        |  FROM c JOIN tot USING (stratum))
+        |SELECT doc_id, stratum, n_tokens, round(rate, 6) AS rate FROM r
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 15))::BIGINT
+        |  % 1000000)::DOUBLE < rate * 1000000""".stripMargin,
     "p_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 15))::BIGINT % 1000000

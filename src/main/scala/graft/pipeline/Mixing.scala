@@ -35,6 +35,55 @@ object Mixing {
         < (rateCol * 1000000.0).cast("long"))
   }
 
+  /** Token-budgeted source mixing: sample each stratum down to its
+    * share of a total token budget. Stratum `s` with mixture weight
+    * `w_s` gets a target of `w_s / Σw × totalTokens` tokens; its keep
+    * rate is `min(1, target_s / actual_tokens_s)` and rows are kept by
+    * the same deterministic hash threshold [[stratifiedSample]] uses
+    * (compared as DOUBLES — no double→long cast, whose
+    * round-vs-truncate semantics differ between engines).
+    *
+    * This is the "rebalance the corpus to the paper's mixture table"
+    * step (e.g. The Pile / Gopher §A2 sampling proportions): declare
+    * weights, get a reproducible subset whose expected token mass
+    * matches them. Strata missing from `weights` get weight 0 (dropped).
+    *
+    * Scale shape: one groupBy(stratum) token-sum (map-side partial over
+    * a handful of keys) broadcast back into a scan-shaped filter —
+    * the corpus itself never shuffles. Returns
+    * (doc_id, stratum, n_tokens, rate). */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-empty and non-negative")
+    val wsum = weights.values.sum
+    val weightCol: Column = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val counted = docs.select(
+      col(idCol).as("doc_id"),
+      col(stratumCol).as("stratum"),
+      expr(s"CASE WHEN length(trim(`$textCol`)) = 0 THEN 0L " +
+        s"ELSE size(split(trim(`$textCol`), '\\\\s+')) END").cast("long").as("n_tokens"),
+      (weightCol / wsum * totalTokens.toDouble).as("target"))
+    val totals = counted.groupBy("stratum").agg(sum("n_tokens").as("src_tokens"))
+    counted
+      .join(broadcast(totals), Seq("stratum"))
+      .withColumn("rate",
+        least(lit(1.0), col("target") / col("src_tokens").cast("double")))
+      .filter(
+        pmod(Dedup.hash60(col("doc_id").cast("string"), lit(seed)), lit(1000000L))
+          .cast("double") < col("rate") * 1000000.0)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        round(col("rate"), 6).as("rate"))
+  }
+
   /** Sequence packing: assign docs (in id order) to consecutive
     * context-window bins of ~`budgetTokens` whitespace tokens, with the
     * doc's offset inside its bin. bin = floor(exclusive-prefix-sum /

@@ -151,6 +151,72 @@ object TextStats {
         round(coalesce(col("maxc3") / col("tot3"), lit(0.0)), 4).as("top_trigram_frac"))
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021 §A1.1) as
+    * per-document metrics plus one boolean per rule and the composite
+    * verdict — the standard pretraining-corpus admission filter:
+    *
+    *  - word count in [50, 100,000]
+    *  - mean word length in [3, 10]
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - symbol-to-word ratio (`#` and `...`/`…`) ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    *  - at least 2 of the 8 Gopher stop words present
+    *
+    * Pure per-row projection of builtin expressions — zero shuffle,
+    * whole-stage codegen, scan reads (id, text) only. Thresholds
+    * compare the UNROUNDED doubles; rounding is display-only. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .withColumn("_w", expr(
+        "CASE WHEN length(trim(_t)) = 0 THEN CAST(array() AS array<string>) " +
+          "ELSE split(trim(_t), '\\\\s+') END"))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("_nw", greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("mean_word_len",
+        expr("aggregate(_w, 0L, (a, x) -> a + length(x))").cast("double") / col("_nw"))
+      .withColumn("alpha_frac",
+        expr("size(filter(_w, x -> x rlike '[A-Za-z]'))").cast("double") / col("_nw"))
+      .withColumn("symbol_ratio",
+        ((length(col("_t")) - length(expr("replace(_t, '#', '')"))).cast("double") +
+          (length(col("_t")) - length(expr("replace(_t, '...', '')"))).cast("double") / 3.0 +
+          (length(col("_t")) - length(expr("replace(_t, '…', '')"))).cast("double")) /
+          col("_nw"))
+      .withColumn("bullet_frac",
+        expr("size(filter(_lines, x -> x rlike '^\\\\s*[-*•]'))").cast("double") /
+          greatest(size(col("_lines")), lit(1)).cast("double"))
+      .withColumn("ellipsis_frac",
+        expr("size(filter(_lines, x -> x rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))")
+          .cast("double") /
+          greatest(size(col("_lines")), lit(1)).cast("double"))
+      .withColumn("stop_hits", expr(
+        s"size(filter(array($stopArr), s -> array_contains(transform(_w, x -> lower(x)), s)))")
+        .cast("long"))
+      .withColumn("r_word_count", col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_bullet") && col("r_ellipsis") && col("r_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("alpha_frac"), 4).as("alpha_frac"),
+        round(col("symbol_ratio"), 4).as("symbol_ratio"),
+        round(col("bullet_frac"), 4).as("bullet_frac"),
+        round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+        col("stop_hits"), col("r_word_count"), col("r_mean_word_len"),
+        col("r_alpha"), col("r_symbol"), col("r_bullet"), col("r_ellipsis"),
+        col("r_stop"), col("pass"))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence:
     * fold(h_1, (acc, h_i) -> (acc*31 + h_i) mod 1e9+7) where h_i is the
     * 60-bit term hash reduced mod 1e9+7. Matches DuckDB's `list_reduce`

