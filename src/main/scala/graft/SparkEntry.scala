@@ -37,7 +37,10 @@ object SparkEntry {
       "c5_hybrid", "c7_reindex",
       // scrub is detect (p_dup_spans, benched) + a doc-keyed cut join;
       // benching it would double-count the detection chain
-      "p_dedup_scrub")
+      "p_dedup_scrub",
+      // survivors is clusters (p_dedup_groups, benched) + a struct-max;
+      // benching it would double-count the LSH chain + CC rounds
+      "p_dedup_survivors")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -474,6 +477,17 @@ object SparkEntry {
       graft.pipeline.Mixing.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "text",
         "source", Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 0.5),
         totalTokens = 4000L, seed = 42L)),
+    // quality-ranked survivor per duplicate family (keep the cleanest
+    // member, not the lowest id)
+    "p_dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
+      val clusters = graft.pipeline.Dedup.duplicateClusters(docs, "doc_id", pairs)
+      val scores = graft.pipeline.TextStats.qualityScore(docs, "doc_id", "text")
+        .withColumnRenamed("quality", "score")
+      graft.pipeline.Dedup.clusterSurvivors(clusters, scores)
+    }),
     // dataset mixing: deterministic hash-threshold stratified sampling
     "p_stratified_sample" -> ((s, dir) =>
       graft.pipeline.Mixing.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -1793,6 +1807,56 @@ object SparkEntry {
         |  coalesce(least(l.mn, d.doc_id), d.doc_id) AS cluster_id,
         |  coalesce(least(l.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
         |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin,
+    "p_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |p AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS r)),
+        |hh AS (SELECT doc_id, perm,
+        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |    % 2147483647 AS h
+        |  FROM sh CROSS JOIN p),
+        |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 4 AS band,
+        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
+        |pr AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(s, t) AS (SELECT a, b FROM e
+        |  UNION SELECT r.s, e2.b FROM reach r JOIN e e2 ON r.t = e2.a),
+        |lbl AS (SELECT s AS doc_id, min(t) AS mn FROM reach GROUP BY s),
+        |cl AS (SELECT d.doc_id,
+        |  coalesce(least(l.mn, d.doc_id), d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+        |qc AS (SELECT doc_id,
+        |  least(len(t)::DOUBLE / 50.0, 1.0) AS lensat,
+        |  1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
+        |    greatest(length(text), 1), 1.0) AS punct,
+        |  0.5 + 0.5 * least(len(list_filter(t,
+        |    x -> list_contains(['the','and','of','to','a','is'], x)))::DOUBLE * 10.0 /
+        |    greatest(len(t), 1), 1.0) AS stop
+        |  FROM (SELECT d.doc_id, d.text, toks.t FROM documents d JOIN toks USING (doc_id))),
+        |q AS (SELECT doc_id, round(lensat * punct * stop, 4) AS score FROM qc),
+        |rk AS (SELECT cl.doc_id, cl.cluster_id, q.score,
+        |  row_number() OVER (PARTITION BY cl.cluster_id
+        |    ORDER BY q.score DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN q USING (doc_id)),
+        |sv AS (SELECT cluster_id, doc_id AS survivor_id FROM rk WHERE rn = 1)
+        |SELECT r.doc_id, r.cluster_id, sv.survivor_id,
+        |  (r.doc_id = sv.survivor_id) AS keep
+        |FROM rk r JOIN sv USING (cluster_id)""".stripMargin,
     "p_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -435,4 +435,28 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
+
+  /** Re-decide [[duplicateClusters]]' survivor by a quality score
+    * instead of min id: per cluster keep the highest-scoring member
+    * (ties → lowest doc id) — what production pipelines actually do
+    * ("of the N near-identical crawls, keep the cleanest one").
+    *
+    * `clusters`: (doc_id, cluster_id[, ...]); `scores`: (doc_id, score).
+    * Scores should be pre-rounded if an oracle replays the ordering —
+    * ordering on long float tails is engine-divergence bait.
+    *
+    * Shape: one co-partitioned join + a per-cluster struct-max
+    * aggregation (map-side partial; the struct orders by score then
+    * −doc_id, so the argmax IS the agg — no window over the corpus). */
+  def clusterSurvivors(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val surv = clusters.select("doc_id", "cluster_id")
+      .join(scores.select(col("doc_id"), col("score")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).cast("long").as("survivor_id"))
+    clusters.select("doc_id", "cluster_id")
+      .join(surv, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep"))
+  }
 }

@@ -617,6 +617,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSurvivors keeps the max-score member, ties break to min id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),   // family rooted at 0
+      (3L, 3L), (4L, 3L),             // family rooted at 3 (tie scores)
+      (5L, 5L))                        // singleton
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq(0L -> 0.2, 1L -> 0.9, 2L -> 0.5, 3L -> 0.7, 4L -> 0.7, 5L -> 0.1)
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterSurvivors(clusters, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L) === (1L, false))
+    assert(out(1L) === (1L, true), "highest score wins")
+    assert(out(3L) === (3L, true), "tie breaks to min id")
+    assert(out(4L) === (3L, false))
+    assert(out(5L) === (5L, true), "singleton keeps itself")
+  }
+
   test("duplicateClusters on an empty pair set labels every doc a singleton") {
     import spark.implicits._
     val docs = (0L until 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
