@@ -209,6 +209,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.contains((0L, 10L)) && batch.contains((10L, 20L)))
   }
 
+  test("stateless pipeline projections (Gopher rules, PII scrub) run unchanged on streams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (0L, ("the be to of and that have with normal words " * 6).trim),
+      (1L, "short"),
+      (2L, "mail me at a.b@example.com or 10.0.0.1 works too " * 5))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    // the SAME operator code compiles to a streaming plan — zero changes
+    val g = graft.pipeline.TextStats.gopherRules(sdf, "doc_id", "text")
+    val s = graft.pipeline.Scrub.scrubPii(sdf, "doc_id", "text")
+    assert(g.isStreaming && s.isStreaming)
+    stream.addData(rows)
+    for ((df, name) <- Seq(g -> "gopher_stream", s -> "scrub_stream")) {
+      val q = df.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val batchDf = rows.toDF("doc_id", "text")
+    // per-row results are identical to the batch twin
+    val gb = graft.pipeline.TextStats.gopherRules(batchDf, "doc_id", "text")
+    assert(spark.table("gopher_stream").collect().map(_.toString).sorted
+      .sameElements(gb.collect().map(_.toString).sorted))
+    val sb = graft.pipeline.Scrub.scrubPii(batchDf, "doc_id", "text")
+    assert(spark.table("scrub_stream").collect().map(_.toString).sorted
+      .sameElements(sb.collect().map(_.toString).sorted))
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
