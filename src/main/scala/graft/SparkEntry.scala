@@ -40,7 +40,9 @@ object SparkEntry {
       "p_dedup_scrub",
       // survivors is clusters (p_dedup_groups, benched) + a struct-max;
       // benching it would double-count the LSH chain + CC rounds
-      "p_dedup_survivors")
+      "p_dedup_survivors",
+      // decontaminate is contamination (benched) + a per-doc rollup
+      "p_decontaminate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -502,6 +504,13 @@ object SparkEntry {
     "p_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.pipeline.Mixing.contamination(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
+    }),
+    // decontamination apply: per-train-doc verdict + offender diagnostics
+    "p_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Mixing.decontaminate(
         d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
     }),
@@ -1694,6 +1703,24 @@ object SparkEntry {
         |SELECT t.doc_id, e.eval_id, count(*) AS n_shared
         |FROM evalsh e JOIN rare USING (sh) JOIN trainsh t USING (sh)
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "p_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS sh FROM toks),
+        |evalsh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0),
+        |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        |rare AS (SELECT sh FROM evalsh GROUP BY sh HAVING count(*) <= 100),
+        |hit AS (SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+        |  FROM evalsh e JOIN rare USING (sh) JOIN trainsh t USING (sh)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_eval_hits,
+        |  max(n_shared)::BIGINT AS max_shared FROM hit GROUP BY 1)
+        |SELECT d.doc_id, (a.doc_id IS NOT NULL) AS contaminated,
+        |  coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+        |  coalesce(a.max_shared, 0) AS max_shared
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -175,4 +175,34 @@ object Mixing {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The [[contamination]] APPLY step: drop every training doc flagged
+    * against any eval doc, keep the rest — with the per-doc verdict and
+    * the worst-offender diagnostics (peak shared-gram count and how many
+    * eval docs it hit).
+    *
+    * One left anti-ish shape expressed as a left join on the per-train
+    * rollup: the flagged set is orders of magnitude smaller than the
+    * corpus, so the join build side stays tiny; the corpus never
+    * shuffles on anything but its own id. Returns
+    * `(doc_id, contaminated, n_eval_hits, max_shared)`. */
+  def decontaminate(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      minShared: Int = 2,
+      maxEvalShingleDf: Int = 100): DataFrame = {
+    val hits = contamination(train, eval_, idCol, textCol,
+      shingleSize, minShared, maxEvalShingleDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("n_shared").as("max_shared"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_eval_hits").isNotNull.as("contaminated"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+  }
 }

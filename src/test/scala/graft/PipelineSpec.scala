@@ -393,6 +393,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 3L)) // one shared 5-gram window < minShared
   }
 
+  test("decontaminate flags exactly the planted-overlap train docs") {
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = docsDf(
+      0L -> s"training prose with a verbatim leak $evalText inside the middle of it",
+      1L -> "completely clean training document with original words only here now",
+      2L -> evalText)  // doc 2 is the eval split below
+    val out = graft.pipeline.Mixing.decontaminate(
+      d.filter(col("doc_id") < 2), d.filter(col("doc_id") === 2),
+      "doc_id", "text", shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 === true, "leaked doc must be flagged")
+    assert(out(0L)._2 === 1L && out(0L)._3 >= 2L)
+    assert(out(1L) === ((false, 0L, 0L)), "clean doc passes with zeroed diagnostics")
+  }
+
   test("real image decode: 2x2 PNG/JPEG through javax.imageio; stub only as fallback") {
     import spark.implicits._
     def imageBytes(format: String): Array[Byte] = {
