@@ -51,11 +51,31 @@ object CcProbe {
       val n = graft.pipeline.Dedup.duplicateClusters(docs, "doc_id", pairs)
         .filter(col("keep")).count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"CC_PROBE survivors=$n t=$t%.2f")
+      println(f"CC_PROBE survivors=$n t=$t%.2f " +
+        s"rounds=${graft.pipeline.Dedup.lastClusterRounds}")
       t
     }
     println(f"CC_PROBE nFam=$nFam chain=$chainLen best=${times.min}%.3f " +
+      f"rounds=${graft.pipeline.Dedup.lastClusterRounds} " +
       f"times=${times.map(t => f"$t%.2f").mkString(",")}")
+
+    // chain-scaling sweep: pin the claimed O(log diameter) round growth
+    // with the clique load held fixed — rounds should step by ~1 per 2×
+    // chain length, not double
+    if (args.isEmpty) {
+      Seq(100, 1000, 10000, 100000).foreach { cl =>
+        val ch = spark.range(cl.toLong)
+          .select((lit(nDocs - cl - 1) + col("id")).as("a"),
+            (lit(nDocs - cl) + col("id")).as("b"))
+        val t0 = System.nanoTime()
+        graft.pipeline.Dedup
+          .duplicateClusters(docs, "doc_id", cliques.union(ch), maxIters = 60)
+          .filter(col("keep")).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"CC_SWEEP chain=$cl rounds=" +
+          f"${graft.pipeline.Dedup.lastClusterRounds} t=$t%.2f")
+      }
+    }
     spark.stop()
   }
 }

@@ -387,6 +387,10 @@ object Dedup {
     * `pairs` must have two BIGINT columns `a`, `b`; rows with a == b are
     * ignored. Output: one row per doc in `docs` — (doc_id, cluster_id,
     * keep), singletons labeling themselves. */
+  /** Rounds taken by the most recent [[duplicateClusters]] call on this
+    * driver — measurement hook for probes (single-threaded use only). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 30): DataFrame = {
     val spark = docs.sparkSession
@@ -427,6 +431,7 @@ object Dedup {
       it += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    lastClusterRounds = it
     // at convergence every edge is (member, root); roots label themselves
     val labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("lbl"))
     docs.select(col(idCol).cast("long").as("doc_id"))
