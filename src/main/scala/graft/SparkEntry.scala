@@ -1694,9 +1694,11 @@ object SparkEntry {
         |FROM cum""".stripMargin,
     "p_contamination" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
-        |    i -> array_to_string(t[i+1:i+5], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |evalsh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0),
         |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
         |rare AS (SELECT sh FROM evalsh GROUP BY sh HAVING count(*) <= 100)
@@ -1705,9 +1707,11 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "p_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
-        |    i -> array_to_string(t[i+1:i+5], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |evalsh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0),
         |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
         |rare AS (SELECT sh FROM evalsh GROUP BY sh HAVING count(*) <= 100),
@@ -1723,34 +1727,38 @@ object SparkEntry {
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |p AS (SELECT r AS perm,
         |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
         |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
         |  FROM (SELECT unnest(range(0, 8)) AS r)),
         |h AS (SELECT doc_id, perm,
-        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |  (a * (sh % 2147483647) + b)
         |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p)
         |SELECT doc_id, perm, min(h) AS minhash FROM h GROUP BY 1, 2""".stripMargin,
     "p_lsh_pairs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |p AS (SELECT r AS perm,
         |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
         |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
         |  FROM (SELECT unnest(range(0, 16)) AS r)),
         |hh AS (SELECT doc_id, perm,
-        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |  (a * (sh % 2147483647) + b)
         |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p),
         |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 4 AS band,
-        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm) || '#0'), 1, 15))::BIGINT AS band_sig
         |  FROM sigs GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
@@ -1802,20 +1810,22 @@ object SparkEntry {
         |FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id""".stripMargin,
     "p_dedup_groups" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |p AS (SELECT r AS perm,
         |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
         |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
         |  FROM (SELECT unnest(range(0, 16)) AS r)),
         |hh AS (SELECT doc_id, perm,
-        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |  (a * (sh % 2147483647) + b)
         |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p),
         |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 4 AS band,
-        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm) || '#0'), 1, 15))::BIGINT AS band_sig
         |  FROM sigs GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
@@ -1836,20 +1846,22 @@ object SparkEntry {
         |FROM documents d LEFT JOIN lbl l USING (doc_id)""".stripMargin,
     "p_dedup_survivors" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |p AS (SELECT r AS perm,
         |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
         |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
         |  FROM (SELECT unnest(range(0, 16)) AS r)),
         |hh AS (SELECT doc_id, perm,
-        |  (a * (('0x' || substr(md5(sh || '#0'), 1, 15))::BIGINT % 2147483647) + b)
+        |  (a * (sh % 2147483647) + b)
         |    % 2147483647 AS h
         |  FROM sh CROSS JOIN p),
         |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
         |bands AS (SELECT doc_id, perm // 4 AS band,
-        |  md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+        |  ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm) || '#0'), 1, 15))::BIGINT AS band_sig
         |  FROM sigs GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
@@ -1886,9 +1898,11 @@ object SparkEntry {
         |FROM rk r JOIN sv USING (cluster_id)""".stripMargin,
     "p_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM toks),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
         |  WHERE df <= 20 AND df >= 2),
         |rs AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),

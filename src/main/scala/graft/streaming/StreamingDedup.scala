@@ -19,8 +19,8 @@ object StreamingDedup {
   final case class DocRow(doc_id: Long, text: String, text_hash: String)
   final case class SeenState(seen: Boolean)
 
-  final case class BandRow(doc_id: Long, band: Int, band_sig: String)
-  final case class PairRow(a: Long, b: Long, band: Int, band_sig: String)
+  final case class BandRow(doc_id: Long, band: Int, band_sig: Long)
+  final case class PairRow(a: Long, b: Long, band: Int, band_sig: Long)
   final case class BucketState(ids: List[Long], poisoned: Boolean)
 
   /** Streaming MinHash-LSH near-duplicate candidates — the stateful
@@ -57,7 +57,7 @@ object StreamingDedup {
       .groupByKey(r => (r.band, r.band_sig))
       .flatMapGroupsWithState[BucketState, PairRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
           val st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
           if (st.poisoned) Iterator.empty
           else {
