@@ -127,6 +127,23 @@ object DedupStageProbe {
         .distinct()
     }
     if (want("F")) time("F_pairs_guarded_collect") { pairsF.count() }
+    // EXPERIMENT G: signatures via ONE wide groupBy (16 min columns)
+    // instead of the x16 row explode + (doc, perm) groupBy
+    def sigsG = {
+      val (as, bs) = permConsts(16)
+      val aggs = (0 until 16).map(p =>
+        min(expr(s"(${as(p)}L * base + ${bs(p)}L) % $MinhashP")).as(s"h$p"))
+      shH.withColumn("base", pmod(col("sh"), lit(MinhashP)))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until 16).map(i => col(s"h$i")): _*)))
+        .withColumnRenamed("pos", "perm").withColumnRenamed("col", "minhash")
+    }
+    if (want("G")) {
+      time("G_sigs_wide") { sigsG.count() }
+      time("G2_sigs_explode") { sigsH.count() }
+    }
     // full verify on hashed shingles, pairs from B
     if (want("D")) time("D_full_verify_hashed") {
       val sizes = shH.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -81,24 +81,29 @@ object Dedup {
     (0 until numPerm).map(i => md5num(s"mh_b$i") % MinhashP)
   )
 
-  /** MinHash signatures `(doc_id, perm, minhash)`: ONE md5 per shingle
-    * (reduced mod P), then permutation i applies the universal hash
+  /** MinHash signatures `(doc_id, perm, minhash)`: the shingle hash is
+    * reduced mod P, then permutation i applies the universal hash
     * `(a_i·h + b_i) mod P` — arithmetic instead of numPerm md5 rounds
-    * over every shingle (a 16× hash-count cliff at scale). The
-    * doc×shingle×perm explode is reduced map-side by the partial min
-    * before the (doc_id, perm) shuffle. */
+    * over every shingle (a 16× hash-count cliff at scale). All numPerm
+    * mins are computed in ONE wide groupBy(doc_id) — numPerm `min`
+    * aggregation buffers over the shingle rows — then unpacked to the
+    * (doc_id, perm, minhash) shape by a posexplode of the per-doc
+    * result array. That keeps the aggregated row count at
+    * docs×shingles instead of the docs×shingles×numPerm explode of the
+    * first formulation (measured 2.4× at the ×100 corpus: 13.0 s vs
+    * 30.8 s same-JVM, DedupStageProbe G vs G2; identical values). */
   def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
     val (as, bs) = permConsts(numPerm)
-    val aLit = s"array(${as.mkString("L,")}L)"
-    val bLit = s"array(${bs.mkString("L,")}L)"
+    val aggs = (0 until numPerm).map(p =>
+      min(expr(s"(${as(p)}L * base + ${bs(p)}L) % $MinhashP")).as(s"h$p"))
     sh
       .withColumn("base", pmod(col("sh"), lit(MinhashP)))
-      .select(col("doc_id"), col("base"),
-        explode(expr(s"sequence(0, ${numPerm - 1})")).as("perm"))
-      .withColumn("h", expr(
-        s"(element_at($aLit, perm + 1) * base + element_at($bLit, perm + 1)) % $MinhashP"))
-      .groupBy("doc_id", "perm")
-      .agg(min("h").as("minhash"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numPerm).map(i => col(s"h$i")): _*)))
+      .withColumnRenamed("pos", "perm")
+      .withColumnRenamed("col", "minhash")
   }
 
   /** LSH banding: `(doc_id, band, band_sig)` — band_sig is the 60-bit
