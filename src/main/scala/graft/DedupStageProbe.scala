@@ -144,6 +144,36 @@ object DedupStageProbe {
       time("G_sigs_wide") { sigsG.count() }
       time("G2_sigs_explode") { sigsH.count() }
     }
+    // EXPERIMENT H: ngram-jaccard candidate pairs — rare-shingle bucket
+    // self-join (current) vs collect+double-explode
+    if (want("H")) {
+      def rareSh = {
+        val rare = shH.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20 && col("df") >= 2)
+          .select("sh")
+        shH.join(rare, "sh")
+      }
+      time("H1_ngram_pairs_selfjoin") {
+        rareSh.select(col("sh"), col("doc_id").as("a"))
+          .join(rareSh.select(col("sh"), col("doc_id").as("b")), "sh")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("_shared"))
+          .filter(col("_shared") >= 2)
+          .count()
+      }
+      time("H2_ngram_pairs_collect") {
+        rareSh.groupBy("sh")
+          .agg(array_sort(collect_list("doc_id")).as("sids"))
+          .select(explode(expr(
+            "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+          .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("_shared"))
+          .filter(col("_shared") >= 2)
+          .count()
+      }
+    }
     // full verify on hashed shingles, pairs from B
     if (want("D")) time("D_full_verify_hashed") {
       val sizes = shH.groupBy("doc_id").agg(count(lit(1)).as("n"))
