@@ -583,6 +583,40 @@ object SparkEntry {
             lit(".42 call 555-123-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")),
         "doc_id", "text")),
+    // C4 line-level clean + corpus boilerplate removal, over text with
+    // deterministic line structure injected (the corpus is single-line,
+    // so the line rules and the boilerplate df path must be forced —
+    // same discipline as p_pii_scrub): 8-word chunks, terminal '.' on
+    // even chunks, recurring nav/footer lines on doc_id strata, page
+    // poisons on sparse strata
+    "p_c4_clean" -> ((s, dir) => {
+      val lined = t(s, dir, "documents")
+        .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .withColumn("chunks", expr(
+          "CASE WHEN size(tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
+            "transform(sequence(0, CAST(ceil(size(tk) / 8.0) AS INT) - 1), i -> " +
+            "concat(concat_ws(' ', slice(tk, i * 8 + 1, 8)), " +
+            "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"))
+        .withColumn("extra", expr(
+          "concat(" +
+            "CASE WHEN doc_id % 3 = 0 THEN array('sign up for our newsletter today.') ELSE CAST(array() AS array<string>) END, " +
+            "CASE WHEN doc_id % 7 = 0 THEN array('all rights reserved by example corp.') ELSE CAST(array() AS array<string>) END, " +
+            "CASE WHEN doc_id % 89 = 0 THEN array('lorem ipsum dolor sit amet.') ELSE CAST(array() AS array<string>) END, " +
+            "CASE WHEN doc_id % 97 = 0 THEN array('function render() {') ELSE CAST(array() AS array<string>) END)"))
+        .withColumn("text2", concat_ws("\n", concat(col("chunks"), col("extra"))))
+      graft.pipeline.Boilerplate.c4Clean(
+        lined.select("doc_id", "text2"), "doc_id", "text2")
+    }),
+    // incremental near-dedup: the 20% doc_id stratum arrives as a new
+    // batch against the other 80% as the existing corpus
+    "p_incr_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Dedup.incrementalDedupPairs(
+        d.filter(col("doc_id") % 10 < 8), d.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", shingleSize = 3, numPerm = 16, rowsPerBand = 4,
+        minJaccard = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     "p_token_count" -> ((s, dir) =>
       graft.pipeline.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_ws_tokens").cast("long"),
@@ -2074,6 +2108,71 @@ object SparkEntry {
         |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM b""".stripMargin,
+    "p_c4_clean" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |ln AS (SELECT doc_id,
+        |  (CASE WHEN len(t) = 0 THEN []::VARCHAR[] ELSE
+        |    list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+        |      i -> array_to_string(t[i*8+1 : i*8+8], ' ') ||
+        |        CASE WHEN i % 2 = 0 THEN '.' ELSE '' END) END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ['sign up for our newsletter today.'] ELSE []::VARCHAR[] END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ['all rights reserved by example corp.'] ELSE []::VARCHAR[] END
+        |  || CASE WHEN doc_id % 89 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END
+        |  || CASE WHEN doc_id % 97 = 0 THEN ['function render() {'] ELSE []::VARCHAR[] END) AS ls
+        |  FROM tk),
+        |lp AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS pos FROM ln),
+        |l AS (SELECT doc_id, pos,
+        |  contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum') AS has_lorem,
+        |  contains(array_to_string(ls, chr(10)), '{') AS has_brace,
+        |  trim(ls[CAST(pos AS INT) + 1]) AS lt FROM lp),
+        |r AS (SELECT *,
+        |  (regexp_matches(lt, '[.!?"”]$')
+        |    AND len(regexp_extract_all(lower(lt), '[a-z0-9]+')) >= 5
+        |    AND NOT contains(lower(lt), 'javascript')) AS rule_keep,
+        |  ('0x' || substr(md5(regexp_replace(lower(trim(lt)), '\s+', ' ', 'g') || '#0'), 1, 15))::BIGINT AS lh
+        |  FROM l),
+        |df AS (SELECT lh, count(*) AS line_df FROM
+        |  (SELECT DISTINCT lh, doc_id FROM r WHERE rule_keep) GROUP BY 1),
+        |k AS (SELECT r.*, (rule_keep AND coalesce(line_df, 0) <= 2) AS keep
+        |  FROM r LEFT JOIN df USING (lh))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '') AS clean_text,
+        |  count(*) AS n_lines,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+        |  sum(CASE WHEN NOT rule_keep THEN 1 ELSE 0 END) AS n_dropped_rule,
+        |  sum(CASE WHEN rule_keep AND NOT keep THEN 1 ELSE 0 END) AS n_dropped_boiler,
+        |  (NOT bool_or(has_lorem) AND NOT bool_or(has_brace)
+        |    AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3) AS page_pass
+        |FROM k GROUP BY doc_id""".stripMargin,
+    "p_incr_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM g),
+        |p AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS r)),
+        |hh AS (SELECT doc_id, perm,
+        |  (a * (sh % 2147483647) + b)
+        |    % 2147483647 AS h
+        |  FROM sh CROSS JOIN p),
+        |sigs AS (SELECT doc_id, perm, min(h) AS minhash FROM hh GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, perm // 4 AS band,
+        |  ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm) || '#0'), 1, 15))::BIGINT AS band_sig
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM j
+        |WHERE jaccard >= 0.5 AND (a % 10 >= 8 OR b % 10 >= 8)""".stripMargin,
     "p_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,

@@ -472,6 +472,48 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Incremental MinHash-LSH near-dedup: candidate pairs for a NEW batch
+    * of documents against an EXISTING corpus plus within the batch —
+    * the production ingest shape, where re-running the full self-join
+    * over 100 TB of history per arriving batch is not an option.
+    *
+    * Semantics: identical to running [[minhashDedupPairs]] over
+    * `corpus ∪ incoming` and keeping only pairs with at least one
+    * endpoint in `incoming` (spec-asserted; doc ids must be disjoint).
+    * The bucket cap counts corpus AND incoming occupants, so the skew
+    * guard fires exactly as the batch operator would.
+    *
+    * Scale shape: the corpus side's band signatures are a pure
+    * projection of the corpus (in production: computed once at ingest
+    * and stored bucketed by (band, band_sig) — signature computation
+    * never re-touches history). Per batch the incoming side is small,
+    * so the bucket equi-join broadcasts (AQE) or co-partitions against
+    * the stored layout; nothing ever shuffles the corpus text. */
+  def incrementalDedupPairs(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    val shC = shingles(corpus, idCol, textCol, shingleSize)
+    val shN = shingles(incoming, idCol, textCol, shingleSize)
+    val bandsC = lshBands(minhashSignatures(shC, numPerm), rowsPerBand)
+    val bandsN = lshBands(minhashSignatures(shN, numPerm), rowsPerBand)
+    // bucket cap over TOTAL occupancy (corpus + incoming), as in batch
+    val occ = bandsC.select("band", "band_sig")
+      .union(bandsN.select("band", "band_sig"))
+      .groupBy("band", "band_sig").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize && col("_n") >= 2)
+      .select("band", "band_sig")
+    val nOk = bandsN.join(occ, Seq("band", "band_sig"), "left_semi")
+    val cOk = bandsC.join(occ, Seq("band", "band_sig"), "left_semi")
+    val newXold = nOk.select(col("band"), col("band_sig"), col("doc_id").as("x"))
+      .join(cOk.select(col("band"), col("band_sig"), col("doc_id").as("y")),
+        Seq("band", "band_sig"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val newXnew = candidatePairs(nOk, maxBucketSize)
+    val pairs = newXold.union(newXnew).distinct()
+    jaccardVerify(pairs, shC.union(shN)).filter(col("jaccard") >= minJaccard)
+  }
+
   /** Re-decide [[duplicateClusters]]' survivor by a quality score
     * instead of min id: per cluster keep the highest-scoring member
     * (ties → lowest doc id) — what production pipelines actually do

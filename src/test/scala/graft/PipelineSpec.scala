@@ -659,4 +659,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length === 5)
     assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
   }
+
+  // ---------- C4 line clean + boilerplate ----------
+
+  test("c4Clean: line rules, corpus boilerplate df, and page poisons each fire") {
+    val nav = "sign up for the newsletter right now."
+    val good = (i: Int) => s"this sentence number $i has plenty of words in it."
+    val d = docsDf(
+      // 3 kept sentences + nav line (boilerplate: appears in 3 docs)
+      0L -> s"${good(0)}\n${good(1)}\n${good(2)}\n$nav",
+      1L -> s"${good(3)}\n${good(4)}\n${good(5)}\n$nav",
+      2L -> s"${good(6)}\n${good(7)}\n${good(8)}\n$nav",
+      // no terminal punctuation / too short / javascript mention
+      3L -> s"no terminal punctuation on this line\nshort one.\nplease enable javascript to continue.\n${good(9)}\n${good(10)}\n${good(11)}",
+      // page poisons
+      4L -> s"${good(12)}\n${good(13)}\n${good(14)}\nlorem ipsum dolor sit amet.",
+      5L -> s"${good(15)}\n${good(16)}\n${good(17)}\nvar f = function() {")
+    val out = graft.pipeline.Boilerplate
+      .c4Clean(d, "doc_id", "text", minLineWords = 5, maxLineDf = 2, minKeptLines = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // nav line is rule-eligible but recurs in 3 docs > maxLineDf=2
+    (0L to 2L).foreach { i =>
+      assert(out(i).getAs[Long]("n_kept") === 3L, s"doc $i")
+      assert(out(i).getAs[Long]("n_dropped_boiler") === 1L, s"doc $i")
+      assert(out(i).getAs[Boolean]("page_pass"), s"doc $i")
+      assert(!out(i).getAs[String]("clean_text").contains("newsletter"))
+    }
+    // doc 3: three rule-dropped lines, three kept, page passes
+    assert(out(3L).getAs[Long]("n_dropped_rule") === 3L)
+    assert(out(3L).getAs[Long]("n_kept") === 3L)
+    assert(out(3L).getAs[Boolean]("page_pass"))
+    assert(out(3L).getAs[String]("clean_text") ===
+      Seq(9, 10, 11).map(i => s"this sentence number $i has plenty of words in it.").mkString("\n"))
+    // page poisons: lorem ipsum / curly brace fail the page regardless of kept count
+    assert(!out(4L).getAs[Boolean]("page_pass"))
+    assert(!out(5L).getAs[Boolean]("page_pass"))
+    assert(out(5L).getAs[Long]("n_kept") === 3L, "brace line itself is rule-dropped")
+  }
+
+  test("c4Clean: doc with no surviving lines yields empty text and page_pass false") {
+    val d = docsDf(7L -> "all lowercase no punctuation here\nanother bare line")
+    val r = graft.pipeline.Boilerplate.c4Clean(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[String]("clean_text") === "")
+    assert(r.getAs[Long]("n_kept") === 0L)
+    assert(!r.getAs[Boolean]("page_pass"))
+  }
+
+  // ---------- incremental near-dedup ----------
+
+  test("incrementalDedupPairs equals batch pairs restricted to new-doc endpoints") {
+    val rnd = new scala.util.Random(7)
+    def mutate(base: Seq[String], k: Int): String = {
+      val a = base.toArray
+      (0 until k).foreach(_ => a(rnd.nextInt(a.length)) = s"w${rnd.nextInt(50)}")
+      a.mkString(" ")
+    }
+    // 6 families of 4 near-dup docs + 16 unique docs, ids interleaved so
+    // both strata hold family members
+    val docs = (0 until 6).flatMap { f =>
+      val base = Seq.fill(30)(s"tok${rnd.nextInt(40)}f$f")
+      (0 until 4).map(r => (f * 10L + r, mutate(base, 2)))
+    } ++ (100L until 116L).map(i => (i, Seq.fill(30)(s"u${rnd.nextInt(5000)}i$i").mkString(" ")))
+    val d = docsDf(docs: _*)
+    val isNew = (id: Long) => id % 10 >= 2 // 2 of each family's 4 are "new"
+    val corpus = d.filter(col("doc_id") % 10 < 2)
+    val incoming = d.filter(col("doc_id") % 10 >= 2)
+    val incr = Dedup.incrementalDedupPairs(corpus, incoming, "doc_id", "text",
+        shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashDedupPairs(d, "doc_id", "text",
+        shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => isNew(p._1) || isNew(p._2))
+    assert(incr === batch)
+    assert(incr.nonEmpty, "planted families must collide")
+    assert(incr.exists(p => !isNew(p._1) || !isNew(p._2)), "new-vs-corpus pairs present")
+  }
 }
