@@ -90,6 +90,39 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused columns read at the scan: $readSchemas")
   }
 
+  test("LSH candidate pairs: no self hash-join of the bands relation, no nested-loop join") {
+    val df = spark.read.parquet(tablePath)
+    val bands = graft.pipeline.Dedup.lshBands(
+      graft.pipeline.Dedup.minhashSignatures(
+        graft.pipeline.Dedup.shingles(df, "doc_id", "text", 3), 8), 2)
+    val plan = planOf(graft.pipeline.Dedup.candidatePairs(bands))
+    // the bucket-cap guard joins back as a SEMI join (no row fan-out),
+    // pairs come from collect+explode — a second hash join of the bands
+    // relation against itself must never reappear
+    assert(plan.contains("LeftSemi"),
+      s"bucket-cap guard is not a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in the pair plan:\n$plan")
+    val innerHashJoins = plan.linesIterator
+      .filter(l => l.contains("HashJoin") && l.contains("Inner")).size
+    assert(innerHashJoins === 0,
+      s"pair generation still self-joins the bands relation:\n$plan")
+    // the collect_list rollup partial-aggregates map-side like every
+    // other shuffle in the chain
+    assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
+  }
+
+  test("c4Clean: boilerplate df joins back on the line hash, unused columns pruned") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.Boilerplate.c4Clean(df, "doc_id", "text"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in the c4Clean plan:\n$plan")
+    assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("score") && !readSchemas.contains("grp"),
+      s"unused columns read at the scan: $readSchemas")
+  }
+
   test("BM25 query terms reach the postings scan as a pushed In filter") {
     import spark.implicits._
     val fts = "/tmp/graft_plan_fts"

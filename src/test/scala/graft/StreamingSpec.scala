@@ -238,6 +238,46 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(sb.collect().map(_.toString).sorted))
   }
 
+  test("per-batch incremental near-dedup over an accumulating corpus replays the batch pair set") {
+    import spark.implicits._
+    // the foreachBatch ingest shape: batch i dedups against everything
+    // already ingested, then joins the corpus — a pair is emitted exactly
+    // once, when its LATER member arrives
+    val rnd = new scala.util.Random(11)
+    def mutate(base: Seq[String]): String = {
+      val a = base.toArray
+      a(rnd.nextInt(a.length)) = s"w${rnd.nextInt(50)}"
+      a.mkString(" ")
+    }
+    val fams = (0 until 5).map(f => Seq.fill(25)(s"tok${rnd.nextInt(30)}f$f"))
+    // 3 micro-batches; each family contributes one member per batch
+    val batches = (0 until 3).map { b =>
+      fams.zipWithIndex.map { case (base, f) => (f * 10L + b, mutate(base)) } ++
+        Seq((100L + b, Seq.fill(25)(s"u${rnd.nextInt(9999)}b$b").mkString(" ")))
+    }
+    var corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emitted = scala.collection.mutable.Set.empty[(Long, Long)]
+    batches.foreach { rows =>
+      val incoming = rows.toDF("doc_id", "text")
+      if (corpus.isEmpty) {
+        emitted ++= graft.pipeline.Dedup.minhashDedupPairs(incoming, "doc_id", "text",
+            shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.3)
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      } else {
+        emitted ++= graft.pipeline.Dedup.incrementalDedupPairs(corpus, incoming, "doc_id", "text",
+            shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.3)
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      corpus = corpus.union(incoming)
+    }
+    val batchAll = graft.pipeline.Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+        shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.toSet === batchAll,
+      "cumulative per-batch pairs must equal the one-shot batch pair set")
+    assert(batchAll.nonEmpty, "planted families must collide")
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
