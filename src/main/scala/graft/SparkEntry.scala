@@ -453,6 +453,11 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
+    // hamming-space near-dedup: block-agreement candidates (pigeonhole,
+    // zero false negatives at hamming <= 3) + exact bit_count verify
+    "p_simhash_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 60, nBlocks = 6, maxHamming = 3)),
     // exact-substring duplicate spans: cross-doc verbatim 15-token windows
     // merged into maximal removable ranges (Lee et al. 2022 ExactSubstr)
     "p_dup_spans" -> ((s, dir) =>
@@ -1963,6 +1968,31 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM c GROUP BY 1""".stripMargin,
+    "p_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, tf,
+        |  ('0x' || substr(md5(term || '#0'), 1, 15))::BIGINT AS h FROM post),
+        |bits AS (SELECT unnest(range(0, 60)) AS bit),
+        |c AS (SELECT doc_id, bit,
+        |  sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM hh CROSS JOIN bits GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM c GROUP BY 1),
+        |combos(tid, c1, c2, c3) AS (VALUES (0,0,1,2),(1,0,1,3),(2,0,1,4),(3,0,1,5),(4,0,2,3),(5,0,2,4),(6,0,2,5),(7,0,3,4),(8,0,3,5),(9,0,4,5),(10,1,2,3),(11,1,2,4),(12,1,2,5),(13,1,3,4),(14,1,3,5),(15,1,4,5),(16,2,3,4),(17,2,3,5),(18,2,4,5),(19,3,4,5)),
+        |bv AS (SELECT doc_id, simhash, tid,
+        |    ((simhash // (1::BIGINT << (c1 * 10))) % 1024) * (1::BIGINT << 20)
+        |  + ((simhash // (1::BIGINT << (c2 * 10))) % 1024) * (1::BIGINT << 10)
+        |  + ((simhash // (1::BIGINT << (c3 * 10))) % 1024) AS bval
+        |  FROM fp CROSS JOIN combos),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bv x JOIN bv y USING (tid, bval) WHERE x.doc_id < y.doc_id)
+        |SELECT c.a, c.b,
+        |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+        |FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+        |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""".stripMargin,
     "p_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qemb
         |  FROM embeddings WHERE vec_id < 5),

@@ -209,6 +209,72 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("simhash"))
 
+  /** SimHash near-dedup in hamming space (Manku et al. 2007, "Detecting
+    * Near-Duplicates for Web Crawling", §3's block-permutation tables):
+    * the fingerprint splits into `nBlocks` contiguous blocks and each
+    * doc enters one table per COMBINATION of `nBlocks − maxHamming`
+    * blocks, keyed by those blocks' concatenated values. At most
+    * `maxHamming` bit flips touch at most `maxHamming` blocks, so some
+    * combination of `nBlocks − maxHamming` blocks is flip-free — a pair
+    * within the hamming radius MUST collide in that table (pigeonhole:
+    * zero false negatives), then exact `bit_count(xor)` verifies.
+    * Complements the MinHash-LSH chain: simhash responds to weighted
+    * term-frequency drift where shingle Jaccard responds to phrasing
+    * overlap.
+    *
+    * Scale sizing (documented, not hidden): the table key is
+    * `(nBlocks − maxHamming) · bits/nBlocks` bits wide and expected
+    * occupancy is `N / 2^keyBits` — the defaults (60-bit fingerprint,
+    * 6 blocks → C(6,3)=20 tables keyed on 30 bits) hold past 10^8 docs
+    * even on bit-skewed corpora, at 20 bucket rows per doc. The first
+    * formulation here keyed single 15-bit blocks (4 tables) and
+    * melted at the ×100 corpus — uniform-vocab word salads concentrate
+    * simhash bits, popular block values went quadratic (measured: a
+    * >1 GB candidate broadcast). The `maxBucketSize` guard (1000,
+    * tighter than the LSH chain's md5-diffuse buckets need) remains
+    * the explicit skew contract for byte-identical fingerprint floods
+    * that survive even 30-bit keys. */
+  def simhashDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, nBlocks: Int = 6, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole guarantee needs maxHamming < nBlocks (got $maxHamming >= $nBlocks)")
+    require(bits % nBlocks == 0, s"bits ($bits) must divide into $nBlocks blocks")
+    val bw = bits / nBlocks
+    val comboSize = nBlocks - maxHamming
+    val combos = (0 until nBlocks).combinations(comboSize).toSeq
+    val fp = simhash(docs, idCol, textCol, bits)
+    def bval(b: Int) = s"((simhash div shiftleft(1L, ${b * bw})) % shiftleft(1L, $bw))"
+    val keyStructs = combos.zipWithIndex.map { case (cs, tid) =>
+      val key = cs.zipWithIndex.map { case (b, j) =>
+        s"${bval(b)} * shiftleft(1L, ${(comboSize - 1 - j) * bw})"
+      }.mkString(" + ")
+      s"struct(${tid}L AS tid, $key AS bval)"
+    }
+    val tables = fp
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(s"array(${keyStructs.mkString(", ")})")).as("e"))
+      .select(col("doc_id"), col("e.tid").as("tid"), col("e.bval").as("bval"))
+    val ok = tables.groupBy("tid", "bval").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize && col("_n") >= 2)
+      .select("tid", "bval")
+    val pairs = tables.join(ok, Seq("tid", "bval"), "left_semi")
+      .groupBy("tid", "bval")
+      .agg(collect_list("doc_id").as("ids"))
+      .select(array_sort(col("ids")).as("sids"))
+      .select(explode(expr(
+        "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+      .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+      .distinct()
+    pairs
+      .join(fp.select(col("doc_id").as("a"), col("simhash").as("fa")), "a")
+      .join(fp.select(col("doc_id").as("b"), col("simhash").as("fb")), "b")
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** n-gram Jaccard similarity join without LSH: candidates are doc pairs
     * sharing at least one *rare* shingle (document frequency ≤
     * `maxShingleDf` — the frequent-shingle cap is the scale guard that

@@ -660,6 +660,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
   }
 
+  // ---------- simhash hamming pairs ----------
+
+  test("simhashDedupPairs finds exactly the brute-force hamming<=3 pairs (pigeonhole completeness)") {
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 40).map(i => s"term$i")
+    def doc(words: Int) = Seq.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // near-identical docs (one word swapped) + unrelated docs
+    val bases = (0 until 8).map(_ => doc(40))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val sw = b.split(" ").toVector.updated(rnd.nextInt(40), vocab(rnd.nextInt(vocab.length)))
+      Seq((i * 2L, b), (i * 2L + 1, sw.mkString(" ")))
+    } ++ (100L until 110L).map(i => (i, doc(40)))
+    val d = docsDf(rows: _*)
+    // brute force over the fingerprints themselves
+    val fps = Dedup.simhash(d, "doc_id", "text", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      hm = java.lang.Long.bitCount(fps(a) ^ fps(b)) if hm <= 3
+    } yield (a, b) -> hm.toLong).toMap
+    // default combo tables (6 blocks, C(6,3)=20 tables of 30-bit keys)
+    // and the degenerate single-block scheme (4 blocks, comboSize 1)
+    // must BOTH find exactly the brute-force set
+    Seq(6, 4).foreach { nb =>
+      val out = Dedup.simhashDedupPairs(d, "doc_id", "text",
+          bits = 60, nBlocks = nb, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out === brute, s"nBlocks=$nb")
+    }
+    assert(brute.nonEmpty, "planted near-identical docs must land within hamming 3")
+  }
+
   // ---------- C4 line clean + boilerplate ----------
 
   test("c4Clean: line rules, corpus boilerplate df, and page poisons each fire") {
