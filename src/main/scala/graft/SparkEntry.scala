@@ -622,6 +622,12 @@ object SparkEntry {
         minJaccard = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2019): corpus-trained
+    // Laplace unigram LM, per-doc mean neg-log-likelihood in integer
+    // micro-nats, head/middle/tail split at the q25/q75 quantiles
+    "p_ppl_bucket" -> ((s, dir) =>
+      graft.pipeline.TextStats.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text")),
     "p_token_count" -> ((s, dir) =>
       graft.pipeline.TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_ws_tokens").cast("long"),
@@ -2203,6 +2209,29 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.5 AND (a % 10 >= 8 OR b % 10 >= 8)""".stripMargin,
+    "p_ppl_bucket" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |dt AS (SELECT doc_id, tok, count(*) AS m FROM t GROUP BY 1, 2),
+        |c AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS v FROM c),
+        |sc AS (SELECT dt.doc_id, CAST(sum(dt.m) AS BIGINT) AS n_tokens,
+        |  CAST(sum(dt.m * CAST(round(ln(c.c + 1) * 1000000) AS BIGINT)) AS BIGINT) AS s
+        |  FROM dt JOIN c USING (tok) GROUP BY 1),
+        |n AS (SELECT doc_id, n_tokens,
+        |  round((n_tokens * CAST(round(ln(tot.n_total + tot.v) * 1000000) AS BIGINT) - s)::DOUBLE
+        |    / 1000000.0 / n_tokens, 4) AS nll
+        |  FROM sc CROSS JOIN tot),
+        |q AS (SELECT quantile_cont(nll, 0.25) AS q25,
+        |  quantile_cont(nll, 0.75) AS q75 FROM n)
+        |SELECT d.doc_id, coalesce(n.n_tokens, 0) AS n_tokens, n.nll,
+        |  CASE WHEN n.nll IS NULL THEN 'tail'
+        |       WHEN n.nll <= q.q25 THEN 'head'
+        |       WHEN n.nll > q.q75 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id CROSS JOIN q""".stripMargin,
     "p_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,

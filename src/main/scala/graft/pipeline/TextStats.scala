@@ -217,6 +217,67 @@ object TextStats {
         col("r_stop"), col("pass"))
   }
 
+  /** CCNet-style corpus-LM perplexity bucketing (Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): train a unigram language model on the corpus itself
+    * (Laplace-smoothed), score each document by its mean per-token
+    * negative log-likelihood under that LM, and split the corpus into
+    * head / middle / tail buckets at the q25 / q75 score quantiles
+    * (head = lowest perplexity = most fluent under the corpus LM).
+    * CCNet uses a pretrained KenLM; the corpus-trained unigram LM keeps
+    * the same plumbing and bucketing contract with no external model.
+    *
+    * Determinism: per-token log-probs are quantized to integer
+    * micro-nats (round(ln(count+1)*1e6) AS BIGINT) BEFORE the per-doc
+    * sum, so aggregation is exact integer arithmetic — order-independent
+    * and byte-replayable by the DuckDB twin; doubles appear only in the
+    * final displayed division. Quantile probabilities 0.25/0.75 are
+    * exact binary fractions, so the interpolated quantile over the
+    * 4-dp-rounded scores is bit-identical across engines.
+    *
+    * Scale shape (100 TB): the (doc,token) rollup and the token-count
+    * groupBy both combine map-side; the LM join is 1-row-per-token on
+    * the build side (hot stopword keys are AQE skew-splittable, never
+    * quadratic); LM totals and the two bucket thresholds are single-row
+    * aggregates (a bounded 2-double driver collect). No self-joins, no
+    * global sort, no windows. At extreme scale swap the exact
+    * `percentile` for `approx_percentile` — the contract is unchanged. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("doc_id"), explode(toks(textCol)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    val counts = dt.groupBy("tok").agg(sum("m").as("c"))
+    val tot = counts.agg(sum("c").as("n_total"), count(lit(1)).as("v"))
+    val scored = dt
+      .join(counts, "tok")
+      .withColumn("_l", expr("CAST(round(ln(c + 1) * 1000000) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_tokens"), sum(col("m") * col("_l")).as("_s"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_lv", expr("CAST(round(ln(n_total + v) * 1000000) AS BIGINT)"))
+      .withColumn("nll", round(
+        (col("n_tokens") * col("_lv") - col("_s")).cast("double") /
+          lit(1e6) / col("n_tokens").cast("double"), 4))
+      .select("doc_id", "n_tokens", "nll")
+    // bounded driver collect: exactly the two bucket-threshold doubles
+    val qrow = scored.agg(
+      percentile(col("nll"), lit(0.25)).as("q25"),
+      percentile(col("nll"), lit(0.75)).as("q75")).first()
+    val (q25, q75) =
+      if (qrow.isNullAt(0)) (Double.NaN, Double.NaN)
+      else (qrow.getDouble(0), qrow.getDouble(1))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"),
+        when(col("nll").isNull, lit("tail"))
+          .when(col("nll") <= q25, lit("head"))
+          .when(col("nll") > q75, lit("tail"))
+          .otherwise(lit("middle")).as("ppl_bucket"))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence:
     * fold(h_1, (acc, h_i) -> (acc*31 + h_i) mod 1e9+7) where h_i is the
     * 60-bit term hash reduced mod 1e9+7. Matches DuckDB's `list_reduce`

@@ -198,6 +198,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep(3L).getAs[Double]("top_trigram_frac") === 0.0)
   }
 
+  test("perplexityBuckets: corpus-LM nll matches brute force, buckets ordered") {
+    // common words appear in every doc (low nll → head); doc 3 uses
+    // corpus-rare words (high nll → tail); doc 4 is empty (null nll, tail)
+    val d = docsDf(
+      0L -> "the cat sat on the mat",
+      1L -> "the dog sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "zyx qwv jkl pnm bcd fgh",
+      4L -> "")
+    val out = TextStats.perplexityBuckets(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)
+    // brute-force nll for doc 0 with the same integer micro-nat quantization
+    val toks = d.collect().map(r => r.getLong(0) ->
+      "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq).toMap
+    val counts = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val n = counts.values.sum.toLong
+    val v = counts.size.toLong
+    def q(x: Double): Long = math.round(x * 1e6)
+    def nll(id: Long): Double = {
+      val ts = toks(id)
+      val s = ts.map(t => q(math.log(counts(t) + 1.0))).sum
+      val raw = (ts.size * q(math.log((n + v).toDouble)) - s).toDouble / 1e6 / ts.size
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Double]("nll") === nll(id), s"doc $id")
+      assert(out(id).getAs[Long]("n_tokens") === toks(id).size.toLong)
+    }
+    // rare-word doc must score strictly worse than the common-word docs
+    assert(nll(3L) > nll(0L) && nll(3L) > nll(1L) && nll(3L) > nll(2L))
+    assert(out(3L).getAs[String]("ppl_bucket") === "tail")
+    assert(out(0L).getAs[String]("ppl_bucket") === "head")
+    // empty doc: no tokens, null score, tail bucket by contract
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("nll")))
+    assert(out(4L).getAs[String]("ppl_bucket") === "tail")
+    // bucket thresholds are quantiles: heads score <= every middle/tail
+    val byBucket = out.values.filter(!_.isNullAt(2)).toSeq
+      .groupBy(_.getAs[String]("ppl_bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("nll"))).toMap
+    for (h <- byBucket.getOrElse("head", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(h < t)
+  }
+
   test("crossDocNgramShare flags only spans shared across documents") {
     val d = docsDf(
       0L -> "alpha beta gamma delta epsilon zeta",     // shares 5-gram prefix with 1
