@@ -622,6 +622,14 @@ object SparkEntry {
         minJaccard = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // DSIR importance weighting (Xie et al. 2023): the 10% doc_id stratum
+    // plays the target corpus, the rest is the raw pool to be scored
+    "p_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipeline.Mixing.dsirWeights(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numBuckets = 1024)
+    }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2019): corpus-trained
     // Laplace unigram LM, per-doc mean neg-log-likelihood in integer
     // micro-nats, head/middle/tail split at the q25/q75 quantiles
@@ -2209,6 +2217,38 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.5 AND (a % 10 >= 8 OR b % 10 >= 8)""".stripMargin,
+    "p_dsir_weights" ->
+      """WITH docs AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, list_concat(ws,
+        |  CASE WHEN len(ws) < 2 THEN [] ELSE list_transform(range(1, len(ws)),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]) END) AS gs
+        |  FROM docs),
+        |f0 AS (SELECT doc_id, unnest(gs) AS gram FROM g0),
+        |f AS (SELECT doc_id,
+        |  ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket FROM f0),
+        |ft AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |fr AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+        |lt AS (SELECT bucket,
+        |  CAST(round(ln(count(*) + 1) * 1000000) AS BIGINT) AS lt FROM ft GROUP BY 1),
+        |lr AS (SELECT bucket,
+        |  CAST(round(ln(count(*) + 1) * 1000000) AS BIGINT) AS lr FROM fr GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_t FROM ft),
+        |nr AS (SELECT count(*) AS n_r FROM fr),
+        |db AS (SELECT doc_id, bucket, count(*) AS m FROM fr GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, CAST(sum(db.m) AS BIGINT) AS n_feats,
+        |  CAST(sum(db.m * (coalesce(lt.lt, 0) - lr.lr)) AS BIGINT) AS s
+        |  FROM db JOIN lr USING (bucket) LEFT JOIN lt USING (bucket) GROUP BY 1),
+        |w AS (SELECT doc_id, n_feats, round((s + n_feats *
+        |  (CAST(round(ln(nr.n_r + 1024) * 1000000) AS BIGINT) -
+        |   CAST(round(ln(nt.n_t + 1024) * 1000000) AS BIGINT)))::DOUBLE
+        |  / 1000000.0 / n_feats, 4) + 0.0 AS logratio
+        |  FROM sc CROSS JOIN nt CROSS JOIN nr),
+        |q AS (SELECT quantile_cont(logratio, 0.75) AS q75 FROM w)
+        |SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats, w.logratio,
+        |  coalesce(w.logratio >= q.q75, false) AS selected
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN w ON d.doc_id = w.doc_id CROSS JOIN q""".stripMargin,
     "p_ppl_bucket" ->
       """WITH w AS (SELECT doc_id,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -84,6 +84,84 @@ object Mixing {
         round(col("rate"), 6).as("rate"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw-corpus
+    * document by how target-like its hashed n-gram feature distribution
+    * is. Features are unigrams+bigrams hashed into `numBuckets` buckets
+    * (the paper's hashed-n-gram generative model); bucket probabilities
+    * are Laplace-estimated on the target and raw corpora; a document's
+    * score is the MEAN per-feature log-likelihood ratio
+    * ln(p_target(b)/p_raw(b)) — the mean (vs the paper's sum) makes the
+    * score length-invariant, the same normalization CCNet applies to its
+    * LM scores. `selected` flags the top quartile (score ≥ q75), a
+    * deterministic stand-in for the paper's Gumbel resampling.
+    *
+    * Determinism: bucket ids come from the md5-hex hash DuckDB replays
+    * byte-exactly; per-bucket log-probs are quantized to integer
+    * micro-nats BEFORE the per-doc sum (order-independent exact
+    * arithmetic, as in TextStats.perplexityBuckets); the 0.75 quantile
+    * is an exact binary fraction; scores are `+ 0.0`-normalized so a
+    * negative-zero rounding can never hash-split the engines.
+    *
+    * Scale shape (100 TB): both LM tables aggregate to ≤ numBuckets rows
+    * and broadcast; the only corpus-sized shuffles are the map-side
+    * combined (doc,bucket) and doc rollups. Single-row total aggregates;
+    * one bounded 1-double driver collect for the selection threshold. */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("ws"))
+        .withColumn("gs", expr(
+          "concat(ws, CASE WHEN size(ws) < 2 THEN CAST(array() AS array<string>) " +
+            "ELSE transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END)"))
+        .select(col("doc_id"), explode(col("gs")).as("gram"))
+        .withColumn("bucket",
+          expr(s"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % $numBuckets"))
+        .select("doc_id", "bucket")
+    val fT = feats(target)
+    val fR = feats(raw)
+    val micro = "CAST(round(ln(c + 1) * 1000000) AS BIGINT)"
+    val lmT = fT.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(col("bucket"), expr(micro).as("lt"))
+    val lmR = fR.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .select(col("bucket"), expr(micro).as("lr"))
+    // raw-side buckets always exist in lmR; absent-from-target buckets
+    // score ln(0 + 1) = 0 micro-nats exactly
+    val lm = lmR.join(lmT, Seq("bucket"), "left")
+      .select(col("bucket"), col("lr"), coalesce(col("lt"), lit(0L)).as("lt"))
+    val totT = fT.agg(count(lit(1)).as("n_t"))
+    val totR = fR.agg(count(lit(1)).as("n_r"))
+    val scored = fR.groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+      .join(broadcast(lm), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_feats"),
+        sum(col("m") * (col("lt") - col("lr"))).as("_s"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .withColumn("logratio",
+        round((col("_s") + col("n_feats") *
+          (expr(s"CAST(round(ln(n_r + $numBuckets) * 1000000) AS BIGINT)") -
+            expr(s"CAST(round(ln(n_t + $numBuckets) * 1000000) AS BIGINT)")))
+          .cast("double") / lit(1e6) / col("n_feats").cast("double"), 4) + lit(0.0))
+      .select("doc_id", "n_feats", "logratio")
+    // bounded driver collect: the single selection-threshold double
+    val qrow = scored.agg(percentile(col("logratio"), lit(0.75)).as("q75")).first()
+    val q75 = if (qrow.isNullAt(0)) Double.NaN else qrow.getDouble(0)
+    raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("logratio"),
+        when(col("logratio").isNull, lit(false))
+          .otherwise(col("logratio") >= q75).as("selected"))
+  }
+
   /** Sequence packing: assign docs (in id order) to consecutive
     * context-window bins of ~`budgetTokens` whitespace tokens, with the
     * doc's offset inside its bin. bin = floor(exclusive-prefix-sum /

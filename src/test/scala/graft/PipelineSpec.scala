@@ -243,6 +243,55 @@ class PipelineSpec extends AnyFunSuite {
       assert(h < t)
   }
 
+  test("dsirWeights: target-like docs outrank off-target, brute-force exact") {
+    val target = docsDf(
+      100L -> "neural networks learn representations",
+      101L -> "neural networks generalize well",
+      102L -> "deep neural networks learn")
+    val raw = docsDf(
+      0L -> "neural networks learn fast",        // target-like → high
+      1L -> "neural networks learn representations well", // very target-like
+      2L -> "stock prices fell sharply today",   // off-target → low
+      3L -> "")                                  // no features → null, unselected
+    val out = Mixing.dsirWeights(raw, target, "doc_id", "text", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 4)
+    val lr = (id: Long) => out(id).getAs[Double]("logratio")
+    assert(lr(0L) > lr(2L) && lr(1L) > lr(2L),
+      "target-like docs must outscore the off-target doc")
+    assert(out(3L).getAs[Long]("n_feats") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("logratio")))
+    assert(!out(3L).getAs[Boolean]("selected"))
+    // exactly the top quartile of the 3 scored docs is selected (q75 of
+    // 3 values = the max → only the argmax passes >= q75)
+    val scored = Seq(0L, 1L, 2L)
+    val best = scored.maxBy(lr)
+    scored.foreach(id => assert(out(id).getAs[Boolean]("selected") === (id == best)))
+    // brute-force replication with the same hashing + micro-nat quantization
+    def toks(s: String) = "[a-z0-9]+".r.findAllIn(s.toLowerCase).toSeq
+    def grams(s: String) = { val w = toks(s); w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 64
+    }
+    def q(x: Double): Long = math.round(x * 1e6)
+    val fT = target.collect().flatMap(r => grams(r.getString(1))).map(bucket)
+    val fR = raw.collect().flatMap(r => grams(r.getString(1))).map(bucket)
+    val cT = fT.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cR = fR.groupBy(identity).map { case (k, v) => k -> v.size }
+    raw.collect().filter(r => grams(r.getString(1)).nonEmpty).foreach { r =>
+      val bs = grams(r.getString(1)).map(bucket)
+      val s = bs.map(b => q(math.log(cT.getOrElse(b, 0) + 1.0)) -
+        q(math.log(cR(b) + 1.0))).sum
+      val micro = s + bs.size * (q(math.log(fR.length + 64.0)) - q(math.log(fT.length + 64.0)))
+      val want = BigDecimal(micro.toDouble / 1e6 / bs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(lr(r.getLong(0)) === want, s"doc ${r.getLong(0)}")
+      assert(out(r.getLong(0)).getAs[Long]("n_feats") === bs.size.toLong)
+    }
+  }
+
   test("crossDocNgramShare flags only spans shared across documents") {
     val d = docsDf(
       0L -> "alpha beta gamma delta epsilon zeta",     // shares 5-gram prefix with 1
