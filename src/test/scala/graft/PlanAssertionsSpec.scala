@@ -123,6 +123,38 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused columns read at the scan: $readSchemas")
   }
 
+  test("perplexityBuckets: partial aggs, broadcast LM totals, pruned scan") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.TextStats.perplexityBuckets(df, "doc_id", "text"))
+    // the (doc,tok) and token-count rollups must combine map-side
+    assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
+    // the single-row LM-totals join is a broadcast, never a shuffle
+    assert(plan.contains("BroadcastExchange"),
+      s"LM totals not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian join in the perplexity plan:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("score") && !readSchemas.contains("grp"),
+      s"unused columns read at the scan: $readSchemas")
+  }
+
+  test("dsirWeights: LM tables broadcast, partial aggs, pruned scan") {
+    val df = spark.read.parquet(tablePath)
+    val raw = df.filter(col("doc_id") % 10 =!= 0)
+    val tgt = df.filter(col("doc_id") % 10 === 0)
+    val plan = planOf(graft.pipeline.Mixing.dsirWeights(raw, tgt, "doc_id", "text", 64))
+    // the <=numBuckets-row LM join must broadcast: the raw corpus never
+    // shuffles on bucket
+    assert(plan.contains("BroadcastExchange"), s"LM table not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("BuildRight"),
+      s"unexpected nested-loop in dsir plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in dsir plan:\n$plan")
+    assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("score") && !readSchemas.contains("grp"),
+      s"unused columns read at the scan: $readSchemas")
+  }
+
   test("BM25 query terms reach the postings scan as a pushed In filter") {
     import spark.implicits._
     val fts = "/tmp/graft_plan_fts"
