@@ -124,20 +124,24 @@ object Mixing {
         .withColumn("bucket",
           expr(s"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % $numBuckets"))
         .select("doc_id", "bucket")
-    val fT = feats(target)
-    val fR = feats(raw)
+    // single feature pass per corpus: everything raw-side derives from
+    // the one map-side-combined (doc,bucket) rollup (the bucket LM and
+    // the grand total consume its exchange via ReuseExchange — the md5
+    // gram explode is never recomputed), and the target side derives
+    // LM + total from its one bucket-count rollup the same way
     val micro = "CAST(round(ln(c + 1) * 1000000) AS BIGINT)"
-    val lmT = fT.groupBy("bucket").agg(count(lit(1)).as("c"))
-      .select(col("bucket"), expr(micro).as("lt"))
-    val lmR = fR.groupBy("bucket").agg(count(lit(1)).as("c"))
-      .select(col("bucket"), expr(micro).as("lr"))
+    val dbR = feats(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+    val cntR = dbR.groupBy("bucket").agg(sum("m").as("c"))
+    val cntT = feats(target).groupBy("bucket").agg(count(lit(1)).as("c"))
+    val lmT = cntT.select(col("bucket"), expr(micro).as("lt"))
+    val lmR = cntR.select(col("bucket"), expr(micro).as("lr"))
     // raw-side buckets always exist in lmR; absent-from-target buckets
     // score ln(0 + 1) = 0 micro-nats exactly
     val lm = lmR.join(lmT, Seq("bucket"), "left")
       .select(col("bucket"), col("lr"), coalesce(col("lt"), lit(0L)).as("lt"))
-    val totT = fT.agg(count(lit(1)).as("n_t"))
-    val totR = fR.agg(count(lit(1)).as("n_r"))
-    val scored = fR.groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+    val totT = cntT.agg(sum("c").as("n_t"))
+    val totR = cntR.agg(sum("c").as("n_r"))
+    val scored = dbR
       .join(broadcast(lm), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_feats"),
@@ -149,6 +153,10 @@ object Mixing {
             expr(s"CAST(round(ln(n_t + $numBuckets) * 1000000) AS BIGINT)")))
           .cast("double") / lit(1e6) / col("n_feats").cast("double"), 4) + lit(0.0))
       .select("doc_id", "n_feats", "logratio")
+      // 3 narrow columns per doc — negligible vs the corpus; persisted so
+      // the threshold action and the returned result each cost one scan,
+      // not two full gram passes (drop to disk if it outgrows memory)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: the single selection-threshold double
     val qrow = scored.agg(percentile(col("logratio"), lit(0.75)).as("q75")).first()
     val q75 = if (qrow.isNullAt(0)) Double.NaN else qrow.getDouble(0)

@@ -259,6 +259,10 @@ object TextStats {
         (col("n_tokens") * col("_lv") - col("_s")).cast("double") /
           lit(1e6) / col("n_tokens").cast("double"), 4))
       .select("doc_id", "n_tokens", "nll")
+      // 3 narrow columns per doc — negligible vs the corpus; persisted so
+      // the quantile action and the returned result each cost one scan
+      // instead of re-running the token pipeline (disk-spills if large)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: exactly the two bucket-threshold doubles
     val qrow = scored.agg(
       percentile(col("nll"), lit(0.25)).as("q25"),
