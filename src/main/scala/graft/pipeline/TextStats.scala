@@ -282,6 +282,54 @@ object TextStats {
           .otherwise(lit("middle")).as("ppl_bucket"))
   }
 
+  /** Train a reusable Laplace unigram LM on a corpus: one row per
+    * vocabulary token with its quantized log-count `l` =
+    * round(ln(count+1)*1e6) plus the constant normalizer `lv` =
+    * round(ln(N+V)*1e6) on every row (per-token nll = (lv − l)/1e6).
+    * This is the train-once half of the CCNet deployment shape: fit the
+    * LM on a reference corpus, then [[perplexityScoreWithLm]] scores any
+    * number of batches — or a stream — against it. */
+  def unigramLm(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = corpus
+      .select(explode(toks(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("c").as("n_total"), count(lit(1)).as("v"))))
+      .select(
+        col("tok"),
+        expr("CAST(round(ln(c + 1) * 1000000) AS BIGINT)").as("l"),
+        expr("CAST(round(ln(n_total + v) * 1000000) AS BIGINT)").as("lv"))
+  }
+
+  /** Score documents against a pretrained [[unigramLm]]: mean per-token
+    * negative log-likelihood, same integer micro-nat arithmetic as
+    * [[perplexityBuckets]] (on the training corpus itself the two agree
+    * row-for-row — spec-asserted). Out-of-vocabulary tokens score the
+    * Laplace floor ln(0+1) = 0 micro-nats. Stateless apart from the
+    * stream-static LM join, so it composes with Structured Streaming
+    * (foreachBatch or update-mode per-doc aggregation) — the fit LM is
+    * the static side. */
+  def perplexityScoreWithLm(
+      docs: DataFrame, idCol: String, textCol: String, lm: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col(idCol).as("doc_id"), explode(toks(textCol)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      .join(lm, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_tokens"),
+        sum(col("m") * coalesce(col("l"), lit(0L))).as("_s"),
+        max(col("lv")).as("_lv"))
+      .crossJoin(broadcast(lm.agg(max("lv").as("_lvAll"))))
+      .withColumn("nll", round(
+        (col("n_tokens") * coalesce(col("_lv"), col("_lvAll")) - col("_s")).cast("double") /
+          lit(1e6) / col("n_tokens").cast("double"), 4))
+      .select("doc_id", "n_tokens", "nll")
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("nll"))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence:
     * fold(h_1, (acc, h_i) -> (acc*31 + h_i) mod 1e9+7) where h_i is the
     * 60-bit term hash reduced mod 1e9+7. Matches DuckDB's `list_reduce`

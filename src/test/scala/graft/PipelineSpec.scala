@@ -243,6 +243,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(h < t)
   }
 
+  test("perplexityScoreWithLm: agrees with perplexityBuckets on the train corpus, floors OOV") {
+    val corpus = docsDf(
+      0L -> "the cat sat on the mat",
+      1L -> "the dog sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "zyx qwv jkl pnm bcd fgh",
+      4L -> "")
+    val lm = TextStats.unigramLm(corpus, "doc_id", "text")
+    // train-corpus scoring must equal the fused operator's nll column
+    val fused = TextStats.perplexityBuckets(corpus, "doc_id", "text")
+      .select("doc_id", "n_tokens", "nll").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val split = TextStats.perplexityScoreWithLm(corpus, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(split.size === fused.size)
+    fused.foreach { case (id, f) =>
+      assert(split(id).getAs[Long]("n_tokens") === f.getAs[Long]("n_tokens"))
+      if (f.isNullAt(f.fieldIndex("nll"))) assert(split(id).isNullAt(split(id).fieldIndex("nll")))
+      else assert(split(id).getAs[Double]("nll") === f.getAs[Double]("nll"), s"doc $id")
+    }
+    // held-out docs: in-vocab scores finitely better than all-OOV, which
+    // scores the maximum possible nll ln(N+V)/1 (the Laplace floor l=0)
+    val held = docsDf(10L -> "the cat sat", 11L -> "qqq www eee")
+    val h = TextStats.perplexityScoreWithLm(held, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    assert(h(10L) < h(11L))
+    val lv = lm.agg(max("lv")).first().getLong(0)
+    assert(h(11L) === BigDecimal(lv.toDouble / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("dsirWeights: target-like docs outrank off-target, brute-force exact") {
     val target = docsDf(
       100L -> "neural networks learn representations",
