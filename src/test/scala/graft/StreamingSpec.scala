@@ -238,6 +238,41 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(sb.collect().map(_.toString).sorted))
   }
 
+  test("perplexity scoring against a static LM is batch-boundary invariant on streams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // fit the LM once on a reference corpus (the CCNet deployment shape)
+    val ref = Seq(
+      (100L, "the cat sat on the mat"), (101L, "the dog sat on the mat"),
+      (102L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val lm = graft.pipeline.TextStats.unigramLm(ref, "doc_id", "text").cache()
+    val rows = Seq(
+      (0L, "the cat sat"), (1L, "qqq www eee"), (2L, "the dog on the rug"),
+      (3L, ""), (4L, "mat mat mat the"))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = "/tmp/graft_stream_ppl_ckpt"
+    graft.util.Fs.deleteRecursively(ckpt)
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.pipeline.TextStats
+          .perplexityScoreWithLm(batch, "doc_id", "text", lm)
+          .collect().map(_.toString)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // two micro-batches split mid-corpus: per-doc scores depend only on
+    // (doc, LM), so the split must not change a single row
+    stream.addData(rows.take(2)); val q1 = q.start(); q1.awaitTermination()
+    stream.addData(rows.drop(2)); val q2 = q.start(); q2.awaitTermination()
+    val batchTwin = graft.pipeline.TextStats
+      .perplexityScoreWithLm(rows.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().map(_.toString)
+    assert(got.sorted.sameElements(batchTwin.sorted))
+    lm.unpersist()
+  }
+
   test("per-batch incremental near-dedup over an accumulating corpus replays the batch pair set") {
     import spark.implicits._
     // the foreachBatch ingest shape: batch i dedups against everything
