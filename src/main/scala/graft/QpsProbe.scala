@@ -110,6 +110,20 @@ object QpsProbe {
       }
       println(f"QPS_PROBE docs=192tok f64-rerank batch=64 best=${t64.min}%.3f s  qps=${64 / t64.min}%.1f")
       qsL.unpersist()
+      // throughput at depth: the same shape at batch 256 — the
+      // distributed funnel's fixed stage costs amortize across the
+      // batch, which is the lever an offline-indexing consumer uses
+      val qs256 = RecallHarness.queriesFrom(spark, 256,
+        tokensPerDoc = 48, dim = QpsHarness.Dim).cache()
+      qs256.count()
+      searcherL.search(qs256, SearchParams()).count()
+      val t256 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcherL.search(qs256, SearchParams()).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QPS_PROBE docs=192tok queries=48tok batch=256 best=${t256.min}%.3f s  qps=${256 / t256.min}%.1f")
+      qs256.unpersist()
     }
     // corpus scaling: the distributed fixed costs should amortize — a
     // 10x corpus must not cost 10x per batch (the in-process reference's
