@@ -153,21 +153,19 @@ object Mixing {
             expr(s"CAST(round(ln(n_t + $numBuckets) * 1000000) AS BIGINT)")))
           .cast("double") / lit(1e6) / col("n_feats").cast("double"), 4) + lit(0.0))
       .select("doc_id", "n_feats", "logratio")
-      // 3 narrow columns per doc — negligible vs the corpus; persisted so
-      // the threshold action and the returned result each cost one scan,
-      // not two full gram passes (drop to disk if it outgrows memory)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded driver collect: the single selection-threshold double
-    val qrow = scored.agg(percentile(col("logratio"), lit(0.75)).as("q75")).first()
-    val q75 = if (qrow.isNullAt(0)) Double.NaN else qrow.getDouble(0)
+    // threshold as an in-plan single-row broadcast, NOT a driver collect:
+    // one lazy action, and the scored subtree's doc-rollup exchange is
+    // computed once and reused by the quantile aggregate and the output
+    // join (ReuseExchange) — no persist lifetime to manage
+    val threshold = scored.agg(percentile(col("logratio"), lit(0.75)).as("_q75"))
     raw.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(threshold))
       .select(
         col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("logratio"),
-        when(col("logratio").isNull, lit(false))
-          .otherwise(col("logratio") >= q75).as("selected"))
+        coalesce(col("logratio") >= col("_q75"), lit(false)).as("selected"))
   }
 
   /** Sequence packing: assign docs (in id order) to consecutive

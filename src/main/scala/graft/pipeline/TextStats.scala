@@ -259,26 +259,24 @@ object TextStats {
         (col("n_tokens") * col("_lv") - col("_s")).cast("double") /
           lit(1e6) / col("n_tokens").cast("double"), 4))
       .select("doc_id", "n_tokens", "nll")
-      // 3 narrow columns per doc — negligible vs the corpus; persisted so
-      // the quantile action and the returned result each cost one scan
-      // instead of re-running the token pipeline (disk-spills if large)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded driver collect: exactly the two bucket-threshold doubles
-    val qrow = scored.agg(
-      percentile(col("nll"), lit(0.25)).as("q25"),
-      percentile(col("nll"), lit(0.75)).as("q75")).first()
-    val (q25, q75) =
-      if (qrow.isNullAt(0)) (Double.NaN, Double.NaN)
-      else (qrow.getDouble(0), qrow.getDouble(1))
+    // thresholds as an in-plan single-row broadcast, NOT a driver
+    // collect: the whole operator stays one lazy action, and the scored
+    // subtree's doc-rollup exchange is computed once and reused by both
+    // the quantile aggregate and the output join (ReuseExchange) — no
+    // persist lifetime to manage, nothing driver-side at any scale
+    val thresholds = scored.agg(
+      percentile(col("nll"), lit(0.25)).as("_q25"),
+      percentile(col("nll"), lit(0.75)).as("_q75"))
     docs.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thresholds))
       .select(
         col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("nll"),
         when(col("nll").isNull, lit("tail"))
-          .when(col("nll") <= q25, lit("head"))
-          .when(col("nll") > q75, lit("tail"))
+          .when(col("nll") <= col("_q25"), lit("head"))
+          .when(col("nll") > col("_q75"), lit("tail"))
           .otherwise(lit("middle")).as("ppl_bucket"))
   }
 
