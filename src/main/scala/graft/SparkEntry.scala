@@ -18,6 +18,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Deterministic URL synth for the URL-canonicalization oracles (the
+    * corpus has no URL column): five strata exercising every rule —
+    * case/port/tracking-params/sort/fragment (0 merges with 1), trailing
+    * slash + fragment (3 merges with 2), and an unparseable tail. */
+  private val urlSynthSql: String =
+    """CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN concat('HTTP://Example.COM:80/Path/', CAST(doc_id div 5 AS STRING), '/?utm_source=x&b=2&a=1#frag')
+      |  WHEN 1 THEN concat('http://example.com/Path/', CAST(doc_id div 5 AS STRING), '?a=1&b=2')
+      |  WHEN 2 THEN concat('https://Sub.Example.com:443/x/', CAST(doc_id div 5 AS STRING))
+      |  WHEN 3 THEN concat('https://sub.example.com/x/', CAST(doc_id div 5 AS STRING), '/#top')
+      |  ELSE 'not a url at all' END""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("s_topk_window")(spark, "/root/testdata/sf0.001")
@@ -622,6 +634,16 @@ object SparkEntry {
         minJaccard = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // URL canonicalization + URL-level dedup (the C4/CCNet page-dedup key)
+    // over deterministically synthesized URLs exercising every rule
+    "p_url_canon" -> ((s, dir) =>
+      graft.pipeline.Scrub.canonicalizeUrls(
+        t(s, dir, "documents").select(col("doc_id"), expr(urlSynthSql).as("url")),
+        "doc_id", "url")),
+    "p_url_dedup" -> ((s, dir) =>
+      graft.pipeline.Scrub.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), expr(urlSynthSql).as("url")),
+        "doc_id", "url")),
     // DSIR importance weighting (Xie et al. 2023): the 10% doc_id stratum
     // plays the target corpus, the rest is the raw pool to be scored
     "p_dsir_weights" -> ((s, dir) => {
@@ -2217,6 +2239,65 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.5 AND (a % 10 >= 8 OR b % 10 >= 8)""".stripMargin,
+    "p_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'http://example.com/Path/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+        |    WHEN 2 THEN 'https://Sub.Example.com:443/x/' || CAST(doc_id // 5 AS VARCHAR)
+        |    WHEN 3 THEN 'https://sub.example.com/x/' || CAST(doc_id // 5 AS VARCHAR) || '/#top'
+        |    ELSE 'not a url at all' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS hostport,
+        |  regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path0,
+        |  regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q FROM u),
+        |h AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN path0 = '' OR regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(substr(q, 2), '&'),
+        |    x -> x != '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS params
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN NULL
+        |       ELSE scheme || '://' || host || path ||
+        |         CASE WHEN params = '' THEN '' ELSE '?' || params END END AS canon_url
+        |FROM h""".stripMargin,
+    "p_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'http://example.com/Path/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+        |    WHEN 2 THEN 'https://Sub.Example.com:443/x/' || CAST(doc_id // 5 AS VARCHAR)
+        |    WHEN 3 THEN 'https://sub.example.com/x/' || CAST(doc_id // 5 AS VARCHAR) || '/#top'
+        |    ELSE 'not a url at all' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS hostport,
+        |  regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path0,
+        |  regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q FROM u),
+        |h AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN path0 = '' OR regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(substr(q, 2), '&'),
+        |    x -> x != '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS params
+        |  FROM p),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN scheme = '' THEN NULL
+        |       ELSE scheme || '://' || host || path ||
+        |         CASE WHEN params = '' THEN '' ELSE '?' || params END END AS canon_url
+        |  FROM h)
+        |SELECT max(canon_url) AS canon_url, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY coalesce(canon_url, ' unparseable:' || CAST(doc_id AS VARCHAR))""".stripMargin,
     "p_dsir_weights" ->
       """WITH docs AS (SELECT doc_id,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -198,6 +198,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep(3L).getAs[Double]("top_trigram_frac") === 0.0)
   }
 
+  test("canonicalizeUrls: case/port/params/fragment/slash rules, urlDedup groups") {
+    import graft.pipeline.Scrub
+    val d = docsDf(
+      0L -> "HTTP://Example.COM:80/A/b/?utm_source=x&z=9&a=1#frag",
+      1L -> "http://example.com/A/b?a=1&z=9",          // same canon as 0
+      2L -> "https://Host.com:443/",                    // root path survives
+      3L -> "https://host.com",                         // empty path -> "/" (same as 2)
+      4L -> "https://host.com:8443/x",                  // non-default port kept
+      5L -> "ftp://Files.example.com/pub/",             // non-http scheme: port rules skip
+      6L -> "no scheme here",                           // unparseable -> null
+      7L -> "http://example.com/?fbclid=abc&gclid=1&ref=t") // all params tracked away
+    val out = Scrub.canonicalizeUrls(d.withColumnRenamed("text", "url"), "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(0L) === Some("http://example.com/A/b?a=1&z=9"))
+    assert(out(0L) === out(1L))
+    assert(out(2L) === Some("https://host.com/"))
+    assert(out(3L) === out(2L))
+    assert(out(4L) === Some("https://host.com:8443/x"))
+    assert(out(5L) === Some("ftp://files.example.com/pub"))
+    assert(out(6L) === None)
+    assert(out(7L) === Some("http://example.com/"))
+    val groups = Scrub.urlDedup(d.withColumnRenamed("text", "url"), "doc_id", "url")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // 0+1 merge, 2+3 merge, 4/5/7 singleton, 6 unparseable singleton
+    assert(groups.length === 6)
+    assert(groups.contains((Some("http://example.com/A/b?a=1&z=9"), 0L, 2L)))
+    assert(groups.contains((Some("https://host.com/"), 2L, 2L)))
+    assert(groups.contains((None, 6L, 1L)))
+  }
+
   test("perplexityBuckets: corpus-LM nll matches brute force, buckets ordered") {
     // common words appear in every doc (low nll → head); doc 3 uses
     // corpus-rare words (high nll → tail); doc 4 is empty (null nll, tail)
