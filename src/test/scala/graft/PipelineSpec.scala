@@ -228,6 +228,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups.contains((None, 6L, 1L)))
   }
 
+  test("canonicalizeUrls is idempotent: canon(canon(u)) == canon(u)") {
+    import graft.pipeline.Scrub
+    val d = docsDf(
+      0L -> "HTTP://Example.COM:80/A/b/?utm_source=x&z=9&a=1#frag",
+      1L -> "https://Host.com:443/",
+      2L -> "https://host.com:8443/x/?b=2&a=1",
+      3L -> "ftp://Files.example.com/pub/",
+      4L -> "http://example.com/?fbclid=abc",
+      5L -> "no scheme here").withColumnRenamed("text", "url")
+    val once = Scrub.canonicalizeUrls(d, "doc_id", "url")
+      .select(col("doc_id"), col("canon_url").as("url"))
+      .filter(col("url").isNotNull)
+    val twice = Scrub.canonicalizeUrls(once, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice === first, "canonicalization must be a fixed point")
+  }
+
   test("perplexityBuckets: corpus-LM nll matches brute force, buckets ordered") {
     // common words appear in every doc (low nll → head); doc 3 uses
     // corpus-rare words (high nll → tail); doc 4 is empty (null nll, tail)

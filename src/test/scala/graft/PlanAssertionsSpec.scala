@@ -155,6 +155,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused columns read at the scan: $readSchemas")
   }
 
+  test("canonicalizeUrls is a zero-shuffle projection; urlDedup shuffles once with partial agg") {
+    val df = spark.read.parquet(tablePath).withColumnRenamed("text", "url")
+    val canonPlan = planOf(graft.pipeline.Scrub.canonicalizeUrls(df, "doc_id", "url"))
+    assert(!canonPlan.contains("Exchange"),
+      s"canonicalizeUrls must stream at scan speed, found a shuffle:\n$canonPlan")
+    val dedupPlan = planOf(graft.pipeline.Scrub.urlDedup(df, "doc_id", "url"))
+    assert(dedupPlan.contains("partial"),
+      s"urlDedup must combine map-side before its one shuffle:\n$dedupPlan")
+    assert(dedupPlan.split("ShuffleExchange|Exchange hashpartitioning").length <= 3,
+      s"urlDedup should shuffle exactly once:\n$dedupPlan")
+  }
+
   test("BM25 query terms reach the postings scan as a pushed In filter") {
     import spark.implicits._
     val fts = "/tmp/graft_plan_fts"
