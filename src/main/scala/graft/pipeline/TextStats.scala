@@ -241,8 +241,16 @@ object TextStats {
     * quadratic); LM totals and the two bucket thresholds are single-row
     * aggregates (a bounded 2-double driver collect). No self-joins, no
     * global sort, no windows. At extreme scale swap the exact
-    * `percentile` for `approx_percentile` — the contract is unchanged. */
-  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * `percentile` for `approx_percentile` — the contract is unchanged.
+    *
+    * `persistScores = true` caches the narrow per-doc score table so the
+    * threshold aggregate and the output join are guaranteed one token
+    * pass (column pruning can differentiate the two subtrees enough to
+    * defeat ReuseExchange — measured 43% at ×1000); the default keeps
+    * the operator fully lazy with no cache lifetime for the caller to
+    * manage (long-lived sessions, streaming foreachBatch). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      persistScores: Boolean = false): DataFrame = {
     val dt = docs
       .select(col(idCol).as("doc_id"), explode(toks(textCol)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
@@ -259,16 +267,20 @@ object TextStats {
         (col("n_tokens") * col("_lv") - col("_s")).cast("double") /
           lit(1e6) / col("n_tokens").cast("double"), 4))
       .select("doc_id", "n_tokens", "nll")
+    val scoredMaybeCached =
+      if (persistScores)
+        scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scored
     // thresholds as an in-plan single-row broadcast, NOT a driver
     // collect: the whole operator stays one lazy action, and the scored
     // subtree's doc-rollup exchange is computed once and reused by both
     // the quantile aggregate and the output join (ReuseExchange) — no
     // persist lifetime to manage, nothing driver-side at any scale
-    val thresholds = scored.agg(
+    val thresholds = scoredMaybeCached.agg(
       percentile(col("nll"), lit(0.25)).as("_q25"),
       percentile(col("nll"), lit(0.75)).as("_q75"))
     docs.select(col(idCol).as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+      .join(scoredMaybeCached, Seq("doc_id"), "left")
       .crossJoin(broadcast(thresholds))
       .select(
         col("doc_id"),
