@@ -228,6 +228,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups.contains((None, 6L, 1L)))
   }
 
+  test("end-to-end curation DAG: url-dedup -> near-dedup -> quality -> perplexity -> DSIR compose") {
+    import graft.pipeline.{Scrub, TextStats, Mixing}
+    // 30 docs: 10 clean prose, 5 url-duplicates of the first 5 (same page,
+    // tracking params), a near-dup family of 4, 5 gibberish (off-LM), and
+    // 6 singletons; each stratum is detectable by exactly one stage
+    // prose/single sentences share VOCABULARY (for the corpus LM) but not
+    // 3-gram runs — near-dedup must NOT merge them
+    val proseTexts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a small grey cat sleeps under the warm sun by the garden wall",
+      "the old fisherman walks along the shore as the tide comes in",
+      "children play in the park while their parents watch from the bench",
+      "the train arrives at the station and the crowd moves to the doors",
+      "a gentle rain falls on the quiet town during the early morning",
+      "the baker opens his shop and the smell of bread fills the street",
+      "two friends share a meal and talk about the events of the week",
+      "the teacher writes on the board while the students take their notes",
+      "a farmer tends his field as the seasons turn from spring to summer")
+    val singleTexts = Seq(
+      "the sailor reads a letter from home while the ship waits in the harbor",
+      "a painter mixes colors on her palette before the light of day fades",
+      "the clockmaker repairs the old tower bell as the town sleeps below",
+      "a librarian sorts the returned books and the shelves fill up again",
+      "the gardener prunes the roses while the bees move among the flowers",
+      "a carpenter measures the oak beam twice before the first careful cut")
+    val prose = proseTexts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"http://site.com/page$i", t) }
+    val urlDups = (0 until 5).map(i =>
+      (100L + i, s"HTTP://Site.COM:80/page$i?utm_source=x", proseTexts(i)))
+    val nearDups = (0 until 4).map(i =>
+      (200L + i, s"http://other.com/nd$i", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi " + s"tail$i"))
+    val gibberish = (0 until 5).map(i =>
+      (300L + i, s"http://junk.com/g$i", s"zzq$i wvx$i kjh$i pqr$i mnb$i vcx$i"))
+    val single = singleTexts.zipWithIndex.map { case (t, i) =>
+      (400L + i, s"http://solo.com/s$i", t) }
+    import spark.implicits._
+    val corpus = (prose ++ urlDups ++ nearDups ++ gibberish ++ single)
+      .toDF("doc_id", "url", "text")
+    // stage 1: URL dedup removes the 5 tracking-param duplicates
+    val afterUrl = corpus.join(
+      Scrub.urlDedup(corpus, "doc_id", "url").select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "leftsemi")
+    assert(afterUrl.count() === 25)
+    assert(afterUrl.filter(col("doc_id") >= 100 && col("doc_id") < 200).count() === 0)
+    // stage 2: near-dedup collapses the 4-doc family to its best survivor
+    val pairs = graft.pipeline.Dedup.minhashDedupPairs(afterUrl, "doc_id", "text",
+      shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
+    val clusters = graft.pipeline.Dedup.duplicateClusters(afterUrl, "doc_id", pairs)
+    val survivors = graft.pipeline.Dedup.clusterSurvivors(clusters,
+      TextStats.qualityScore(afterUrl, "doc_id", "text")
+        .select(col("doc_id"), col("quality").as("score")))
+    val dropIds = survivors.filter(col("doc_id") =!= col("survivor_id"))
+      .select("doc_id")
+    val afterNear = afterUrl.join(dropIds, Seq("doc_id"), "left_anti")
+    assert(afterNear.count() === 22) // 25 - 3 non-survivor family members
+    // stage 3: perplexity buckets — gibberish lands in tail, prose doesn't
+    val ppl = TextStats.perplexityBuckets(afterNear, "doc_id", "text")
+    val tailIds = ppl.filter(col("ppl_bucket") === "tail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((300L until 305L).toSet.subsetOf(tailIds), s"gibberish not in tail: $tailIds")
+    assert(!tailIds.exists(_ < 10L), "clean prose must not land in tail")
+    val afterPpl = afterNear.join(ppl.filter(col("ppl_bucket") =!= "tail")
+      .select("doc_id"), Seq("doc_id"), "leftsemi")
+    // stage 4: DSIR against the prose stratum as target ranks prose-like first
+    val dsir = Mixing.dsirWeights(
+      afterPpl.filter(col("doc_id") >= 400), afterPpl.filter(col("doc_id") < 10),
+      "doc_id", "text", numBuckets = 256)
+    val sel = dsir.filter(col("selected")).count()
+    assert(sel >= 1 && sel < 6, s"top-quartile selection out of range: $sel")
+    // the funnel is monotone and every stage's output feeds the next —
+    // the composition itself (schemas, ids, laziness) is what's under test
+    assert(afterPpl.count() >= 15)
+  }
+
   test("canonicalizeUrls is idempotent: canon(canon(u)) == canon(u)") {
     import graft.pipeline.Scrub
     val d = docsDf(
