@@ -634,6 +634,12 @@ object SparkEntry {
         minJaccard = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // C4-style blocklist page filter with a stand-in wordlist chosen so
+    // both the hit and pass branches execute on the synthetic corpus
+    "p_blocklist" -> ((s, dir) =>
+      graft.pipeline.TextStats.blocklistFilter(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("merge", "slow", "nonexistentword"))),
     // URL canonicalization + URL-level dedup (the C4/CCNet page-dedup key)
     // over deterministically synthesized URLs exercising every rule
     "p_url_canon" -> ((s, dir) =>
@@ -2239,6 +2245,14 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.5 AND (a % 10 >= 8 OR b % 10 >= 8)""".stripMargin,
+    "p_blocklist" ->
+      """WITH b AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |h AS (SELECT doc_id, list_sort(list_distinct(list_intersect(
+        |  ['merge', 'slow', 'nonexistentword'], t))) AS hits FROM b)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_blocked,
+        |  coalesce(array_to_string(hits, ','), '') AS blocked_terms,
+        |  len(hits) = 0 AS pass FROM h""".stripMargin,
     "p_url_canon" ->
       """WITH u AS (SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INT)

@@ -292,6 +292,33 @@ object TextStats {
           .otherwise(lit("middle")).as("ppl_bucket"))
   }
 
+  /** C4-style blocklist page filter (Raffel et al. 2020 §2.2: "removed
+    * any page that contained any word on the 'List of Dirty, Naughty,
+    * Obscene...'"). Generic over the caller's wordlist — matching is
+    * whole-token against the corpus tokenizer (no substring hits:
+    * "grass" never matches "ass"), case-insensitive by construction.
+    * Returns (doc_id, n_blocked, blocked_terms, pass); `blocked_terms`
+    * is the sorted distinct matched subset for auditability.
+    *
+    * Pure zero-shuffle projection: the wordlist compiles into the
+    * expression (sensible to ~thousands of terms; beyond that, switch
+    * to a broadcast semi-join on the exploded token stream). */
+  def blocklistFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val arr = blocklist.map(w => s"'${w.toLowerCase.replace("'", "''")}'").mkString(", ")
+    docs
+      .withColumn("_toks", toks(textCol))
+      .withColumn("_hits", expr(
+        s"array_sort(array_intersect(array($arr), _toks))"))
+      .select(
+        col(idCol).as("doc_id"),
+        size(col("_hits")).cast("long").as("n_blocked"),
+        array_join(col("_hits"), ",").as("blocked_terms"),
+        (size(col("_hits")) === 0).as("pass"))
+  }
+
   /** Train a reusable Laplace unigram LM on a corpus: one row per
     * vocabulary token with its quantized log-count `l` =
     * round(ln(count+1)*1e6) plus the constant normalizer `lv` =

@@ -198,6 +198,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep(3L).getAs[Double]("top_trigram_frac") === 0.0)
   }
 
+  test("blocklistFilter: whole-token matches only, case-insensitive, audit column") {
+    val d = docsDf(
+      0L -> "the grass is green",            // "grass" must NOT match "ass"
+      1L -> "he fell on his ASS twice Ass",  // case-insensitive, distinct-counted
+      2L -> "bad and worse and bad again",   // two distinct hits
+      3L -> "perfectly clean prose here",
+      4L -> "")
+    val out = TextStats.blocklistFilter(d, "doc_id", "text", Seq("ass", "bad", "worse"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("pass") && out(0L).getAs[Long]("n_blocked") === 0L)
+    assert(!out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_blocked") === 1L) // distinct terms, not occurrences
+    assert(out(1L).getAs[String]("blocked_terms") === "ass")
+    assert(out(2L).getAs[Long]("n_blocked") === 2L)
+    assert(out(2L).getAs[String]("blocked_terms") === "bad,worse")
+    assert(out(3L).getAs[Boolean]("pass") && out(4L).getAs[Boolean]("pass"))
+  }
+
   test("canonicalizeUrls: case/port/params/fragment/slash rules, urlDedup groups") {
     import graft.pipeline.Scrub
     val d = docsDf(
