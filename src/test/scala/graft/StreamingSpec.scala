@@ -221,9 +221,11 @@ class StreamingSpec extends AnyFunSuite {
     // the SAME operator code compiles to a streaming plan — zero changes
     val g = graft.pipeline.TextStats.gopherRules(sdf, "doc_id", "text")
     val s = graft.pipeline.Scrub.scrubPii(sdf, "doc_id", "text")
-    assert(g.isStreaming && s.isStreaming)
+    val bl = graft.pipeline.TextStats.blocklistFilter(sdf, "doc_id", "text",
+      Seq("short", "normal"))
+    assert(g.isStreaming && s.isStreaming && bl.isStreaming)
     stream.addData(rows)
-    for ((df, name) <- Seq(g -> "gopher_stream", s -> "scrub_stream")) {
+    for ((df, name) <- Seq(g -> "gopher_stream", s -> "scrub_stream", bl -> "bl_stream")) {
       val q = df.writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -236,6 +238,10 @@ class StreamingSpec extends AnyFunSuite {
     val sb = graft.pipeline.Scrub.scrubPii(batchDf, "doc_id", "text")
     assert(spark.table("scrub_stream").collect().map(_.toString).sorted
       .sameElements(sb.collect().map(_.toString).sorted))
+    val blb = graft.pipeline.TextStats.blocklistFilter(batchDf, "doc_id", "text",
+      Seq("short", "normal"))
+    assert(spark.table("bl_stream").collect().map(_.toString).sorted
+      .sameElements(blb.collect().map(_.toString).sorted))
   }
 
   test("perplexity scoring against a static LM is batch-boundary invariant on streams") {
