@@ -248,9 +248,20 @@ object TextStats {
     * pass (column pruning can differentiate the two subtrees enough to
     * defeat ReuseExchange — measured 43% at ×1000); the default keeps
     * the operator fully lazy with no cache lifetime for the caller to
-    * manage (long-lived sessions, streaming foreachBatch). */
+    * manage. `persistScores = true` pins one cache entry for the session
+    * lifetime — in long-lived sessions / streaming foreachBatch, use
+    * [[perplexityBucketsScored]] and unpersist the handle after the
+    * output action instead. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-      persistScores: Boolean = false): DataFrame = {
+      persistScores: Boolean = false): DataFrame =
+    perplexityBucketsScored(docs, idCol, textCol, persistScores)._1
+
+  /** [[perplexityBuckets]] plus the persisted score-table handle: when
+    * `persistScores`, the second element is the cached per-doc score
+    * DataFrame — call `.unpersist()` on it after the output action to
+    * release the cache entry (it is `None` otherwise). */
+  def perplexityBucketsScored(docs: DataFrame, idCol: String, textCol: String,
+      persistScores: Boolean = false): (DataFrame, Option[DataFrame]) = {
     val dt = docs
       .select(col(idCol).as("doc_id"), explode(toks(textCol)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
@@ -279,7 +290,7 @@ object TextStats {
     val thresholds = scoredMaybeCached.agg(
       percentile(col("nll"), lit(0.25)).as("_q25"),
       percentile(col("nll"), lit(0.75)).as("_q75"))
-    docs.select(col(idCol).as("doc_id"))
+    val out = docs.select(col(idCol).as("doc_id"))
       .join(scoredMaybeCached, Seq("doc_id"), "left")
       .crossJoin(broadcast(thresholds))
       .select(
@@ -290,6 +301,7 @@ object TextStats {
           .when(col("nll") <= col("_q25"), lit("head"))
           .when(col("nll") > col("_q75"), lit("tail"))
           .otherwise(lit("middle")).as("ppl_bucket"))
+    (out, if (persistScores) Some(scoredMaybeCached) else None)
   }
 
   /** C4-style blocklist page filter (Raffel et al. 2020 §2.2: "removed
@@ -307,11 +319,12 @@ object TextStats {
       docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    val arr = blocklist.map(w => s"'${w.toLowerCase.replace("'", "''")}'").mkString(", ")
+    // column functions, not interpolated SQL text: terms with quotes or
+    // backslashes need no escaping convention at all this way
+    val terms = array(blocklist.map(w => lit(w.toLowerCase)): _*)
     docs
       .withColumn("_toks", toks(textCol))
-      .withColumn("_hits", expr(
-        s"array_sort(array_intersect(array($arr), _toks))"))
+      .withColumn("_hits", array_sort(array_intersect(terms, col("_toks"))))
       .select(
         col(idCol).as("doc_id"),
         size(col("_hits")).cast("long").as("n_blocked"),

@@ -340,12 +340,16 @@ class ApiSpec extends AnyFunSuite {
     val f2 = gi.addDocumentsAsync(
       docs.filter(col("doc_id") >= 25 && col("doc_id") < 30)
         .withColumn("doc_id", col("doc_id") - 25), cfg = upCfg)
-    // progress exists immediately after submit (queued or already live)
-    val p0 = gi.updateHealth
-    assert(p0.isDefined, "no progress entry after async submit")
-    assert(Set("queued", "running").contains(p0.get.status))
-    assert(gi.updateInProgress)
-    gate.countDown(); blocker.get()
+    // progress exists immediately after submit (queued or already live).
+    // countDown in finally: a failed assert must still release the lane,
+    // or the suite hangs on the blocked thread instead of reporting.
+    try {
+      val p0 = gi.updateHealth
+      assert(p0.isDefined, "no progress entry after async submit")
+      assert(Set("queued", "running").contains(p0.get.status))
+      assert(gi.updateInProgress)
+    } finally gate.countDown()
+    blocker.get()
 
     // searches proceed while the updates run — a racing build flip is
     // absorbed by the facade's stale-handle retry
