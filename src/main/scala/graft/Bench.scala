@@ -115,10 +115,29 @@ object Bench {
     val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size}$recallField$qpsField,"sf":"$sfDir"}"""
-    println(line)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    def lineWith(queriesJson: String, extra: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size}$recallField$qpsField,"sf":"$sfDir"}"""
+    // full-precision, all-queries record → bench.json (for the judge)
+    Files.writeString(Paths.get("bench.json"), lineWith(qs, "") + "\n")
+    // stdout: the driver parses the JSON line out of a FIXED 2000-char
+    // tail of this process's output — rounds 10 and 11 recorded
+    // "parsed": null because the all-queries line outgrew that window.
+    // Print the slowest queries at 3-decimal precision until a ~1700
+    // char budget is reached (sbt's trailing "[success]" line and the
+    // final newline share the window), and say how many were elided.
+    val budget = 1700
+    val byTime = times.toSeq.sortBy(-_._2)
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    var omitted = 0
+    val overhead = lineWith("{}", s""","queries_omitted":${times.size}""").length
+    byTime.foreach { case (k, v) =>
+      val ent = f""""$k":$v%.3f"""
+      if (overhead + used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+      else omitted += 1
+    }
+    val qsShort = kept.mkString("{", ",", "}")
+    println(lineWith(qsShort, s""","queries_omitted":$omitted"""))
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
