@@ -18,6 +18,44 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared artifact for the embedding-dedup oracles (p_cosine_dedup,
+    * p_semdedup): the raw embeddings plus planted near-duplicates (every
+    * 5th vector copied with a tiny deterministic per-coordinate scale —
+    * the corpus itself is near-orthogonal, max pairwise cosine 0.51, so
+    * the dedup paths must be forced), with seeded k-means centroids.
+    * Vectors and centroids are dumped once to /tmp (fingerprint-cached
+    * on the source parquet, round-10 verdict #3) so both Spark queries
+    * share the build and the DuckDB twins replay assignment from the
+    * same bytes. */
+  private def cosDedupArtifacts(
+      s: SparkSession, dir: String): (DataFrame, Array[Float], String) = {
+    val path = "/tmp/graft_cosdedup_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+    val srcFp = graft.util.Fs.fingerprint(s"$dir/embeddings.parquet")
+    if (!graft.util.Fs.exists(s"$path/centroids") ||
+        !graft.util.Fs.cacheFresh(path, srcFp)) {
+      graft.util.Fs.deleteRecursively(path)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dup = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.002d * ((i % 7) - 3)) AS FLOAT))")
+            .as("embedding"))
+      emb.union(dup).coalesce(1).write.mode("overwrite").parquet(s"$path/vectors")
+      val vectors = s.read.parquet(s"$path/vectors")
+      val (centroids, _) = graft.pipeline.Similarity.buildIvf(s, vectors, dim = 64,
+        numCentroids = 16, seed = 42L)
+      import s.implicits._
+      centroids.grouped(64).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      graft.util.Fs.stampCache(path, srcFp)
+    }
+    val vectors = s.read.parquet(s"$path/vectors")
+    val centroids = s.read.parquet(s"$path/centroids")
+      .orderBy("code").collect()
+      .flatMap(_.getAs[scala.collection.Seq[Float]]("centroid"))
+    (vectors, centroids, path)
+  }
+
   /** Deterministic URL synth for the URL-canonicalization oracles (the
     * corpus has no URL column): five strata exercising every rule —
     * case/port/tracking-params/sort/fragment (0 merges with 1), trailing
@@ -556,24 +594,18 @@ object SparkEntry {
     // dumped to /tmp; the oracle replays f64 top-2 cell assignment, the
     // cell self-join, and the exact-cosine >= 0.95 filter from the dumps.
     "p_cosine_dedup" -> ((s, dir) => {
-      val path = "/tmp/graft_cosdedup_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val dup = emb.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.002d * ((i % 7) - 3)) AS FLOAT))")
-            .as("embedding"))
-      val all = emb.union(dup)
-      all.coalesce(1).write.mode("overwrite").parquet(s"$path/vectors")
-      val vectors = s.read.parquet(s"$path/vectors")
-      val (centroids, _) = graft.pipeline.Similarity.buildIvf(s, vectors, dim = 64,
-        numCentroids = 16, seed = 42L)
-      import s.implicits._
-      centroids.grouped(64).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
-        .toDF("code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val (vectors, centroids, _) = cosDedupArtifacts(s, dir)
       graft.pipeline.Similarity.cosineDedupPairsWith(s, vectors, centroids,
           singleAssign = None, dim = 64, minCosine = 0.95, probes = 2)
         .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
+    }),
+    // SemDeDup (Abbas et al. 2023): k-means clusters over the same
+    // planted-near-dup corpus, keep-low-centroid-similarity survivor per
+    // duplicate group. Integer/bool output only — no float hash surface.
+    "p_semdedup" -> ((s, dir) => {
+      val (vectors, centroids, _) = cosDedupArtifacts(s, dir)
+      graft.pipeline.Similarity.semDedup(s, vectors, centroids,
+        dim = 64, tau = 0.95)
     }),
     "p_text_stats" -> ((s, dir) =>
       graft.pipeline.TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -586,10 +618,18 @@ object SparkEntry {
     "p_repetition" -> ((s, dir) =>
       graft.pipeline.TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
     // Lee et al. 2022 cross-document duplicated n-gram share — the
-    // memorization/boilerplate signal exact- and near-dedup both miss
+    // memorization/boilerplate signal exact- and near-dedup both miss.
+    // Gate projects the share as integer basis points (half-up) instead
+    // of a rounded double: the r11 driver hash-failed this query while
+    // every local bit-exact compare (cpus 4/8/32, 3 runs) passed, so the
+    // float surface is removed from the compared output entirely.
     "p_dup_ngram" -> ((s, dir) =>
       graft.pipeline.Dedup.crossDocNgramShare(
-        t(s, dir, "documents"), "doc_id", "text", n = 5)),
+        t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          when(col("n_grams") > 0,
+            expr("(20000 * n_shared + n_grams) DIV (2 * n_grams)"))
+            .otherwise(lit(0L)).as("dup_bp"))),
     // PII scrub over text with deterministic synthetic PII appended (the
     // corpus itself is clean, so the redaction paths must be forced)
     "p_pii_scrub" -> ((s, dir) =>
@@ -621,8 +661,17 @@ object SparkEntry {
             "CASE WHEN doc_id % 89 = 0 THEN array('lorem ipsum dolor sit amet.') ELSE CAST(array() AS array<string>) END, " +
             "CASE WHEN doc_id % 97 = 0 THEN array('function render() {') ELSE CAST(array() AS array<string>) END)"))
         .withColumn("text2", concat_ws("\n", concat(col("chunks"), col("extra"))))
+      // Gate compares an md5 fingerprint of the cleaned text, not the
+      // multi-line text itself: the r11 driver hash-failed this query
+      // while every local bit-exact compare passed, so the compared
+      // surface is reduced to single-line ASCII (content sensitivity is
+      // preserved — any cleaned-text difference flips the md5).
       graft.pipeline.Boilerplate.c4Clean(
         lined.select("doc_id", "text2"), "doc_id", "text2")
+        .select(col("doc_id"), md5(col("clean_text")).as("md5_clean"),
+          length(col("clean_text")).cast("long").as("n_clean_chars"),
+          col("n_lines"), col("n_kept"), col("n_dropped_rule"),
+          col("n_dropped_boiler"), col("page_pass"))
     }),
     // incremental near-dedup: the 20% doc_id stratum arrives as a new
     // batch against the other 80% as the existing corpus
@@ -2029,8 +2078,11 @@ object SparkEntry {
         |  + ((simhash // (1::BIGINT << (c2 * 10))) % 1024) * (1::BIGINT << 10)
         |  + ((simhash // (1::BIGINT << (c3 * 10))) % 1024) AS bval
         |  FROM fp CROSS JOIN combos),
+        |ok AS (SELECT tid, bval FROM bv GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1000),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bv x JOIN bv y USING (tid, bval) WHERE x.doc_id < y.doc_id)
+        |  FROM bv x JOIN bv y USING (tid, bval)
+        |  JOIN ok USING (tid, bval) WHERE x.doc_id < y.doc_id)
         |SELECT c.a, c.b,
         |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
         |FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
@@ -2073,6 +2125,41 @@ object SparkEntry {
         |  FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b)
         |SELECT a, b, round(cosine, 5) AS cosine FROM scored
         |WHERE cosine >= 0.95""".stripMargin,
+    "p_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_cosdedup__root_testdata_sf0_01/vectors/*.parquet')),
+        |c AS (SELECT code, centroid
+        |  FROM read_parquet('/tmp/graft_cosdedup__root_testdata_sf0_01/centroids/*.parquet')),
+        |sc AS (SELECT v.vec_id, c.code,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)) AS s
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, code FROM (
+        |  SELECT vec_id, code,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, code) AS rn
+        |  FROM sc) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.code, v.embedding,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)) /
+        |  greatest(sqrt(list_sum(list_transform(v.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(c.centroid, x -> x::DOUBLE * x::DOUBLE))),
+        |    1e-12) AS simc
+        |  FROM asg a JOIN v USING (vec_id) JOIN c USING (code)),
+        |ok AS (SELECT code FROM m GROUP BY 1 HAVING count(*) <= 10000),
+        |pr AS (SELECT m.* FROM m JOIN ok USING (code)),
+        |drp AS (SELECT y.vec_id, x.vec_id AS dup_of,
+        |  row_number() OVER (PARTITION BY y.vec_id ORDER BY x.simc, x.vec_id) AS rn
+        |  FROM pr x JOIN pr y USING (code)
+        |  WHERE (x.simc < y.simc OR (x.simc = y.simc AND x.vec_id < y.vec_id))
+        |    AND list_sum(list_transform(range(1, 65),
+        |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) /
+        |    greatest(sqrt(list_sum(list_transform(x.embedding, e -> e::DOUBLE * e::DOUBLE))) *
+        |      sqrt(list_sum(list_transform(y.embedding, e -> e::DOUBLE * e::DOUBLE))),
+        |      1e-12) >= 0.95)
+        |SELECT a.vec_id, a.code::BIGINT AS code,
+        |  d.dup_of IS NULL AS kept, d.dup_of
+        |FROM asg a LEFT JOIN (SELECT vec_id, dup_of FROM drp WHERE rn = 1) d
+        |  USING (vec_id)""".stripMargin,
     "p_srp_join" ->
       """WITH planes AS (
         |  SELECT r, list_transform(range(0, 64),
@@ -2163,7 +2250,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(per.n_grams, 0) AS n_grams,
         |  coalesce(per.n_shared, 0) AS n_shared,
-        |  round(coalesce(per.n_shared / per.n_grams, 0.0), 4) AS dup_span_frac
+        |  coalesce((20000 * per.n_shared + per.n_grams) // (2 * per.n_grams), 0) AS dup_bp
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "p_pii_scrub" ->
       """WITH b AS (SELECT doc_id,
@@ -2208,7 +2295,8 @@ object SparkEntry {
         |k AS (SELECT r.*, (rule_keep AND coalesce(line_df, 0) <= 2) AS keep
         |  FROM r LEFT JOIN df USING (lh))
         |SELECT doc_id,
-        |  coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '') AS clean_text,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '')) AS md5_clean,
+        |  length(coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '')) AS n_clean_chars,
         |  count(*) AS n_lines,
         |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
         |  sum(CASE WHEN NOT rule_keep THEN 1 ELSE 0 END) AS n_dropped_rule,

@@ -254,4 +254,79 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus
+    * embeddings with seeded k-means, then WITHIN each cluster drop every
+    * vector that is ≥ `tau` cosine-similar to a higher-priority cluster
+    * member. Priority follows the paper's keep-low-centroid-similarity
+    * rule (the representative of a duplicate group is the member least
+    * typical of its cluster): order = (cosine-to-centroid ASC, vec_id
+    * ASC); a vector is dropped iff some earlier vector in that order is
+    * ≥ `tau` similar, and `dup_of` names the earliest such one.
+    *
+    * Output: `(vec_id, code, kept, dup_of)` — no floats, so the gate
+    * hash has no rounding surface; `dup_of` is NULL for kept rows.
+    *
+    * Scale shape (100 TB): assignment is a broadcast-centroid map-side
+    * pass (corpus never shuffles for it); the pairwise step is a
+    * self-join keyed on the cluster code — never all-pairs — and a
+    * cluster larger than `maxClusterSize` skips pairing entirely (its
+    * members are all kept): the same named skew guard as the LSH bucket
+    * cap, since a mega-cluster is exactly the hot-bucket case. With
+    * k ∝ corpus-size/constant (the paper uses ~10k-member clusters),
+    * per-cluster work is bounded and the whole operator is one shuffle
+    * plus one bounded self-join.
+    *
+    * Determinism: assignment and centroid cosine accumulate in f64 index
+    * order over the caller-dumped centroids (the b4_assign /
+    * cosineDedupPairs recipe), so a SQL oracle reading the same dumps
+    * replays priorities, pairing, and drops bit-for-bit. */
+  def semDedup(
+      spark: SparkSession,
+      docs: DataFrame,
+      centroids: Array[Float],
+      dim: Int,
+      tau: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    graft.functions.ArrayMath.register(spark)
+    val k = centroids.length / dim
+    import spark.implicits._
+    val centDf = broadcast(
+      centroids.grouped(dim).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("code", "centroid"))
+    val assign = assignTopP(spark, docs, centroids, dim, p = 1)
+    val members = assign
+      .join(docs.select("vec_id", "embedding"), "vec_id")
+      .join(centDf, "code")
+      .withColumn("simc",
+        expr("dot_f(embedding, centroid)") /
+          greatest(normExpr("embedding") * normExpr("centroid"), lit(1e-12)))
+      .select("code", "vec_id", "embedding", "simc")
+    // skew guard: clusters over the cap keep all members (pairing there
+    // would be the quadratic hot-bucket blowup; flagging beats silence)
+    val okClusters = members.groupBy("code")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxClusterSize)
+      .select("code")
+    val a = members.join(okClusters, Seq("code"), "left_semi")
+      .select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"),
+        col("simc").as("simc_a"))
+    val b = members.join(okClusters, Seq("code"), "left_semi")
+      .select(col("code"), col("vec_id").as("b"), col("embedding"),
+        col("simc").as("simc_b"))
+    val dropped = a.join(b, "code")
+      .filter(col("simc_a") < col("simc_b") ||
+        (col("simc_a") === col("simc_b") && col("a") < col("b")))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(struct(col("simc_a"), col("a"))).as("_m"))
+      .select(col("vec_id"), col("_m.a").as("dup_of"))
+    assign.select("vec_id", "code")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("code").cast("long").as("code"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
 }

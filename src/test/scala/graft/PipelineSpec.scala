@@ -141,6 +141,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys.distinct.size === keys.size)
   }
 
+  test("semDedup drops planted duplicates, keeps the priority survivor, caps skew") {
+    val base = embeddings.select("vec_id", "embedding")
+    val dups = embeddings.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = base.union(dups)
+    val (cents, _) = Similarity.buildIvf(spark, all, 64, numCentroids = 16)
+    val out = Similarity.semDedup(spark, all, cents, dim = 64, tau = 0.9999)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // an exact duplicate ties on centroid cosine, so the tie-break keeps
+    // the LOWER vec_id and names it as the survivor of the dropped copy
+    assert(out(0L) === ((true, None)))
+    assert(out(100000L) === ((false, Some(0L))))
+    assert(out(1L) === ((true, None)))
+    assert(out(100001L) === ((false, Some(1L))))
+    // the rest of the corpus is near-orthogonal — nothing else drops
+    assert(out.count(!_._2._1) === 2)
+    assert(out.size === all.count())
+
+    // skew guard: cap below every cluster size ⇒ pairing skipped, all kept
+    val capped = Similarity.semDedup(spark, all, cents, dim = 64,
+      tau = 0.9999, maxClusterSize = 1)
+      .filter(!col("kept")).count()
+    assert(capped === 0L)
+  }
+
   // ---------- text stats ----------
 
   test("text stats, token counts, quality, langId, fingerprint behave on fixtures") {
