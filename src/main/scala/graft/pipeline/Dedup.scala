@@ -49,17 +49,21 @@ object Dedup {
     * with zero oracle drift (DuckDB replays the same
     * `('0x'||substr(md5(gram||'#0'),1,15))::BIGINT`, so any hash
     * collision affects both engines identically). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs
       .select(col(idCol).as("doc_id"),
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"CASE WHEN size(toks) < $n THEN array() " +
-            s"ELSE transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n))) END"
-        )).as("gram"))
+    // zip-of-slices explode, NOT transform(sequence(...)): the lambda
+    // body would run interpreted (NGrams.scala) — gram strings identical
+    val grams =
+      if (n == 1) toks.select(col("doc_id"), explode(col("toks")).as("gram"))
+      else toks
+        .select(col("doc_id"), explode(NGrams.zipExpr("toks", n)).as("pr"))
+        .select(col("doc_id"), concat_ws(" ", NGrams.fields("pr", n): _*).as("gram"))
+    grams
       .select(col("doc_id"), hash60(col("gram"), lit(0)).as("sh"))
       .distinct()
+  }
 
   /** Prime modulus for the universal-hash permutation family. */
   val MinhashP = 2147483647L // 2^31 - 1
@@ -356,13 +360,13 @@ object Dedup {
     // xxhash64 of the word tuple instead of materialized gram strings
     // (~3x fewer shuffle bytes; a collision merges two grams' doc
     // counts, negligible below ~10^9 distinct grams)
-    val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    // zip-of-slices explode with the hash POST-explode (codegen'd) —
+    // the transform(sequence) lambda ran xxhash64 interpreted (NGrams.scala)
     val g = docs
       .select(col(idCol).as("doc_id"),
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> xxhash64($parts)) ELSE CAST(array() AS array<bigint>) END")).as("sh"))
+      .select(col("doc_id"), explode(NGrams.zipExpr("toks", n)).as("pr"))
+      .select(col("doc_id"), xxhash64(NGrams.fields("pr", n): _*).as("sh"))
       .distinct()
     val gd = g.groupBy("sh").agg(count(lit(1)).as("nd"))
     val per = g.join(gd, "sh")
@@ -402,15 +406,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
     require(L >= 2, s"windowTokens must be >= 2, got $L")
-    val parts = (0 until L).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    // posexplode of zipped slices: pos comes from the explode itself and
+    // the window hash runs POST-explode, codegen'd (the transform shape
+    // evaluated xxhash64 interpreted per window — NGrams.scala)
     val w = docs
       .select(col(idCol).as("doc_id"),
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(toks) >= $L THEN transform(sequence(1, size(toks) - ${L - 1}), " +
-          s"i -> struct(CAST(i - 1 AS BIGINT) AS pos, xxhash64($parts) AS g)) " +
-          "ELSE CAST(array() AS array<struct<pos:bigint,g:bigint>>) END")).as("wn"))
-      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.g").as("g"))
+      .select(col("doc_id"), posexplode(NGrams.zipExpr("toks", L)).as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(NGrams.fields("pr", L): _*).as("g"))
     val crossDoc = w.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

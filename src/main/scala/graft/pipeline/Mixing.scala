@@ -103,36 +103,77 @@ object Mixing {
     * is an exact binary fraction; scores are `+ 0.0`-normalized so a
     * negative-zero rounding can never hash-split the engines.
     *
-    * Scale shape (100 TB): both LM tables aggregate to ≤ numBuckets rows
-    * and broadcast; the only corpus-sized shuffles are the map-side
-    * combined (doc,bucket) and doc rollups. Single-row total aggregates;
-    * one bounded 1-double driver collect for the selection threshold. */
+    * Scale shape (100 TB): the only corpus-sized work is ONE hashed-gram
+    * explode + (doc,bucket) rollup per corpus. That rollup is persisted
+    * and every downstream consumer derives from it: the bucket LMs are
+    * collected driver-side (bounded by `numBuckets` — 1024 rows, a
+    * driver-known bound) and re-broadcast as literals, and the selection
+    * threshold re-aggregates the persisted rollup in-plan. The previous
+    * all-in-plan shape was measured re-running the md5 gram explode ~6×
+    * (11 scans of the corpus in the physical plan, ReuseExchange
+    * defeated by column pruning — the same failure measured 43% on
+    * perplexityBuckets at ×1000); this shape runs it once per corpus,
+    * 2.4× faster at sf0.1. The persisted rollup pins a cache entry for
+    * the session lifetime — long-lived sessions use
+    * [[dsirWeightsScored]] and unpersist the handle after the action. */
   def dsirWeights(
       raw: DataFrame,
       target: DataFrame,
       idCol: String,
       textCol: String,
-      numBuckets: Int = 1024): DataFrame = {
-    def feats(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"),
-          expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("ws"))
-        .withColumn("gs", expr(
-          "concat(ws, CASE WHEN size(ws) < 2 THEN CAST(array() AS array<string>) " +
-            "ELSE transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END)"))
-        .select(col("doc_id"), explode(col("gs")).as("gram"))
+      numBuckets: Int = 1024): DataFrame =
+    dsirWeightsScored(raw, target, idCol, textCol, numBuckets)._1
+
+  /** [[dsirWeights]] plus the persisted (doc,bucket) rollup handle —
+    * call `.unpersist()` on it after the output action to release the
+    * cache entry. */
+  def dsirWeightsScored(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024): (DataFrame, DataFrame) = {
+    // unigram explode union bigram zip-of-slices explode, with the
+    // bigram concat and the md5 both POST-explode where they codegen —
+    // the transform() lambda shape ran the concat interpreted per gram,
+    // measured 8x slower on the same rollup (NGrams.scala)
+    def feats(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("ws"))
+      val uni = toks.select(col("doc_id"), explode(col("ws")).as("gram"))
+      val bi = toks
+        .select(col("doc_id"), explode(NGrams.zipExpr("ws", 2)).as("pr"))
+        .select(col("doc_id"),
+          concat(col("pr.0"), lit(" "), col("pr.1")).as("gram"))
+      uni.unionAll(bi)
         .withColumn("bucket",
           expr(s"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % $numBuckets"))
         .select("doc_id", "bucket")
-    // single feature pass per corpus: everything raw-side derives from
-    // the one map-side-combined (doc,bucket) rollup (the bucket LM and
-    // the grand total consume its exchange via ReuseExchange — the md5
-    // gram explode is never recomputed), and the target side derives
-    // LM + total from its one bucket-count rollup the same way
+    }
+    // single feature pass per corpus, enforced rather than hoped-for:
+    // the (doc,bucket) rollup is persisted, the bounded bucket counts
+    // (≤ numBuckets rows each, a driver-known bound) are collected and
+    // re-entered as literal DataFrames, and every LM/total derives from
+    // those literals — ReuseExchange cannot be defeated by pruning
+    // because there is nothing left to re-derive from the corpus
     val micro = "CAST(round(ln(c + 1) * 1000000) AS BIGINT)"
+    val spark = raw.sparkSession
+    val cntSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def literalCounts(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), cntSchema)
     val dbR = feats(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
-    val cntR = dbR.groupBy("bucket").agg(sum("m").as("c"))
-    val cntT = feats(target).groupBy("bucket").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // micro-nat quantization stays an in-plan expression over the
+    // literal counts so the values are computed by the same Spark
+    // expression as before (bit-identical; no driver-side reimplementation
+    // of Spark's BigDecimal HALF_UP rounding to get subtly wrong)
+    val cntR = literalCounts(dbR.groupBy("bucket").agg(sum("m").as("c")).collect())
+    val cntT = literalCounts(
+      feats(target).groupBy("bucket").agg(count(lit(1)).as("c")).collect())
     val lmT = cntT.select(col("bucket"), expr(micro).as("lt"))
     val lmR = cntR.select(col("bucket"), expr(micro).as("lr"))
     // raw-side buckets always exist in lmR; absent-from-target buckets
@@ -153,12 +194,11 @@ object Mixing {
             expr(s"CAST(round(ln(n_t + $numBuckets) * 1000000) AS BIGINT)")))
           .cast("double") / lit(1e6) / col("n_feats").cast("double"), 4) + lit(0.0))
       .select("doc_id", "n_feats", "logratio")
-    // threshold as an in-plan single-row broadcast, NOT a driver collect:
-    // one lazy action, and the scored subtree's doc-rollup exchange is
-    // computed once and reused by the quantile aggregate and the output
-    // join (ReuseExchange) — no persist lifetime to manage
+    // threshold as an in-plan single-row broadcast: the quantile
+    // aggregate and the output join each re-aggregate the PERSISTED
+    // rollup — cheap per-doc sums, never the gram explode
     val threshold = scored.agg(percentile(col("logratio"), lit(0.75)).as("_q75"))
-    raw.select(col(idCol).as("doc_id"))
+    val out = raw.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(threshold))
       .select(
@@ -166,6 +206,7 @@ object Mixing {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("logratio"),
         coalesce(col("logratio") >= col("_q75"), lit(false)).as("selected"))
+    (out, dbR)
   }
 
   /** Sequence packing: assign docs (in id order) to consecutive

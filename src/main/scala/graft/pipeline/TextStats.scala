@@ -122,16 +122,18 @@ object TextStats {
     // free, and the hash cuts shuffle bytes ~3x at corpus scale (a
     // cross-n-gram hash collision would merge two counts; at 2^64 that
     // needs ~10^9 distinct grams per doc to matter)
-    def grams(n: Int): Column =
-      if (n == 1) expr("transform(ws, t -> xxhash64(t))")
-      else {
-        val parts = (0 until n).map(k => s"element_at(ws, i + $k)").mkString(", ")
-        expr(s"CASE WHEN size(ws) >= $n THEN transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> xxhash64($parts)) ELSE CAST(array() AS array<bigint>) END")
-      }
-    val g = (1 to 3)
-      .map(n => w.select(col("doc_id"), lit(n).as("n"), explode(grams(n)).as("gram")))
-      .reduce(_ unionAll _)
+    // zip-of-slices explode with the hash POST-explode (codegen'd) —
+    // a transform() lambda would run xxhash64 interpreted (NGrams.scala)
+    def grams(n: Int): DataFrame =
+      if (n == 1)
+        w.select(col("doc_id"), lit(1).as("n"), explode(col("ws")).as("t"))
+          .select(col("doc_id"), col("n"), xxhash64(col("t")).as("gram"))
+      else
+        w.select(col("doc_id"), lit(n).as("n"),
+            explode(graft.pipeline.NGrams.zipExpr("ws", n)).as("pr"))
+          .select(col("doc_id"), col("n"),
+            xxhash64(graft.pipeline.NGrams.fields("pr", n): _*).as("gram"))
+    val g = (1 to 3).map(grams).reduce(_ unionAll _)
     val agg = g.groupBy("doc_id", "n", "gram").count()
       .groupBy("doc_id", "n")
       .agg(max("count").as("maxc"), sum("count").as("tot"),
