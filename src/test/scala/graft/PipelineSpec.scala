@@ -242,6 +242,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Boolean]("pass") && out(4L).getAs[Boolean]("pass"))
   }
 
+  test("blocklistFilter: terms with quotes and backslashes are plain literals") {
+    // regression for the SQL-text interpolation era: an apostrophe term
+    // silently parsed as a different literal and a backslash term threw
+    val d = docsDf(0L -> "reading o'reilly books", 1L -> "a back\\slash here")
+    val out = TextStats
+      .blocklistFilter(d, "doc_id", "text", Seq("o'reilly", "back\\slash", "x"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the corpus tokenizer strips punctuation, so these terms can only
+    // ever match if passed through verbatim as literals — no parse, no
+    // escape convention; neither should throw and neither should match
+    // tokenized corpus words
+    assert(out(0L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Boolean]("pass"))
+  }
+
   test("canonicalizeUrls: case/port/params/fragment/slash rules, urlDedup groups") {
     import graft.pipeline.Scrub
     val d = docsDf(
