@@ -811,6 +811,42 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // As-of join over the events stream: for every click, the latest
+    // at-or-before error of the same user (AsOfJoin union-window shape —
+    // one shuffle, no range self-join). Integer epoch-nanos ordering so
+    // the compared surface is longs + the untouched value passthrough;
+    // the oracle is DuckDB's native ASOF LEFT JOIN.
+    "e_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_ns", "event_id")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ns"),
+          col("event_id").as("err_id"), col("value").as("err_value"))
+      graft.operators.AsOfJoin.asOf(clicks, errors,
+          keys = Seq("user_id"), tsCol = "ts_ns",
+          payloads = Seq("err_id", "err_value"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          col("asof_ts").as("err_ts_ns"),
+          col("asof_err_id").as("err_id"),
+          col("asof_err_value").as("err_value"))
+    }),
+    // Session windows over events: per-user sessions split at >30 min
+    // gaps (Spark session_window — the streaming-native session
+    // operator, batch-replayed here so the oracle can gaps-and-islands
+    // it). Value sums as exact integer cents (micro-unit recipe).
+    "st_session_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("value_cents"))
+    }),
+
     // ---- round-7 oracle promotions: operators previously unit-only ----
 
     // E1: query encoding prep — [Q] marker, punctuation-only tokens
@@ -2589,6 +2625,36 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB has a native ASOF JOIN — the oracle IS the operator's
+    // textbook definition (latest right at-or-before, per key)
+    "e_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |    event_id AS err_id, value AS err_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT l.user_id, l.event_id, l.ts_ns,
+        |  r.ts_ns AS err_ts_ns, r.err_id, r.err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns""".stripMargin,
+    // gaps-and-islands replay of Spark session_window semantics: a new
+    // session starts when the gap to the previous event is STRICTLY
+    // greater than 30 min — an event exactly at the previous session's
+    // end merges into it (StreamingSpec pins this boundary);
+    // end = last event + gap
+    "st_session_agg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
+        |      lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT user_id, ts, epoch_us(ts) AS ts_us, value FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "e_prep_query" ->
       """SELECT doc_id, array_to_string(list_slice(list_concat(
         |    list_concat(['[Q]'], list_filter(

@@ -342,4 +342,41 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:00:00.0", "a", 2L, 3.0),
       ("2026-01-01 11:00:00.0", "b", 1L, 5.0)))
   }
+
+  test("session windows: the st_session_agg shape runs as a watermarked stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sdf = stream.toDF().toDF("ts", "user_id", "value")
+    // same aggregation as the batch gate query, made streaming-legal
+    // with a watermark; sessions split only at STRICTLY > 30 min gaps
+    // (an event exactly at the session end merges — pinned below)
+    val agg = sdf.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"), col("value_cents"))
+    assert(agg.isStreaming)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData(Seq(
+      (t("2026-01-01 10:00:00"), 1L, 1.25), // session A: 10:00 + 10:20
+      (t("2026-01-01 10:20:00"), 1L, 2.50),
+      (t("2026-01-01 10:50:00"), 1L, 4.00), // exactly at A's end -> MERGES
+      (t("2026-01-01 11:20:01"), 1L, 0.75), // 1 s past the end -> new session
+      (t("2026-01-01 10:05:00"), 2L, 8.00)))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_agg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_agg").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, "2026-01-01 10:00:00.0", "2026-01-01 11:20:00.0", 3L, 775L),
+      (1L, "2026-01-01 11:20:01.0", "2026-01-01 11:50:01.0", 1L, 75L),
+      (2L, "2026-01-01 10:05:00.0", "2026-01-01 10:35:00.0", 1L, 800L)))
+  }
 }
