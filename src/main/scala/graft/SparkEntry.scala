@@ -831,6 +831,14 @@ object SparkEntry {
           col("asof_err_id").as("err_id"),
           col("asof_err_value").as("err_value"))
     }),
+    // Conversion funnel over events: per-user greedy-earliest
+    // view -> click -> purchase within 24 h of the first view
+    // (EventFunnel — per-step keyed joins, no corpus windows)
+    "e_funnel_conv" -> ((s, dir) =>
+      graft.operators.EventFunnel.funnel(
+        t(s, dir, "events"), "user_id", "ts_ns", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        withinNs = Some(24L * 3600 * 1000000000L))),
     // Session windows over events: per-user sessions split at >30 min
     // gaps (Spark session_window — the streaming-native session
     // operator, batch-replayed here so the oracle can gaps-and-islands
@@ -2637,6 +2645,24 @@ object SparkEntry {
         |  r.ts_ns AS err_ts_ns, r.err_id, r.err_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns""".stripMargin,
+    // funnel replay: t0 = first view; t1 = first click strictly after
+    // t0; t2 = first purchase strictly after t1, both within 24 h of t0
+    "e_funnel_conv" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+        |s0 AS (SELECT user_id, min(ts_ns) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts_ns) AS t1 FROM e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_ns > s0.t0
+        |    AND e.ts_ns - s0.t0 <= 86400000000000 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2
+        |  FROM e JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_ns > s1.t1
+        |    AND e.ts_ns - s0.t0 <= 86400000000000 GROUP BY 1)
+        |SELECT s0.user_id, s0.t0, s1.t1, s2.t2,
+        |  (CASE WHEN s0.t0 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_steps
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
     // gaps-and-islands replay of Spark session_window semantics: a new
     // session starts when the gap to the previous event is STRICTLY
     // greater than 30 min — an event exactly at the previous session's
