@@ -831,6 +831,19 @@ object SparkEntry {
           col("asof_err_id").as("err_id"),
           col("asof_err_value").as("err_value"))
     }),
+    // OHLC downsample: per event_type per hour, open/close picked by
+    // min_by/max_by on the (globally unique) timestamp — stored-value
+    // passthrough, no float arithmetic in the compared output
+    "e_ohlc_hour" -> ((s, dir) =>
+      graft.operators.TimeSeries.ohlcDownsample(
+        t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
+        bucketNs = 3600L * 1000000000L)),
+    // Retention cohort matrix: daily cohorts by first-seen bucket,
+    // distinct active users per (cohort, day offset)
+    "e_retention" -> ((s, dir) =>
+      graft.operators.TimeSeries.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts_ns",
+        bucketNs = 86400L * 1000000000L)),
     // Conversion funnel over events: per-user greedy-earliest
     // view -> click -> purchase within 24 h of the first view
     // (EventFunnel — per-step keyed joins, no corpus windows)
@@ -2645,6 +2658,23 @@ object SparkEntry {
         |  r.ts_ns AS err_ts_ns, r.err_id, r.err_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns""".stripMargin,
+    "e_ohlc_hour" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+        |  arg_min(value, epoch_ns(ts)) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, epoch_ns(ts)) AS close,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_retention" ->
+      """WITH b AS (SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS bk
+        |  FROM events),
+        |fs AS (SELECT u, min(bk) AS cohort FROM b GROUP BY 1),
+        |act AS (SELECT DISTINCT u, bk FROM b),
+        |m AS (SELECT cohort, bk - cohort AS "offset", count(*) AS n_active
+        |  FROM act JOIN fs USING (u) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS n_cohort FROM fs GROUP BY 1)
+        |SELECT cohort, "offset", n_active, n_cohort
+        |FROM m JOIN sz USING (cohort)""".stripMargin,
     // funnel replay: t0 = first view; t1 = first click strictly after
     // t0; t2 = first purchase strictly after t1, both within 24 h of t0
     "e_funnel_conv" ->

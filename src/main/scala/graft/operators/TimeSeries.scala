@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series rollups over an event stream with integer-nanos
+  * timestamps — the downsampling / cohort shapes every telemetry or
+  * product-analytics pipeline needs, built as single map-side-combined
+  * aggregations (one shuffle each, no windows over the corpus).
+  *
+  * Determinism: buckets are integer division of epoch nanos (exact both
+  * engines); OHLC open/close pick STORED values via min_by/max_by on
+  * the timestamp (pure passthrough — no float arithmetic enters the
+  * compared output), relying on unique timestamps per series for the
+  * tie (the driver corpus is globally unique; callers with colliding
+  * timestamps should pre-disambiguate the order column). */
+object TimeSeries {
+
+  /** OHLC downsample: per (`keyCols`, bucket) — open = value at the
+    * earliest ts, close = at the latest, high/low = max/min, plus the
+    * event count. `bucketNs` is the bucket width in tsCol's unit. */
+  def ohlcDownsample(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    events
+      .withColumn("bucket", expr(s"$tsCol div $bucketNs"))
+      .groupBy((col("bucket") +: keyCols.map(col)): _*)
+      .agg(
+        min_by(col(valueCol), col(tsCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(tsCol)).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Retention cohort matrix: cohort = the bucket of a user's FIRST
+    * event; one output row per (cohort, offset) with the number of
+    * distinct cohort users active in cohort+offset and the cohort's
+    * size (offset 0 row always equals `n_cohort`).
+    *
+    * Shape: first-seen rollup (map-side combined) + distinct activity
+    * rollup + one keyed join — all shuffles on the user column, then a
+    * bounded (cohort × offset) aggregation. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val bucketed = events.select(
+      col(userCol).as("_u"), expr(s"$tsCol div $bucketNs").as("_b"))
+    val firstSeen = bucketed.groupBy("_u").agg(min("_b").as("cohort"))
+    val active = bucketed.distinct()
+    val matrix = active.join(firstSeen, "_u")
+      .groupBy(col("cohort"), (col("_b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firstSeen.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    matrix.join(sizes, "cohort")
+      .select("cohort", "offset", "n_active", "n_cohort")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("ohlcDownsample: open/close by timestamp, high/low by value, bucketing") {
+    import spark.implicits._
+    val rows = Seq( // (ts, key, value) — bucket width 100
+      (10L, "x", 5.0), (50L, "x", 9.0), (90L, "x", 1.0), // bucket 0
+      (110L, "x", 7.0),                                   // bucket 1
+      (20L, "y", 3.0))
+    val out = TimeSeries.ohlcDownsample(
+        rows.toDF("ts", "key", "value"), "ts", Seq("key"), "value", 100L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("key")) ->
+        ((r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_events"))))
+      .toMap
+    assert(out((0L, "x")) === ((5.0, 9.0, 1.0, 1.0, 3L)))
+    assert(out((1L, "x")) === ((7.0, 7.0, 7.0, 7.0, 1L)))
+    assert(out((0L, "y")) === ((3.0, 3.0, 3.0, 3.0, 1L)))
+  }
+
+  test("retentionCohorts: first-seen cohorts, distinct activity, sizes") {
+    import spark.implicits._
+    val rows = Seq( // (user, ts) — day width 10
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 25L), // cohort 0, active d0 d1 d2
+      (2L, 3L), (2L, 23L),                       // cohort 0, active d0 d2
+      (3L, 11L))                                 // cohort 1, active d1 only
+    val out = TimeSeries.retentionCohorts(
+        rows.toDF("u", "ts"), "u", "ts", 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out((0L, 0L)) === ((2L, 2L))) // both cohort-0 users active day 0
+    assert(out((0L, 1L)) === ((1L, 2L))) // only user 1 active day 1
+    assert(out((0L, 2L)) === ((2L, 2L)))
+    assert(out((1L, 0L)) === ((1L, 1L)))
+    assert(out.size === 4)
+  }
+}
