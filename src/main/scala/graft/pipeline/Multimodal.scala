@@ -166,6 +166,55 @@ object Multimodal {
       .select(col(idCol).as("doc_id"),
         explode(expr(s"sequence(0, meta.n_frames - 1, $everyK)")).as("frame_idx"))
 
+  /** REAL image resize to a `maxSide`-bounded thumbnail, re-encoded as
+    * PNG — the dataset-prep normalization stage (vision-model corpora
+    * standardize resolution before feature extraction). Decode + scale
+    * (area-weighted `getScaledInstance(SCALE_SMOOTH)`) + encode all run
+    * through JVM built-ins (`javax.imageio` + `java.awt`), so unlike
+    * the audio/video paths nothing here is stubbed. Aspect ratio is
+    * preserved; images already within bounds are re-encoded unchanged
+    * in dimensions (normalizing the container format is the point).
+    * Undecodable payloads yield NULL thumbnails with `ok = false`.
+    *
+    * Same plan shape as [[decodeFeatures]]: partition-local
+    * mapPartitions batches, one decoder per partition, no shuffle —
+    * at 100 TB this is a pure map stage whose parallelism is the input
+    * split count. */
+  def resizeThumbnails(spark: SparkSession, media: DataFrame, maxSide: Int = 64,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img =
+            if (payload == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0)
+            (id, null: Array[Byte], 0, 0, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val scaled = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = scaled.createGraphics()
+            try gfx.drawImage(
+              img.getScaledInstance(tw, th, java.awt.Image.SCALE_SMOOTH),
+              0, 0, null)
+            finally gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            (id, bos.toByteArray, tw, th, true)
+          }
+        }
+      }
+      .toDF("doc_id", "thumbnail", "width", "height", "ok")
+  }
+
   /** Synthesizes a deterministic media table from any text table — test
     * fixture helper: even ids get a PNG magic, odd ids a JPEG magic,
     * payload body is the utf-8 text. */

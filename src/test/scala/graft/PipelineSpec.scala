@@ -757,6 +757,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(stubFeats === fake)
   }
 
+  test("resizeThumbnails: real decode+scale+re-encode, aspect kept, bad payload flagged") {
+    import spark.implicits._
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / math.max(w - 1, 1)) << 16) | (y * 255 / math.max(h - 1, 1)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (0L, gradient(128, 64)),  // landscape 2:1 -> 64x32
+      (1L, gradient(16, 48)),   // portrait, over on one side -> 21x64? no: max side 48 <= 64 -> unchanged dims
+      (2L, gradient(200, 200)), // square -> 64x64
+      (3L, Array[Byte](1, 2, 3))) // garbage
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeThumbnails(spark, media, maxSide = 64).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("thumbnail"), r.getInt(2), r.getInt(3),
+          r.getBoolean(4)))).toMap
+    assert(out(0L)._2 === 64 && out(0L)._3 === 32 && out(0L)._4)
+    assert(out(1L)._2 === 16 && out(1L)._3 === 48) // within bounds: dims kept
+    assert(out(2L)._2 === 64 && out(2L)._3 === 64)
+    assert(out(3L)._1 === null && !out(3L)._4)
+    // thumbnails are valid PNGs that decode to the reported dimensions
+    for (id <- Seq(0L, 1L, 2L)) {
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id)._1))
+      assert(back.getWidth === out(id)._2 && back.getHeight === out(id)._3)
+    }
+  }
+
   // ---------- exact-substring duplicate spans ----------
 
   /** Brute-force twin: flag every L-window appearing verbatim in another
