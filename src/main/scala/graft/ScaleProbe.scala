@@ -98,6 +98,25 @@ object ScaleProbe {
               .stripMargin).as("embedding"),
           col("label"))
     }
+    gen("events") {
+      // replica r shifts the whole stream by r stream-lengths and uses a
+      // fresh user population per replica: user cardinality AND the time
+      // axis both scale with the data (per-user event density stays
+      // constant — retention/session/funnel state per key doesn't blow
+      // up, the count of keys does, as in a real growing product)
+      val src = graft.Tables(spark, sfDir, "events")
+        .select("event_id", "ts_ns", "user_id", "event_type", "value")
+      val span = src.agg(expr("max(ts_ns) - min(ts_ns) + 1000000000")).collect()(0).getLong(0)
+      val nUsers = src.agg(expr("max(user_id) + 1")).collect()(0).getLong(0)
+      src.repartition(nPart).crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") * factor + col("r")).as("event_id"),
+          (col("ts_ns") + col("r") * span).as("ts_ns"),
+          (col("user_id") + col("r") * nUsers).as("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .drop("ts_ns")
+    }
     gen("lineitem") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .repartition(nPart).crossJoin(broadcast(reps))
