@@ -831,6 +831,12 @@ object SparkEntry {
           col("asof_err_id").as("err_id"),
           col("asof_err_value").as("err_value"))
     }),
+    // Pretraining context-window chunking: 64-token windows, stride 48
+    // (HF return_overflowing_tokens semantics, tail covered exactly once)
+    "p_doc_chunks" -> ((s, dir) =>
+      graft.pipeline.Mixing.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48)),
     // OHLC downsample: per event_type per hour, open/close picked by
     // min_by/max_by on the (globally unique) timestamp — stored-value
     // passthrough, no float arithmetic in the compared output
@@ -2658,6 +2664,18 @@ object SparkEntry {
         |  r.ts_ns AS err_ts_ns, r.err_id, r.err_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns""".stripMargin,
+    "p_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN -1 WHEN len(toks) <= 64 THEN 0
+        |      ELSE (len(toks) - 64 + 47) // 48 END AS kk FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, kk + 1)) AS chunk_id
+        |  FROM k WHERE kk >= 0)
+        |SELECT doc_id, chunk_id,
+        |  len(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)])::BIGINT AS n_tokens,
+        |  array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "e_ohlc_hour" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
         |  arg_min(value, epoch_ns(ts)) AS open,

@@ -330,4 +330,43 @@ object Mixing {
         coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
         coalesce(col("max_shared"), lit(0L)).as("max_shared"))
   }
+
+  /** Sliding-window document chunking — the context-window preparation
+    * step for pretraining (HF `return_overflowing_tokens` semantics):
+    * chunk k covers tokens `[k·stride, k·stride + chunkTokens)`; the
+    * LAST start is the smallest multiple of `stride` whose window
+    * reaches the end of the document, so the tail is covered exactly
+    * once with no redundant sub-window of the previous chunk. Documents
+    * shorter than `chunkTokens` yield their single (short) chunk;
+    * zero-token documents yield no rows.
+    *
+    * Output: `(doc_id, chunk_id, n_tokens, chunk_text)`.
+    *
+    * Scale shape: tokenize → `posexplode(sequence(0, K))` (no
+    * higher-order lambda — NGrams.scala) → codegen'd `slice` +
+    * `concat_ws` post-explode. Zero shuffles: a pure flatMap-shaped
+    * projection whose output is ~`1 + overlap` times the corpus. */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunk=$chunkTokens stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
+      .withColumn("_k", expr(
+        s"CASE WHEN size(toks) = 0 THEN -1 WHEN size(toks) <= $chunkTokens THEN 0 " +
+          s"ELSE (size(toks) - $chunkTokens + $stride - 1) DIV $stride END"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("CASE WHEN _k < 0 THEN CAST(array() AS array<int>) " +
+          "ELSE sequence(0, _k) END")).as(Seq("chunk_id", "_ignored")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(toks, chunk_id * $stride + 1, $chunkTokens)").as("_c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
 }

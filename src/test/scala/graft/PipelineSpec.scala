@@ -789,6 +789,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: stride windows, exactly-once tail, short/empty docs") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val d = docsDf(0L -> words, 1L -> "a b c", 2L -> "", 3L -> "!!!")
+    val out = Mixing.chunkDocuments(d, "doc_id", "text", chunkTokens = 50, stride = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    // 100 tokens, chunk 50, stride 25 -> starts 0,25,50: tail covered
+    // once, no redundant [75,100) sub-window of [50,100)
+    assert(out.keys.count(_._1 == 0L) === 3)
+    assert(out((0L, 0L))._1 === 50L)
+    assert(out((0L, 0L))._2.startsWith("w1 w2 ") && out((0L, 0L))._2.endsWith(" w50"))
+    assert(out((0L, 2L))._2.startsWith("w51 ") && out((0L, 2L))._2.endsWith(" w100"))
+    // short doc: one short chunk; token-free docs: no rows
+    assert(out((1L, 0L)) === ((3L, "a b c")))
+    assert(!out.keys.exists(_._1 == 2L) && !out.keys.exists(_._1 == 3L))
+  }
+
   // ---------- exact-substring duplicate spans ----------
 
   /** Brute-force twin: flag every L-window appearing verbatim in another

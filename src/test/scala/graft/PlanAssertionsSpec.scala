@@ -179,4 +179,42 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("In(term,") || plan.contains("In(term "),
       s"query-term predicate not pushed into the postings scan:\n$plan")
   }
+
+  test("event-family plans: map-side combine, single-shuffle as-of, no products") {
+    import spark.implicits._
+    val ev = (0L until 500L)
+      .map(i => (i, i * 1000L, i % 7, if (i % 3 == 0) "view" else "click", i * 0.5))
+      .toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+    // OHLC: partial min_by/max_by before the single exchange
+    val ohlc = planOf(graft.operators.TimeSeries.ohlcDownsample(
+      ev, "ts_ns", Seq("event_type"), "value", 100000L))
+    assert(ohlc.contains("partial_min_by"),
+      s"OHLC lost its map-side partial aggregation:\n$ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(ohlc).length === 1,
+      s"OHLC should shuffle exactly once:\n$ohlc")
+    // as-of: ONE shuffle on the key feeds the carry window; no products
+    val l = ev.filter(col("event_type") === "view").select("user_id", "ts_ns", "event_id")
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), col("value"))
+    val asof = planOf(graft.operators.AsOfJoin.asOf(
+      l, r, Seq("user_id"), "ts_ns", Seq("value")))
+    assert("Exchange hashpartitioning".r.findAllIn(asof).length === 1,
+      s"as-of must be the one-shuffle union-window shape:\n$asof")
+    assert(!asof.contains("CartesianProduct") && !asof.contains("BroadcastNestedLoop"))
+    // retention: first-seen and activity rollups both combine map-side
+    val ret = planOf(graft.operators.TimeSeries.retentionCohorts(
+      ev, "user_id", "ts_ns", 100000L))
+    assert(ret.contains("partial_min") || ret.contains("partial_first"),
+      s"retention first-seen rollup lost map-side combine:\n$ret")
+    assert(!ret.contains("CartesianProduct"))
+  }
+
+  test("chunkDocuments is a pure zero-shuffle projection") {
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, ("w " * 200).trim)).toDF("doc_id", "text")
+    val plan = planOf(graft.pipeline.Mixing.chunkDocuments(d, "doc_id", "text", 64, 48))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — it is a flatMap-shaped projection:\n$plan")
+    assert(plan.contains("Generate"), s"expected the explode Generate node:\n$plan")
+  }
 }
