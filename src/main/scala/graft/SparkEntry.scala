@@ -844,6 +844,10 @@ object SparkEntry {
       graft.operators.TimeSeries.ohlcDownsample(
         t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
         bucketNs = 3600L * 1000000000L)),
+    // Hampel-filter anomalies: per event_type median/MAD gate at k=3
+    "e_anomalies" -> ((s, dir) =>
+      graft.operators.TimeSeries.robustAnomalies(
+        t(s, dir, "events"), "event_id", Seq("event_type"), "value", k = 3.0)),
     // Retention cohort matrix: daily cohorts by first-seen bucket,
     // distinct active users per (cohort, day offset)
     "e_retention" -> ((s, dir) =>
@@ -2683,6 +2687,15 @@ object SparkEntry {
         |  arg_max(value, epoch_ns(ts)) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_anomalies" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS m FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |    quantile_cont(abs(e.value - med.m), 0.5) AS d
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - med.m) > 3.0 * mad.d AS is_anomaly
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)""".stripMargin,
     "e_retention" ->
       """WITH b AS (SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS bk
         |  FROM events),

@@ -37,6 +37,47 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Robust per-key outlier detection: flag rows whose value deviates
+    * from the key's median by more than `k` × MAD (median absolute
+    * deviation) — the Hampel filter, the standard telemetry anomaly
+    * gate that a mean/stddev z-score can't do safely because outliers
+    * poison the mean itself.
+    *
+    * Shape: two exact-percentile rollups (median, then MAD over the
+    * re-joined deviations) with the ≤|keys|-row aggregate broadcast
+    * back — shuffles are keyed on the series key only. Exact
+    * `percentile` is deterministic cross-engine at q = 0.5 (the
+    * interpolation fraction is an exact binary value — the same recipe
+    * as the perplexity q25/q75 thresholds); swap in approx_percentile
+    * at extreme cardinality, the contract is unchanged. A constant
+    * series has MAD 0, so ANY deviation from its median is flagged —
+    * the standard Hampel edge, kept rather than fudged with an
+    * epsilon.
+    *
+    * Output: `(idCol, keyCols…, valueCol, is_anomaly)` — the medians
+    * stay internal so the compared surface adds only a bool. */
+  def robustAnomalies(
+      events: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "robustAnomalies needs at least one key column")
+    val keyCs = keyCols.map(col)
+    val med = events.groupBy(keyCs: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("_med"))
+    val withMed = events.join(broadcast(med), keyCols)
+    val mad = withMed
+      .groupBy(keyCs: _*)
+      .agg(percentile(abs(col(valueCol) - col("_med")), lit(0.5)).as("_mad"))
+    withMed.join(broadcast(mad), keyCols)
+      .select(
+        (col(idCol) +: keyCs) ++ Seq(
+          col(valueCol),
+          (abs(col(valueCol) - col("_med")) > lit(k) * col("_mad"))
+            .as("is_anomaly")): _*)
+  }
+
   /** Retention cohort matrix: cohort = the bucket of a user's FIRST
     * event; one output row per (cohort, offset) with the number of
     * distinct cohort users active in cohort+offset and the cohort's

@@ -95,6 +95,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       unbounded(lid).isDefined && got(lid).isEmpty })
   }
 
+  test("randomized sweep: 8 seeds x both directions x random tolerance vs brute force") {
+    import spark.implicits._
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(5)
+      val lefts = (0 until 30 + rnd.nextInt(40)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(200).toLong))
+      val rights = (0 until 10 + rnd.nextInt(40)).map(i =>
+          (2000L + i, rnd.nextInt(nKeys).toLong, rnd.nextInt(200).toLong, i * 0.25))
+        .groupBy(r => (r._2, r._3)).map(_._2.head).toSeq // unique (key, ts)
+      val forward = rnd.nextBoolean()
+      val tol = if (rnd.nextBoolean()) Some(5L + rnd.nextInt(60)) else None
+      val got = AsOfJoin.asOf(
+          lefts.toDF("probe_id", "key", "ts"),
+          rights.toDF("state_id", "key", "ts", "reading"),
+          Seq("key"), "ts", Seq("state_id"),
+          forward = forward, tolerance = tol.map(t => lit(t.toDouble)))
+        .collect()
+        .map(r => r.getAs[Long]("probe_id") ->
+          Option(r.get(r.fieldIndex("asof_state_id"))).map(_.asInstanceOf[Long]))
+        .toMap
+      val want = bruteForce(lefts, rights, forward, tol)
+        .map { case (k, v) => k -> v.map(_._2) }
+      assert(got === want, s"seed=$seed forward=$forward tol=$tol")
+    }
+  }
+
   test("one shuffle, no cartesian/range join in the plan") {
     import spark.implicits._
     val (lefts, rights) = fixture

@@ -33,6 +33,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((0L, "y")) === ((3.0, 3.0, 3.0, 3.0, 1L)))
   }
 
+  test("robustAnomalies: Hampel flags the planted spike, constant series edge") {
+    import spark.implicits._
+    // key "a": 9 values near 10 plus one spike at 100 -> only the spike
+    // flags (a mean/stddev z-score at the same k would be poisoned);
+    // key "b": constant -> MAD 0, any deviation flags
+    val rows = (0L until 9L).map(i => (i, "a", 10.0 + (i % 3) * 0.5)) ++
+      Seq((9L, "a", 100.0), (10L, "b", 5.0), (11L, "b", 5.0), (12L, "b", 5.1))
+    val out = TimeSeries.robustAnomalies(
+        rows.toDF("id", "key", "value"), "id", Seq("key"), "value", k = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(out(9L) === true)
+    assert((0L until 9L).forall(i => !out(i)))
+    assert(!out(10L) && !out(11L) && out(12L))
+  }
+
   test("retentionCohorts: first-seen cohorts, distinct activity, sizes") {
     import spark.implicits._
     val rows = Seq( // (user, ts) — day width 10
