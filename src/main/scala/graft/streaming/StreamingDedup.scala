@@ -106,4 +106,68 @@ object StreamingDedup {
           }
       }
   }
+
+  final case class BloomState(bits: Array[Byte])
+
+  /** BOUNDED-MEMORY approximate first-seen — the 100 TB answer to
+    * [[firstSeen]]'s one honest scale limit: exact state grows with the
+    * number of DISTINCT documents forever (billions of keys → the state
+    * store itself becomes the big table). Here the stream shuffles on
+    * `pmod(hash, numBuckets)` and each bucket's state is a fixed Bloom
+    * bitset (double hashing, `numHashes` probes derived from the 60-bit
+    * content hash), so TOTAL state is `numBuckets × bitsPerBucket/8`
+    * bytes — constant for the stream's lifetime regardless of corpus
+    * size.
+    *
+    * Semantics: a true duplicate is ALWAYS suppressed (Bloom filters
+    * have no false negatives), and a novel document is dropped with
+    * probability ≈ (1−e^(−kn/m))^k — the classic trade: with the
+    * defaults and 1M distinct docs/bucket that is <1% loss. Use the
+    * exact operator while the distinct count fits the state store;
+    * switch to this when it doesn't. Within-batch duplicates collapse
+    * to the smallest doc_id (the keep-min rule), matching exactDedup. */
+  def firstSeenApprox(
+      docs: DataFrame,
+      numBuckets: Int = 1024,
+      bitsPerBucket: Int = 1 << 23, // 1 MiB/bucket → 1 GiB total at defaults
+      numHashes: Int = 7): Dataset[DocRow] = {
+    require(Integer.bitCount(bitsPerBucket) == 1,
+      s"bitsPerBucket must be a power of two, got $bitsPerBucket")
+    require(numHashes >= 1 && numBuckets >= 1, "need k >= 1, buckets >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("text_hash", md5(Dedup.normText(col("text"))))
+      .select("doc_id", "text", "text_hash")
+      .as[DocRow]
+      .groupByKey(r =>
+        (java.lang.Long.parseLong(r.text_hash.take(15), 16) % numBuckets).toInt)
+      .flatMapGroupsWithState[BloomState, DocRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[DocRow], state: GroupState[BloomState]) =>
+          val bits = state.getOption.map(_.bits)
+            .getOrElse(new Array[Byte](bitsPerBucket / 8))
+          def probes(hashHex: String): Array[Int] = {
+            // double hashing over the two md5 halves: p_i = h1 + i*h2
+            val h1 = java.lang.Long.parseLong(hashHex.substring(0, 15), 16)
+            val h2 = java.lang.Long.parseLong(hashHex.substring(15, 30), 16) | 1L
+            Array.tabulate(numHashes)(i =>
+              (((h1 + i * h2) % bitsPerBucket + bitsPerBucket) % bitsPerBucket).toInt)
+          }
+          def maybeNew(ps: Array[Int]): Boolean =
+            ps.exists(p => (bits(p >> 3) & (1 << (p & 7))) == 0)
+          def setAll(ps: Array[Int]): Unit =
+            ps.foreach(p => bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte)
+          val out = rows.toSeq
+            .groupBy(_.text_hash).valuesIterator
+            .map(_.minBy(_.doc_id)) // keep-min within the batch
+            .toSeq.sortBy(_.doc_id)
+            .flatMap { r =>
+              val ps = probes(r.text_hash)
+              if (maybeNew(ps)) { setAll(ps); Some(r) } else None
+            }
+          state.update(BloomState(bits))
+          out.iterator
+      }
+  }
 }

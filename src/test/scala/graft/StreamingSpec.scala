@@ -150,6 +150,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(all === Set(0L, 2L, 4L))
   }
 
+  test("bounded-memory approximate dedup: duplicates always suppressed, novels pass") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // 64 KiB per bucket, 16 buckets: ~200 distinct docs -> FP odds ~0
+    val out = graft.streaming.StreamingDedup.firstSeenApprox(
+      stream.toDF().toDF("doc_id", "text"),
+      numBuckets = 16, bitsPerBucket = 1 << 19, numHashes = 7)
+    stream.addData((0L until 100L).map(i => (i, s"document number $i")))
+    // batch 2: 50 exact repeats (difformatted) + 50 novel
+    stream.addData((0L until 50L).map(i => (1000L + i, s"  DOCUMENT   NUMBER $i ")) ++
+      (0L until 50L).map(i => (2000L + i, s"fresh text $i")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_out")
+      .option("checkpointLocation", "/tmp/graft_bloom_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bloom_out").select("doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives: every re-formatted repeat is suppressed
+    assert(got.intersect((1000L until 1050L).toSet).isEmpty)
+    // at this filter size nothing novel should be lost either
+    assert(got === ((0L until 100L) ++ (2000L until 2050L)).toSet)
+  }
+
   test("localBandSigs is the byte-identical twin of the batch shingle->minhash->band pipeline") {
     import spark.implicits._
     val corpus = Seq(
