@@ -844,6 +844,10 @@ object SparkEntry {
       graft.operators.TimeSeries.ohlcDownsample(
         t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
         bucketNs = 3600L * 1000000000L)),
+    // Observability rollup: p50/p90/p99 of value per event_type
+    "e_pctl_profile" -> ((s, dir) =>
+      graft.operators.TimeSeries.percentileProfile(
+        t(s, dir, "events"), Seq("event_type"), "value")),
     // Hampel-filter anomalies: per event_type median/MAD gate at k=3
     "e_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.robustAnomalies(
@@ -2687,6 +2691,13 @@ object SparkEntry {
         |  arg_max(value, epoch_ns(ts)) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_pctl_profile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "e_anomalies" ->
       """WITH med AS (SELECT event_type,
         |    quantile_cont(value, 0.5) AS m FROM events GROUP BY 1),

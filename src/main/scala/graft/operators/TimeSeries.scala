@@ -37,6 +37,26 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Percentile latency/size profile per key: p50/p90/p99 + count —
+    * the observability rollup (SLO dashboards, token-length audits).
+    * One exact-percentile aggregation, map-side partial; the quantile
+    * interpolation formula is cross-engine deterministic (the b3_codec
+    * twin hashes raw interpolated quantiles green), and
+    * approx_percentile is the documented swap at extreme cardinality
+    * with the same output contract. */
+  def percentileProfile(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "percentileProfile needs at least one key column")
+    events.groupBy(keyCols.map(col): _*)
+      .agg(
+        percentile(col(valueCol), lit(0.5)).as("p50"),
+        percentile(col(valueCol), lit(0.9)).as("p90"),
+        percentile(col(valueCol), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+  }
+
   /** Robust per-key outlier detection: flag rows whose value deviates
     * from the key's median by more than `k` × MAD (median absolute
     * deviation) — the Hampel filter, the standard telemetry anomaly
