@@ -47,13 +47,14 @@ object TimeSeries {
   def percentileProfile(
       events: DataFrame,
       keyCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      approx: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "percentileProfile needs at least one key column")
+    def q(p: Double): org.apache.spark.sql.Column =
+      if (approx) approx_percentile(col(valueCol), lit(p), lit(10000))
+      else percentile(col(valueCol), lit(p))
     events.groupBy(keyCols.map(col): _*)
-      .agg(
-        percentile(col(valueCol), lit(0.5)).as("p50"),
-        percentile(col(valueCol), lit(0.9)).as("p90"),
-        percentile(col(valueCol), lit(0.99)).as("p99"),
+      .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"),
         count(lit(1)).as("n"))
   }
 

@@ -33,6 +33,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((0L, "y")) === ((3.0, 3.0, 3.0, 3.0, 1L)))
   }
 
+  test("percentileProfile: exact quantiles; approx variant stays within bounds") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("k", i.toDouble))
+    val exact = TimeSeries.percentileProfile(
+        rows.toDF("key", "v"), Seq("key"), "v").collect()(0)
+    assert(exact.getAs[Double]("p50") === 50.5)
+    assert(exact.getAs[Long]("n") === 100L)
+    val approx = TimeSeries.percentileProfile(
+        rows.toDF("key", "v"), Seq("key"), "v", approx = true).collect()(0)
+    assert(math.abs(approx.getAs[Double]("p50") - 50.5) <= 1.5)
+    assert(math.abs(approx.getAs[Double]("p99") - exact.getAs[Double]("p99")) <= 2.0)
+  }
+
   test("robustAnomalies: Hampel flags the planted spike, constant series edge") {
     import spark.implicits._
     // key "a": 9 values near 10 plus one spike at 100 -> only the spike
