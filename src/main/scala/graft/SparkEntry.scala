@@ -844,6 +844,14 @@ object SparkEntry {
       graft.operators.TimeSeries.ohlcDownsample(
         t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
         bucketNs = 3600L * 1000000000L)),
+    // Z-order clustering key over (l_partkey, l_suppkey) at 8 bits/dim
+    // — pure-integer Morton interleave, the clustered-write sort key
+    "z_order_key" -> ((s, dir) =>
+      graft.operators.Layout.zValue(
+        t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("zval"))),
     // Observability rollup: p50/p90/p99 of value per event_type
     "e_pctl_profile" -> ((s, dir) =>
       graft.operators.TimeSeries.percentileProfile(
@@ -2691,6 +2699,23 @@ object SparkEntry {
         |  arg_max(value, epoch_ns(ts)) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "z_order_key" -> {
+      // same pure-integer Morton formula as Layout.zValue at 8 bits/dim
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"(((u0 >> $b) & 1) << ${b * 2})",
+        s"(((u1 >> $b) & 1) << ${b * 2 + 1})")).mkString(" + ")
+      s"""WITH s AS (SELECT
+         |    min(l_partkey)::BIGINT AS lo0, max(l_partkey)::BIGINT AS hi0,
+         |    min(l_suppkey)::BIGINT AS lo1, max(l_suppkey)::BIGINT AS hi1
+         |  FROM lineitem),
+         |u AS (SELECT l_orderkey::BIGINT AS l_orderkey,
+         |    l_linenumber::BIGINT AS l_linenumber,
+         |    (l_partkey::BIGINT - s.lo0) // ((s.hi0 - s.lo0) // 256 + 1) AS u0,
+         |    (l_suppkey::BIGINT - s.lo1) // ((s.hi1 - s.lo1) // 256 + 1) AS u1
+         |  FROM lineitem CROSS JOIN s)
+         |SELECT l_orderkey, l_linenumber, ($terms)::BIGINT AS zval
+         |FROM u""".stripMargin
+    },
     "e_pctl_profile" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

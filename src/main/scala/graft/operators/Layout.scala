@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout — the lakehouse clustering feature
+  * (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders): interleave the
+  * bits of several quantized columns into one sort key so that sorting
+  * by it co-locates rows close in EVERY dimension, and parquet
+  * row-group min/max stats prune multi-dimensional predicates instead
+  * of only the leading sort column's.
+  *
+  * Everything is exact integer arithmetic so a SQL oracle replays the
+  * key bit-for-bit: per column, `u = (v − min) div step` with
+  * `step = range div 2^bits + 1` (always < 2^bits, no overflow at any
+  * int64 range), then `zval = Σ bit_b(u_i) << (b·k + i)`. `bits·k`
+  * must stay ≤ 62.
+  *
+  * Scale shape: one bounded stats aggregate (2 longs per column,
+  * driver-known bound) + a pure projection for the key;
+  * [[zorderRepartition]] adds the `repartitionByRange(zval)` +
+  * in-partition sort that makes the write clustered. The range
+  * exchange samples the key — the standard global-sort shuffle, the
+  * same cost OPTIMIZE pays. */
+object Layout {
+
+  /** Append `zval` computed over `cols` (integer-typed columns). */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits*cols must fit a signed long: $bits x ${cols.size}")
+    // bounded collect: 2 longs per column — the quantization grid
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val k = cols.size
+    val terms = cols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getLong(2 * i)
+      val hi = stats.getLong(2 * i + 1)
+      val step = (hi - lo) / (1L << bits) + 1
+      val u = s"((CAST(`$c` AS BIGINT) - ${lo}L) DIV ${step}L)"
+      (0 until bits).map(b =>
+        s"(shiftleft(shiftright($u, $b) & 1L, ${b * k + i}))").mkString(" + ")
+    }
+    df.withColumn("zval", expr(terms.mkString(" + ")))
+  }
+
+  /** Range-partition and sort by the Z key — the clustered-write step.
+    * `numPartitions` becomes the output file count; each file's
+    * min/max envelope in every Z-ordered dimension shrinks by ~the
+    * partition count's appropriate root, which is what row-group
+    * pruning converts into skipped IO. */
+  def zorderRepartition(
+      df: DataFrame, cols: Seq[String], numPartitions: Int,
+      bits: Int = 16): DataFrame =
+    zValue(df, cols, bits)
+      .repartitionByRange(numPartitions, col("zval"))
+      .sortWithinPartitions("zval")
+}
