@@ -56,4 +56,18 @@ object Layout {
     zValue(df, cols, bits)
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** Bucketed + sorted table write — the co-located-join layout: two
+    * tables bucketed the same way on their join key SortMergeJoin with
+    * ZERO exchanges and zero sorts (the bucket files ARE the shuffle
+    * output, persisted once at write time and amortized over every
+    * future join/aggregation on that key — the classic warehouse
+    * fact-table discipline, and the right call at 100 TB whenever a key
+    * is joined more than once). LayoutSpec asserts the exchange-free
+    * plan. Requires a table catalog (`saveAsTable`); plain
+    * `.parquet(path)` writes cannot carry bucket metadata. */
+  def bucketedWrite(
+      df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key).saveAsTable(table)
 }

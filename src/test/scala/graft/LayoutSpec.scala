@@ -32,6 +32,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.values.toSeq.sorted === (0L until 16L).toSeq)
   }
 
+  test("co-bucketed tables join with zero exchanges and zero sorts") {
+    import spark.implicits._
+    val orders = (0L until 2000L).map(i => (i, s"o$i")).toDF("key", "o")
+    val items = (0L until 6000L).map(i => (i % 2000L, i * 1.5)).toDF("key", "v")
+    Layout.bucketedWrite(orders, "graft_bkt_orders", "key", 8)
+    Layout.bucketedWrite(items, "graft_bkt_items", "key", 8)
+    // force the merge join (the broadcast path would hide the bucket
+    // benefit this spec is about); planning happens at executedPlan
+    // access, so the conf must be set around it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = spark.table("graft_bkt_orders")
+          .join(spark.table("graft_bkt_items"), "key")
+        (j, j.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // the bucket files ARE the shuffle output: no Exchange anywhere,
+    // and the sortBy metadata also removes the SMJ's sorts
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"co-bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 6000L)
+    spark.sql("DROP TABLE graft_bkt_orders")
+    spark.sql("DROP TABLE graft_bkt_items")
+  }
+
   test("zorderRepartition prunes band predicates on BOTH dimensions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
