@@ -844,6 +844,12 @@ object SparkEntry {
       graft.operators.TimeSeries.ohlcDownsample(
         t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
         bucketNs = 3600L * 1000000000L)),
+    // SCD type-2 build: each user's event_type changes become validity
+    // intervals (signup/view/click/... as the changing attribute)
+    "e_scd2" -> ((s, dir) =>
+      graft.operators.TimeSeries.scd2(
+        t(s, dir, "events").select("user_id", "ts_ns", "event_type"),
+        Seq("user_id"), "ts_ns")),
     // Z-order clustering key over (l_partkey, l_suppkey) at 8 bits/dim
     // — pure-integer Morton interleave, the clustered-write sort key
     "z_order_key" -> ((s, dir) =>
@@ -2699,6 +2705,12 @@ object SparkEntry {
         |  arg_max(value, epoch_ns(ts)) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_scd2" ->
+      """SELECT user_id, event_type,
+        |  epoch_ns(ts) AS valid_from,
+        |  lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS valid_to,
+        |  lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "z_order_key" -> {
       // same pure-integer Morton formula as Layout.zValue at 8 bits/dim
       val terms = (0 until 8).flatMap(b => Seq(

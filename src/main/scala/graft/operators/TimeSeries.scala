@@ -99,6 +99,28 @@ object TimeSeries {
             .as("is_anomaly")): _*)
   }
 
+  /** SCD type-2 dimension build: turn a change-event stream
+    * `(key, ts, attrs…)` into validity intervals — `valid_from` = the
+    * change's timestamp, `valid_to` = the NEXT change's (NULL while
+    * current) — the slowly-changing-dimension table every warehouse
+    * join-as-of-load depends on (and the natural right side for
+    * [[AsOfJoin]]). One per-key window, shuffle keyed on the dimension
+    * key; ties on (key, ts) are rejected upstream by the same
+    * unique-per-(key,ts) contract as the as-of join. */
+  def scd2(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    events
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+
   /** Retention cohort matrix: cohort = the bucket of a user's FIRST
     * event; one output row per (cohort, offset) with the number of
     * distinct cohort users active in cohort+offset and the cohort's

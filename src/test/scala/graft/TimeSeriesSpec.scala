@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TimeSeries
@@ -59,6 +60,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(9L) === true)
     assert((0L until 9L).forall(i => !out(i)))
     assert(!out(10L) && !out(11L) && out(12L))
+  }
+
+  test("scd2: change events become contiguous validity intervals, last is current") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L, "bronze"), (1L, 20L, "silver"), (1L, 35L, "gold"),
+      (2L, 5L, "bronze"))
+    val out = TimeSeries.scd2(rows.toDF("key", "ts", "tier"), Seq("key"), "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("tier")) ->
+        ((r.getAs[Long]("valid_from"), Option(r.get(r.fieldIndex("valid_to"))),
+          r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(out((1L, "bronze")) === ((10L, Some(20L), false)))
+    assert(out((1L, "silver")) === ((20L, Some(35L), false)))
+    assert(out((1L, "gold")) === ((35L, None, true)))
+    assert(out((2L, "bronze")) === ((5L, None, true)))
+    // intervals tile: as-of join at ts 25 lands on silver
+    val dim = TimeSeries.scd2(rows.toDF("key", "ts", "tier"), Seq("key"), "ts")
+      .select(col("key"), col("valid_from").as("ts"), col("tier"))
+    val probe = Seq((100L, 1L, 25L)).toDF("pid", "key", "ts")
+    val asof = graft.operators.AsOfJoin.asOf(probe, dim, Seq("key"), "ts", Seq("tier"))
+      .collect()(0)
+    assert(asof.getAs[String]("asof_tier") === "silver")
   }
 
   test("retentionCohorts: first-seen cohorts, distinct activity, sizes") {
