@@ -108,6 +108,14 @@ object SparkEntry {
         )
     }),
 
+    // OLAP rollup: the multi-level aggregation lattice (per flag+status,
+    // per flag, grand total) in ONE pass — integer measures only
+    "q2_rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // ---- M-layer: the constrained WHERE grammar over metadata (M3) ----
     "m_where_eq_and" -> ((s, dir) => {
       MetadataOps.whereCondition(
@@ -2705,6 +2713,10 @@ object SparkEntry {
         |  arg_max(value, epoch_ns(ts)) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q2_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "e_scd2" ->
       """SELECT user_id, event_type,
         |  epoch_ns(ts) AS valid_from,
