@@ -174,6 +174,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === ((0L until 100L) ++ (2000L until 2050L)).toSet)
   }
 
+  test("streaming point-in-time enrichment: stream-static interval join on the scd2 dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // batch as-of joins need a per-key ordered window (not streaming-
+    // legal); the streaming equivalent is a stream-static INTERVAL join
+    // against the scd2-built validity table — same point-in-time result
+    val changes = Seq((1L, 10L, "bronze"), (1L, 20L, "silver"), (1L, 35L, "gold"))
+      .toDF("key", "ts", "tier")
+    val dim = graft.operators.TimeSeries.scd2(changes, Seq("key"), "ts")
+    val stream = MemoryStream[(Long, Long, Long)]
+    val probes = stream.toDF().toDF("pid", "key", "ts")
+    val enriched = probes.join(dim,
+      probes("key") === dim("key") && col("ts") >= col("valid_from") &&
+        (col("ts") < col("valid_to") || col("valid_to").isNull),
+      "left")
+      .select(col("pid"), col("tier"))
+    assert(enriched.isStreaming)
+    stream.addData(Seq((100L, 1L, 25L), (101L, 1L, 5L), (102L, 1L, 99L)))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("pit_enrich")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("pit_enrich").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(100L) === Some("silver")) // mid-interval
+    assert(got(101L) === None)           // before any change
+    assert(got(102L) === Some("gold"))   // open current interval
+  }
+
   test("localBandSigs is the byte-identical twin of the batch shingle->minhash->band pipeline") {
     import spark.implicits._
     val corpus = Seq(
