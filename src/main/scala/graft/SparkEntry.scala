@@ -852,6 +852,23 @@ object SparkEntry {
       graft.operators.TimeSeries.ohlcDownsample(
         t(s, dir, "events"), "ts_ns", Seq("event_type"), "value",
         bucketNs = 3600L * 1000000000L)),
+    // Last-touch attribution: each purchase attributed to the user's
+    // latest click within the preceding hour — the as-of TOLERANCE path
+    // (beyond-window matches null out, purchases are kept)
+    "e_attribution" -> ((s, dir) => {
+      // microsecond epochs: exact in the tolerance test's double cast
+      // (~1.7e15 < 2^53), where nanos would round at the window boundary
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.AsOfJoin.asOf(
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts_us", "event_id"),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"), col("event_id").as("click_id")),
+          keys = Seq("user_id"), tsCol = "ts_us", payloads = Seq("click_id"),
+          tolerance = Some(lit(3600e6)))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_ts").as("click_ts_us"), col("asof_click_id").as("click_id"))
+    }),
     // SCD type-2 build: each user's event_type changes become validity
     // intervals (signup/view/click/... as the changing attribute)
     "e_scd2" -> ((s, dir) =>
@@ -2717,6 +2734,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "e_attribution" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT l.user_id, l.event_id, l.ts_us,
+        |    r.ts_us AS click_ts_us, r.click_id
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts_us >= r.ts_us)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_ts_us END AS click_ts_us,
+        |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_id END AS click_id
+        |FROM j""".stripMargin,
     "e_scd2" ->
       """SELECT user_id, event_type,
         |  epoch_ns(ts) AS valid_from,
