@@ -132,7 +132,11 @@ object Bench {
     var omitted = 0
     val overhead = lineWith("{}", s""","queries_omitted":${times.size}""").length
     byTime.foreach { case (k, v) =>
-      val ent = f""""$k":$v%.3f"""
+      // explicit ROOT locale: f"%.3f" uses the JVM default locale, and a
+      // comma-decimal locale would emit 0,123 — invalid JSON for the
+      // driver's tail parser
+      val ent = "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       if (overhead + used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
       else omitted += 1
     }

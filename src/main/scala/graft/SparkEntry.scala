@@ -711,9 +711,9 @@ object SparkEntry {
     // plays the target corpus, the rest is the raw pool to be scored
     "p_dsir_weights" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      graft.pipeline.Mixing.dsirWeights(
+      graft.pipeline.Mixing.dsirWeightsScored(
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", numBuckets = 1024)
+        "doc_id", "text", numBuckets = 1024)._1
     }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2019): corpus-trained
     // Laplace unigram LM, per-doc mean neg-log-likelihood in integer
@@ -2355,12 +2355,12 @@ object SparkEntry {
         |gd AS (SELECT sh, count(*) AS nd FROM g GROUP BY 1),
         |per AS (
         |  SELECT doc_id, count(*) AS n_grams,
-        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
         |  FROM g JOIN gd USING (sh) GROUP BY 1)
         |SELECT d.doc_id,
         |  coalesce(per.n_grams, 0) AS n_grams,
         |  coalesce(per.n_shared, 0) AS n_shared,
-        |  coalesce((20000 * per.n_shared + per.n_grams) // (2 * per.n_grams), 0) AS dup_bp
+        |  CAST(coalesce((20000 * per.n_shared + per.n_grams) // (2 * per.n_grams), 0) AS BIGINT) AS dup_bp
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "p_pii_scrub" ->
       """WITH b AS (SELECT doc_id,
@@ -2408,9 +2408,9 @@ object SparkEntry {
         |  md5(coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '')) AS md5_clean,
         |  length(coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '')) AS n_clean_chars,
         |  count(*) AS n_lines,
-        |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-        |  sum(CASE WHEN NOT rule_keep THEN 1 ELSE 0 END) AS n_dropped_rule,
-        |  sum(CASE WHEN rule_keep AND NOT keep THEN 1 ELSE 0 END) AS n_dropped_boiler,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT rule_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_rule,
+        |  CAST(sum(CASE WHEN rule_keep AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_boiler,
         |  (NOT bool_or(has_lorem) AND NOT bool_or(has_brace)
         |    AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3) AS page_pass
         |FROM k GROUP BY doc_id""".stripMargin,
@@ -2732,7 +2732,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q2_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "e_attribution" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
@@ -2830,7 +2830,7 @@ object SparkEntry {
         |SELECT user_id, min(ts_us) AS start_us,
         |  max(ts_us) + 1800000000 AS end_us,
         |  count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY user_id, sess""".stripMargin,
     "e_prep_query" ->
       """SELECT doc_id, array_to_string(list_slice(list_concat(

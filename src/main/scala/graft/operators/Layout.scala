@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Everything is exact integer arithmetic so a SQL oracle replays the
   * key bit-for-bit: per column, `u = (v − min) div step` with
-  * `step = range div 2^bits + 1` (always < 2^bits, no overflow at any
-  * int64 range), then `zval = Σ bit_b(u_i) << (b·k + i)`. `bits·k`
-  * must stay ≤ 62.
+  * `step = range div 2^bits + 1` (so `u < 2^bits`; the range is
+  * computed in BigInt and the quantizer switches to a shifted-grid
+  * form when `max − min` would overflow int64), then
+  * `zval = Σ bit_b(u_i) << (b·k + i)`. `bits·k` must stay ≤ 62.
   *
   * Scale shape: one bounded stats aggregate (2 longs per column,
   * driver-known bound) + a pure projection for the key;
@@ -35,10 +36,24 @@ object Layout {
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val k = cols.size
     val terms = cols.zipWithIndex.map { case (c, i) =>
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"zValue: column `$c` has no non-null values (empty input?)")
       val lo = stats.getLong(2 * i)
       val hi = stats.getLong(2 * i + 1)
-      val step = (hi - lo) / (1L << bits) + 1
-      val u = s"((CAST(`$c` AS BIGINT) - ${lo}L) DIV ${step}L)"
+      // range as BigInt: hi - lo overflows Long when the column spans
+      // more than Long.MaxValue (e.g. min<0, max near Long.MaxValue)
+      val range = BigInt(hi) - BigInt(lo)
+      val step = (range / (BigInt(1) << bits) + 1).toLong
+      // When the range fits a Long the exact (v - lo) DIV step grid is
+      // safe; beyond that the SQL subtraction itself would wrap, so fall
+      // back to (v DIV step) - (lo DIV step) — same step, bins can shift
+      // by at most one vs the exact grid, every intermediate stays in
+      // int64 (|v DIV step| <= Long.Max/step).
+      val u =
+        if (range <= BigInt(Long.MaxValue))
+          s"((CAST(`$c` AS BIGINT) - ${lo}L) DIV ${step}L)"
+        else
+          s"((CAST(`$c` AS BIGINT) DIV ${step}L) - ${lo / step}L)"
       (0 until bits).map(b =>
         s"(shiftleft(shiftright($u, $b) & 1L, ${b * k + i}))").mkString(" + ")
     }

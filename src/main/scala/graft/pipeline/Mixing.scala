@@ -116,6 +116,9 @@ object Mixing {
     * 2.4× faster at sf0.1. The persisted rollup pins a cache entry for
     * the session lifetime — long-lived sessions use
     * [[dsirWeightsScored]] and unpersist the handle after the action. */
+  @deprecated("runs two collect jobs at call time and pins a cache entry " +
+    "the caller can never unpersist; use dsirWeightsScored and unpersist " +
+    "the returned rollup handle after the output action", "round-13")
   def dsirWeights(
       raw: DataFrame,
       target: DataFrame,

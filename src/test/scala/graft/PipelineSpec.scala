@@ -351,7 +351,7 @@ class PipelineSpec extends AnyFunSuite {
     val afterPpl = afterNear.join(ppl.filter(col("ppl_bucket") =!= "tail")
       .select("doc_id"), Seq("doc_id"), "leftsemi")
     // stage 4: DSIR against the prose stratum as target ranks prose-like first
-    val dsir = Mixing.dsirWeights(
+    val (dsir, dsirRollup) = Mixing.dsirWeightsScored(
       afterPpl.filter(col("doc_id") >= 400), afterPpl.filter(col("doc_id") < 10),
       "doc_id", "text", numBuckets = 256)
     val sel = dsir.filter(col("selected")).count()
@@ -359,6 +359,7 @@ class PipelineSpec extends AnyFunSuite {
     // the funnel is monotone and every stage's output feeds the next —
     // the composition itself (schemas, ids, laziness) is what's under test
     assert(afterPpl.count() >= 15)
+    dsirRollup.unpersist()
   }
 
   test("canonicalizeUrls is idempotent: canon(canon(u)) == canon(u)") {
@@ -465,8 +466,10 @@ class PipelineSpec extends AnyFunSuite {
       1L -> "neural networks learn representations well", // very target-like
       2L -> "stock prices fell sharply today",   // off-target → low
       3L -> "")                                  // no features → null, unselected
-    val out = Mixing.dsirWeights(raw, target, "doc_id", "text", numBuckets = 64)
-      .collect().map(r => r.getLong(0) -> r).toMap
+    val (outDf, rollup) =
+      Mixing.dsirWeightsScored(raw, target, "doc_id", "text", numBuckets = 64)
+    val out = outDf.collect().map(r => r.getLong(0) -> r).toMap
+    rollup.unpersist()
     assert(out.size === 4)
     val lr = (id: Long) => out(id).getAs[Double]("logratio")
     assert(lr(0L) > lr(2L) && lr(1L) > lr(2L),

@@ -142,7 +142,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val df = spark.read.parquet(tablePath)
     val raw = df.filter(col("doc_id") % 10 =!= 0)
     val tgt = df.filter(col("doc_id") % 10 === 0)
-    val plan = planOf(graft.pipeline.Mixing.dsirWeights(raw, tgt, "doc_id", "text", 64))
+    val (dsirDf, dsirRollup) =
+      graft.pipeline.Mixing.dsirWeightsScored(raw, tgt, "doc_id", "text", 64)
+    val plan = planOf(dsirDf)
+    dsirRollup.unpersist()
     // the <=numBuckets-row LM join must broadcast: the raw corpus never
     // shuffles on bucket
     assert(plan.contains("BroadcastExchange"), s"LM table not broadcast:\n$plan")

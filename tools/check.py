@@ -16,6 +16,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -58,11 +59,27 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _is_float(v) -> bool:
+    return isinstance(v, (float, np.floating))
+
+
+def _is_int(v) -> bool:
+    return isinstance(v, (int, np.integer)) and not isinstance(v, (bool, np.bool_))
+
+
 def values_equal(a, b) -> bool:
     # The driver HASHES values, so the local gate must be bit-exact: no
     # float tolerance, and -0.0 != 0.0. (Round 9 shipped two queries this
     # tolerant compare called green that the driver's hash failed.)
-    if isinstance(a, float) and isinstance(b, float):
+    # Type-strict: an int on one side and a float on the other is a
+    # MISMATCH even when numerically equal (123 == 123.0) — the driver
+    # hashes int64 and float64 differently; this class hash-failed four
+    # queries in rounds 11 and 12 (DuckDB sum() returns HUGEINT → float64
+    # in pandas) while the old `==` fallback certified them green.
+    if _is_float(a) != _is_float(b):
+        return False
+    if _is_float(a) and _is_float(b):
+        a, b = float(a), float(b)
         if math.isnan(a) and math.isnan(b):
             return True
         return struct.pack("<d", a) == struct.pack("<d", b)
