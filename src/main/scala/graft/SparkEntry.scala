@@ -920,6 +920,44 @@ object SparkEntry {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("value_cents"))
     }),
+    // Range joins (operators/IntervalJoin) — the bucketed-explode
+    // equi-join shape standing in for the BroadcastNestedLoopJoin
+    // Catalyst plans for a naive inequality join. Point-in-interval:
+    // every purchase inside a 24-hour attribution window opened by a
+    // click (ALL matches, unlike as-of's single nearest)
+    "e_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + lit(86400000000L)).as("w_end"))
+      val buys = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_ts"))
+      graft.operators.IntervalJoin.pointInInterval(
+        clicks, buys, Seq("user_id"), "w_start", "w_end", "p_ts",
+        bucketWidth = 86400000000L)
+        .select("user_id", "click_id", "purchase_id", "w_start", "p_ts")
+    }),
+    // Interval × interval overlap: concurrent view/click activity
+    // windows per user (the arithmetic-dedup path — each overlapping
+    // pair survives in exactly one bucket, no distinct)
+    "e_overlap_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view").select(
+        col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("v_start"),
+        (unix_micros(col("ts")) + lit(43200000000L)).as("v_end"))
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_start"),
+        (unix_micros(col("ts")) + lit(86400000000L)).as("c_end"))
+      graft.operators.IntervalJoin.overlapJoin(
+        views, clicks, Seq("user_id"),
+        "v_start", "v_end", "c_start", "c_end",
+        bucketWidth = 86400000000L)
+        .select("user_id", "view_id", "click_id", "v_start", "c_start")
+    }),
 
     // ---- round-7 oracle promotions: operators previously unit-only ----
 
@@ -2747,6 +2785,25 @@ object SparkEntry {
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_ts_us END AS click_ts_us,
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_id END AS click_id
         |FROM j""".stripMargin,
+    "e_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS w_start, epoch_us(ts) + 86400000000 AS w_end
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, w_start, p_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts BETWEEN c.w_start AND c.w_end""".stripMargin,
+    "e_overlap_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |    epoch_us(ts) AS v_start, epoch_us(ts) + 43200000000 AS v_end
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS c_start, epoch_us(ts) + 86400000000 AS c_end
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, v_start, c_start
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND v.v_start <= c.c_end AND c.c_start <= v.v_end""".stripMargin,
     "e_scd2" ->
       """SELECT user_id, event_type,
         |  epoch_ns(ts) AS valid_from,
