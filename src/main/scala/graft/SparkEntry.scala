@@ -729,6 +729,32 @@ object SparkEntry {
       graft.pipeline.TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
     "p_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextStats.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    // Mergeable sketches (pipeline/Sketches): the whole sketch state is
+    // an integer table the oracle replays cell-by-cell — the md5-based
+    // hash is engine-portable, unlike approx_count_distinct's
+    // engine-private xxhash registers
+    "p_hll_registers" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      graft.pipeline.Sketches.hllRegisters(toks, "tok", m = 128)
+    }),
+    "p_cms_sketch" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      graft.pipeline.Sketches.cmsSketch(toks, "tok", depth = 4, width = 256)
+    }),
+    // CMS read path: estimates for the 20 true-heaviest tokens (ties
+    // broken by token asc — deterministic), one-sided error by design
+    "p_cms_heavy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      val sk = graft.pipeline.Sketches.cmsSketch(toks, "tok", 4, 256)
+      graft.pipeline.Sketches.cmsEstimate(sk, top, "tok", 4, 256)
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"))
+    }),
     "p_multimodal_stats" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.synthesizeFromText(
         t(s, dir, "documents"), "doc_id", "text")
@@ -2631,6 +2657,46 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN len(hs) = 0 THEN NULL
         |  ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
         |  END AS fingerprint FROM b""".stripMargin,
+    "p_hll_registers" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |rr AS (SELECT h % 128 AS bucket, h // 128 AS rest FROM h),
+        |rho AS (SELECT bucket,
+        |  CASE WHEN rest = 0 THEN 54 ELSE 54 - length(bin(rest)) END AS rho FROM rr),
+        |reg AS (SELECT bucket, max(rho) AS register FROM rho GROUP BY 1)
+        |SELECT CAST(g.range AS BIGINT) AS bucket,
+        |  CAST(coalesce(reg.register, 0) AS BIGINT) AS register
+        |FROM range(128) g LEFT JOIN reg ON g.range = reg.bucket""".stripMargin,
+    "p_cms_sketch" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5(tok || '#cms' || r), 1, 15))::BIGINT % 256 AS c,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cnts CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2)
+        |SELECT CAST(a.range AS BIGINT) AS r, CAST(b.range AS BIGINT) AS c,
+        |  coalesce(cells.cnt, 0) AS cnt
+        |FROM range(4) a CROSS JOIN range(256) b
+        |LEFT JOIN cells ON cells.r = a.range AND cells.c = b.range""".stripMargin,
+    "p_cms_heavy" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5(tok || '#cms' || r), 1, 15))::BIGINT % 256 AS c,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cnts CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2),
+        |top AS (SELECT tok, cnt AS true_cnt FROM cnts
+        |  ORDER BY cnt DESC, tok ASC LIMIT 20),
+        |keyed AS (SELECT tok, true_cnt, r,
+        |    ('0x' || substr(md5(tok || '#cms' || r), 1, 15))::BIGINT % 256 AS c
+        |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS r))
+        |SELECT k.tok, CAST(k.true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(min(cells.cnt) AS BIGINT) AS est
+        |FROM keyed k JOIN cells ON cells.r = k.r AND cells.c = k.c
+        |GROUP BY 1, 2""".stripMargin,
     "p_multimodal_stats" ->
       """WITH m AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN unhex('89504E470D0A1A0A')

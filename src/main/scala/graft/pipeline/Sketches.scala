@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/cardinality sketches — HyperLogLog registers
+  * (Flajolet et al. 2007) and Count-Min cells (Cormode & Muthukrishnan
+  * 2005) — built as plain aggregations so they are (a) distributed by
+  * construction (map-side partial max/sum, one shuffle keyed on the
+  * bounded register/cell id), and (b) bit-replayable by the SQL oracle:
+  * every hash is the md5-hex→60-bit-integer recipe both engines compute
+  * byte-identically, and the sketch state is pure integers.
+  *
+  * Why not `approx_count_distinct`/datasketches: their hash (xxhash/
+  * murmur) and register encodings are engine-private — fine in
+  * production, untestable against an independent oracle. These sketches
+  * trade a slower hash (md5) for a state the gate can verify cell by
+  * cell; the ALGORITHM (and its scale shape) is exactly the production
+  * one.
+  *
+  * The 100 TB story is mergeability: each sketch is a fixed-size
+  * integer table (m registers / depth×width cells) aggregated with
+  * max/sum — both commutative monoids, so partition-local sketches
+  * merge losslessly ([[hllMerge]], [[cmsMerge]]) and a day×shard sketch
+  * matrix rolls up to any slice without touching raw data again.
+  */
+object Sketches {
+
+  /** 60-bit non-negative deterministic hash of a string SQL expression,
+    * identical in Spark and DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`). */
+  private def h60(xSql: String): Column =
+    expr(s"CAST(conv(substr(md5($xSql), 1, 15), 16, 10) AS BIGINT)")
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog register table over the values of `valueCol`:
+    * exactly `m` rows `(bucket, register)`, both integers; empty
+    * buckets surface with register 0 (a complete, merge-ready sketch).
+    *
+    * Register math on the 60-bit hash: `bucket = h % m`,
+    * `rest = h div m` (a `60 − log2(m)`-bit value), and the register
+    * candidate is the position of `rest`'s highest set bit counted
+    * from the top — `W − bitlength(rest) + 1`, with `rest = 0 → W+1`.
+    * `bitlength` is `length(bin(x))` in both engines (no padding,
+    * `bin(0) = "0"`).
+    *
+    * One explode-free aggregation: map-side partial max per bucket,
+    * shuffle bounded by m rows. */
+  def hllRegisters(df: DataFrame, valueCol: String, m: Int = 128): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
+    val w = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+    val spark = df.sparkSession
+    val hashed = df
+      .select(h60(s"`$valueCol`").as("_h"))
+      .select((col("_h") % m).as("bucket"), expr(s"_h DIV $m").as("_rest"))
+      .select(col("bucket"),
+        when(col("_rest") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(_rest)"))).as("_rho"))
+      .groupBy("bucket").agg(max(col("_rho")).cast("long").as("register"))
+    spark.range(m).select(col("id").as("bucket"))
+      .join(hashed, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+  }
+
+  /** Merge register tables (same m): per-bucket max — the lossless HLL
+    * union that makes per-partition/per-day sketches roll up. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("bucket").agg(max("register").as("register"))
+
+  /** Cardinality estimate from a register table (driver-side: the
+    * input is m rows — a driver-known bound). Standard HLL bias-corrected
+    * harmonic mean + linear-counting small-range correction. */
+  def hllEstimate(registers: DataFrame, m: Int): Double = {
+    val regs = registers.select("register").collect().map(_.getLong(0))
+    require(regs.length == m, s"expected $m registers, got ${regs.length}")
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = alpha * m * m / regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val zeros = regs.count(_ == 0L)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  // ---------------------------------------------------------- Count-Min
+
+  /** Count-Min cell table over the values of `valueCol`: exactly
+    * `depth × width` rows `(r, c, cnt)`, all integers; empty cells
+    * surface with cnt 0. Row-r hash salts the value with `#cms{r}`.
+    *
+    * Build shape: exact per-value rollup first (one shuffle over
+    * values, map-side combine), THEN the depth-explode over the
+    * (much smaller) distinct-value table, then the bounded (r,c)
+    * rollup — the explode never touches raw-corpus cardinality. */
+  def cmsSketch(
+      df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2 && width <= 65536, s"width in [2,65536], got $width")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cells = counts
+      .select(col("_v"), col("_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        (h60(s"concat(_v, '#cms', r)") % width).as("c"), col("_cnt"))
+      .groupBy("r", "c").agg(sum("_cnt").as("cnt"))
+    spark.range(depth).select(col("id").as("r"))
+      .crossJoin(spark.range(width).select(col("id").as("c")))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Merge cell tables (same depth/width): per-cell sum. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `probes(probeCol)` against a cell
+    * table: `est = min_r sketch[r][h_r(v)]` — the one-sided CMS read
+    * (never under-counts; over-counts by collision mass). The probe
+    * side fans out `depth` rows per probe and equi-joins the sketch on
+    * (r, c); with the sketch's `depth × width` bound it broadcasts. */
+  def cmsEstimate(
+      sketch: DataFrame, probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val keyed = probes
+      .select(col(probeCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(probeCol), col("r"),
+        (h60(s"concat(`$probeCol`, '#cms', r)") % width).as("c"))
+    keyed.join(broadcast(sketch), Seq("r", "c"))
+      .groupBy(probeCol).agg(min("cnt").as("est"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def values(n: Int, distinct: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => s"v${rnd.nextInt(distinct)}").toDF("v")
+  }
+
+  test("HLL estimate within 25% of exact across cardinalities (m=128 → ~9% stderr)") {
+    for ((distinct, seed) <- Seq((500, 1), (5000, 2), (40000, 3))) {
+      val df = values(distinct * 3, distinct, seed)
+      val exact = df.select("v").distinct().count()
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "v", 128), 128)
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"distinct=$distinct exact=$exact est=$est")
+    }
+  }
+
+  test("HLL small-range correction: tiny cardinalities stay accurate") {
+    val df = values(200, 12, 7)
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "v", 128), 128)
+    assert(math.abs(est - 12.0) < 3.0, s"est=$est for 12 distinct")
+  }
+
+  test("HLL registers: complete m-row table, duplicates don't move registers") {
+    val once = Sketches.hllRegisters(values(1000, 300, 5), "v", 128)
+    import spark.implicits._
+    val dup = values(1000, 300, 5)
+    val thrice = Sketches.hllRegisters(
+      dup.unionAll(dup).unionAll(dup), "v", 128)
+    assert(once.count() === 128L && thrice.count() === 128L)
+    assert(once.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      thrice.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("HLL merge of disjoint halves == sketch of the union") {
+    import spark.implicits._
+    val a = (0 until 4000).map(i => s"a$i").toDF("v")
+    val b = (0 until 4000).map(i => s"b$i").toDF("v")
+    val merged = Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(a, "v", 128), Sketches.hllRegisters(b, "v", 128)))
+    val whole = Sketches.hllRegisters(a.unionAll(b), "v", 128)
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      whole.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("CMS: estimates are one-sided (est >= true) and exact for heavy hitters") {
+    import spark.implicits._
+    // 1 token at 5000, the rest a long tail
+    val heavy = Seq.fill(5000)("heavy")
+    val tail = (0 until 20000).map(i => s"t${i % 4000}")
+    val df = (heavy ++ tail).toDF("v")
+    val sk = Sketches.cmsSketch(df, "v", depth = 4, width = 256)
+    val trueCnt = df.groupBy("v").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmsEstimate(sk, trueCnt, "v", 4, 256)
+      .join(trueCnt, "v").collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("true_cnt"),
+        s"CMS under-counted ${r.getString(0)}")
+    }
+    val h = est.find(_.getString(0) == "heavy").get
+    // collision mass is ~N/width per row; min over 4 rows keeps the
+    // heavy hitter's relative error small
+    assert(h.getAs[Long]("est") - h.getAs[Long]("true_cnt") <= 1000,
+      s"heavy-hitter estimate too loose: $h")
+  }
+
+  test("CMS merge of two shards == sketch of the union") {
+    import spark.implicits._
+    val a = (0 until 5000).map(i => s"x${i % 700}").toDF("v")
+    val b = (0 until 5000).map(i => s"x${i % 900}").toDF("v")
+    val merged = Sketches.cmsMerge(Seq(
+      Sketches.cmsSketch(a, "v", 4, 256), Sketches.cmsSketch(b, "v", 4, 256)))
+    val whole = Sketches.cmsSketch(a.unionAll(b), "v", 4, 256)
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq ===
+      whole.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq)
+  }
+
+  test("plan: sketch builds are partial-agg shuffles, no cartesian on data") {
+    val df = values(2000, 500, 11)
+    val hllPlan = Sketches.hllRegisters(df, "v", 128)
+      .queryExecution.executedPlan.toString
+    assert(hllPlan.contains("partial_max") || hllPlan.contains("partial"),
+      s"no map-side combine in HLL build:\n$hllPlan")
+    // (the depth×width spine crossJoin is a deliberate 4×256 cartesian
+    // of two range() relations — constant-size, never data-dependent)
+    val cmsPlan = Sketches.cmsSketch(df, "v", 4, 256)
+      .queryExecution.executedPlan.toString
+    assert(cmsPlan.contains("partial_count") || cmsPlan.contains("partial"),
+      s"no map-side combine in CMS value rollup:\n$cmsPlan")
+  }
+}
