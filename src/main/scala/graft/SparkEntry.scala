@@ -116,6 +116,44 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // Full CUBE lattice (2^3 grouping sets in one pass) — the other half
+    // of the OLAP lattice family next to q2's ROLLUP
+    "q3_cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .cube("l_returnflag", "l_linestatus", "ship_year")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+    // Pivot (conditional aggregation): per-user event-type value matrix —
+    // Spark's pivot() is exactly the CASE-sum lattice DuckDB replays
+    "q4_pivot" -> ((s, dir) => {
+      val cents = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      cents.groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(sum("cents"))
+        .select(col("user_id"),
+          coalesce(col("view"), lit(0L)).as("view_cents"),
+          coalesce(col("click"), lit(0L)).as("click_cents"),
+          coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
+    }),
+    // Time-based sliding window (RANGE frame): trailing-1h event count +
+    // value sum per user at every event — the standard rate/rolling-sum
+    // telemetry shape (row frames can't express it; the RANGE frame
+    // includes ts peers deterministically)
+    "e_sliding_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+    }),
+
     // ---- M-layer: the constrained WHERE grammar over metadata (M3) ----
     "m_where_eq_and" -> ((s, dir) => {
       MetadataOps.whereCondition(
@@ -2838,6 +2876,27 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q3_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)""".stripMargin,
+    "q4_pivot" ->
+      """SELECT user_id,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS view_cents,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS click_cents,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+    "e_sliding_stats" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "e_attribution" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |  FROM events WHERE event_type = 'purchase'),
