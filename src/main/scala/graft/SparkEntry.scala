@@ -767,6 +767,13 @@ object SparkEntry {
       graft.pipeline.TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
     "p_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextStats.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    // Fixed-size per-stratum sampling: exactly min(k, |stratum|) rows
+    // per language by deterministic md5-hash order — the exact-count
+    // companion to p_stratified_sample's rate threshold
+    "p_fixed_sample" -> ((s, dir) =>
+      graft.pipeline.Mixing.fixedSizeSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", k = 25)),
     // Mergeable sketches (pipeline/Sketches): the whole sketch state is
     // an integer table the oracle replays cell-by-cell — the md5-based
     // hash is engine-portable, unlike approx_count_distinct's
@@ -2695,6 +2702,13 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN len(hs) = 0 THEN NULL
         |  ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
         |  END AS fingerprint FROM b""".stripMargin,
+    "p_fixed_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id || '#fs'), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 25""".stripMargin,
     "p_hll_registers" ->
       """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents),

@@ -35,6 +35,35 @@ object Mixing {
         < (rateCol * 1000000.0).cast("long"))
   }
 
+  /** Fixed-SIZE deterministic per-stratum sample: exactly
+    * `min(k, |stratum|)` rows per stratum — the "give me 10k eval docs
+    * per language" shape [[stratifiedSample]]'s rate threshold cannot
+    * express (a rate yields a binomial count, not an exact one). Rows
+    * win by md5-hash order (uniform-without-replacement; id tie-break),
+    * so the sample is reproducible across engines, runs, and partition
+    * layouts, and ADDING rows to a stratum only ever swaps members in/
+    * out by hash rank — no reshuffle of the random source.
+    *
+    * Scale shape: one shuffle on the stratum key + a per-stratum sort
+    * (the standard window top-k). A pathologically hot stratum
+    * serializes its own sort — for few-strata corpora pre-split the
+    * stratum by a hash salt, take k per salt, and re-rank the k×salts
+    * survivors (bounded second pass). Returns the sampled rows +
+    * `sample_rank` (1..k by hash order). */
+  def fixedSizeSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: String = "#fs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(expr(s"md5(concat(`$idCol`, '$salt'))"), col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Token-budgeted source mixing: sample each stratum down to its
     * share of a total token budget. Stratum `s` with mixture weight
     * `w_s` gets a target of `w_s / Σw × totalTokens` tokens; its keep

@@ -927,6 +927,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1kept > 300 && s1kept < 2400, s"s1 kept tokens $s1kept vs target 1200")
   }
 
+  test("fixedSizeSample: exact per-stratum counts, hash-rank stability") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "stratum")
+      // small stratum with fewer members than k
+      .unionAll(Seq((9000L, "tiny"), (9001L, "tiny")).toDF("doc_id", "stratum"))
+    val out = Mixing.fixedSizeSample(docs, "doc_id", "stratum", k = 30).collect()
+    val byStratum = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert((0 until 4).forall(i => byStratum(s"s$i") == 30), s"$byStratum")
+    assert(byStratum("tiny") == 2) // min(k, |stratum|)
+    // ranks are 1..n by hash order, dense
+    val ranks = out.filter(_.getString(1) == "s0")
+      .map(_.getAs[Long]("sample_rank")).sorted
+    assert(ranks.toSeq === (1L to 30L))
+    // growing a stratum only swaps members by hash rank: the survivors
+    // of the smaller corpus that keep rank <= k are unchanged
+    val grown = docs.unionAll(
+      (10000L until 10100L).map(i => (i, "s0")).toDF("doc_id", "stratum"))
+    val before = out.filter(_.getString(1) == "s0").map(_.getLong(0)).toSet
+    val after = Mixing.fixedSizeSample(grown, "doc_id", "stratum", k = 30)
+      .filter(col("stratum") === "s0").collect().map(_.getLong(0)).toSet
+    assert(after.subsetOf(before ++ (10000L until 10100L).toSet))
+    // determinism across partition layouts
+    val rep = Mixing.fixedSizeSample(docs.repartition(13), "doc_id", "stratum", 30)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_rank"))).sorted
+    assert(rep.toSeq === out.map(r => (r.getLong(0), r.getAs[Long]("sample_rank"))).sorted.toSeq)
+  }
+
   test("removeDuplicateSpans cuts exactly the flagged token ranges") {
     val shared = (1 to 8).map(i => s"common$i").mkString(" ")
     val rows = Seq(
