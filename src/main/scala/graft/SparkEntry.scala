@@ -783,6 +783,12 @@ object SparkEntry {
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
       graft.pipeline.Sketches.hllRegisters(toks, "tok", m = 128)
     }),
+    // Grouped HLL — the production per-key shape: distinct users per
+    // event_type as one 64-register sketch per type
+    "p_hll_grouped" -> ((s, dir) =>
+      graft.pipeline.Sketches.hllRegistersBy(
+        t(s, dir, "events").select("event_type", "user_id"),
+        Seq("event_type"), "user_id", m = 64)),
     "p_cms_sketch" -> ((s, dir) => {
       val toks = t(s, dir, "documents").select(explode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
@@ -2720,6 +2726,21 @@ object SparkEntry {
         |SELECT CAST(g.range AS BIGINT) AS bucket,
         |  CAST(coalesce(reg.register, 0) AS BIGINT) AS register
         |FROM range(128) g LEFT JOIN reg ON g.range = reg.bucket""".stripMargin,
+    "p_hll_grouped" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM h),
+        |rho AS (SELECT event_type, bucket,
+        |  CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END AS rho FROM rr),
+        |reg AS (SELECT event_type, bucket, max(rho) AS register
+        |  FROM rho GROUP BY 1, 2),
+        |g AS (SELECT event_type, range AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN range(64))
+        |SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(coalesce(reg.register, 0) AS BIGINT) AS register
+        |FROM g LEFT JOIN reg
+        |  ON g.event_type = reg.event_type AND g.bucket = reg.bucket""".stripMargin,
     "p_cms_sketch" ->
       """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents),

@@ -51,17 +51,71 @@ object Sketches {
       s"m must be a power of two in [2, 4096], got $m")
     val w = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
     val spark = df.sparkSession
-    val hashed = df
-      .select(h60(s"`$valueCol`").as("_h"))
-      .select((col("_h") % m).as("bucket"), expr(s"_h DIV $m").as("_rest"))
-      .select(col("bucket"),
-        when(col("_rest") === 0, lit(w + 1))
-          .otherwise(lit(w + 1) - length(expr("bin(_rest)"))).as("_rho"))
+    val hashed = rhoPerRow(df, valueCol, m, w)
       .groupBy("bucket").agg(max(col("_rho")).cast("long").as("register"))
     spark.range(m).select(col("id").as("bucket"))
       .join(hashed, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
   }
+
+  /** Grouped HLL — one register table PER KEY (`distinct users per
+    * event_type/day`, the production shape): `|groups| × m` rows
+    * `(groupCols…, bucket, register)`, empty buckets included per
+    * group. Same merge law per group. Shuffle is keyed on
+    * (group, bucket) with map-side partial max — per-key sketches of a
+    * 100 TB stream cost one bounded aggregation. */
+  def hllRegistersBy(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      m: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "use hllRegisters for the ungrouped sketch")
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
+    val w = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+    val spark = df.sparkSession
+    val hashed = rhoPerRow(df, valueCol, m, w, groupCols)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("_rho")).cast("long").as("register"))
+    val spine = df.select(groupCols.map(col): _*).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+    spine.join(hashed, groupCols :+ "bucket", "left")
+      .select((groupCols :+ "bucket").map(col) :+
+        coalesce(col("register"), lit(0L)).as("register"): _*)
+  }
+
+  /** In-plan per-group cardinality estimates from a grouped register
+    * table: `(groupCols…, est)` with the same bias-corrected harmonic
+    * mean + linear-counting correction as [[hllEstimate]]. Float output
+    * — diagnostics, not a hash-compared surface. */
+  def hllEstimateBy(
+      registers: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr("power(2.0, -CAST(register AS DOUBLE))")).as("_s"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).as("_zeros"))
+      .select(groupCols.map(col) :+
+        when(lit(alpha * m * m) / col("_s") <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(lit(alpha * m * m) / col("_s")).as("est"): _*)
+  }
+
+  /** Per-row (groupCols…, bucket, _rho) — the shared HLL map phase.
+    * `valueCol` is cast to string so any hashable column type works. */
+  private def rhoPerRow(
+      df: DataFrame, valueCol: String, m: Int, w: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    df.select(groupCols.map(col) :+
+        h60(s"CAST(`$valueCol` AS STRING)").as("_h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("_h") % m).as("bucket"), expr(s"_h DIV $m").as("_rest")): _*)
+      .select(groupCols.map(col) ++ Seq(col("bucket"),
+        when(col("_rest") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(_rest)"))).as("_rho")): _*)
 
   /** Merge register tables (same m): per-bucket max — the lossless HLL
     * union that makes per-partition/per-day sketches roll up. */

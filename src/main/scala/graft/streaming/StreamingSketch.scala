@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming HyperLogLog maintenance — the stateful counterpart of
+  * `Sketches.hllRegisters`: registers are max-monotone, so a stream
+  * keyed on the bucket id carries ONE long of state per bucket (total
+  * state = m longs, constant for the stream's lifetime) and emits a
+  * row only when a bucket's register RISES. The emitted change-log
+  * compacts to the batch sketch: last-emitted register per bucket
+  * (0 for never-emitted buckets) equals `hllRegisters` over everything
+  * the stream has seen — the merge law (per-bucket max) IS the update
+  * rule, which is what makes the sketch streaming-native where an
+  * exact distinct-count's state grows with the distinct cardinality.
+  *
+  * The hash/bucket/rho math is byte-identical to the batch operator
+  * (same md5→60-bit recipe, JVM-side this time), so a streamed sketch
+  * and a batch sketch of the same rows are interchangeable —
+  * StreamingSketchSpec asserts equality across multi-batch runs.
+  */
+object StreamingSketch {
+
+  final case class RegisterRow(bucket: Long, register: Long)
+  final case class RegState(register: Long)
+
+  /** `values(valueCol)` (streaming) → change-log of
+    * `(bucket, register)` rows, emitted when a register rises. */
+  def hllUpdates(
+      values: DataFrame, valueCol: String, m: Int = 128): Dataset[RegisterRow] = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
+    val w = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.select(col(valueCol).cast("string").as("v")).as[String]
+      .map { v =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(v.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        val rest = h / m
+        val rho =
+          if (rest == 0L) (w + 1).toLong
+          else (w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))).toLong
+        RegisterRow(h % m, rho)
+      }
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[RegState, RegisterRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[RegisterRow], state: GroupState[RegState]) =>
+          val incoming = rows.map(_.register).max
+          val current = state.getOption.map(_.register).getOrElse(0L)
+          if (incoming > current) {
+            state.update(RegState(incoming))
+            Iterator.single(RegisterRow(bucket, incoming))
+          } else Iterator.empty
+      }
+  }
+}

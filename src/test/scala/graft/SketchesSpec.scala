@@ -58,6 +58,35 @@ class SketchesSpec extends AnyFunSuite {
       whole.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("grouped HLL: per-group registers == per-group ungrouped sketches; estimates track exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 30000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val card = Map("g0" -> 200, "g1" -> 3000, "g2" -> 15000)(g)
+      (g, (rnd.nextInt(card) + 1).toLong)
+    }.toDF("grp", "uid")
+    val grouped = Sketches.hllRegistersBy(df, Seq("grp"), "uid", m = 64)
+    assert(grouped.count() === 3L * 64)
+    // slicing the grouped sketch == sketching the slice
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = grouped.filter(col("grp") === g)
+        .select("bucket", "register").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val solo = Sketches.hllRegisters(
+        df.filter(col("grp") === g).select(col("uid").cast("string").as("v")),
+        "v", 64).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(slice === solo, s"group $g sketch differs from its solo sketch")
+    }
+    // in-plan estimates within 35% (m=64 → ~13% stderr)
+    val exact = df.groupBy("grp").agg(countDistinct("uid").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.hllEstimateBy(grouped, Seq("grp"), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, n) <- exact)
+      assert(math.abs(est(g) - n) / n < 0.35, s"$g exact=$n est=${est(g)}")
+  }
+
   test("CMS: estimates are one-sided (est >= true) and exact for heavy hitters") {
     import spark.implicits._
     // 1 token at 5000, the rest a long tail

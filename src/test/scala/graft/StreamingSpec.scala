@@ -174,6 +174,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === ((0L until 100L) ++ (2000L until 2050L)).toSet)
   }
 
+  test("streaming HLL: compacted change-log equals the batch sketch of everything seen") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingSketch.hllUpdates(
+      stream.toDF().toDF("v"), "v", m = 64)
+    // three batches with overlap: repeats must not re-emit
+    stream.addData((0 until 500).map(i => s"u$i"))
+    stream.addData((250 until 900).map(i => s"u$i"))
+    stream.addData((0 until 100).map(i => s"u$i")) // pure repeats
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hll_out")
+      .option("checkpointLocation", "/tmp/graft_shll_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val log = spark.table("hll_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // compact: max emitted register per bucket (emission is monotone so
+    // max == last), absent buckets = 0
+    val compacted = (0L until 64L).map(b =>
+      b -> log.filter(_._1 == b).map(_._2).maxOption.getOrElse(0L)).toMap
+    val batch = graft.pipeline.Sketches.hllRegisters(
+      (0 until 900).map(i => s"u$i").toDF("v"), "v", m = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted === batch,
+      "streamed sketch must equal the batch sketch of the union")
+    // rise-only change-log: a register value is never emitted twice for
+    // the same bucket (collect order is arbitrary, so assert distinctness
+    // — with max == batch register above, that pins strict monotonicity)
+    log.groupBy(_._1).values.foreach { es =>
+      val regs = es.map(_._2).toSeq
+      assert(regs.distinct.size == regs.size, s"re-emitted register: $regs")
+    }
+  }
+
   test("streaming point-in-time enrichment: stream-static interval join on the scd2 dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
