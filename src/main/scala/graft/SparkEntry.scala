@@ -783,6 +783,14 @@ object SparkEntry {
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
       graft.pipeline.Sketches.hllRegisters(toks, "tok", m = 128)
     }),
+    // KMV distinct-set sketch per language: the k smallest token hashes
+    // — the set-operation sketch (union/intersect distinct counts by
+    // plain hash-set algebra, which HLL registers cannot do)
+    "p_kmv_sketch" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      graft.pipeline.Sketches.kmvSketch(toks, "tok", k = 128, Seq("lang"))
+    }),
     // Grouped HLL — the production per-key shape: distinct users per
     // event_type as one 64-register sketch per type
     "p_hll_grouped" -> ((s, dir) =>
@@ -996,6 +1004,23 @@ object SparkEntry {
           unix_micros(col("session_window.start")).as("start_us"),
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("value_cents"))
+    }),
+    // Event-transition matrix (first-order Markov counts): per-user
+    // consecutive event pairs via a lag window (deterministic order:
+    // ts then event_id), rolled up to the from→to count matrix — the
+    // product-analytics "path analysis" primitive
+    "e_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
     }),
     // Range joins (operators/IntervalJoin) — the bucketed-explode
     // equi-join shape standing in for the BroadcastNestedLoopJoin
@@ -2726,6 +2751,16 @@ object SparkEntry {
         |SELECT CAST(g.range AS BIGINT) AS bucket,
         |  CAST(coalesce(reg.register, 0) AS BIGINT) AS register
         |FROM range(128) g LEFT JOIN reg ON g.range = reg.bucket""".stripMargin,
+    "p_kmv_sketch" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rank FROM h)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, h
+        |FROM r WHERE rank <= 128""".stripMargin,
     "p_hll_grouped" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
@@ -2945,6 +2980,13 @@ object SparkEntry {
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_ts_us END AS click_ts_us,
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_id END AS click_id
         |FROM j""".stripMargin,
+    "e_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "e_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id,
         |    epoch_us(ts) AS w_start, epoch_us(ts) + 86400000000 AS w_end

@@ -104,6 +104,69 @@ object Sketches {
           .otherwise(lit(alpha * m * m) / col("_s")).as("est"): _*)
   }
 
+  // ------------------------------------------------------------- KMV
+
+  /** K-minimum-values sketch (Bar-Yossef et al. 2002): the k smallest
+    * 60-bit hashes of the DISTINCT values, per group — the
+    * set-operation sketch HLL isn't: two KMVs intersect/union by plain
+    * set algebra on their hash lists, so distinct-overlap questions
+    * ("how many users do segment A and B share?") run on k-row
+    * sketches instead of corpus joins.
+    *
+    * Output: `(groupCols…, rank, h)` with rank 1..k by hash order —
+    * pure integers, oracle-replayable as a row_number over distinct
+    * hashes. Build = distinct + window top-k per group (one shuffle on
+    * the group key; ungrouped uses a single constant key — fine because
+    * the post-distinct hash stream is tiny relative to the corpus). */
+  def kmvSketch(
+      df: DataFrame, valueCol: String, k: Int = 256,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .select(groupCols.map(col) :+
+        h60(s"CAST(`$valueCol` AS STRING)").as("h"): _*)
+      .distinct()
+    if (groupCols.isEmpty) {
+      // orderBy+limit plans as TakeOrderedAndProject — per-partition
+      // partial top-k, NOT a global single-partition sort; the rank
+      // window then runs over ≤ k rows
+      hashed.orderBy(col("h")).limit(k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("h"))).cast("long"))
+    } else {
+      // per-group window top-k (one shuffle on the group key; a hot
+      // group sorts its own distinct-hash stream — same caveat and
+      // salting recipe as Mixing.fixedSizeSample)
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+      hashed.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /** Distinct-cardinality estimate from a KMV hash list: if the sketch
+    * saturated (n == k), `(k-1) · 2^60 / h_(k)`; otherwise the distinct
+    * count is exact (= n). */
+  def kmvEstimate(hashes: Seq[Long], k: Int): Double = {
+    require(hashes.size <= k, s"sketch larger than k: ${hashes.size} > $k")
+    if (hashes.size < k) hashes.size.toDouble
+    else (k - 1).toDouble * math.pow(2.0, 60) / hashes.max.toDouble
+  }
+
+  /** Union/intersection estimates for two KMV sketches (driver-side —
+    * inputs are ≤ k longs each): combine to the k smallest of the
+    * union; Jaccard = |shared ∩ combined| / k; intersection =
+    * Jaccard × union estimate. The standard KMV set algebra. */
+  def kmvSetOps(a: Seq[Long], b: Seq[Long], k: Int): (Double, Double, Double) = {
+    val union = (a ++ b).distinct.sorted.take(k)
+    val unionEst = kmvEstimate(union, k)
+    val shared = a.toSet.intersect(b.toSet)
+    val jaccard =
+      if (union.isEmpty) 0.0
+      else shared.count(union.toSet).toDouble / union.size
+    (unionEst, jaccard, jaccard * unionEst)
+  }
+
   /** Per-row (groupCols…, bucket, _rho) — the shared HLL map phase.
     * `valueCol` is cast to string so any hashable column type works. */
   private def rhoPerRow(

@@ -108,6 +108,48 @@ class SketchesSpec extends AnyFunSuite {
       s"heavy-hitter estimate too loose: $h")
   }
 
+  test("KMV: cardinality estimate, exact-below-k, and set algebra track exact") {
+    import spark.implicits._
+    // segment A: users 0..6000; segment B: users 4000..12000 → overlap 2000
+    val a = (0 until 6000).map(i => s"u$i").toDF("v")
+    val b = (4000 until 12000).map(i => s"u$i").toDF("v")
+    val k = 256
+    def hashes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sketches.kmvSketch(df, "v", k).select("h").collect().map(_.getLong(0)).toSeq
+    val (ha, hb) = (hashes(a), hashes(b))
+    assert(ha.size === k && hb.size === k)
+    val estA = Sketches.kmvEstimate(ha, k)
+    assert(math.abs(estA - 6000) / 6000 < 0.25, s"estA=$estA")
+    // below-k sketches are exact
+    val tiny = (0 until 40).map(i => s"t$i").toDF("v")
+    assert(Sketches.kmvEstimate(hashes(tiny), k) === 40.0)
+    // set ops: union 12000, jaccard 2000/12000 ≈ 0.167, intersect 2000
+    val (unionEst, jac, interEst) = Sketches.kmvSetOps(ha, hb, k)
+    assert(math.abs(unionEst - 12000) / 12000 < 0.25, s"union=$unionEst")
+    assert(math.abs(interEst - 2000) / 2000 < 0.6,
+      s"intersect=$interEst (k=256 → coarse but unbiased)")
+    assert(jac > 0.05 && jac < 0.35, s"jaccard=$jac")
+  }
+
+  test("KMV grouped: slicing the grouped sketch == sketching the slice") {
+    import spark.implicits._
+    val df = ((0 until 3000).map(i => ("g0", s"u${i % 800}")) ++
+      (0 until 3000).map(i => ("g1", s"w${i % 50}"))).toDF("grp", "v")
+    val grouped = Sketches.kmvSketch(df, "v", 64, Seq("grp"))
+    for (g <- Seq("g0", "g1")) {
+      val slice = grouped.filter(col("grp") === g)
+        .select("rank", "h").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val solo = Sketches.kmvSketch(
+        df.filter(col("grp") === g).select("v"), "v", 64)
+        .select("rank", "h").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(slice === solo, s"group $g differs")
+    }
+    // g1 has only 50 distinct → sketch is the full exact set
+    assert(grouped.filter(col("grp") === "g1").count() === 50L)
+  }
+
   test("CMS merge of two shards == sketch of the union") {
     import spark.implicits._
     val a = (0 until 5000).map(i => s"x${i % 700}").toDF("v")
