@@ -1041,6 +1041,38 @@ object SparkEntry {
         bucketWidth = 86400000000L)
         .select("user_id", "click_id", "purchase_id", "w_start", "p_ts")
     }),
+    // Multi-touch attribution: every click in the 24h window BEFORE a
+    // purchase shares the credit — linear split in exact integer basis
+    // points (each click gets 10000 DIV n; the most recent click
+    // absorbs the remainder, so credits always sum to exactly 10000).
+    // Composes pointInInterval (purchase lookback windows × clicks)
+    // with a per-purchase rank window — the many-touch generalization
+    // of e_attribution's single last-touch as-of
+    "e_multi_touch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val buys = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        (unix_micros(col("ts")) - lit(86400000000L)).as("w_start"),
+        unix_micros(col("ts")).as("w_end"))
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_ts"))
+      val touched = graft.operators.IntervalJoin.pointInInterval(
+        buys, clicks, Seq("user_id"), "w_start", "w_end", "c_ts",
+        bucketWidth = 86400000000L)
+      val byRecency = Window.partitionBy("purchase_id")
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      val perBuy = Window.partitionBy("purchase_id")
+      touched
+        .withColumn("rk", row_number().over(byRecency))
+        .withColumn("n_clicks", count(lit(1)).over(perBuy))
+        .withColumn("credit_bp", expr(
+          "CASE WHEN rk = 1 THEN 10000L - (n_clicks - 1) * (10000L DIV n_clicks) " +
+            "ELSE 10000L DIV n_clicks END"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("c_ts"), col("n_clicks"), col("credit_bp"))
+    }),
     // Interval × interval overlap: concurrent view/click activity
     // windows per user (the arithmetic-dedup path — each overlapping
     // pair survives in exactly one bucket, no distinct)
@@ -2996,6 +3028,26 @@ object SparkEntry {
         |SELECT c.user_id, click_id, purchase_id, w_start, p_ts
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.p_ts BETWEEN c.w_start AND c.w_end""".stripMargin,
+    "e_multi_touch" ->
+      """WITH b AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) - 86400000000 AS w_start, epoch_us(ts) AS w_end
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT b.user_id, purchase_id, click_id, c_ts
+        |  FROM b JOIN c ON b.user_id = c.user_id
+        |    AND c.c_ts BETWEEN b.w_start AND b.w_end),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY c_ts DESC, click_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+        |  FROM j)
+        |SELECT user_id, purchase_id, click_id, c_ts,
+        |  CAST(n_clicks AS BIGINT) AS n_clicks,
+        |  CAST(CASE WHEN rk = 1
+        |    THEN 10000 - (n_clicks - 1) * (10000 // n_clicks)
+        |    ELSE 10000 // n_clicks END AS BIGINT) AS credit_bp
+        |FROM r""".stripMargin,
     "e_overlap_join" ->
       """WITH v AS (SELECT user_id, event_id AS view_id,
         |    epoch_us(ts) AS v_start, epoch_us(ts) + 43200000000 AS v_end

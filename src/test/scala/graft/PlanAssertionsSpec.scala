@@ -57,6 +57,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused columns read at the scan: $readSchema")
   }
 
+  test("interval-join gate queries: event_type filter pushed to scan, equi-join shape") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/events.parquet"))
+    for (q <- Seq("e_interval_join", "e_overlap_join", "e_multi_touch")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("PushedFilters:") && plan.contains("event_type"),
+        s"$q: event_type filter not at the scan:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: range join degenerated to a product:\n$plan")
+    }
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val df = spark.read.parquet(tablePath)
     val plan = planOf(graft.pipeline.Dedup.exactDedup(df, "doc_id", "text"))
