@@ -407,6 +407,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAll.nonEmpty, "planted families must collide")
   }
 
+  test("stream-stream time-range join: the e_multi_touch window shape, streaming-native") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // batch IntervalJoin's bucketed explode is not needed in streaming:
+    // Structured Streaming plans a watermarked time-range condition as a
+    // stream-stream join with bounded state — the idiomatic counterpart
+    // of pointInInterval (same contract scd2's interval join spec pins
+    // for the batch side)
+    val clickS = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buyS = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = clickS.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val buys = buyS.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    val joined = buys.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+    assert(joined.isStreaming)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two clicks inside the window, one ancient click outside;
+    // user 2: purchase with no clicks → no row (inner join)
+    clickS.addData(Seq(
+      (ts("2026-01-01 09:00:00"), 1L, 100L),
+      (ts("2026-01-01 18:00:00"), 1L, 101L),
+      (ts("2025-12-25 09:00:00"), 1L, 102L)))
+    buyS.addData(Seq(
+      (ts("2026-01-02 08:00:00"), 1L, 500L),
+      (ts("2026-01-02 08:00:00"), 2L, 501L)))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", "/tmp/graft_ssj_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((500L, 100L), (500L, 101L)),
+      s"stream-stream range join produced $got")
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
