@@ -1005,6 +1005,39 @@ object SparkEntry {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("value_cents"))
     }),
+    // CDC apply (operators/Cdc): the MERGE/upsert primitive — union the
+    // snapshot with a change log, latest change per key wins, deletes
+    // drop the key. Changes are synthesized on doc_id strata so all
+    // three ops (and a delete-overrides-update collision at %21) fire
+    "u_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val ups = base.filter(col("doc_id") % 3 === 0).select(
+        col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars"),
+        lit(1L).as("seq"), lit("U").as("op"))
+      val dels = base.filter(col("doc_id") % 7 === 0).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("doc_id") % 11 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("n_chars"),
+        lit(1L).as("seq"), lit("I").as("op"))
+      graft.operators.Cdc.applyChanges(
+        base, ups.unionByName(dels).unionByName(ins),
+        Seq("doc_id"), "seq", "op")
+    }),
+    // Equi-width histogram: 32 global value bins × event_type — the
+    // profiling primitive; bin edges from one bounded min/max pass
+    // (zValue's collect pattern), assignment is f64-deterministic in
+    // both engines (same IEEE ops on the same constants)
+    "e_histogram" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val r = e.agg(min(col("value")), max(col("value"))).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val step = (hi - lo) / 32.0
+      e.groupBy(col("event_type"),
+        least(floor((col("value") - lit(lo)) / lit(step)), lit(31.0))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // Event-transition matrix (first-order Markov counts): per-user
     // consecutive event pairs via a lag window (deterministic order:
     // ts then event_id), rolled up to the from→to count matrix — the
@@ -3012,6 +3045,26 @@ object SparkEntry {
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_ts_us END AS click_ts_us,
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_id END AS click_id
         |FROM j""".stripMargin,
+    "u_cdc_apply" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |    NULL::BIGINT AS seq, 'I' AS op FROM documents),
+        |u AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+        |    1::BIGINT AS seq, 'U' AS op FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id, lang, n_chars,
+        |    2::BIGINT AS seq, 'D' AS op FROM documents WHERE doc_id % 7 = 0),
+        |i AS (SELECT doc_id + 1000000 AS doc_id, lang, n_chars,
+        |    1::BIGINT AS seq, 'I' AS op FROM documents WHERE doc_id % 11 = 0),
+        |a AS (SELECT * FROM b UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC NULLS LAST) AS rn FROM a)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "e_histogram" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT event_type,
+        |  CAST(least(floor((value - s.lo) / ((s.hi - s.lo) / 32.0)), 31.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events CROSS JOIN s GROUP BY 1, 2""".stripMargin,
     "e_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
