@@ -767,6 +767,25 @@ object SparkEntry {
       graft.pipeline.TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
     "p_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextStats.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    // Fuzzy (edit-distance-1) token self-join via FastSS deletion
+    // neighborhoods — equi-join on neighborhood keys + levenshtein
+    // verify, never the quadratic all-pairs. The corpus vocabulary is
+    // a ~31-word synthetic set with no natural typos, so the tokens
+    // are forced (p_pii_scrub discipline): 7-hex-char identifiers from
+    // md5(doc_id), with typos injected on a 1-in-4 stratum (3rd char →
+    // 'q', never a hex digit, so every typo has a real ed-1 partner).
+    // The oracle replays the NAIVE quadratic form — an independent
+    // algorithm agreeing on the exact pair set
+    "p_fuzzy_join" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 7)").as("tok"))
+        .distinct()
+      val typos = toks
+        .filter(expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4 = 0"))
+        .select(concat(expr("substring(tok, 1, 2)"), lit("q"),
+          expr("substring(tok, 4, length(tok))")).as("tok"))
+      graft.pipeline.Fuzzy.ed1Pairs(toks.unionAll(typos), "tok")
+    }),
     // Fixed-size per-stratum sampling: exactly min(k, |stratum|) rows
     // per language by deterministic md5-hash order — the exact-count
     // companion to p_stratified_sample's rate threshold
@@ -2798,6 +2817,18 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN len(hs) = 0 THEN NULL
         |  ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
         |  END AS fingerprint FROM b""".stripMargin,
+    "p_fuzzy_join" ->
+      """WITH toks AS (SELECT DISTINCT
+        |    substr(md5(doc_id::VARCHAR), 1, 7) AS tok FROM documents),
+        |typos AS (SELECT substr(tok, 1, 2) || 'q' || substr(tok, 4) AS tok
+        |  FROM toks
+        |  WHERE ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4 = 0),
+        |u AS (SELECT tok FROM toks UNION ALL SELECT tok FROM typos),
+        |d AS (SELECT DISTINCT tok FROM u
+        |  WHERE length(tok) BETWEEN 4 AND 64)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b
+        |FROM d a JOIN d b ON a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) = 1""".stripMargin,
     "p_fixed_sample" ->
       """WITH r AS (SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance ≤ 1) string self-join — the typo-tolerant
+  * match primitive (FastSS / SymSpell deletion neighborhoods): two
+  * strings are candidates iff they share a member of their deletion
+  * neighborhood `D(s) = {s} ∪ {s with one char deleted}`, so the join
+  * is an EQUI-join on neighborhood keys — never the all-pairs
+  * `levenshtein(a, b) <= 1` cross product, which is quadratic and
+  * unplannable at scale. Shared-key candidates are then verified with
+  * the builtin `levenshtein` (codegen'd; identical classic semantics
+  * in Spark and DuckDB, checked before use) — the neighborhood
+  * over-generates (e.g. "ab"/"ba" share {"a","b"} at distance 2), the
+  * verify is exact.
+  *
+  * Scale shape: fan-out is `len+1` keys per string (bounded by
+  * `maxLen`); the join shuffles on the key; hot keys (short strings'
+  * deletions collapse badly — "at"/"it"/"at" all emit "t") are handled
+  * by `minLen` (don't fuzzy-join 2-char tokens; their neighborhoods
+  * are meaningless anyway) plus a hard per-key occupancy cap that
+  * DROPS oversized buckets loudly-in-the-output rather than silently
+  * going quadratic — the same guard discipline as the LSH bucket join
+  * (`Dedup.candidatePairs`).
+  *
+  * The variant generation is posexplode-shaped (explode a position
+  * sequence, then a codegen'd substring concat) — NOT
+  * `transform(sequence, λ)`, whose lambda body evaluates interpreted
+  * (measured 8× on the n-gram pipeline; see NGrams).
+  */
+object Fuzzy {
+
+  /** All unordered pairs of distinct values of `tokCol` at edit
+    * distance exactly 1 (equal strings are not pairs), as
+    * `(tok_a, tok_b)` with `tok_a < tok_b`.
+    *
+    * @param minLen    shortest string to consider (shorter strings'
+    *                  deletion neighborhoods are too dense to mean
+    *                  anything); must be ≥ 2
+    * @param maxLen    fan-out bound: longer strings are skipped
+    * @param maxBucket per-deletion-key occupancy cap; hotter keys are
+    *                  dropped (capped-semantics, like the LSH guard) */
+  def ed1Pairs(
+      df: DataFrame, tokCol: String,
+      minLen: Int = 4, maxLen: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val toks = df.select(col(tokCol).as("tok")).distinct()
+      .filter(length(col("tok")).between(minLen, maxLen))
+    // i = 0 keeps the string itself; i in 1..len deletes position i.
+    // All projection arithmetic sits AFTER the explode where it
+    // codegens; `sequence` is itself codegen'd.
+    val variants = toks
+      .select(col("tok"), explode(expr("sequence(0, length(tok))")).as("i"))
+      .select(col("tok"), when(col("i") === 0, col("tok"))
+        .otherwise(concat(
+          expr("substring(tok, 1, i - 1)"),
+          expr("substring(tok, i + 1, length(tok))"))).as("v"))
+      .distinct() // adjacent equal chars produce identical deletions
+    val capped = variants
+      .join(
+        variants.groupBy("v").agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") <= maxBucket).select("v"),
+        Seq("v"), "leftsemi")
+    capped.as("a").join(capped.as("b"),
+        col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+  }
+}
