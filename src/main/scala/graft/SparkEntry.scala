@@ -1024,6 +1024,24 @@ object SparkEntry {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("value_cents"))
     }),
+    // Dwell-time profile: median inter-event gap per transition pair —
+    // e_transitions' matrix weighted by time (interpolated-percentile
+    // recipe, the e_pctl_profile bit-parity precedent)
+    "e_dwell" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(percentile(col("ts_us") - col("prev_ts"), lit(0.5))
+          .as("p50_gap_us"), count(lit(1)).as("n"))
+    }),
     // CDC apply (operators/Cdc): the MERGE/upsert primitive — union the
     // snapshot with a change log, latest change per key wins, deletes
     // drop the key. Changes are synthesized on doc_id strata so all
@@ -3076,6 +3094,15 @@ object SparkEntry {
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_ts_us END AS click_ts_us,
         |  CASE WHEN ts_us - click_ts_us <= 3600000000 THEN click_id END AS click_id
         |FROM j""".stripMargin,
+    "e_dwell" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |  quantile_cont(ts_us - prev_ts, 0.5) AS p50_gap_us, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "u_cdc_apply" ->
       """WITH b AS (SELECT doc_id, lang, n_chars,
         |    NULL::BIGINT AS seq, 'I' AS op FROM documents),
