@@ -64,6 +64,39 @@ object Mixing {
       .filter(col("sample_rank") <= k)
   }
 
+  /** [[fixedSizeSample]] with the hot-stratum guard IMPLEMENTED (not
+    * just documented): stage 1 splits each stratum into `salts`
+    * deterministic sub-strata (hash of the id) and takes the top-k of
+    * each in parallel; stage 2 re-ranks the ≤ k·salts survivors per
+    * stratum — a bounded second window — and keeps the global top-k.
+    * The comparator is IDENTICAL to the unsalted operator (md5-hash
+    * order, id tie-break), so the output is row-for-row identical
+    * (spec-asserted); the difference is purely physical: a stratum
+    * with billions of rows sorts as `salts` parallel top-k's instead
+    * of one serialized sort. Use when strata are few and huge. */
+  def fixedSizeSampleSalted(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      salts: Int = 16,
+      salt: String = "#fs"): DataFrame = {
+    require(k >= 1 && salts >= 2, s"k >= 1 and salts >= 2, got $k/$salts")
+    import org.apache.spark.sql.expressions.Window
+    val rankKey = expr(s"md5(concat(`$idCol`, '$salt'))")
+    val sub = docs.withColumn("_sub",
+      pmod(xxhash64(col(idCol).cast("string")), lit(salts)))
+    val w1 = Window.partitionBy(col(stratumCol), col("_sub"))
+      .orderBy(rankKey, col(idCol))
+    val survivors = sub
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .drop("_sub", "_r1")
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(rankKey, col(idCol))
+    survivors.withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Token-budgeted source mixing: sample each stratum down to its
     * share of a total token budget. Stratum `s` with mixture weight
     * `w_s` gets a target of `w_s / Σw × totalTokens` tokens; its keep

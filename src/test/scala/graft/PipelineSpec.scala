@@ -955,6 +955,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.toSeq === out.map(r => (r.getLong(0), r.getAs[Long]("sample_rank"))).sorted.toSeq)
   }
 
+  test("fixedSizeSampleSalted == fixedSizeSample row-for-row (the hot-stratum path)") {
+    import spark.implicits._
+    // one hot stratum (90% of rows) + several small ones, k > |small|
+    val docs = ((0L until 2000L).map(i => (i, "hot")) ++
+      (10000L until 10040L).map(i => (i, s"s${i % 3}"))).toDF("doc_id", "stratum")
+    val plain = Mixing.fixedSizeSample(docs, "doc_id", "stratum", k = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("sample_rank")))
+      .sortBy(t => (t._2, t._3))
+    val salted = Mixing.fixedSizeSampleSalted(docs, "doc_id", "stratum", k = 50, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("sample_rank")))
+      .sortBy(t => (t._2, t._3))
+    assert(salted.toSeq === plain.toSeq,
+      "salted two-stage top-k must be row-identical to the plain sampler")
+  }
+
   test("removeDuplicateSpans cuts exactly the flagged token ranges") {
     val shared = (1 to 8).map(i => s"common$i").mkString(" ")
     val rows = Seq(
