@@ -816,6 +816,13 @@ object SparkEntry {
       graft.pipeline.Sketches.hllRegistersBy(
         t(s, dir, "events").select("event_type", "user_id"),
         Seq("event_type"), "user_id", m = 64)),
+    // Grouped CMS — heavy hitters per language: 4×64 cells per lang
+    "p_cms_grouped" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      graft.pipeline.Sketches.cmsSketchBy(
+        toks, Seq("lang"), "tok", depth = 4, width = 64)
+    }),
     "p_cms_sketch" -> ((s, dir) => {
       val toks = t(s, dir, "documents").select(explode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
@@ -1023,6 +1030,25 @@ object SparkEntry {
           unix_micros(col("session_window.start")).as("start_us"),
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("value_cents"))
+    }),
+    // Per-key z-score normalization (feature scaling) with NO float
+    // sums: the moments are exact integer cents (sum, count, sum of
+    // squares — order-independent), the z derives from them in f64
+    // ((v·n − s)/√(n·sq − s²), deterministic ops on identical exact
+    // inputs), and the compared surface is integer basis points
+    "e_zscore" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val stats = e.groupBy("event_type").agg(
+        sum("cents").as("s"), count(lit(1)).as("n"),
+        sum(expr("cents * cents")).as("sq"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(CAST(cents * n - s AS DOUBLE) / " +
+            "sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - " +
+            "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 10000) AS BIGINT)")
+            .as("z_bp"))
     }),
     // Dwell-time profile: median inter-event gap per transition pair —
     // e_transitions' matrix weighted by time (interpolated-percentile
@@ -2890,6 +2916,32 @@ object SparkEntry {
         |  CAST(coalesce(reg.register, 0) AS BIGINT) AS register
         |FROM g LEFT JOIN reg
         |  ON g.event_type = reg.event_type AND g.bucket = reg.bucket""".stripMargin,
+    "p_cms_grouped" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |cells AS (SELECT lang, r,
+        |    ('0x' || substr(md5(tok || '#cms' || r), 1, 15))::BIGINT % 64 AS c,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cnts CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2, 3)
+        |SELECT g.lang, CAST(a.range AS BIGINT) AS r, CAST(b.range AS BIGINT) AS c,
+        |  coalesce(cells.cnt, 0) AS cnt
+        |FROM (SELECT DISTINCT lang FROM documents) g
+        |CROSS JOIN range(4) a CROSS JOIN range(64) b
+        |LEFT JOIN cells ON cells.lang = g.lang
+        |  AND cells.r = a.range AND cells.c = b.range""".stripMargin,
+    "e_zscore" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+        |    count(*) AS n, CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CAST(round(CAST(cents * n - s AS DOUBLE) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 10000) AS BIGINT) AS z_bp
+        |FROM e JOIN st ON e.event_type = st.event_type""".stripMargin,
     "p_cms_sketch" ->
       """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents),

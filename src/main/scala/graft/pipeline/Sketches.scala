@@ -233,6 +233,34 @@ object Sketches {
       .select(col("r"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Grouped Count-Min — one cell table PER KEY (heavy hitters per
+    * day/language, the production shape): `|groups| × depth × width`
+    * rows. Same build discipline: per-(group, value) exact rollup
+    * first, depth-explode over the distinct table only. */
+  def cmsSketchBy(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "use cmsSketch for the ungrouped sketch")
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2 && width <= 65536, s"width in [2,65536], got $width")
+    val spark = df.sparkSession
+    val counts = df.groupBy(groupCols.map(col) :+ col(valueCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val cells = counts
+      .select(groupCols.map(col) ++ Seq(col("_v"), col("_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r")): _*)
+      .select(groupCols.map(col) ++ Seq(col("r"),
+        (h60(s"concat(_v, '#cms', r)") % width).as("c"), col("_cnt")): _*)
+      .groupBy((groupCols ++ Seq("r", "c")).map(col): _*)
+      .agg(sum("_cnt").as("cnt"))
+    val spine = df.select(groupCols.map(col): _*).distinct()
+      .crossJoin(spark.range(depth).select(col("id").as("r")))
+      .crossJoin(spark.range(width).select(col("id").as("c")))
+    spine.join(cells, groupCols ++ Seq("r", "c"), "left")
+      .select((groupCols ++ Seq("r", "c")).map(col) :+
+        coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+  }
+
   /** Merge cell tables (same depth/width): per-cell sum. */
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_ unionByName _)

@@ -150,6 +150,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(grouped.filter(col("grp") === "g1").count() === 50L)
   }
 
+  test("grouped CMS: slicing the grouped sketch == sketching the slice") {
+    import spark.implicits._
+    val df = ((0 until 2000).map(i => ("g0", s"x${i % 300}")) ++
+      (0 until 2000).map(i => ("g1", s"y${i % 40}"))).toDF("grp", "v")
+    val grouped = Sketches.cmsSketchBy(df, Seq("grp"), "v", 4, 64)
+    assert(grouped.count() === 2L * 4 * 64)
+    for (g <- Seq("g0", "g1")) {
+      val slice = grouped.filter(col("grp") === g)
+        .select("r", "c", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val solo = Sketches.cmsSketch(
+        df.filter(col("grp") === g).select("v"), "v", 4, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(slice === solo, s"group $g sketch differs from its solo sketch")
+    }
+  }
+
   test("CMS merge of two shards == sketch of the union") {
     import spark.implicits._
     val a = (0 until 5000).map(i => s"x${i % 700}").toDF("v")
