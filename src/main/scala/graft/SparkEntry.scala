@@ -138,6 +138,46 @@ object SparkEntry {
           coalesce(col("click"), lit(0L)).as("click_cents"),
           coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
     }),
+    // Classic multi-table join→agg→top-N (TPC-H Q3 shape): filtered dim
+    // (customer segment) broadcast into orders, fact join keyed on
+    // o_orderkey == the groupBy key so the aggregation reuses the join
+    // exchange (ONE shuffle on the fact side), then a distributed
+    // TakeOrdered for the top-10 cut. Revenue in integer cents
+    // (round-half-up of the double product is engine-identical).
+    "q5_join_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01"))
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("rev_cents"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"), col("revenue_cents"))
+    }),
+    // Selective scan→agg (TPC-H Q6 shape): all four predicates push to
+    // the parquet scan, partial aggregation map-side — zero shuffle
+    // before the single-row final agg. Per-row cents rounding BEFORE the
+    // sum keeps the result integer-exact at any scale.
+    "q6_filter_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n"))),
     // Time-based sliding window (RANGE frame): trailing-1h event count +
     // value sum per user at every event — the standard rate/rolling-sum
     // telemetry shape (row frames can't express it; the RANGE frame
@@ -275,6 +315,28 @@ object SparkEntry {
     // F2/F3: unicode61 tokenization -> posting lists (term, doc_id, tf)
     "f_tokenize_tf" -> ((s, dir) =>
       graft.fts.Fts.buildPostings(t(s, dir, "documents"), "doc_id", "text")),
+    // tf-idf keyword extraction: top-5 terms per doc by tf·idf. idf in
+    // integer micro-nats (the [[Mixing.dsirWeights]] recipe — ln replay
+    // is engine-identical after round·1e6→BIGINT), so the ranking key
+    // tf·idf_micro is a BIGINT product with a lexicographic term
+    // tie-break: fully deterministic. df join is term-keyed (vocab ≪
+    // corpus; AQE broadcasts it at gate scale, shuffles at 100 TB).
+    // n_docs is a driver-known scalar (one count job, bounded).
+    "p_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val post = graft.fts.Fts.buildPostings(docs, "doc_id", "text")
+      val dfTbl = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term"))
+      post.join(dfTbl, "term")
+        .withColumn("score_micro", col("tf") *
+          expr(s"CAST(round(ln(($nDocs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "rank", "term", "score_micro")
+    }),
     // F4: BM25 with FTS5 constants (k1=1.2 b=0.75, idf floor 1e-6), AND
     // semantics, served from the PERSISTED posting table (F3 lifecycle —
     // built once per scale factor, reused across queries in a run)
@@ -1116,6 +1178,24 @@ object SparkEntry {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type").as("from_type"),
           col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // Trigram path mining: the 3-step navigation-path frequency table
+    // (e_transitions is the 2-gram edge matrix; this is the order-3
+    // extension). Two lags over ONE per-user window — a single shuffle
+    // on user_id, then the path rollup; counts are integer-exact.
+    "e_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .groupBy(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+          .as("path"))
         .agg(count(lit(1)).as("n"))
     }),
     // Range joins (operators/IntervalJoin) — the bucketed-explode
@@ -1968,6 +2048,24 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |  FROM documents) GROUP BY doc_id, term""".stripMargin,
+    "p_tfidf_keywords" ->
+      """WITH post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |    FROM documents) GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |sc AS (
+        |  SELECT p.doc_id, p.term,
+        |    p.tf * CAST(round(ln((n.n_docs + 1.0) / (f.df + 1.0)) * 1000000)
+        |               AS BIGINT) AS score_micro
+        |  FROM post p JOIN dft f USING(term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term) AS BIGINT) AS rank,
+        |  term, score_micro
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
     "f_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -3126,6 +3224,27 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
         |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    "q5_join_topn" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "e_sliding_stats" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
@@ -3182,6 +3301,14 @@ object SparkEntry {
         |  FROM events)
         |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "e_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        |FROM o WHERE p2 IS NOT NULL GROUP BY 1""".stripMargin,
     "e_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id,
         |    epoch_us(ts) AS w_start, epoch_us(ts) + 86400000000 AS w_end

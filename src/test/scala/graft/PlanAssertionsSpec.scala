@@ -225,6 +225,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!ret.contains("CartesianProduct"))
   }
 
+  test("q5/q6 OLAP joins: pushed scan filters, broadcast dim, no products") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/lineitem.parquet"))
+    // q5 (TPC-H Q3 shape): segment + both date predicates reach the
+    // scans; the filtered customer dim broadcasts; the fact join keyed
+    // on the groupBy key means the aggregation adds NO extra exchange
+    val q5 = planOf(SparkEntry.queries("q5_join_topn")(spark, sfDir))
+    assert(q5.contains("PushedFilters:") && q5.contains("c_mktsegment"),
+      s"q5: segment filter not at the customer scan:\n$q5")
+    assert(q5.contains("l_shipdate") && q5.contains("o_orderdate"),
+      s"q5: date filters missing from the scans:\n$q5")
+    assert(q5.contains("BroadcastExchange"),
+      s"q5: filtered customer dim is not broadcast:\n$q5")
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"),
+      s"q5: join degenerated to a product:\n$q5")
+    assert("Exchange hashpartitioning".r.findAllIn(q5).length <= 2,
+      s"q5: group-by must reuse the join exchange (≤2 shuffles):\n$q5")
+    assert(q5.contains("TakeOrdered"),
+      s"q5: top-10 cut is not a distributed TakeOrdered:\n$q5")
+    // q6 (TPC-H Q6 shape): all predicates pushed, map-side partial agg,
+    // and NO hash-partitioned shuffle anywhere (single-row final agg)
+    val q6 = planOf(SparkEntry.queries("q6_filter_agg")(spark, sfDir))
+    assert(q6.contains("PushedFilters:") && q6.contains("l_shipdate") &&
+      q6.contains("l_quantity") && q6.contains("l_discount"),
+      s"q6: predicates not pushed to the lineitem scan:\n$q6")
+    assert(q6.contains("partial"), s"q6: no map-side partial agg:\n$q6")
+    assert(!q6.contains("Exchange hashpartitioning"),
+      s"q6: a selective scan-agg must not hash-shuffle:\n$q6")
+  }
+
   test("chunkDocuments is a pure zero-shuffle projection") {
     import spark.implicits._
     val d = (0L until 50L).map(i => (i, ("w " * 200).trim)).toDF("doc_id", "text")
