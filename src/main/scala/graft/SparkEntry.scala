@@ -178,6 +178,18 @@ object SparkEntry {
           sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
             .as("revenue_cents"),
           count(lit(1)).as("n"))),
+    // Anti join (NOT EXISTS shape) through the broadcast-Bloom pruning
+    // primitive: customers with no 1998 order. Bloom-negative customers
+    // bypass the join map-side; only might-contain rows pay the exact
+    // LeftAnti that scrubs false positives — result is EXACT.
+    "q7_anti_join" -> ((s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select("o_custkey")
+      graft.pipeline.BloomPrune.antiJoinPruned(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        recent, "c_custkey", "o_custkey", expectedItems = 1L << 20)
+    }),
     // Time-based sliding window (RANGE frame): trailing-1h event count +
     // value sum per user at every event — the standard rate/rolling-sum
     // telemetry shape (row frames can't express it; the RANGE frame
@@ -797,6 +809,19 @@ object SparkEntry {
       graft.pipeline.TextStats.blocklistFilter(
         t(s, dir, "documents"), "doc_id", "text",
         Seq("merge", "slow", "nonexistentword"))),
+    // Broadcast-Bloom semi-join pruning: lineitems of URGENT orders.
+    // The key set rides as a ~1 MB bloom to every map task; only
+    // might-contain rows reach the exact LeftSemi shuffle.
+    "p_bloom_prune" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.pipeline.BloomPrune.semiJoinPruned(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        urgent, "l_orderkey", "o_orderkey", expectedItems = 1L << 20)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+    }),
     // URL canonicalization + URL-level dedup (the C4/CCNet page-dedup key)
     // over deterministically synthesized URLs exercising every rule
     "p_url_canon" -> ((s, dir) =>
@@ -1179,6 +1204,19 @@ object SparkEntry {
         .groupBy(col("prev_type").as("from_type"),
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+    // Distributed exact NTILE: spend quartiles over the per-user rollup.
+    // operators/GlobalRank replaces the single-partition Window.orderBy
+    // with range-repartition + local ranks + a broadcast prefix-sum of
+    // partition counts — bit-identical to SQL NTILE under a total order.
+    "e_ntile" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("spend_cents"))
+      graft.operators.GlobalRank.ntileByRange(spend, 4,
+        Seq(col("spend_cents").desc, col("user_id")), bucketCol = "quartile")
+        .select("user_id", "spend_cents", "global_rank", "quartile")
     }),
     // Trigram path mining: the 3-step navigation-path frequency table
     // (e_transitions is the 2-gram edge matrix; this is the order-3
@@ -3245,6 +3283,27 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
+    "p_bloom_prune" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey""".stripMargin,
+    "e_ntile" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, spend_cents,
+        |  CAST(row_number() OVER w AS BIGINT) AS global_rank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM spend
+        |WINDOW w AS (ORDER BY spend_cents DESC, user_id)""".stripMargin,
     "e_sliding_stats" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(count(*) OVER w AS BIGINT) AS n_1h,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalRank
+import graft.pipeline.BloomPrune
+
+/** Equivalence specs for the two distributed-exact primitives:
+  * GlobalRank (rank/NTILE without a single-partition window) must match
+  * Spark's own `row_number`/`ntile` over the same total order, and
+  * BloomPrune's pre-filtered joins must be row-identical to the exact
+  * semi/anti joins they accelerate. */
+class GlobalRankBloomSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def rankFixture(n: Long) = {
+    import spark.implicits._
+    // deliberate ties in the value column; (value, id) is a total order
+    (0L until n).map(i => (i, (i * 2654435761L % 97) / 3))
+      .toDF("id", "value")
+  }
+
+  test("withGlobalRank matches row_number over the same total order") {
+    val df = rankFixture(1000)
+    val sort = Seq(col("value").desc, col("id"))
+    val got = GlobalRank.withGlobalRank(df, sort)
+      .select("id", "global_rank")
+    val want = df.withColumn("global_rank",
+        row_number().over(Window.orderBy(sort: _*)).cast("long"))
+      .select("id", "global_rank")
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("ntileByRange is bit-identical to SQL NTILE for N%k, N<k, k=1") {
+    for ((n, k) <- Seq((1000L, 4), (1000L, 7), (7L, 10), (50L, 1), (96L, 8))) {
+      val df = rankFixture(n)
+      val sort = Seq(col("value").desc, col("id"))
+      val got = GlobalRank.ntileByRange(df, k, sort)
+        .select("id", "global_rank", "bucket")
+      val w = Window.orderBy(sort: _*)
+      val want = df.withColumn("global_rank", row_number().over(w).cast("long"))
+        .withColumn("bucket", ntile(k).over(w).cast("long"))
+        .select("id", "global_rank", "bucket")
+      assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("bloom-pruned semi/anti joins are row-identical to exact joins (Long keys)") {
+    import spark.implicits._
+    val big = (0L until 5000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val keys = (0L until 5000L by 7).map(i => Tuple1(i)).toDF("kk")
+    val semiGot = BloomPrune.semiJoinPruned(big, keys, "k", "kk", 1000L)
+    val semiWant = big.join(keys.select(col("kk").as("k")), Seq("k"), "left_semi")
+    assert(semiGot.except(semiWant).count() === 0 &&
+      semiWant.except(semiGot).count() === 0)
+    val antiGot = BloomPrune.antiJoinPruned(big, keys, "k", "kk", 1000L)
+    val antiWant = big.join(keys.select(col("kk").as("k")), Seq("k"), "left_anti")
+    assert(antiGot.except(antiWant).count() === 0 &&
+      antiWant.except(antiGot).count() === 0)
+  }
+
+  test("bloom-pruned joins handle String keys and null keys exactly") {
+    import spark.implicits._
+    val big = ((0 until 500).map(i => (s"u$i", i)) :+ (null.asInstanceOf[String], -1))
+      .toDF("k", "payload")
+    val keys = (0 until 500 by 3).map(i => Tuple1(s"u$i")).toDF("kk")
+    val semiGot = BloomPrune.semiJoinPruned(big, keys, "k", "kk", 500L)
+    val semiWant = big.join(keys.select(col("kk").as("k")), Seq("k"), "left_semi")
+    assert(semiGot.except(semiWant).count() === 0 &&
+      semiWant.except(semiGot).count() === 0)
+    val antiGot = BloomPrune.antiJoinPruned(big, keys, "k", "kk", 500L)
+    val antiWant = big.join(keys.select(col("kk").as("k")), Seq("k"), "left_anti")
+    // null-keyed row never equi-matches: dropped by semi, kept by anti
+    assert(antiGot.filter(col("k").isNull).count() === 1)
+    assert(antiGot.except(antiWant).count() === 0 &&
+      antiWant.except(antiGot).count() === 0)
+  }
+}
