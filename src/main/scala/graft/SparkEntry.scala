@@ -244,6 +244,10 @@ object SparkEntry {
     // M6 get_distinct_strings
     "m_get_distinct" -> ((s, dir) =>
       MetadataOps.distinctStrings(t(s, dir, "customer"), "c_mktsegment")),
+    // Table profiling (ANALYZE shape): per-column row/null/exact-distinct
+    // counts in ONE scan (multi-distinct via Expand — see Profile docs)
+    "m_profile" -> ((s, dir) =>
+      graft.operators.Profile.tableProfile(t(s, dir, "customer"))),
     // M9 count
     "m_count" -> ((s, dir) => MetadataOps.count(t(s, dir, "lineitem"))),
     // M7 update_where
@@ -1217,6 +1221,37 @@ object SparkEntry {
       graft.operators.GlobalRank.ntileByRange(spend, 4,
         Seq(col("spend_cents").desc, col("user_id")), bucketCol = "quartile")
         .select("user_id", "spend_cents", "global_rank", "quartile")
+    }),
+    // Semi-structured JSON extraction: pull the typed field out of the
+    // props JSON string (get_json_object is codegen'd) and profile it
+    // per event type — the schema-on-read path every event pipeline
+    // needs before the column is promoted to a real one.
+    "e_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum("k").as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+    // Gaps-and-islands: maximal runs of the same event_type per user
+    // (the classic row_number-difference grouping). Both windows share
+    // the user_id clustering, so the whole query is ONE shuffle; the
+    // island rollups combine map-side.
+    "e_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wt = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("grp",
+          row_number().over(w) - row_number().over(wt))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_islands"), max("run_len").as("max_run"))
     }),
     // Trigram path mining: the 3-step navigation-path frequency table
     // (e_transitions is the 2-gram edge matrix; this is the order-3
@@ -3360,6 +3395,42 @@ object SparkEntry {
         |  FROM events)
         |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "e_json_extract" ->
+      """WITH x AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY event_type""".stripMargin,
+    "e_islands" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS grp
+        |  FROM events),
+        |runs AS (SELECT user_id, event_type, grp, count(*) AS run_len
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, count(*) AS n_islands,
+        |  CAST(max(run_len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY 1, 2""".stripMargin,
+    "m_profile" ->
+      """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(c_custkey) AS n_nulls,
+        |  count(DISTINCT c_custkey) AS n_distinct FROM customer
+        |UNION ALL SELECT 'c_name', count(*),
+        |  count(*) - count(c_name), count(DISTINCT c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*),
+        |  count(*) - count(c_nationkey), count(DISTINCT c_nationkey)
+        |  FROM customer
+        |UNION ALL SELECT 'c_acctbal', count(*),
+        |  count(*) - count(c_acctbal), count(DISTINCT c_acctbal)
+        |  FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*),
+        |  count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment)
+        |  FROM customer""".stripMargin,
     "e_paths" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lag(event_type, 1) OVER w AS p1,

@@ -256,6 +256,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"q6: a selective scan-agg must not hash-shuffle:\n$q6")
   }
 
+  test("e_islands: both windows share the user_id clustering — one wide shuffle") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/events.parquet"))
+    val plan = planOf(SparkEntry.queries("e_islands")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"e_islands: expected the user_id window shuffle (+ rollup) only:\n$plan")
+    assert(plan.contains("partial"),
+      s"e_islands: island rollup lost map-side combine:\n$plan")
+  }
+
   test("chunkDocuments is a pure zero-shuffle projection") {
     import spark.implicits._
     val d = (0L until 50L).map(i => (i, ("w " * 200).trim)).toDF("doc_id", "text")
