@@ -931,6 +931,22 @@ object SparkEntry {
         .join(top, Seq("tok"))
         .select(col("tok"), col("true_cnt"), col("est"))
     }),
+    // Histogram-quantile sketch — the mergeable DISTRIBUTION member of
+    // the sketch family: per-event-type 64-bin fixed-domain histogram
+    // (integer state, merge = per-bin sum), read as interpolated
+    // p50/p90/p99. The min/max pass is 2 driver scalars (bounded);
+    // quantiles then run on |types|×64 integers, never a corpus sort.
+    "p_hist_quantile" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val r = e.agg(min(col("value")), max(col("value"))).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val sk = graft.pipeline.Sketches.histSketchBy(
+        e, Seq("event_type"), "value", lo, hi, bins = 64)
+      graft.pipeline.Sketches.histQuantiles(
+        sk, Seq("event_type"), Seq(5000, 9000, 9900), lo, hi, bins = 64)
+        .select(col("event_type"), col("q_bp"), col("bin"),
+          expr("CAST(round(est * 1000000) AS BIGINT)").as("est_micro"))
+    }),
     "p_multimodal_stats" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.synthesizeFromText(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3102,6 +3118,25 @@ object SparkEntry {
         |CROSS JOIN range(4) a CROSS JOIN range(64) b
         |LEFT JOIN cells ON cells.lang = g.lang
         |  AND cells.r = a.range AND cells.c = b.range""".stripMargin,
+    "p_hist_quantile" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - s.lo) / ((s.hi - s.lo) / 64.0)), 0.0), 63.0) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM events CROSS JOIN s GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b),
+        |x AS (SELECT c.*, q.q_bp,
+        |    CAST(ceil(q.q_bp / 10000.0 * n) AS BIGINT) AS target,
+        |    cum - cnt AS cum_before
+        |  FROM c CROSS JOIN (VALUES (5000), (9000), (9900)) q(q_bp))
+        |SELECT x.event_type, x.q_bp, x.bin,
+        |  CAST(round((s.lo + ((s.hi - s.lo) / 64.0) * (x.bin +
+        |    CAST(x.target - x.cum_before AS DOUBLE) / CAST(x.cnt AS DOUBLE))) * 1000000) AS BIGINT) AS est_micro
+        |FROM x CROSS JOIN s
+        |WHERE x.cum >= x.target AND x.cum_before < x.target""".stripMargin,
     "e_zscore" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -282,4 +282,93 @@ object Sketches {
     keyed.join(broadcast(sketch), Seq("r", "c"))
       .groupBy(probeCol).agg(min("cnt").as("est"))
   }
+
+  // ------------------------------------------------- Histogram quantiles
+
+  /** Equi-width histogram sketch — the mergeable QUANTILE member of the
+    * family (HLL = cardinality, CMS = frequency, KMV = set algebra,
+    * this = distribution): per group, exactly `bins` rows
+    * `(groupCols…, bin, cnt)` over a FIXED `[lo, hi)` domain shared by
+    * every group and partition, so sketches merge by per-bin sum
+    * ([[histMerge]]) — a day×shard histogram matrix rolls up to any
+    * slice without re-reading raw data, and quantile reads run on
+    * `|groups| × bins` integers instead of a corpus sort.
+    *
+    * `lo`/`hi` are explicit (domain knowledge, or one bounded min/max
+    * pass) rather than derived per call: at 100 TB the fixed domain is
+    * what MAKES the sketch mergeable across days — per-batch min/max
+    * would give every batch different bin edges. Values outside
+    * `[lo, hi)` clamp into the edge bins (the standard fixed-domain
+    * histogram convention), so the sketch is total.
+    *
+    * State is pure integers; the bin rule
+    * `least(greatest(floor((v - lo) / step), 0), bins-1)` is the same
+    * expression the SQL oracle computes, so the gate verifies the
+    * sketch cell by cell. One shuffle, map-side combine, spine-joined
+    * so empty bins surface with cnt 0 (a complete, merge-ready sketch). */
+  def histSketchBy(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins in [2,4096], got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val spark = df.sparkSession
+    val step = (hi - lo) / bins
+    val binCol = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(step)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long").as("bin")
+    val counts = df.select(groupCols.map(col) :+ binCol: _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val spine0 = spark.range(bins).select(col("id").as("bin"))
+    val spine =
+      if (groupCols.isEmpty) spine0
+      else df.select(groupCols.map(col): _*).distinct().crossJoin(spine0)
+    spine.join(counts, groupCols :+ "bin", "left")
+      .select((groupCols :+ "bin").map(col) :+
+        coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+  }
+
+  /** Merge histogram sketches built on the SAME `[lo, hi)` / bins
+    * domain: per-(group, bin) sum — the lossless union. */
+  def histMerge(sketches: Seq[DataFrame], groupCols: Seq[String] = Nil): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Interpolated quantile read from a histogram sketch: for each group
+    * and each requested quantile (basis points, e.g. 5000 = p50), find
+    * the bin holding rank `ceil(q·n)` of the per-group cumulative
+    * counts and interpolate linearly inside it:
+    * `lo + step · (bin + (target − cum_before) / cnt)`.
+    *
+    * Every intermediate is an integer except the final scalar
+    * expression, whose operation order is fixed — so an independent SQL
+    * engine replays the estimate bit-for-bit (the gate compares it in
+    * integer micro-units). The read costs a window over
+    * `|groups| × bins` rows — sketch-sized, never corpus-sized. */
+  def histQuantiles(
+      sketch: DataFrame, groupCols: Seq[String], qBasisPoints: Seq[Int],
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    require(qBasisPoints.nonEmpty && qBasisPoints.forall(q => q > 0 && q <= 10000),
+      "quantiles are basis points in (0, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val step = (hi - lo) / bins
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    cum
+      .select(cum.columns.map(col) :+
+        explode(array(qBasisPoints.map(lit): _*)).as("q_bp"): _*)
+      .withColumn("target",
+        ceil(col("q_bp") / lit(10000.0) * col("n")))
+      .filter(col("cum") >= col("target") && col("cum_before") < col("target"))
+      .withColumn("est",
+        lit(lo) + lit(step) * (col("bin") +
+          (col("target") - col("cum_before")).cast("double") /
+            col("cnt").cast("double")))
+      .select((groupCols :+ "q_bp").map(col) :+ col("bin") :+ col("est"): _*)
+  }
 }

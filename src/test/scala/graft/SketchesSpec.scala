@@ -181,6 +181,40 @@ class SketchesSpec extends AnyFunSuite {
         .sorted.toSeq)
   }
 
+  test("histogram sketch: complete spine, merge of shards == sketch of union") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = (0 until 4000).map(i => ("g" + i % 3, rnd.nextDouble() * 100)).toDF("g", "v")
+    val b = (0 until 4000).map(i => ("g" + i % 3, rnd.nextDouble() * 100)).toDF("g", "v")
+    val sa = Sketches.histSketchBy(a, Seq("g"), "v", 0.0, 100.0, 64)
+    val sb = Sketches.histSketchBy(b, Seq("g"), "v", 0.0, 100.0, 64)
+    assert(sa.count() === 3 * 64L)
+    val merged = Sketches.histMerge(Seq(sa, sb), Seq("g"))
+    val whole = Sketches.histSketchBy(a.unionAll(b), Seq("g"), "v", 0.0, 100.0, 64)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq ===
+      whole.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq)
+  }
+
+  test("histogram quantiles within one bin width of exact; clamping is total") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 20000).map(_ => ("k", rnd.nextDouble() * 50))
+    // out-of-domain values clamp into the edge bins instead of vanishing
+    val df = (rows :+ (("k", -5.0)) :+ (("k", 99.0))).toDF("g", "v")
+    val (lo, hi, bins) = (0.0, 50.0, 64)
+    val sk = Sketches.histSketchBy(df, Seq("g"), "v", lo, hi, bins)
+    assert(sk.agg(sum("cnt")).collect()(0).getLong(0) === df.count())
+    val qs = Sketches.histQuantiles(sk, Seq("g"), Seq(5000, 9000, 9900), lo, hi, bins)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.9, 0.99), 0.0)
+    val binW = (hi - lo) / bins
+    for ((bp, e) <- Seq(5000 -> exact(0), 9000 -> exact(1), 9900 -> exact(2)))
+      assert(math.abs(qs(bp) - e) <= binW,
+        s"p$bp est=${qs(bp)} exact=$e (> one bin width $binW)")
+  }
+
   test("plan: sketch builds are partial-agg shuffles, no cartesian on data") {
     val df = values(2000, 500, 11)
     val hllPlan = Sketches.hllRegisters(df, "v", 128)
