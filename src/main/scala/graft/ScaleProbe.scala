@@ -105,7 +105,7 @@ object ScaleProbe {
       // constant — retention/session/funnel state per key doesn't blow
       // up, the count of keys does, as in a real growing product)
       val src = graft.Tables(spark, sfDir, "events")
-        .select("event_id", "ts_ns", "user_id", "event_type", "value")
+        .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
       val span = src.agg(expr("max(ts_ns) - min(ts_ns) + 1000000000")).collect()(0).getLong(0)
       val nUsers = src.agg(expr("max(user_id) + 1")).collect()(0).getLong(0)
       src.repartition(nPart).crossJoin(broadcast(reps))
@@ -113,9 +113,32 @@ object ScaleProbe {
           (col("event_id") * factor + col("r")).as("event_id"),
           (col("ts_ns") + col("r") * span).as("ts_ns"),
           (col("user_id") + col("r") * nUsers).as("user_id"),
-          col("event_type"), col("value"))
+          col("event_type"), col("value"), col("props"))
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         .drop("ts_ns")
+    }
+    gen("customer") {
+      // fresh customer population per replica, same scheme as events'
+      // user axis: key cardinality scales with the data
+      val src = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nCust = src.agg(expr("max(c_custkey) + 1")).collect()(0).getLong(0)
+      src.repartition(nPart).crossJoin(broadcast(reps))
+        .select((col("c_custkey") + col("r") * nCust).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+    }
+    gen("orders") {
+      // orderkeys renumbered like lineitem's (×factor + r) so the
+      // o_orderkey = l_orderkey join stays consistent across replicas;
+      // custkeys follow the customer replica scheme
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      val nCust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .agg(expr("max(c_custkey) + 1")).collect()(0).getLong(0)
+      src.repartition(nPart).crossJoin(broadcast(reps))
+        .select((col("o_orderkey") * factor + col("r")).as("o_orderkey"),
+          (col("o_custkey") + col("r") * nCust).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
     }
     gen("lineitem") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
