@@ -947,6 +947,27 @@ object SparkEntry {
         .select(col("event_type"), col("q_bp"), col("bin"),
           expr("CAST(round(est * 1000000) AS BIGINT)").as("est_micro"))
     }),
+    // Weighted sampling without replacement (Efraimidis–Spirakis): 20
+    // docs per language, inclusion probability ∝ n_chars — sample
+    // MEMBERSHIP is oracle-replayed, not just sample size
+    "p_weighted_sample" -> ((s, dir) =>
+      graft.pipeline.Mixing.weightedSample(
+        t(s, dir, "documents"), "doc_id", "lang", "n_chars", k = 20)
+        .select(col("lang"), col("sample_rank"), col("doc_id"),
+          col("priority_micro"))),
+    // Vocabulary build: df-pruned terms with CONTIGUOUS ids assigned by
+    // the distributed GlobalRank (df desc, term) — no single-partition
+    // row_number window
+    "p_vocab" -> ((s, dir) =>
+      graft.pipeline.TextStats.vocabulary(
+        t(s, dir, "documents"), "doc_id", "text",
+        minDf = 3L, maxDfRatio = 1.0)
+        .select(col("term"), col("df"), col("vocab_id"))),
+    // Corpus-drift monitor: two-sided smoothed KL divergence between
+    // two sources' token distributions, summed in integer pico-nats
+    "p_kl_drift" -> ((s, dir) =>
+      graft.pipeline.TextStats.klDrift(
+        t(s, dir, "documents"), "source", "text", "src1", "src2")),
     "p_multimodal_stats" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.synthesizeFromText(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3137,6 +3158,46 @@ object SparkEntry {
         |    CAST(x.target - x.cum_before AS DOUBLE) / CAST(x.cnt AS DOUBLE))) * 1000000) AS BIGINT) AS est_micro
         |FROM x CROSS JOIN s
         |WHERE x.cum >= x.target AND x.cum_before < x.target""".stripMargin,
+    "p_weighted_sample" ->
+      """WITH p AS (SELECT lang, doc_id,
+        |    CAST(round(ln((('0x' || substr(md5(doc_id || '#ws'), 1, 15))::BIGINT + 1.0)
+        |      / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS priority_micro
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, priority_micro,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY priority_micro DESC, doc_id) AS sample_rank
+        |  FROM p)
+        |SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, priority_micro
+        |FROM r WHERE sample_rank <= 20""".stripMargin,
+    "p_vocab" ->
+      """WITH post AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |    FROM documents) GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |f AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |v AS (SELECT term, df FROM f CROSS JOIN n
+        |  WHERE df >= 3 AND df <= 1.0 * n_docs)
+        |SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS vocab_id
+        |FROM v""".stripMargin,
+    "p_kl_drift" ->
+      """WITH toks AS (SELECT source AS g,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents WHERE source IN ('src1', 'src2')),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN g = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM toks GROUP BY term),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+        |    CAST(sum(cnt_b) AS BIGINT) AS tb, count(*) AS v FROM c)
+        |SELECT count(*) AS n_terms,
+        |  CAST(sum(CAST(round((cnt_a + 1.0) / (ta + v) *
+        |    ln(((cnt_a + 1.0) / (ta + v)) / ((cnt_b + 1.0) / (tb + v))) *
+        |    1000000000000.0) AS BIGINT)) AS BIGINT) AS kl_ab_pico,
+        |  CAST(sum(CAST(round((cnt_b + 1.0) / (tb + v) *
+        |    ln(((cnt_b + 1.0) / (tb + v)) / ((cnt_a + 1.0) / (ta + v))) *
+        |    1000000000000.0) AS BIGINT)) AS BIGINT) AS kl_ba_pico
+        |FROM c CROSS JOIN t""".stripMargin,
     "e_zscore" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -97,6 +97,45 @@ object Mixing {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    * order sampling, the A-ES scheme): per stratum, keep the k rows
+    * with the largest priority `ln(u) / w`, where
+    * `u = (hash60(id·salt) + 1) / 2^60 ∈ (0, 1]` is the row's
+    * deterministic uniform draw and `w > 0` its weight (`weightCol`,
+    * e.g. a quality score or document length) — inclusion probability
+    * proportional to weight, reproducible across engines, runs, and
+    * partitionings ("sample 1k docs per language, quality-weighted").
+    *
+    * Priorities are quantized to integer micro-nats (the ln-parity
+    * recipe the BM25/DSIR oracles established) with the id as the
+    * final tie-break, so sample MEMBERSHIP is replayable by the SQL
+    * oracle, not just approximately similar. Negative weights are a
+    * caller error (ln(u) ≤ 0 flips the order); weight 0 divides to
+    * -Infinity and correctly never samples.
+    *
+    * Scale shape: one window top-k per stratum — same single-shuffle
+    * cost and hot-stratum caveat (and salting recipe) as
+    * [[fixedSizeSample]]. Adds `priority_micro` and `sample_rank`. */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "#ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val prio = expr(
+      s"""CAST(round(ln((CAST(conv(substr(md5(concat(`$idCol`, '$salt')), 1, 15), 16, 10) AS BIGINT) + 1.0)
+         |  / 1152921504606846976.0) / CAST(`$weightCol` AS DOUBLE) * 1000000) AS BIGINT)"""
+        .stripMargin)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("priority_micro").desc, col(idCol))
+    docs.withColumn("priority_micro", prio)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Token-budgeted source mixing: sample each stratum down to its
     * share of a total token budget. Stratum `s` with mixture weight
     * `w_s` gets a target of `w_s / Σw × totalTokens` tokens; its keep

@@ -400,4 +400,68 @@ object TextStats {
               "(acc, x) -> (acc * 31 + x) % 1000000007)"))
           .as("fingerprint")
       )
+
+  /** Vocabulary construction with contiguous ids — the "build the
+    * tokenizer/embedding table" step: document frequency per term,
+    * pruned to `df ∈ [minDf, maxDfRatio·nDocs]` (drop hapaxes and
+    * stop-like terms), then a CONTIGUOUS 1-based `vocab_id` assigned by
+    * (df desc, term asc) via [[graft.operators.GlobalRank]] — the
+    * distributed total-order rank, so a 100M-term vocabulary numbers
+    * itself without the single-partition `row_number()` window that
+    * serializes everything through one task.
+    *
+    * Output: `(term, df, vocab_id)`. One posting aggregation (map-side
+    * combined), one bounded df rollup, one range-partitioned rank. */
+  def vocabulary(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, maxDfRatio: Double = 0.5): DataFrame = {
+    require(minDf >= 1 && maxDfRatio > 0 && maxDfRatio <= 1.0,
+      s"minDf >= 1 and maxDfRatio in (0,1], got $minDf/$maxDfRatio")
+    val nDocs = docs.count()
+    val dfTbl = graft.fts.Fts.buildPostings(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= lit(maxDfRatio) * nDocs)
+    graft.operators.GlobalRank
+      .withGlobalRank(dfTbl, Seq(col("df").desc, col("term")), "vocab_id")
+  }
+
+  /** Corpus-drift monitor: smoothed Kullback–Leibler divergence (both
+    * directions) between the token distributions of two slices of
+    * `groupCol` — "did this week's crawl shift vs last week's", "does
+    * source A look like source B". Add-one smoothing over the UNION
+    * vocabulary, so unseen-in-one-side terms contribute finitely.
+    *
+    * Determinism: each term's contribution
+    * `p·ln(p/q)` is quantized to integer PICO-nats before the sum
+    * (double addition is order-dependent; integer addition is not — the
+    * micro-nat recipe, 6 more digits since contributions are
+    * O(1/vocab)), and the smoothed totals enter as exact integer-derived
+    * doubles — the SQL oracle replays the result bit-for-bit.
+    *
+    * Scale shape: one (term)-keyed count aggregation with map-side
+    * combine, a 3-scalar driver collect for the totals, then a bounded
+    * vocab-sized projection+sum. The token stream is aggregated twice
+    * (totals pass + contribution pass) — persist the upstream corpus
+    * slice if it is itself expensive to produce.
+    * Output: one row `(n_terms, kl_ab_pico, kl_ba_pico)`. */
+  def klDrift(
+      docs: DataFrame, groupCol: String, textCol: String,
+      a: String, b: String): DataFrame = {
+    val cnts = docs.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"),
+        explode(toks(textCol)).as("term"))
+      .groupBy("term").agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("cnt_b"))
+    val r = cnts.agg(sum("cnt_a"), sum("cnt_b"), count(lit(1))).collect()(0)
+    val tA = (r.getLong(0) + r.getLong(2)).toDouble
+    val tB = (r.getLong(1) + r.getLong(2)).toDouble
+    val pA = (col("cnt_a") + lit(1.0)) / lit(tA)
+    val pB = (col("cnt_b") + lit(1.0)) / lit(tB)
+    cnts.select(
+      round(pA * log(pA / pB) * lit(1e12)).cast("long").as("_ab"),
+      round(pB * log(pB / pA) * lit(1e12)).cast("long").as("_ba"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("_ab").as("kl_ab_pico"), sum("_ba").as("kl_ba_pico"))
+  }
 }

@@ -1169,4 +1169,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr.nonEmpty, "planted families must collide")
     assert(incr.exists(p => !isNew(p._1) || !isNew(p._2)), "new-vs-corpus pairs present")
   }
+
+  test("weightedSample: deterministic, k per stratum, weight-proportional inclusion") {
+    import spark.implicits._
+    import graft.pipeline.Mixing
+    // two strata; in "s", docs 0..99 have weight 1 and 100..199 weight 50
+    val docs = ((0 until 200).map(i => (i.toLong, "s", if (i < 100) 1 else 50)) ++
+      (1000 until 1040).map(i => (i.toLong, "t", 10))).toDF("doc_id", "g", "w")
+    val sample = Mixing.weightedSample(docs, "doc_id", "g", "w", k = 30)
+    val rows = sample.collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(rows.count(_._1 == "s") === 30)
+    assert(rows.count(_._1 == "t") === 30, "k > stratum size keeps everything")
+    // the weight-50 half should dominate the weight-1 half decisively
+    val heavy = rows.count { case (g, id) => g == "s" && id >= 100 }
+    assert(heavy >= 25, s"expected heavy docs to dominate, got $heavy/30")
+    // identical across recomputations and partitionings
+    val again = Mixing.weightedSample(docs.repartition(7), "doc_id", "g", "w", k = 30)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(rows.sorted === again.sorted)
+  }
+
+  test("vocabulary: df pruning and contiguous ids in (df desc, term) order") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana"), (3L, "apple banana"),
+      (4L, "apple date"), (5L, "apple egg egg"), (6L, "apple fig"),
+      (7L, "apple grape"), (8L, "apple hat"), (9L, "apple ink"),
+      (10L, "apple jam")).toDF("doc_id", "text")
+    val v = TextStats.vocabulary(docs, "doc_id", "text", minDf = 2L, maxDfRatio = 0.5)
+      .orderBy("vocab_id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple df=10 > 0.5*10 pruned; banana df=3 kept; hapaxes pruned
+    assert(v.toSeq === Seq(("banana", 3L, 1L)))
+    val v2 = TextStats.vocabulary(docs, "doc_id", "text", minDf = 1L, maxDfRatio = 1.0)
+      .orderBy("vocab_id").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(v2.map(_._2).toSeq === (1L to v2.length).toSeq, "ids contiguous from 1")
+    assert(v2.head._1 === "apple", "highest-df term gets id 1")
+  }
+
+  test("klDrift: zero for identical slices, positive and asymmetric for shifted ones") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    val same = Seq(("a", "x y z x"), ("b", "x y z x")).toDF("src", "text")
+    val r0 = TextStats.klDrift(same, "src", "text", "a", "b").collect()(0)
+    assert(r0.getLong(1) === 0L && r0.getLong(2) === 0L)
+    val shifted = (Seq(("a", "x x x x x x y")) ++ Seq(("b", "y y y y y y x")))
+      .toDF("src", "text")
+    val r1 = TextStats.klDrift(shifted, "src", "text", "a", "b").collect()(0)
+    assert(r1.getLong(1) > 0L && r1.getLong(2) > 0L, "shifted distributions diverge")
+  }
 }
