@@ -138,6 +138,16 @@ object SparkEntry {
           coalesce(col("click"), lit(0L)).as("click_cents"),
           coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
     }),
+    // Unpivot/melt — the inverse of q4's pivot: wide per-nation metrics
+    // back to long (metric, value) rows via Spark's native unpivot
+    "q8_unpivot" -> ((s, dir) => {
+      val agg = t(s, dir, "customer").groupBy("c_nationkey").agg(
+        count(lit(1)).as("n_customers"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("acctbal_cents"))
+      agg.unpivot(Array(col("c_nationkey")),
+        Array(col("n_customers"), col("acctbal_cents")),
+        "metric", "metric_value")
+    }),
     // Classic multi-table join→agg→top-N (TPC-H Q3 shape): filtered dim
     // (customer segment) broadcast into orders, fact join keyed on
     // o_orderkey == the groupBy key so the aggregation reuses the join
@@ -625,6 +635,14 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleSize = 3, maxShingleDf = 20, minJaccard = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // EXACT set-similarity self-join (PPJoin prefix filtering) on
+    // 3-shingle sets: no LSH false negatives — the df-ascending prefix
+    // theorem generates every Jaccard>=0.5 pair from a sparse shingle
+    // equi-join, all-integer output
+    "p_prefix_join" -> ((s, dir) =>
+      graft.pipeline.Dedup.prefixFilterPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
     // hamming-space near-dedup: block-agreement candidates (pigeonhole,
@@ -1126,6 +1144,12 @@ object SparkEntry {
     "e_pctl_profile" -> ((s, dir) =>
       graft.operators.TimeSeries.percentileProfile(
         t(s, dir, "events"), Seq("event_type"), "value")),
+    // Percentile winsorization: clip value into [p01, p99] of its own
+    // event_type — the REPAIR counterpart of the Hampel flag below
+    "e_winsorize" -> ((s, dir) =>
+      graft.operators.TimeSeries.winsorize(
+        t(s, dir, "events"), Seq("event_type"), "value", 0.01, 0.99)
+        .select("event_id", "event_type", "value", "value_w")),
     // Hampel-filter anomalies: per event_type median/MAD gate at k=3
     "e_anomalies" -> ((s, dir) =>
       graft.operators.TimeSeries.robustAnomalies(
@@ -3158,6 +3182,50 @@ object SparkEntry {
         |    CAST(x.target - x.cum_before AS DOUBLE) / CAST(x.cnt AS DOUBLE))) * 1000000) AS BIGINT) AS est_micro
         |FROM x CROSS JOIN s
         |WHERE x.cum >= x.target AND x.cum_before < x.target""".stripMargin,
+    "p_prefix_join" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |      i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM t0),
+        |toks AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS tok FROM g),
+        |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
+        |o AS (SELECT t.doc_id, t.tok,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS pos,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+        |  FROM toks t JOIN dft d USING (tok)),
+        |pre AS (SELECT doc_id, tok, sz FROM o
+        |  WHERE pos <= sz - ceil(0.5 * sz) + 1),
+        |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+        |  FROM pre p1 JOIN pre p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id
+        |  WHERE p1.sz >= ceil(0.5 * p2.sz) AND p2.sz >= ceil(0.5 * p1.sz)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS n_shared
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.a
+        |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a, i.b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+        |  (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) AS jaccard_bp
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) >= 5000""".stripMargin,
+    "q8_unpivot" ->
+      """WITH a AS (SELECT c_nationkey, count(*) AS n_customers,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS metric_value FROM a
+        |UNION ALL
+        |SELECT c_nationkey, 'acctbal_cents' AS metric, acctbal_cents FROM a""".stripMargin,
+    "e_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, b.lo), b.hi) AS value_w
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
     "p_weighted_sample" ->
       """WITH p AS (SELECT lang, doc_id,
         |    CAST(round(ln((('0x' || substr(md5(doc_id || '#ws'), 1, 15))::BIGINT + 1.0)

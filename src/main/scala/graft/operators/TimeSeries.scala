@@ -58,6 +58,38 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key winsorization (percentile clipping): cap `valueCol` into
+    * `[p(loQ), p(hiQ)]` of its own key group — the standard
+    * outlier-taming transform before averaging/training (unlike the
+    * Hampel FLAG below, this REPAIRS the value). Adds
+    * `<valueCol>_w` (clipped) and keeps the original.
+    *
+    * Shape: one exact-percentile rollup (|groups| rows, map-side
+    * partial) broadcast back into a scan-shaped projection — the corpus
+    * never shuffles. Groups are assumed bounded (dashboard/feature
+    * keys); at extreme group cardinality swap the broadcast for a plain
+    * equi-join and `approx = true` (same contract as
+    * [[percentileProfile]]). */
+  def winsorize(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      loQ: Double = 0.01,
+      hiQ: Double = 0.99,
+      approx: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "winsorize needs at least one key column")
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"need 0<=loQ<hiQ<=1, got $loQ/$hiQ")
+    def q(p: Double): org.apache.spark.sql.Column =
+      if (approx) approx_percentile(col(valueCol), lit(p), lit(10000))
+      else percentile(col(valueCol), lit(p))
+    val bounds = events.groupBy(keyCols.map(col): _*)
+      .agg(q(loQ).as("_lo"), q(hiQ).as("_hi"))
+    events.join(broadcast(bounds), keyCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Robust per-key outlier detection: flag rows whose value deviates
     * from the key's median by more than `k` × MAD (median absolute
     * deviation) — the Hampel filter, the standard telemetry anomaly

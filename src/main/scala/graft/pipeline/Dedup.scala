@@ -312,6 +312,66 @@ object Dedup {
     jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08, both public): all pairs of docs whose `shingleSize`-gram
+    * SET Jaccard is ≥ `minJaccard` — the same similarity space as the
+    * LSH paths ([[minhashDedupPairs]], [[ngramJaccardPairs]]) but with
+    * a no-false-negative guarantee they trade away.
+    *
+    * The pruning theorem: order every doc's distinct tokens by a single
+    * global total order (ascending document frequency — rarest first —
+    * then token text); if `J(a,b) ≥ t` then `|a∩b| ≥ ceil(t·|d|)` for
+    * each endpoint, and by pigeonhole the intersection must touch the
+    * first `|d| − ceil(t·|d|) + 1` tokens (the PREFIX) of BOTH docs —
+    * so the equi-join of prefixes on the token generates every
+    * qualifying pair. The df-ascending order is what keeps the join
+    * sparse: prefixes hold each doc's RAREST tokens, so bucket sizes
+    * are bounded by (small) token dfs, not corpus size — stop-words
+    * never enter a prefix unless a doc is almost all stop-words. A
+    * size-ratio filter (`t·|b| ≤ |a|`, symmetric) prunes candidates
+    * whose lengths alone cap Jaccard below t.
+    *
+    * Shape: distinct-shingle explode, one df rollup, per-doc window rank
+    * (bounded by doc length), prefix self-equi-join on the shingle,
+    * exact-intersection verify (the [[jaccardVerify]] ReuseExchange
+    * shape). Output is all-integer (`jaccard_bp` = floor(J·10000)), so
+    * the SQL oracle replays membership bit-for-bit. */
+  def prefixFilterPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1], got $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val toks = shingles(docs, idCol, textCol, shingleSize)
+      .select(col("doc_id"), col("sh").as("tok"))
+    val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val wPos = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
+    val wSz = Window.partitionBy("doc_id")
+    val ordered = toks.join(dfTbl, "tok")
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("sz", count(lit(1)).over(wSz))
+    val prefix = ordered.filter(
+      col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + lit(1L))
+    val cand = prefix.select(col("doc_id").as("a"), col("sz").as("_na"), col("tok"))
+      .join(prefix.select(col("doc_id").as("b"), col("sz").as("_nb"), col("tok")), "tok")
+      .filter(col("a") < col("b") &&
+        col("_na") >= ceil(lit(minJaccard) * col("_nb")) &&
+        col("_nb") >= ceil(lit(minJaccard) * col("_na")))
+      .select("a", "b").distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("a"), col("tok")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .withColumn("jaccard_bp",
+        expr("n_shared * 10000 div (n_a + n_b - n_shared)"))
+      .filter(col("jaccard_bp") >= (minJaccard * 10000).toLong)
+      .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp")
+  }
+
   /** Per-document LSH band signatures computed locally — the
     * byte-identical Scala twin of the batch
     * `shingles → minhashSignatures → lshBands` pipeline for ONE document

@@ -1170,6 +1170,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr.exists(p => !isNew(p._1) || !isNew(p._2)), "new-vs-corpus pairs present")
   }
 
+  test("prefixFilterPairs == brute-force all-pairs Jaccard (exact, no false negatives)") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def seqOf(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    // planted near-dup families (shared word-sequence prefix) + noise
+    val dups = (0 until 12).flatMap { f =>
+      val base = seqOf(15 + rnd.nextInt(8))
+      Seq((f * 10).toLong -> base,
+        (f * 10 + 1).toLong -> (base.dropRight(2) ++ seqOf(2)))
+    }
+    val noise = (500 until 540).map(i => i.toLong -> seqOf(12))
+    val docs = (dups ++ noise)
+      .map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+      .select("a", "b", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same 3-shingle sets
+    val sets = (dups ++ noise).toMap.view.mapValues(
+      ws => ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = sets(a).intersect(sets(b)).size
+      bp = inter.toLong * 10000 / (sets(a).size + sets(b).size - inter)
+      if bp >= 5000
+    } yield (a, b, bp)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "planted families must qualify")
+  }
+
   test("weightedSample: deterministic, k per stratum, weight-proportional inclusion") {
     import spark.implicits._
     import graft.pipeline.Mixing

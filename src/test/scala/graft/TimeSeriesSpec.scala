@@ -47,6 +47,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(approx.getAs[Double]("p99") - exact.getAs[Double]("p99")) <= 2.0)
   }
 
+  test("winsorize: clips into [p(lo), p(hi)] per key, interior values untouched") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("k", i.toDouble)) ++
+      Seq(("k", -1000.0), ("k", 1000.0), ("q", 5.0))
+    val w = TimeSeries.winsorize(rows.toDF("key", "v"), Seq("key"), "v", 0.05, 0.95)
+    val byV = w.collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(byV(("k", -1000.0)) > -1000.0, "low outlier clipped up")
+    assert(byV(("k", 1000.0)) < 1000.0, "high outlier clipped down")
+    assert(byV(("k", 50.0)) === 50.0, "interior value untouched")
+    assert(byV(("q", 5.0)) === 5.0, "singleton group maps to itself")
+    // clipped column never escapes the bounds
+    import org.apache.spark.sql.functions.{min, max}
+    val mm = w.groupBy("key").agg(min("v_w"), max("v_w"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(mm("k")._1 >= 1.0 && mm("k")._2 <= 100.0)
+  }
+
   test("robustAnomalies: Hampel flags the planted spike, constant series edge") {
     import spark.implicits._
     // key "a": 9 values near 10 plus one spike at 100 -> only the spike
