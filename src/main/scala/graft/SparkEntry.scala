@@ -138,6 +138,20 @@ object SparkEntry {
           coalesce(col("click"), lit(0L)).as("click_cents"),
           coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
     }),
+    // Declarative data-quality rules (dbt-test/Deequ shape): 6 rules,
+    // ONE aggregation pass — not-null/unique/range/accepted/regex/
+    // predicate, mixed passing and failing on purpose
+    "m_checks" -> ((s, dir) => {
+      import graft.operators.Checks._
+      evaluate(t(s, dir, "customer"), Seq(
+        NotNull("c_name"),
+        Unique("c_custkey"),
+        InRange("c_acctbal", -500.0, 9000.0),
+        AcceptedValues("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        MatchesRegex("c_name", "^Customer#[0-9]{9}$"),
+        Predicate("acctbal_positive", "c_acctbal", "c_acctbal > 0")))
+    }),
     // Unpivot/melt — the inverse of q4's pivot: wide per-nation metrics
     // back to long (metric, value) rows via Spark's native unpivot
     "q8_unpivot" -> ((s, dir) => {
@@ -3212,6 +3226,44 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = i.a
         |JOIN sizes sb ON sb.doc_id = i.b
         |WHERE (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) >= 5000""".stripMargin,
+    "m_checks" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM customer),
+        |r AS (
+        |  SELECT 'not_null_c_name' AS rule_name, 'c_name' AS "column",
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'unique_c_custkey', 'c_custkey',
+        |    CAST(count(*) - count(DISTINCT c_custkey) -
+        |      CASE WHEN sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) > 0
+        |        THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'in_range_c_acctbal', 'c_acctbal',
+        |    CAST(sum(CASE WHEN c_acctbal IS NOT NULL
+        |      AND (c_acctbal < -500.0 OR c_acctbal > 9000.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'accepted_values_c_mktsegment', 'c_mktsegment',
+        |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |      ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'matches_regex_c_name', 'c_name',
+        |    CAST(sum(CASE WHEN c_name IS NOT NULL
+        |      AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'acctbal_positive', 'c_acctbal',
+        |    CAST(sum(CASE WHEN NOT coalesce(c_acctbal > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer)
+        |SELECT r.rule_name, r."column", n.n_rows, r.v AS n_violations,
+        |  r.v = 0 AS passed
+        |FROM r CROSS JOIN n""".stripMargin,
     "q8_unpivot" ->
       """WITH a AS (SELECT c_nationkey, count(*) AS n_customers,
         |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents

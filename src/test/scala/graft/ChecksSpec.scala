@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Checks._
+
+class ChecksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def results(rows: Seq[(java.lang.Long, String, String)], rules: Seq[Rule]) = {
+    import spark.implicits._
+    evaluate(rows.toDF("id", "name", "seg"), rules)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+  }
+
+  test("each rule kind counts exactly its violations in one pass") {
+    val rows: Seq[(java.lang.Long, String, String)] = Seq(
+      (1L, "alpha", "A"), (2L, "beta", "B"), (2L, null, "C"),
+      (null, "delta9", "A"), (5L, "epsilon", "A"))
+    val r = results(rows, Seq(
+      NotNull("name"),
+      Unique("id"),
+      InRange("id", 1.0, 4.0),
+      AcceptedValues("seg", Seq("A", "B")),
+      MatchesRegex("name", "^[a-z]+$"),
+      Predicate("id_small", "id", "id < 3")))
+    assert(r("not_null_name") === ((5L, 1L, false)))
+    // ids: 1,2,2,null,5 -> distinct incl null = 4 -> one duplicate row
+    assert(r("unique_id") === ((5L, 1L, false)))
+    // 5 out of range; null id is not a range violation
+    assert(r("in_range_id") === ((5L, 1L, false)))
+    assert(r("accepted_values_seg") === ((5L, 1L, false)))
+    // "delta9" breaks the all-letters anchor; null name not counted
+    assert(r("matches_regex_name") === ((5L, 1L, false)))
+    // violations: id=5 and id=null (predicate NULL counts as failed)
+    assert(r("id_small") === ((5L, 2L, false)))
+  }
+
+  test("all-nulls and clean columns: unique treats NULLs as one value; passes pass") {
+    val rows: Seq[(java.lang.Long, String, String)] = Seq(
+      (1L, "a", "A"), (2L, "b", "A"), (3L, "c", "B"))
+    val r = results(rows, Seq(NotNull("name"), Unique("id"),
+      AcceptedValues("seg", Seq("A", "B"))))
+    assert(r.values.forall { case (n, v, p) => n == 3L && v == 0L && p })
+    val rows2: Seq[(java.lang.Long, String, String)] =
+      Seq((null, "a", "A"), (null, "b", "A"))
+    val r2 = results(rows2, Seq(Unique("id")))
+    // two NULLs = one shared distinct value -> 1 duplicate row
+    assert(r2("unique_id") === ((2L, 1L, false)))
+  }
+}
