@@ -138,6 +138,23 @@ object SparkEntry {
           coalesce(col("click"), lit(0L)).as("click_cents"),
           coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
     }),
+    // Chi-square independence test: is document language independent of
+    // source? Full |A|x|B| spine, per-cell contributions in micro-units
+    "p_chi2_indep" -> ((s, dir) =>
+      graft.operators.Stats.chiSquare(t(s, dir, "documents"), "lang", "source")),
+    // Snapshot reconciliation (the inverse of u_cdc_apply): diff two
+    // deterministic versions of customer into insert/delete/update rows
+    "u_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .withColumn("acctbal_cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+        .select("c_custkey", "c_name", "c_nationkey", "acctbal_cents", "c_mktsegment")
+      val old = base.filter(col("c_custkey") % 7 =!= 0)
+      val neu = base.filter(col("c_custkey") % 11 =!= 3)
+        .withColumn("acctbal_cents",
+          when(col("c_custkey") % 5 === 0, col("acctbal_cents") + 10000L)
+            .otherwise(col("acctbal_cents")))
+      graft.operators.Cdc.diffSnapshots(old, neu, Seq("c_custkey"))
+    }),
     // Declarative data-quality rules (dbt-test/Deequ shape): 6 rules,
     // ONE aggregation pass — not-null/unique/range/accepted/regex/
     // predicate, mixed passing and failing on purpose
@@ -3226,6 +3243,44 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = i.a
         |JOIN sizes sb ON sb.doc_id = i.b
         |WHERE (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) >= 5000""".stripMargin,
+    "p_chi2_indep" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+        |    count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY b),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |x AS (SELECT s.rt, s.ct, coalesce(c2.o, 0) AS o, nn.n
+        |  FROM (SELECT rt.a, ct.b, rt.rt, ct.ct FROM rt CROSS JOIN ct) s
+        |  LEFT JOIN c c2 ON c2.a = s.a AND c2.b = s.b CROSS JOIN nn)
+        |SELECT (SELECT n FROM nn) AS n_rows, count(*) AS n_cells,
+        |  CAST(((SELECT count(*) FROM rt) - 1) *
+        |    ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+        |  CAST(sum(CAST(round((o - CAST(rt AS DOUBLE) * ct / n) *
+        |    (o - CAST(rt AS DOUBLE) * ct / n) /
+        |    (CAST(rt AS DOUBLE) * ct / n) * 1000000) AS BIGINT)) AS BIGINT) AS chi2_micro
+        |FROM x""".stripMargin,
+    "u_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, c_mktsegment
+        |  FROM customer),
+        |o AS (SELECT * FROM base WHERE c_custkey % 7 <> 0),
+        |nw AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN acctbal_cents + 10000
+        |      ELSE acctbal_cents END AS acctbal_cents, c_mktsegment
+        |  FROM base WHERE c_custkey % 11 <> 3),
+        |d AS (SELECT coalesce(o.c_custkey, nw.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |         WHEN nw.c_custkey IS NULL THEN 'delete'
+        |         WHEN o.acctbal_cents IS DISTINCT FROM nw.acctbal_cents
+        |           OR o.c_name IS DISTINCT FROM nw.c_name
+        |           OR o.c_nationkey IS DISTINCT FROM nw.c_nationkey
+        |           OR o.c_mktsegment IS DISTINCT FROM nw.c_mktsegment
+        |           THEN 'update'
+        |    END AS change_type
+        |  FROM o FULL OUTER JOIN nw ON o.c_custkey = nw.c_custkey)
+        |SELECT c_custkey, change_type FROM d WHERE change_type IS NOT NULL""".stripMargin,
     "m_checks" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM customer),
         |r AS (

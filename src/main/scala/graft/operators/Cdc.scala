@@ -52,4 +52,42 @@ object Cdc {
       .filter(col("_rn") === 1 && col(opCol) =!= "D")
       .select(payload.map(col): _*)
   }
+
+  /** Snapshot reconciliation — the INVERSE of [[applyChanges]]: diff
+    * two versions of a table into a change log
+    * `(keys…, change_type ∈ insert|delete|update)`, the "what changed
+    * between yesterday's and today's extract" primitive (anti-entropy
+    * auditing, CDC bootstrap for sources that only give full dumps).
+    *
+    * Rows are compared by an md5 fingerprint of `valueCols` (default:
+    * every non-key column, name-sorted) with NULLs made explicit —
+    * identical rows drop out, so the output is change-sized, not
+    * table-sized. Pre-quantize float columns (e.g. to cents) before
+    * diffing: raw double→string rendering is engine/locale-shaped and
+    * belongs outside a portable fingerprint.
+    *
+    * Shape: one full-outer equi-join on the key (both sides shuffle
+    * once on the same key — co-partitioned/bucketed snapshots join
+    * with no exchange at all), fingerprints computed scan-side. */
+  def diffSnapshots(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      valueCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else (oldDf.columns.toSet -- keys).toSeq.sorted
+    require(vals.nonEmpty, "no value columns to compare")
+    def fp(df: DataFrame, name: String) = df.select(
+      keys.map(col) :+ md5(concat_ws("#",
+        vals.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*))
+        .as(name): _*)
+    fp(oldDf, "_fp_old")
+      .join(fp(newDf, "_fp_new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_fp_old").isNull, lit("insert"))
+          .when(col("_fp_new").isNull, lit("delete"))
+          .when(col("_fp_old") =!= col("_fp_new"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
 }

@@ -64,7 +64,16 @@ object Checks {
   }
 
   /** Evaluate every rule in one aggregation pass over `df`. */
-  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    evaluateBy(df, Nil, rules)
+
+  /** Grouped [[evaluate]] — per-slice data quality ("each ingestion
+    * day must pass independently"): the same one-pass compilation,
+    * aggregated per `groupCols`; the unpivot is a projection, so the
+    * cost is still the single grouped aggregation. Output prepends
+    * the group columns. */
+  def evaluateBy(
+      df: DataFrame, groupCols: Seq[String], rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "empty rule set")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names (two rules of the same kind on one column?)")
@@ -77,17 +86,20 @@ object Checks {
             .otherwise(0L)).as(u.name)
       case r => sum(when(violation(r), 1L).otherwise(0L)).as(r.name)
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the 1-row wide result to (rule_name, n_violations)
-    val long = wide.unpivot(Array(col("_n")),
+    val wide =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // unpivot the wide per-group result to (group…, rule_name, n_violations)
+    val long = wide.unpivot((groupCols :+ "_n").map(col).toArray,
       rules.map(r => col(r.name)).toArray, "rule_name", "n_violations")
     val spark = df.sparkSession
     import spark.implicits._
     val meta = rules.map(r => (r.name, r.column)).toDF("rule_name", "column")
     long
       .join(broadcast(meta), "rule_name")
-      .select(col("rule_name"), col("column"), col("_n").as("n_rows"),
+      .select(groupCols.map(col) ++ Seq(
+        col("rule_name"), col("column"), col("_n").as("n_rows"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),
-        (coalesce(col("n_violations"), lit(0L)) === 0L).as("passed"))
+        (coalesce(col("n_violations"), lit(0L)) === 0L).as("passed")): _*)
   }
 }

@@ -60,4 +60,35 @@ class CdcSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 1, s"CDC apply should shuffle once, saw $shuffles:\n$plan")
   }
+
+  test("diffSnapshots: insert/delete/update classified, unchanged dropped, NULL-safe") {
+    import spark.implicits._
+    val old = Seq((1L, "a", java.lang.Long.valueOf(10L)),
+      (2L, "b", java.lang.Long.valueOf(20L)),
+      (3L, "c", null.asInstanceOf[java.lang.Long]),
+      (4L, "d", java.lang.Long.valueOf(40L))).toDF("k", "s", "v")
+    val neu = Seq((1L, "a", java.lang.Long.valueOf(10L)),       // unchanged
+      (2L, "b", java.lang.Long.valueOf(99L)),                   // update
+      (3L, "c", null.asInstanceOf[java.lang.Long]),             // unchanged (null == null)
+      (5L, "e", java.lang.Long.valueOf(50L))).toDF("k", "s", "v") // insert; 4 deleted
+    val d = Cdc.diffSnapshots(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "update", 4L -> "delete", 5L -> "insert"))
+  }
+
+  test("diffSnapshots: round-trips through applyChanges (diff then apply == new)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val neu = Seq((1L, 10L), (2L, 25L), (4L, 40L)).toDF("k", "v")
+    // rebuild a change log from the diff: new values for upserts
+    val log = Cdc.diffSnapshots(old, neu, Seq("k"))
+      .join(neu, Seq("k"), "left")
+      .select(col("k"), coalesce(col("v"), lit(0L)).as("v"),
+        lit(1L).as("seq"),
+        when(col("change_type") === "delete", "D").otherwise("U").as("op"))
+    val rebuilt = Cdc.applyChanges(old, log, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuilt === neu.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

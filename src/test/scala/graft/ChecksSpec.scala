@@ -55,4 +55,33 @@ class ChecksSpec extends AnyFunSuite {
     // two NULLs = one shared distinct value -> 1 duplicate row
     assert(r2("unique_id") === ((2L, 1L, false)))
   }
+
+  test("evaluateBy: per-group violation counts in one grouped pass") {
+    import spark.implicits._
+    val df = Seq(("d1", 1L, "a"), ("d1", 2L, "a"), ("d1", 2L, "b"),
+      ("d2", 5L, "a"), ("d2", 6L, "a")).toDF("day", "id", "name")
+    val r = evaluateBy(df, Seq("day"), Seq(Unique("id"), InRange("id", 1.0, 5.0)))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    assert(r(("d1", "unique_id")) === ((3L, 1L, false)))
+    assert(r(("d2", "unique_id")) === ((2L, 0L, true)))
+    assert(r(("d1", "in_range_id")) === ((3L, 0L, true)))
+    assert(r(("d2", "in_range_id")) === ((2L, 1L, false)))
+  }
+
+  test("chiSquare: zero for exactly independent table, positive for dependent; dof") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // perfectly independent 2x3 grid: every (a,b) cell count = rowShare*colShare
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r"); _ <- 1 to 4 }
+      yield (a, b)).toDF("a", "b")
+    val r0 = Stats.chiSquare(indep, "a", "b").collect()(0)
+    assert(r0.getLong(0) === 24L && r0.getLong(1) === 6L && r0.getLong(2) === 2L)
+    assert(r0.getLong(3) === 0L, "independent table has chi2 = 0")
+    // fully dependent: b determined by a
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val r1 = Stats.chiSquare(dep, "a", "b").collect()(0)
+    // chi2 for perfect association of a 2x2 = n -> 20 in micro units
+    assert(r1.getLong(3) === 20000000L)
+  }
 }
