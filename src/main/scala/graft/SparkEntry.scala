@@ -138,6 +138,11 @@ object SparkEntry {
           coalesce(col("click"), lit(0L)).as("click_cents"),
           coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
     }),
+    // PMI collocation mining: adjacent word pairs co-occurring above
+    // chance (micro-nat PMI, min-count guard, distributed TakeOrdered)
+    "p_collocations" -> ((s, dir) =>
+      graft.pipeline.TextStats.collocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50)),
     // Chi-square independence test: is document language independent of
     // source? Full |A|x|B| spine, per-cell contributions in micro-units
     "p_chi2_indep" -> ((s, dir) =>
@@ -751,6 +756,18 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
       graft.pipeline.Similarity.bruteForceTopK(emb, qs, 10)
         .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+    // Hard-negative mining (DPR/ANCE curation): top-10 nearest vectors
+    // with a DIFFERENT label per anchor — same-label vectors filtered
+    // scan-side before scoring
+    "p_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+      graft.pipeline.Similarity.hardNegatives(emb, qs, 10)
+        .select(col("query_id"), col("vec_id"), col("label"),
           round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
     }),
     // sign-random-projection LSH similarity join: bucketed candidate
@@ -2742,6 +2759,38 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
         |FROM pairs QUALIFY rank <= 10""".stripMargin,
+    "p_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.query_id, d.vec_id, d.label,
+        |  list_sum(list_transform(range(1, len(q.qemb) + 1),
+        |    i -> q.qemb[i]::DOUBLE * d.embedding[i]::DOUBLE)) /
+        |  greatest(sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(d.embedding, x -> x::DOUBLE * x::DOUBLE))),
+        |    1e-12) AS cosine
+        |  FROM q CROSS JOIN embeddings d WHERE d.label <> q.qlabel)
+        |SELECT query_id, vec_id, label, round(cosine, 4) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        |FROM pairs QUALIFY rank <= 10""".stripMargin,
+    "p_collocations" ->
+      """WITH t0 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |tt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS t FROM t0),
+        |bt AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS bt FROM t0),
+        |u AS (SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(t) AS w FROM t0) GROUP BY w),
+        |g AS (SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+        |    i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS g FROM t0),
+        |b AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS n_ab FROM g
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  CAST(round(ln((CAST(n_ab AS DOUBLE) / bt.bt) /
+        |    ((CAST(ua.n AS DOUBLE) / tt.t) * (CAST(ub.n AS DOUBLE) / tt.t))) *
+        |    1000000) AS BIGINT) AS pmi_micro
+        |FROM b JOIN u ua ON ua.w = b.w1 JOIN u ub ON ub.w = b.w2
+        |CROSS JOIN tt CROSS JOIN bt
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
     "p_cosine_dedup" ->
       """WITH v AS (SELECT vec_id, embedding
         |  FROM read_parquet('/tmp/graft_cosdedup__root_testdata_sf0_01/vectors/*.parquet')),

@@ -45,6 +45,30 @@ object Similarity {
       Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives closest to the decision boundary, which dominate
+    * the gradient signal in triplet/InfoNCE training (the standard
+    * dense-retrieval curation step, e.g. DPR/ANCE, both public).
+    *
+    * `queries(query_id, qemb, qlabel)` broadcast against
+    * `docs(vec_id, embedding, label)`; the label-mismatch filter runs
+    * scan-side BEFORE scoring, so same-label vectors never rank. This
+    * is the brute-force scorer — swap the candidate generation for
+    * [[annTopK]]'s IVF probe at corpus scale (identical downstream
+    * contract). */
+  def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.ArrayMath.register(docs.sparkSession)
+    val scored = broadcast(queries.select("query_id", "qemb", "qlabel"))
+      .crossJoin(docs.select("vec_id", "embedding", "label"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+    Rankers.topKPerGroup(
+      scored.select("query_id", "vec_id", "label", "cosine"),
+      Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
+  }
+
   /** IVF build: seeded deterministic k-means over the embeddings +
     * assignment table `(vec_id, code)`. Returns (centroids, assignDf). */
   def buildIvf(

@@ -401,6 +401,48 @@ object TextStats {
           .as("fingerprint")
       )
 
+  /** Collocation mining via pointwise mutual information — the
+    * "discover multi-word units before building the vocab/tokenizer"
+    * step: adjacent word pairs ranked by
+    * `PMI = ln(p(ab) / (p(a)·p(b)))` with unigram/bigram probabilities
+    * from the corpus itself; high-PMI pairs ("new york") co-occur far
+    * above chance. `minCount` drops unstable rare bigrams (classic PMI
+    * degeneracy: a hapax pair maxes the score).
+    *
+    * Shape: one bigram rollup ([[NGrams.zipExpr]] — no interpreted
+    * lambda), one unigram rollup joined to both bigram slots, and one
+    * cheap codegen'd scan for the two totals (driver scalars). PMI is
+    * quantized to integer micro-nats (the ln-parity recipe); the top-k
+    * cut is `orderBy(...).limit(k)` — a distributed TakeOrdered, never
+    * a single-partition sort. Output
+    * `(w1, w2, n_ab, n_a, n_b, pmi_micro)`. */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad params $minCount/$topK")
+    val base = docs.select(toks(textCol).as("_t"))
+    val r = base.agg(
+      sum(size(col("_t"))), sum(greatest(size(col("_t")) - 1, lit(0)))).collect()(0)
+    val (tTot, bTot) = (r.getLong(0), r.getLong(1))
+    val uni = base.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val bi = base.select(explode(NGrams.zipExpr("_t", 2)).as("pr"))
+      .select(NGrams.fields("pr", 2).head.as("w1"),
+        NGrams.fields("pr", 2)(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+      .withColumn("pmi_micro", expr(
+        s"CAST(round(ln((CAST(n_ab AS DOUBLE) / $bTot) / " +
+          s"((CAST(n_a AS DOUBLE) / $tTot) * (CAST(n_b AS DOUBLE) / $tTot))) " +
+          "* 1000000) AS BIGINT)"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi_micro")
+  }
+
   /** Vocabulary construction with contiguous ids — the "build the
     * tokenizer/embedding table" step: document frequency per term,
     * pruned to `df ∈ [minDf, maxDfRatio·nDocs]` (drop hapaxes and

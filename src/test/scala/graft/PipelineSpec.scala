@@ -1170,6 +1170,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr.exists(p => !isNew(p._1) || !isNew(p._2)), "new-vs-corpus pairs present")
   }
 
+  test("collocations: planted collocation tops the PMI ranking; min-count guard") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    val rnd = new scala.util.Random(11)
+    val filler = (0 until 40).map(i => s"f$i")
+    // "san francisco" always adjacent; "and"/"the" frequent everywhere
+    val docs = (0 until 80).map { i =>
+      val words = Seq.fill(12)(filler(rnd.nextInt(filler.size))) ++
+        Seq("the", "and") ++ (if (i % 2 == 0) Seq("san", "francisco") else Nil)
+      (i.toLong, rnd.shuffle(words.take(14)).mkString(" ") +
+        (if (i % 2 == 0) " san francisco" else ""))
+    }.toDF("doc_id", "text")
+    val top = TextStats.collocations(docs, "doc_id", "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    assert(top.head._1 === "san" && top.head._2 === "francisco",
+      s"expected planted collocation first, got ${top.head}")
+    assert(top.map(_._3).toSeq === top.map(_._3).sortBy(-_.toDouble).toSeq,
+      "rows ordered by pmi desc")
+  }
+
+  test("hardNegatives: same-label vectors never rank; agrees with brute force") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val docs = (0 until 100).map(i =>
+      (i.toLong, vec(), s"lab${i % 4}")).toDF("vec_id", "embedding", "label")
+    val qs = docs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"label".as("qlabel"))
+    val hn = Similarity.hardNegatives(docs, qs, 5).collect()
+    assert(hn.length === 15)
+    // no result shares its anchor's label (anchor i has label lab{i%4})
+    assert(hn.forall(r => r.getString(2) != s"lab${r.getLong(0) % 4}"))
+    // subset of the unfiltered brute-force ranking restricted to other labels
+    val bf = Similarity.bruteForceTopK(docs, qs.drop("qlabel"), 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hn.forall(r => bf.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("prefixFilterPairs == brute-force all-pairs Jaccard (exact, no false negatives)") {
     import spark.implicits._
     import graft.pipeline.Dedup
