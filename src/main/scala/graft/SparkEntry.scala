@@ -1192,6 +1192,21 @@ object SparkEntry {
     "e_pctl_profile" -> ((s, dir) =>
       graft.operators.TimeSeries.percentileProfile(
         t(s, dir, "events"), Seq("event_type"), "value")),
+    // Pearson correlation per event_type between value (cents) and
+    // hour-of-day — five exact int64 sums, fixed-order double combine
+    "e_corr" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"))
+      graft.operators.Stats.pearsonCorr(e, Seq("event_type"), "cents", "hr")
+    }),
+    // Welch's t-test (A/B primitive): click vs view value-cents, one
+    // aggregation pass, t and Welch-Satterthwaite dof in micro-units
+    "e_ab_ttest" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.operators.Stats.welchTTest(e, "event_type", "cents", "click", "view")
+    }),
     // Percentile winsorization: clip value into [p01, p99] of its own
     // event_type — the REPAIR counterpart of the Hampel flag below
     "e_winsorize" -> ((s, dir) =>
@@ -3375,6 +3390,44 @@ object SparkEntry {
         |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS metric_value FROM a
         |UNION ALL
         |SELECT c_nationkey, 'acctbal_cents' AS metric, acctbal_cents FROM a""".stripMargin,
+    "e_corr" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hr FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx, CAST(sum(hr) AS BIGINT) AS sy,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx,
+        |    CAST(sum(hr * hr) AS BIGINT) AS syy,
+        |    CAST(sum(cents * hr) AS BIGINT) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0)
+        |    * 10000) AS BIGINT) AS corr_bp
+        |FROM s""".stripMargin,
+    "e_ab_ttest" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS BIGINT) AS qa,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS qb
+        |  FROM e),
+        |x AS (SELECT s.*,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na AS ea,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb AS eb
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(round(CAST(sa AS DOUBLE) / na * 1000000) AS BIGINT) AS mean_a_micro,
+        |  CAST(round(CAST(sb AS DOUBLE) / nb * 1000000) AS BIGINT) AS mean_b_micro,
+        |  CAST(round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt(ea + eb) * 1000000) AS BIGINT) AS t_micro,
+        |  CAST(round((ea + eb) * (ea + eb) /
+        |    (ea * ea / (na - 1) + eb * eb / (nb - 1)) * 1000000) AS BIGINT) AS dof_micro
+        |FROM x""".stripMargin,
     "e_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi

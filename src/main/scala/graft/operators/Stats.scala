@@ -53,4 +53,73 @@ object Stats {
       .select(lit(n).as("n_rows"), col("n_cells"),
         lit(((nA - 1) * (nB - 1)).toLong).as("dof"), col("chi2_micro"))
   }
+
+  /** Per-group Pearson correlation between two INTEGER columns
+    * (quantize floats to cents/micro first — the integer-sums recipe):
+    * all five sums aggregate exactly in int64 (map-side combined, one
+    * shuffle on the group key), and the final
+    * `r = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))`
+    * combines them in DOUBLE — scalar IEEE with a fixed operation
+    * order, so the SQL oracle replays `corr_bp` bit-for-bit. The
+    * double combine also dodges the int64 overflow of `n·Σxx` at
+    * billion-row groups, where an engine-private HUGEINT would
+    * silently diverge from JVM arithmetic.
+    *
+    * Output: `(groupCols…, n, corr_bp)` with corr in basis points;
+    * NULL when a column is constant (zero variance). */
+  def pearsonCorr(
+      df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val sums = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+      sum(col(xCol) * col(xCol)).as("sxx"),
+      sum(col(yCol) * col(yCol)).as("syy"),
+      sum(col(xCol) * col(yCol)).as("sxy"))
+    sums.select(groupCols.map(col) ++ Seq(col("n"), expr(
+      """CAST(round(
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |  nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |       (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0)
+        |  * 10000) AS BIGINT)""".stripMargin).as("corr_bp")): _*)
+  }
+
+  /** Welch's unequal-variance t-test between two slices of `groupCol`
+    * — the A/B experimentation primitive ("did the treatment move the
+    * metric?"). `valueCol` must be INTEGER (cents/micro). Sums
+    * aggregate exactly; the t statistic and the Welch–Satterthwaite
+    * degrees of freedom combine in fixed-order DOUBLE, quantized to
+    * integer micro-units for the oracle. One aggregation pass over
+    * both slices together. Output: one row
+    * `(n_a, n_b, mean_a_micro, mean_b_micro, t_micro, dof_micro)`. */
+  def welchTTest(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val sums = df.filter(col(groupCol).isin(a, b)).agg(
+      sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("na"),
+      sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("nb"),
+      sum(when(col(groupCol) === a, col(valueCol)).otherwise(0L)).as("sa"),
+      sum(when(col(groupCol) === b, col(valueCol)).otherwise(0L)).as("sb"),
+      sum(when(col(groupCol) === a, col(valueCol) * col(valueCol))
+        .otherwise(0L)).as("qa"),
+      sum(when(col(groupCol) === b, col(valueCol) * col(valueCol))
+        .otherwise(0L)).as("qb"))
+    // va/na and vb/nb (the two standard-error components) as named
+    // intermediates: squaring is explicit multiplication, never pow()
+    // (pow is ~1-ulp in BOTH engines but not identically so)
+    sums
+      .withColumn("_ea", expr(
+        "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na"))
+      .withColumn("_eb", expr(
+        "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb"))
+      .selectExpr(
+        "na AS n_a", "nb AS n_b",
+        "CAST(round(CAST(sa AS DOUBLE) / na * 1000000) AS BIGINT) AS mean_a_micro",
+        "CAST(round(CAST(sb AS DOUBLE) / nb * 1000000) AS BIGINT) AS mean_b_micro",
+        """CAST(round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+          |  sqrt(_ea + _eb) * 1000000) AS BIGINT) AS t_micro""".stripMargin,
+        """CAST(round((_ea + _eb) * (_ea + _eb) /
+          |  (_ea * _ea / (na - 1) + _eb * _eb / (nb - 1))
+          |  * 1000000) AS BIGINT) AS dof_micro""".stripMargin)
+  }
 }

@@ -84,4 +84,34 @@ class ChecksSpec extends AnyFunSuite {
     // chi2 for perfect association of a 2x2 = n -> 20 in micro units
     assert(r1.getLong(3) === 20000000L)
   }
+
+  test("pearsonCorr: +-1 for linear data, ~0 for designed-orthogonal, NULL for constant") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val lin = (1L to 50L).flatMap(i => Seq(("up", i, 3 * i + 7), ("dn", i, -2 * i)))
+      .toDF("g", "x", "y")
+    val r = Stats.pearsonCorr(lin, Seq("g"), "x", "y")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("up") === 10000L && r("dn") === -10000L)
+    // x symmetric around 0 paired with x*x: exactly zero covariance
+    val orth = Seq(-2L, -1L, 0L, 1L, 2L).map(x => ("g", x, x * x)).toDF("g", "x", "y")
+    assert(Stats.pearsonCorr(orth, Seq("g"), "x", "y").collect()(0).getLong(2) === 0L)
+    val const = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("g", "x", "y")
+    assert(Stats.pearsonCorr(const, Seq("g"), "x", "y").collect()(0).isNullAt(2))
+  }
+
+  test("welchTTest: zero for identical slices, sign tracks the mean shift") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val same = (1L to 30L).flatMap(i => Seq(("a", i % 7), ("b", i % 7)))
+      .toDF("g", "v")
+    val r0 = Stats.welchTTest(same, "g", "v", "a", "b").collect()(0)
+    assert(r0.getLong(0) === 30L && r0.getLong(1) === 30L)
+    assert(r0.getLong(4) === 0L, "identical slices: t = 0")
+    val shifted = ((1L to 30L).map(i => ("a", i % 7 + 100)) ++
+      (1L to 30L).map(i => ("b", i % 7))).toDF("g", "v")
+    val r1 = Stats.welchTTest(shifted, "g", "v", "a", "b").collect()(0)
+    assert(r1.getLong(4) > 100000000L, s"big shift -> huge t, got ${r1.getLong(4)}")
+    assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
+  }
 }
