@@ -35,6 +35,10 @@ case class DotF(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
+  // a null ELEMENT nulls the whole product (matching the builtin
+  // aggregate(zip_with) chain, which DotProductRewrite replaces), so
+  // the result can be null even with non-null array inputs
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,6 +47,7 @@ case class DotF(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,6 +63,7 @@ case class DotF(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;
@@ -91,7 +97,10 @@ object ArrayMath {
 
 /** `SparkSessionExtensions` hook: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` so the
-  * functions exist in every session without driver code. */
+  * functions exist in every session without driver code, and the
+  * [[graft.plans.DotProductRewrite]] optimizer rule turns builtin
+  * `aggregate(zip_with(...))` dot products into the fused kernel even
+  * in hand-written SQL. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -99,5 +108,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo("graft.functions.ArrayMath", "", "dot_f",
         "fused double-precision dot product of two float arrays", "", "", "", "", "", "", "built-in"),
       { args: Seq[Expression] => DotF(args(0), args(1)) }))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
