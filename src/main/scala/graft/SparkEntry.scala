@@ -2029,6 +2029,37 @@ object SparkEntry {
     // dropped by flatMapGroupsWithState state carried ACROSS batches.
     // Ascending arrival makes first-seen ≡ min(doc_id) per hash — the
     // SQL twin is a row_number()=1 window, no /tmp dump needed.
+    // Streaming sketch maintenance: 3 micro-batches of events merge
+    // per-batch histogram sketches into versioned state (batchId replay
+    // guard); the final merged sketch must equal the batch histogram
+    // over ALL events — the mergeable-sketch law, live in a stream
+    "st_hist_sketch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = t(s, dir, "events")
+      val r = e.agg(min(col("value")), max(col("value"))).collect()(0)
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val input = e.select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)].collect().sortBy(_._1).map(x => (x._2, x._3))
+      val n = input.length
+      val batches = Seq(input.slice(0, n / 3), input.slice(n / 3, 2 * n / 3),
+        input.slice(2 * n / 3, n))
+      val statePath = "/tmp/graft_sthist_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(statePath)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      val q = stream.toDF().toDF("event_type", "value")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$statePath/ckpt")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.StreamingSketch.mergeHistBatch(
+            b, id, statePath, Seq("event_type"), "value", lo, hi, 64))
+        .start()
+      try batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      graft.streaming.StreamingSketch.currentState(s, statePath).get
+        .select(col("event_type"), col("bin"), col("cnt"))
+    }),
     "st_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -4228,6 +4259,18 @@ object SparkEntry {
         |UNION ALL SELECT 'replay', 'applied', 0
         |UNION ALL SELECT 'replay', 'num_docs', (SELECT count(*) FROM b)
         |UNION ALL SELECT 'manifest', 'last_stream_batch_id', (SELECT max(batch) FROM b)""".stripMargin,
+    "st_hist_sketch" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - s.lo) / ((s.hi - s.lo) / 64.0)), 0.0), 63.0) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM events CROSS JOIN s GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT event_type FROM events),
+        |sp AS (SELECT g.event_type, CAST(r.range AS BIGINT) AS bin
+        |  FROM g CROSS JOIN range(64) r)
+        |SELECT sp.event_type, sp.bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |FROM sp LEFT JOIN b
+        |  ON b.event_type = sp.event_type AND b.bin = sp.bin""".stripMargin,
     "st_stream_dedup" ->
       """WITH inp AS (
         |  SELECT doc_id, text FROM documents

@@ -58,4 +58,48 @@ object StreamingSketch {
           } else Iterator.empty
       }
   }
+
+  // -------------------------------------------- histogram maintenance
+
+  /** Incremental HISTOGRAM maintenance (the sum-monoid sibling of the
+    * max-monoid HLL above), run from `foreachBatch`: each micro-batch
+    * builds its own fixed-domain sketch
+    * ([[graft.pipeline.Sketches.histSketchBy]]) and merges (per-bin
+    * sum) into a versioned state table — "p99 of everything seen so
+    * far" at stream speed with bounded state (|groups| × bins
+    * integers), never re-reading history.
+    *
+    * Exactly-once: state versions are keyed by batchId
+    * (`statePath/v{batchId}`); a replayed batch (foreachBatch is
+    * at-least-once after recovery) finds its version present and
+    * skips — the [[StreamingIngest]] replay-guard discipline. Versions
+    * chain: v_i = merge(v_{latest<i}, sketch(batch_i)). */
+  def mergeHistBatch(
+      batch: DataFrame, batchId: Long, statePath: String,
+      groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int): Unit = {
+    val vdir = s"$statePath/v$batchId"
+    if (!graft.util.Fs.exists(s"$vdir/_SUCCESS")) {
+      val cur = graft.pipeline.Sketches
+        .histSketchBy(batch, groupCols, valueCol, lo, hi, bins)
+      val merged = latestBefore(batch.sparkSession, statePath, batchId)
+        .map(prev => graft.pipeline.Sketches.histMerge(Seq(prev, cur), groupCols))
+        .getOrElse(cur)
+      merged.write.mode("overwrite").parquet(vdir)
+    }
+  }
+
+  /** The current merged histogram (latest committed version), or None
+    * before any batch committed. */
+  def currentState(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      maxBatches: Long = 10000L): Option[DataFrame] =
+    latestBefore(spark, statePath, maxBatches)
+
+  private def latestBefore(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      batchId: Long): Option[DataFrame] =
+    (0L until batchId).reverse
+      .find(i => graft.util.Fs.exists(s"$statePath/v$i/_SUCCESS"))
+      .map(i => spark.read.parquet(s"$statePath/v$i"))
 }

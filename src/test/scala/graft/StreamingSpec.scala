@@ -508,4 +508,28 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "2026-01-01 11:20:01.0", "2026-01-01 11:50:01.0", 1L, 75L),
       (2L, "2026-01-01 10:05:00.0", "2026-01-01 10:35:00.0", 1L, 800L)))
   }
+
+  test("StreamingSketch: batch-merged state == whole-corpus sketch; replay is idempotent") {
+    import spark.implicits._
+    import graft.streaming.StreamingSketch
+    val statePath = "/tmp/graft_sthist_spec"
+    graft.util.Fs.deleteRecursively(statePath)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 3000).map(i => (s"g${i % 3}", rnd.nextDouble() * 80))
+    val parts = Seq(rows.slice(0, 1000), rows.slice(1000, 2000), rows.slice(2000, 3000))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamingSketch.mergeHistBatch(
+        p.toDF("g", "v"), i.toLong, statePath, Seq("g"), "v", 0.0, 80.0, 32)
+    }
+    // replaying batch 1 must not change the final state chain
+    StreamingSketch.mergeHistBatch(
+      parts(1).toDF("g", "v"), 1L, statePath, Seq("g"), "v", 0.0, 80.0, 32)
+    val got = StreamingSketch.currentState(spark, statePath).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = graft.pipeline.Sketches
+      .histSketchBy(rows.toDF("g", "v"), Seq("g"), "v", 0.0, 80.0, 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === want)
+    assert(got.map(_._3).sum === 3000L)
+  }
 }
