@@ -174,6 +174,28 @@ object SparkEntry {
         MatchesRegex("c_name", "^Customer#[0-9]{9}$"),
         Predicate("acctbal_positive", "c_acctbal", "c_acctbal > 0")))
     }),
+    // PageRank over the part<->supplier bipartite graph (supply-network
+    // centrality): 5 integer-arithmetic iterations, bit-replayable —
+    // each iteration one edge join + one map-side-combined aggregation
+    "q9_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.pageRank(s, edges, iterations = 5)
+    }),
+    // Distributed percent_rank over per-user spend via GlobalRank —
+    // rank-based feature scaling without a single-partition window
+    "e_percent_rank" -> ((s, dir) => {
+      val spend = t(s, dir, "events").groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("spend_cents"))
+      val n = spend.count()
+      graft.operators.GlobalRank
+        .withGlobalRank(spend, Seq(col("spend_cents").desc, col("user_id")))
+        .withColumn("pr_bp", expr(s"(global_rank - 1) * 10000 div (${n - 1})"))
+        .select("user_id", "spend_cents", "global_rank", "pr_bp")
+    }),
     // Unpivot/melt — the inverse of q4's pivot: wide per-nation metrics
     // back to long (metric, value) rows via Spark's native unpivot
     "q8_unpivot" -> ((s, dir) => {
@@ -3414,6 +3436,21 @@ object SparkEntry {
         |SELECT r.rule_name, r."column", n.n_rows, r.v AS n_violations,
         |  r.v = 0 AS passed
         |FROM r CROSS JOIN n""".stripMargin,
+    "q9_pagerank" -> graft.operators.Graph.pageRankSql(
+      """WITH pr AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+        |SELECT 'p' || pk AS src, 's' || sk AS dst FROM pr
+        |UNION ALL SELECT 's' || sk AS src, 'p' || pk AS dst FROM pr""".stripMargin,
+      iterations = 5),
+    "e_percent_rank" ->
+      """WITH sp AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, spend_cents,
+        |    row_number() OVER (ORDER BY spend_cents DESC, user_id) AS global_rank
+        |  FROM sp)
+        |SELECT user_id, spend_cents, CAST(global_rank AS BIGINT) AS global_rank,
+        |  (global_rank - 1) * 10000 // (SELECT count(*) - 1 FROM sp) AS pr_bp
+        |FROM r""".stripMargin,
     "q8_unpivot" ->
       """WITH a AS (SELECT c_nationkey, count(*) AS n_customers,
         |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables (the near-dup pair graph, user
+  * transition graphs, …) in pure DataFrame algebra — each iteration is
+  * one equi-join + one aggregation, the classic distributed PageRank
+  * shape (Page et al. 1999; the Pregel/GraphX formulation, public).
+  *
+  * Determinism contract: ranks live in INTEGER micro-units of a 10^12
+  * total-mass budget and every update is integer arithmetic
+  * (`damp = r·85 div 100`, `share = damp div outdeg`,
+  * `r' = base + Σ shares`) — no floating-point accumulation anywhere,
+  * so an independent SQL engine replays every iteration bit-for-bit
+  * (integer division drops sub-micro mass and dangling-node mass by
+  * design; both engines drop identically).
+  *
+  * Scale shape: the edge table shuffles once per iteration on `dst`
+  * with map-side partial sums; ranks are node-sized. At a real 100 TB
+  * graph you would persist+checkpoint the rank table every few
+  * iterations to cut the lineage (documented, not needed at gate
+  * scale).
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over directed
+    * `edges(src, dst)` (pass both directions for an undirected graph).
+    * Nodes = distinct edge endpoints. Output `(node, rank_micro)`. */
+  def pageRank(
+      spark: SparkSession, edges: DataFrame,
+      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations in [1,50]")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = (1000000000000L * 15L / 100L) / n
+    var rank = nodes.withColumn("rank_micro", lit(1000000000000L / n))
+    for (_ <- 1 to iterations) {
+      val contrib = rank
+        .join(outdeg, rank("node") === outdeg("src"))
+        .join(e, "src")
+        .select(col("dst").as("node"),
+          expr("(rank_micro * 85 div 100) div outdeg").as("share"))
+        .groupBy("node").agg(sum("share").as("inflow"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_micro"))
+    }
+    rank
+  }
+
+  /** The oracle twin: unrolled-CTE SQL computing the same integer
+    * iterations over an `edges` CTE the caller supplies (must define
+    * columns `src, dst`). Kept here so the Spark loop and the SQL
+    * string can never drift apart. */
+  def pageRankSql(edgesCte: String, iterations: Int = 10): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(base.b + coalesce(inf.s, 0) AS BIGINT) AS rank_micro
+         |  FROM nodes n CROSS JOIN base
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum((rr.rank_micro * 85 // 100) // d.outdeg) AS BIGINT) AS s
+         |    FROM r${i - 1} rr
+         |    JOIN outdeg d ON d.src = rr.node
+         |    JOIN e ON e.src = rr.node
+         |    GROUP BY e.dst) inf ON inf.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesCte),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |base AS (SELECT (1000000000000 * 15 // 100) // count(*) AS b FROM nodes),
+       |r0 AS (SELECT node,
+       |  (SELECT 1000000000000 // count(*) FROM nodes) AS rank_micro FROM nodes),
+       |$iters
+       |SELECT node, rank_micro FROM r$iterations""".stripMargin
+  }
+}
