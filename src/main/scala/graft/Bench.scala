@@ -59,7 +59,12 @@ object Bench {
       else try {
         import graft.search.QpsHarness
         val (sec, qps, buildSec) = QpsHarness.measure(spark, "/tmp/graft_bench_qps")
-        f""","qps_warm":$qps%.1f,"qps_sec":$sec%.3f,"qps_build_sec":$buildSec%.1f""" +
+        // ROOT locale like the truncation path below: Scala's f"" delegates
+        // to the default-locale String.format, so a comma-decimal locale
+        // would emit invalid JSON here too
+        def d(v: Double, places: Int) =
+          String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+        s""","qps_warm":${d(qps, 1)},"qps_sec":${d(sec, 3)},"qps_build_sec":${d(buildSec, 1)}""" +
           s""","qps_docs":${QpsHarness.NumDocs},"qps_queries":${QpsHarness.NumQueries}""" +
           s""","qps_dim":${QpsHarness.Dim},"qps_tokens_per_doc":${QpsHarness.TokensPerDoc}"""
       } catch {
