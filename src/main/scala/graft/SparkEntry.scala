@@ -2226,7 +2226,25 @@ object SparkEntry {
         .select(col("doc_id"), col("tok"),
           round(element_at(col("vec"), 1).cast("double"), 4).as("v0"),
           round(aggregate(col("vec"), lit(0.0), (a, x) => a + x.cast("double")), 3).as("vsum"))
-    })
+    }),
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing an order) — degree-ordered wedge join, 3 equi-join
+    // shuffles, hub-safe on power-law graphs
+    "g_triangles" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = lp.select(col("ok"), col("pk").as("src"))
+        .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst")).select("src", "dst")
+      graft.operators.Graph.triangleCounts(e)
+    }),
+    // A-priori association rules over order baskets (items =
+    // l_partkey): integer ppm/micro measures, bit-replayable
+    "a_assoc_rules" -> ((s, dir) =>
+      graft.operators.Assoc.rules(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        "basket", "item", minPairCount = 2L, maxBasketSize = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4317,6 +4335,41 @@ object SparkEntry {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
         |  FROM inp)
         |SELECT doc_id, text, text_hash FROM h
-        |QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1""".stripMargin
+        |QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1""".stripMargin,
+    // Triangle SET is rank-order-invariant, so the oracle counts with
+    // plain id-ordered joins (a<b<c) and gets identical per-node rows
+    "g_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM lp a JOIN lp b USING (ok) WHERE a.pk < b.pk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT u AS node FROM e UNION SELECT v FROM e))
+        |SELECT n.node, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM nodes n LEFT JOIN pn USING (node)""".stripMargin,
+    "a_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsize FROM it GROUP BY 1),
+        |ok AS (SELECT it.* FROM it JOIN sz USING (basket) WHERE bsize <= 8),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM ok),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ok GROUP BY 1),
+        |pc AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ok a JOIN ok b USING (basket) WHERE a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |  CAST((1000000 * n_ab) // n_baskets AS BIGINT) AS support_ppm,
+        |  CAST((1000000 * n_ab) // ia.n AS BIGINT) AS conf_ab_ppm,
+        |  CAST((1000000 * n_ab) // ib.n AS BIGINT) AS conf_ba_ppm,
+        |  CAST((1000000 * n_ab * n_baskets) // (ia.n * ib.n) AS BIGINT) AS lift_micro
+        |FROM pc
+        |JOIN ic ia ON ia.item = pc.item_a
+        |JOIN ic ib ON ib.item = pc.item_b
+        |CROSS JOIN nb""".stripMargin
   )
 }

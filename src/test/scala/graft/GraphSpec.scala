@@ -47,4 +47,44 @@ class GraphSpec extends AnyFunSuite {
     assert(got("x") === got("y"))
     assert(got.values.sum <= 1000000000000L)
   }
+
+  /** Brute-force triangle reference: count id-ordered closed triples. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- adj(a).toSeq if b > a
+      c <- adj(b).toSeq if c > b && adj(a)(c)
+    } yield (a, b, c)
+    val cnt = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> cnt.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangleCounts matches brute force; handles dups, loops, both orientations") {
+    import spark.implicits._
+    // K4 on 1..4 (every node in 3 triangles) + a pendant (5) + an
+    // isolated edge (6,7), with noise: self-loop, dup edge, reversed dup
+    val edges: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (2L, 2L), (3L, 1L), (1L, 2L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refTriangles(edges))
+    assert(got(1L) === 3L && got(5L) === 0L && got(6L) === 0L)
+  }
+
+  test("triangleCounts on a skewed star-plus-rim graph (hub degree >> rim)") {
+    import spark.implicits._
+    // hub 0 connected to 1..40; rim path i—(i+1): each rim edge closes
+    // exactly one triangle with the hub → hub in 39, endpoints 1, mid 2
+    val star = (1L to 40L).map(i => (0L, i))
+    val rim = (1L to 39L).map(i => (i, i + 1))
+    val got = Graph.triangleCounts((star ++ rim).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refTriangles(star ++ rim))
+    assert(got(0L) === 39L && got(1L) === 1L && got(20L) === 2L)
+  }
 }
