@@ -2227,16 +2227,17 @@ object SparkEntry {
           round(element_at(col("vec"), 1).cast("double"), 4).as("v0"),
           round(aggregate(col("vec"), lit(0.0), (a, x) => a + x.cast("double")), 3).as("vsum"))
     }),
-    // Per-node triangle counts over the part co-purchase graph (parts
-    // sharing an order) — degree-ordered wedge join, 3 equi-join
-    // shuffles, hub-safe on power-law graphs
+    // Per-node triangle count + degree + local clustering coefficient
+    // over the part co-purchase graph (parts sharing an order) —
+    // degree-ordered wedge join, 3 equi-join shuffles, hub-safe on
+    // power-law graphs; one wedge join serves all three measures
     "g_triangles" -> ((s, dir) => {
       val lp = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       val e = lp.select(col("ok"), col("pk").as("src"))
         .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") < col("dst")).select("src", "dst")
-      graft.operators.Graph.triangleCounts(e)
+      graft.operators.Graph.clusteringCoeff(e)
     }),
     // A-priori association rules over order baskets (items =
     // l_partkey): integer ppm/micro measures, bit-replayable
@@ -2244,7 +2245,28 @@ object SparkEntry {
       graft.operators.Assoc.rules(
         t(s, dir, "lineitem")
           .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
-        "basket", "item", minPairCount = 2L, maxBasketSize = 8))
+        "basket", "item", minPairCount = 2L, maxBasketSize = 8)),
+    // Grouped OLS trend: daily-revenue slope per event_type; x is
+    // centered at the corpus start day so the f64 combine is
+    // well-conditioned; 5 exact int64 sums, one aggregation pass
+    "e_trend" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
+      graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
+    }),
+    // TPC-H Q13 shape (order-count distribution): aggregate orders by
+    // customer FIRST (map-side combine), then left-join the counts to
+    // the customer spine — the small side of the final rollup never
+    // carries order rows across the wire
+    "q13_custdist" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4348,10 +4370,13 @@ object SparkEntry {
         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
         |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
         |   UNION ALL SELECT c FROM tri) GROUP BY 1),
-        |nodes AS (SELECT DISTINCT node FROM
-        |  (SELECT u AS node FROM e UNION SELECT v FROM e))
-        |SELECT n.node, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
-        |FROM nodes n LEFT JOIN pn USING (node)""".stripMargin,
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT dg.node, dg.deg, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN dg.deg >= 2 THEN CAST(
+        |    (20000 * coalesce(pn.n_tri, 0)) // (dg.deg * (dg.deg - 1)) AS BIGINT)
+        |  ELSE 0 END AS cc_bp
+        |FROM dg LEFT JOIN pn USING (node)""".stripMargin,
     "a_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
         |sz AS (SELECT basket, count(*) AS bsize FROM it GROUP BY 1),
@@ -4370,6 +4395,30 @@ object SparkEntry {
         |FROM pc
         |JOIN ic ia ON ia.item = pc.item_a
         |JOIN ic ib ON ib.item = pc.item_b
-        |CROSS JOIN nb""".stripMargin
+        |CROSS JOIN nb""".stripMargin,
+    "e_trend" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (epoch_us(ts) // 86400000000) - 19723 AS day_idx FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(day_idx) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+        |    CAST(sum(day_idx * cents) AS BIGINT) AS sxy,
+        |    CAST(sum(day_idx * day_idx) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+        |    * 1000000) AS BIGINT) AS slope_micro,
+        |  CAST(round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+        |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+        |    * 1000000) AS BIGINT) AS intercept_micro
+        |FROM s""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey,
+        |    CAST(coalesce(cnt, 0) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM orders GROUP BY 1) oc ON c_custkey = o_custkey)
+        |GROUP BY 1""".stripMargin
   )
 }

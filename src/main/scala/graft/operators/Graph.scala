@@ -96,7 +96,12 @@ object Graph {
     * equi-joins. The triangle SET is rank-order-invariant, so an
     * independent engine may count with plain id-ordered joins and get
     * identical rows. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleDegrees(edges).select("node", "n_tri")
+
+  /** [[triangleCounts]] plus the undirected degree — the shared rollup
+    * for the local clustering coefficient (one wedge join serves both). */
+  def triangleDegrees(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -123,7 +128,19 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.select("node").join(perNode, Seq("node"), "left")
-      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node in integer basis points:
+    * `cc_bp = (2·n_tri·10^4) div (deg·(deg−1))` (Watts & Strogatz
+    * 1998), 0 for degree-<2 nodes. All operands positive → the
+    * truncating division replays identically in any SQL engine.
+    * Output `(node, deg, n_tri, cc_bp)`. */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    triangleDegrees(edges).select(col("node"), col("deg"), col("n_tri"),
+      when(col("deg") >= 2,
+        expr("(20000L * n_tri) div (deg * (deg - 1L))"))
+        .otherwise(lit(0L)).as("cc_bp"))
 }

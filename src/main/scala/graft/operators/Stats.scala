@@ -122,4 +122,43 @@ object Stats {
           |  (_ea * _ea / (na - 1) + _eb * _eb / (nb - 1))
           |  * 1000000) AS BIGINT) AS dof_micro""".stripMargin)
   }
+
+  /** Per-group ordinary-least-squares trend line — the "is this metric
+    * drifting?" primitive (daily revenue slope per segment, token-count
+    * trend per source). `xCol`/`yCol` must be INTEGER (day index,
+    * cents): the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * aggregate exactly in int64, then slope/intercept combine in
+    * fixed-order DOUBLE and quantize to integer micro-units — the
+    * [[welchTTest]] determinism recipe. Degenerate groups (n < 2 or
+    * zero x-variance) yield NULL slope/intercept rather than a
+    * division blow-up.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus
+    * (5 longs per group), then per-group scalar math — no second pass,
+    * no window, no collect. Output: group cols +
+    * `(n, slope_micro, intercept_micro)`. */
+  def groupedTrend(
+      df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val sums = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+      sum(col(xCol) * col(yCol)).as("sxy"),
+      sum(col(xCol) * col(xCol)).as("sxx"))
+    sums
+      .withColumn("_den",
+        expr("CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        expr(
+          """CAST(round(
+            |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            |  nullif(_den, 0.0) * 1000000) AS BIGINT)""".stripMargin)
+          .as("slope_micro"),
+        expr(
+          """CAST(round(
+            |  (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+            |  nullif(_den, 0.0) * 1000000) AS BIGINT)""".stripMargin)
+          .as("intercept_micro")): _*)
+  }
 }

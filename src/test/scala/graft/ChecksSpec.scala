@@ -114,4 +114,20 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(4) > 100000000L, s"big shift -> huge t, got ${r1.getLong(4)}")
     assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
   }
+
+  test("groupedTrend: exact slope/intercept on linear data, NULL on degenerate groups") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val lin = (0L to 20L).flatMap(x =>
+      Seq(("up", x, 5 * x + 11), ("dn", x, -3 * x + 100))) ++
+      Seq(("one", 4L, 9L), ("flat", 2L, 1L), ("flat", 2L, 3L))
+    val r = Stats.groupedTrend(lin.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), Option(x.get(2)), Option(x.get(3))))).toMap
+    assert(r("up") === ((21L, Some(5000000L), Some(11000000L))))
+    assert(r("dn") === ((21L, Some(-3000000L), Some(100000000L))))
+    // single point and zero x-variance: both have _den = 0 -> NULLs
+    assert(r("one") === ((1L, None, None)))
+    assert(r("flat") === ((2L, None, None)))
+  }
 }

@@ -87,4 +87,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got === refTriangles(star ++ rim))
     assert(got(0L) === 39L && got(1L) === 1L && got(20L) === 2L)
   }
+
+  test("clusteringCoeff: K4 nodes are 10000 bp, pendant and low-degree are 0") {
+    import spark.implicits._
+    val edges: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.clusteringCoeff(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // nodes 1..3: deg 3, 3 triangles → 2*3/(3*2) = 1.0 → 10000 bp
+    assert(got(1L) === ((3L, 3L, 10000L)))
+    // node 4: deg 4, 3 triangles → 6/(4*3) = 0.5 → 5000 bp
+    assert(got(4L) === ((4L, 3L, 5000L)))
+    // node 5: deg 1 → cc 0 by convention
+    assert(got(5L) === ((1L, 0L, 0L)))
+  }
 }
