@@ -2255,6 +2255,29 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // Pairwise audience overlap from grouped KMV sketches: distinct-
+    // user union/jaccard/intersection estimates for every event_type
+    // pair, computed on 128-row sketches (never a corpus self-join)
+    "p_kmv_setops" -> ((s, dir) => {
+      val sk = graft.pipeline.Sketches.kmvSketch(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "user_id", k = 128, groupCols = Seq("event_type"))
+      graft.pipeline.Sketches.kmvPairOverlap(sk, "event_type", 128)
+    }),
+    // Ranking-quality scorecard (recall@10 / MRR / NDCG@10, integer
+    // micro metrics): per-user value-ranked events vs purchase qrels
+    "v_rank_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      val rankings = ev.select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+      val qrels = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id")
+      graft.operators.RankEval.evalRanking(
+        rankings, qrels, "user_id", "event_id", "rank", k = 10)
+    }),
     // TPC-H Q13 shape (order-count distribution): aggregate orders by
     // customer FIRST (map-side combine), then left-join the counts to
     // the customer spine — the small side of the final rollup never
@@ -4412,6 +4435,65 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "p_kmv_setops" ->
+      """WITH hv AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |sk AS (SELECT event_type AS g, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |    FROM hv) WHERE r <= 128),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |pr AS (SELECT a.g AS group_a, b.g AS group_b
+        |  FROM gs a JOIN gs b ON a.g < b.g),
+        |st AS (SELECT pr.group_a, pr.group_b, sk.h,
+        |    max(CASE WHEN sk.g = pr.group_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN sk.g = pr.group_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pr JOIN sk ON sk.g = pr.group_a OR sk.g = pr.group_b
+        |  GROUP BY 1, 2, 3),
+        |tk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY group_a, group_b ORDER BY h) AS r FROM st),
+        |ag AS (SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_union_k,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_shared, max(h) AS hk
+        |  FROM tk WHERE r <= 128 GROUP BY 1, 2),
+        |es AS (SELECT group_a, group_b, n_union_k, n_shared,
+        |    CAST((1000000 * n_shared) // n_union_k AS BIGINT) AS jaccard_ppm,
+        |    CASE WHEN n_union_k < 128 THEN n_union_k
+        |      ELSE CAST(round((127.0 * 1152921504606846976.0) / hk) AS BIGINT)
+        |    END AS union_est
+        |  FROM ag)
+        |SELECT group_a, group_b, n_union_k, n_shared, jaccard_ppm, union_est,
+        |  CAST((n_shared * union_est) // n_union_k AS BIGINT) AS inter_est
+        |FROM es""".stripMargin,
+    "v_rank_metrics" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events),
+        |q AS (SELECT DISTINCT user_id, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |nr AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rel FROM q GROUP BY 1),
+        |g AS (SELECT CAST(i.range AS BIGINT) + 1 AS i,
+        |    CAST(round(1000000.0 / ln(CAST(i.range AS DOUBLE) + 2.0)) AS BIGINT)
+        |      AS gain
+        |  FROM range(10) i),
+        |gi AS (SELECT i, gain, CAST(sum(gain) OVER
+        |    (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS idcg_at FROM g),
+        |h AS (SELECT r.user_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(sum(gg.gain) AS BIGINT) AS dcg,
+        |    CAST(min(r.rank) AS BIGINT) AS first_rank
+        |  FROM r JOIN q USING (user_id, event_id)
+        |  JOIN gi gg ON gg.i = r.rank
+        |  WHERE r.rank <= 10 GROUP BY 1)
+        |SELECT nr.user_id, nr.n_rel,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST((1000000 * coalesce(h.n_hits, 0)) // nr.n_rel AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(coalesce(1000000 // h.first_rank, 0) AS BIGINT) AS rr_micro,
+        |  CAST(coalesce((1000000 * h.dcg) // gi2.idcg_at, 0) AS BIGINT)
+        |    AS ndcg_ppm
+        |FROM nr LEFT JOIN h USING (user_id)
+        |JOIN gi gi2 ON gi2.i = least(nr.n_rel, 10)""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c_custkey,

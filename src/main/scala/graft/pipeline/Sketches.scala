@@ -167,6 +167,58 @@ object Sketches {
     (unionEst, jaccard, jaccard * unionEst)
   }
 
+  /** Distributed pairwise set algebra over grouped KMV sketches — the
+    * "audience overlap matrix" ("how many distinct users do every two
+    * segments share?") computed entirely from `|groups|·k`-row
+    * sketches, never a corpus self-join. For every unordered group
+    * pair (a < b): combine both hash lists, keep the k smallest of
+    * the union, count how many of those appear in BOTH sketches, and
+    * turn the counts into integer estimates:
+    * `jaccard_ppm = (10^6·n_shared) div n_union_k`,
+    * `union_est  = n` exact while unsaturated, else
+    * `round((k−1)·2^60 / h_(k))` (one f64 multiply + divide of exact
+    * integers — deterministic in any IEEE engine; 2^60 is an exact
+    * double literal, no pow()),
+    * `inter_est  = (n_shared·union_est) div n_union_k`.
+    *
+    * Scale shape: sketches are group-bounded (≤ k rows each), so the
+    * pair fan-out is |pairs|·2k rows — driver-independent DataFrame
+    * algebra with one window per pair key; the corpus is touched only
+    * by [[kmvSketch]]'s single distinct pass. Output:
+    * `(group_a, group_b, n_union_k, n_shared, jaccard_ppm, union_est,
+    * inter_est)`. */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = sketch.select(col(groupCol).cast("string").as("g"), col("h"))
+    val groups = sk.select("g").distinct()
+    val pairs = groups.select(col("g").as("group_a"))
+      .join(groups.select(col("g").as("group_b")),
+        col("group_a") < col("group_b"))
+    // tag each hash with which side(s) it came from, per pair
+    val streamA = pairs.join(sk, col("group_a") === col("g"))
+      .select(col("group_a"), col("group_b"), col("h"), lit(1).as("_a"), lit(0).as("_b"))
+    val streamB = pairs.join(sk, col("group_b") === col("g"))
+      .select(col("group_a"), col("group_b"), col("h"), lit(0).as("_a"), lit(1).as("_b"))
+    val merged = streamA.union(streamB)
+      .groupBy("group_a", "group_b", "h")
+      .agg(max("_a").as("in_a"), max("_b").as("in_b"))
+    val w = Window.partitionBy("group_a", "group_b").orderBy(col("h"))
+    val topk = merged.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+    topk.groupBy("group_a", "group_b").agg(
+      count(lit(1)).as("n_union_k"),
+      sum((col("in_a") * col("in_b")).cast("long")).as("n_shared"),
+      max(col("h")).as("_hk"))
+      .select(col("group_a"), col("group_b"), col("n_union_k"),
+        col("n_shared"),
+        expr("CAST((1000000L * n_shared) div n_union_k AS BIGINT)")
+          .as("jaccard_ppm"),
+        when(col("n_union_k") < k, col("n_union_k")).otherwise(
+          expr(s"CAST(round((${k - 1}.0 * 1152921504606846976.0) / _hk) AS BIGINT)"))
+          .as("union_est"))
+      .withColumn("inter_est",
+        expr("CAST((n_shared * union_est) div n_union_k AS BIGINT)"))
+  }
+
   /** Per-row (groupCols…, bucket, _rho) — the shared HLL map phase.
     * `valueCol` is cast to string so any hashable column type works. */
   private def rhoPerRow(

@@ -228,4 +228,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(cmsPlan.contains("partial_count") || cmsPlan.contains("partial"),
       s"no map-side combine in CMS value rollup:\n$cmsPlan")
   }
+
+  test("kmvPairOverlap: unsaturated sketches give exact union/jaccard/intersection") {
+    import spark.implicits._
+    // A = 1..40, B = 21..60 (|∩| = 20, |∪| = 60), C = 100..109 disjoint
+    val rows = (1 to 40).map(i => ("A", i.toLong)) ++
+      (21 to 60).map(i => ("B", i.toLong)) ++
+      (100 to 109).map(i => ("C", i.toLong))
+    val sk = Sketches.kmvSketch(rows.toDF("g", "v"), "v",
+      k = 64, groupCols = Seq("g"))
+    val got = Sketches.kmvPairOverlap(sk, "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // all sketches unsaturated (<= 40 < 64): estimates are exact counts
+    assert(got(("A", "B")) ===
+      ((60L, 20L, 1000000L * 20 / 60, 60L, 20L)))
+    assert(got(("A", "C")) === ((50L, 0L, 0L, 50L, 0L)))
+    assert(got(("B", "C")) === ((50L, 0L, 0L, 50L, 0L)))
+  }
+
+  test("kmvPairOverlap: saturated pair estimates within 25% of truth (k=256)") {
+    import spark.implicits._
+    // A = 1..800, B = 401..1600: |∪| = 1600, |∩| = 400
+    val rows = (1 to 800).map(i => ("A", i.toLong)) ++
+      (401 to 1600).map(i => ("B", i.toLong))
+    val sk = Sketches.kmvSketch(rows.toDF("g", "v"), "v",
+      k = 256, groupCols = Seq("g"))
+    val r = Sketches.kmvPairOverlap(sk, "g", 256).collect()(0)
+    val (unionEst, interEst) = (r.getLong(5), r.getLong(6))
+    // k=256 → ~6% stderr on the union, ~11% on the intersection
+    assert(math.abs(unionEst - 1600.0) / 1600.0 < 0.25,
+      s"union estimate $unionEst vs 1600")
+    assert(math.abs(interEst - 400.0) / 400.0 < 0.35,
+      s"intersection estimate $interEst vs 400")
+  }
 }
