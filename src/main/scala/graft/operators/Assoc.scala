@@ -51,7 +51,10 @@ object Assoc {
       minPairCount: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
     require(minPairCount >= 1L, "minPairCount >= 1")
     require(maxBasketSize >= 2, "maxBasketSize >= 2")
+    // ok feeds 4 consumers (n_baskets, item counts, both self-join
+    // sides): localCheckpoint so the distinct + size-cap join run once
     val ok = cappedItems(baskets, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint()
     // basket universe and per-item counts as in-plan 1-row / item-sized
     // aggregates (cross-joined, not collected — the collocations shape)
     val nb = ok.agg(countDistinct("basket").as("n_baskets"))

@@ -31,12 +31,19 @@ object Graph {
       spark: SparkSession, edges: DataFrame,
       iterations: Int = 10): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations in [1,50]")
-    val e = edges.select(col("src"), col("dst"))
+    // localCheckpoint the iteration-invariant relations: e feeds every
+    // iteration's contribution join and nodes/outdeg appear 2×/1× per
+    // round — without truncation each of the ~3·iterations consumers
+    // re-derives them from the source scan (checkpoint blocks are
+    // ContextCleaner-reclaimed when the handles go out of scope, unlike
+    // a cacheManager persist)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val base = (1000000000000L * 15L / 100L) / n
     var rank = nodes.withColumn("rank_micro", lit(1000000000000L / n))
     for (_ <- 1 to iterations) {
@@ -102,10 +109,15 @@ object Graph {
   /** [[triangleCounts]] plus the undirected degree — the shared rollup
     * for the local clustering coefficient (one wedge join serves both). */
   def triangleDegrees(edges: DataFrame): DataFrame = {
+    // und feeds 3 consumers (both union legs of deg + the rank join)
+    // and directed feeds 3 (both wedge spokes + the closing join):
+    // localCheckpoint each so the upstream distinct/joins run once
+    // instead of per-consumer (checkpoint blocks are ContextCleaner-
+    // reclaimed, unlike a cacheManager persist)
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -119,6 +131,7 @@ object Graph {
       expr("IF(struct(da, a) < struct(db, b), b, a)").as("v"),
       expr("IF(struct(da, a) < struct(db, b), struct(db AS d, b AS n), " +
         "struct(da AS d, a AS n))").as("rv"))
+      .localCheckpoint()
     val e1 = directed.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
     val e2 = directed.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, "u")
