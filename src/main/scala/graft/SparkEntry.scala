@@ -2255,6 +2255,18 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // Trailing-7-day distinct users per day from per-day HLL register
+    // tables: the per-bucket rolling max IS the sliding-union sketch,
+    // so the corpus pays one aggregation and the merge runs over
+    // days × 128 integers; outputs integer-exact (scaled power-of-two
+    // harmonic sum, milli-quantized estimate)
+    "st_rolling_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      val regs = graft.pipeline.Sketches.hllRegistersBy(
+        ev, Seq("day"), "user_id", m = 128)
+      graft.pipeline.Sketches.hllRollingDistinct(regs, "day", 128, windowDays = 7)
+    }),
     // Pairwise audience overlap from grouped KMV sketches: distinct-
     // user union/jaccard/intersection estimates for every event_type
     // pair, computed on 128-row sketches (never a corpus self-join)
@@ -4435,6 +4447,34 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "st_rolling_distinct" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 86400000000) AS day,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (SELECT day, h % 128 AS bucket, h // 128 AS rest FROM h),
+        |rho AS (SELECT day, bucket,
+        |  CASE WHEN rest = 0 THEN 54 ELSE 54 - length(bin(rest)) END AS rho
+        |  FROM rr),
+        |reg AS (SELECT day, bucket, max(rho) AS register FROM rho GROUP BY 1, 2),
+        |sp AS (SELECT d.day, r.range AS bucket
+        |  FROM (SELECT DISTINCT day FROM h) d CROSS JOIN range(128) r),
+        |cmpl AS (SELECT sp.day, sp.bucket,
+        |    CAST(coalesce(reg.register, 0) AS BIGINT) AS register
+        |  FROM sp LEFT JOIN reg ON sp.day = reg.day AND sp.bucket = reg.bucket),
+        |roll AS (SELECT day, bucket, max(register) OVER (PARTITION BY bucket
+        |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rl
+        |  FROM cmpl),
+        |agg AS (SELECT day,
+        |    CAST(sum(CASE WHEN rl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+        |    CAST(sum(1::BIGINT << (55 - CAST(rl AS INT))) AS BIGINT) AS s55
+        |  FROM roll GROUP BY 1)
+        |SELECT day, n_zeros, s55,
+        |  CASE WHEN (0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0
+        |      * 36028797018963968.0 / s55 <= 320.0 AND n_zeros > 0
+        |  THEN CAST(round(128.0 * ln(128.0 / n_zeros) * 1000) AS BIGINT)
+        |  ELSE CAST(round((0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0
+        |      * 36028797018963968.0 / s55 * 1000) AS BIGINT) END AS est_milli
+        |FROM agg""".stripMargin,
     "p_kmv_setops" ->
       """WITH hv AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

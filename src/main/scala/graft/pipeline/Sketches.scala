@@ -167,6 +167,50 @@ object Sketches {
     (unionEst, jaccard, jaccard * unionEst)
   }
 
+  /** Rolling-window distinct cardinality — "distinct users per day,
+    * trailing 7 days" — computed ENTIRELY from per-day HLL register
+    * tables: the per-bucket rolling max over a day RANGE window IS the
+    * sliding-union sketch (max is the HLL merge law), so a 100 TB
+    * stream pays one corpus aggregation ([[hllRegistersBy]] keyed on
+    * day) and the rolling merge runs over `days × m` integers.
+    *
+    * Determinism contract: outputs are integers. The harmonic sum is
+    * kept EXACT by scaling — `s55 = Σ 2^(55−register)` (register ≤ 54
+    * for m ≥ 128's 53-bit rest-width, so terms are exact int64 and the
+    * 128-term sum stays < 2^63) — and the estimate is quantized to
+    * milli-units with the alpha constant written as the same literal
+    * expression in both engines:
+    * `est = α·m²·2^55 / s55`, small-range-corrected to
+    * `m·ln(m / zeros)` when `est ≤ 2.5m` and zeros > 0 (the standard
+    * Flajolet correction; ln replays per the established ln-parity
+    * recipe). Output: `(dayCol, n_zeros, s55, est_milli)`.
+    *
+    * `registersByDay` must be a complete (day, bucket, register) spine
+    * — exactly what [[hllRegistersBy]] grouped on the day column
+    * emits. `windowDays` is the trailing-window width in days
+    * (RANGE-based: missing days simply contribute nothing). */
+  def hllRollingDistinct(
+      registersByDay: DataFrame, dayCol: String, m: Int,
+      windowDays: Int): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [128, 4096], got $m")
+    require(windowDays >= 1, s"windowDays >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy(col(dayCol))
+      .rangeBetween(-(windowDays - 1), 0)
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val raw = s"$alpha * $m.0 * $m.0 * 36028797018963968.0 / s55"
+    registersByDay
+      .withColumn("_rr", max("register").over(w))
+      .groupBy(dayCol).agg(
+        sum(when(col("_rr") === 0, 1L).otherwise(0L)).as("n_zeros"),
+        sum(expr("shiftleft(1L, 55 - CAST(_rr AS INT))")).as("s55"))
+      .withColumn("est_milli", expr(
+        s"""CASE WHEN $raw <= ${5 * m / 2}.0 AND n_zeros > 0
+           |THEN CAST(round($m.0 * ln($m.0 / n_zeros) * 1000) AS BIGINT)
+           |ELSE CAST(round($raw * 1000) AS BIGINT) END""".stripMargin))
+  }
+
   /** Distributed pairwise set algebra over grouped KMV sketches — the
     * "audience overlap matrix" ("how many distinct users do every two
     * segments share?") computed entirely from `|groups|·k`-row

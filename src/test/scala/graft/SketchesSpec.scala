@@ -229,6 +229,34 @@ class SketchesSpec extends AnyFunSuite {
       s"no map-side combine in CMS value rollup:\n$cmsPlan")
   }
 
+  test("hllRollingDistinct: full-window day equals the whole-corpus sketch; window=1 equals per-day") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (1L, s"u$i")) ++
+      (201 to 500).map(i => (2L, s"u$i")) ++
+      (401 to 700).map(i => (3L, s"u$i"))
+    val df = rows.toDF("day", "v")
+    val byDay = Sketches.hllRegistersBy(df, Seq("day"), "v", m = 128)
+    val rolled = Sketches.hllRollingDistinct(byDay, "day", 128, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // day 3's trailing-7 window covers everything: its (zeros, s55) must
+    // equal the ungrouped whole-corpus sketch's rollup
+    val all = Sketches.hllRegisters(df, "v", m = 128)
+      .collect().map(_.getLong(1))
+    val s55All = all.map(r => 1L << (55 - r.toInt)).sum
+    val zerosAll = all.count(_ == 0L).toLong
+    assert((rolled(3L)._1, rolled(3L)._2) === ((zerosAll, s55All)))
+    // window=1 degenerates to per-day sketches
+    val solo = Sketches.hllRollingDistinct(byDay, "day", 128, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // each day holds 300 distinct values; m=128 → ~9% stderr
+    solo.values.foreach(est =>
+      assert(math.abs(est / 1000.0 - 300.0) / 300.0 < 0.3, s"day est $est vs 300"))
+    // the 700-distinct cumulative estimate tracks truth too
+    assert(math.abs(rolled(3L)._3 / 1000.0 - 700.0) / 700.0 < 0.3,
+      s"cumulative est ${rolled(3L)._3} vs 700")
+  }
+
   test("kmvPairOverlap: unsaturated sketches give exact union/jaccard/intersection") {
     import spark.implicits._
     // A = 1..40, B = 21..60 (|∩| = 20, |∪| = 60), C = 100..109 disjoint
