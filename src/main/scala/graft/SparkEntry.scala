@@ -2255,6 +2255,15 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // Order-invariant per-segment table fingerprint (XOR-folded
+    // 60-bit row hashes): the cross-engine reconciliation check,
+    // one map-side-combined aggregation at any scale
+    "m_fingerprint" -> ((s, dir) =>
+      graft.operators.Checks.fingerprint(
+        t(s, dir, "customer").withColumn("acct_cents",
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)")),
+        Seq("c_mktsegment"),
+        Seq("c_custkey", "c_name", "c_nationkey", "acct_cents"))),
     // Trailing-7-day distinct users per day from per-day HLL register
     // tables: the per-bucket rolling max IS the sliding-union sketch,
     // so the corpus pays one aggregation and the merge runs over
@@ -4447,6 +4456,18 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "m_fingerprint" ->
+      """WITH c AS (SELECT c_mktsegment, c_custkey, c_name, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents FROM customer),
+        |h AS (SELECT c_mktsegment, ('0x' || substr(md5(concat_ws('#',
+        |    coalesce(c_custkey::VARCHAR, '<null>'),
+        |    coalesce(c_name, '<null>'),
+        |    coalesce(c_nationkey::VARCHAR, '<null>'),
+        |    coalesce(acct_cents::VARCHAR, '<null>'))), 1, 15))::BIGINT AS rh
+        |  FROM c)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(rh) AS BIGINT) AS fingerprint
+        |FROM h GROUP BY 1""".stripMargin,
     "st_rolling_distinct" ->
       """WITH h AS (SELECT (epoch_us(ts) // 86400000000) AS day,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h

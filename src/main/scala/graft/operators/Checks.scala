@@ -102,4 +102,31 @@ object Checks {
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),
         (coalesce(col("n_violations"), lit(0L)) === 0L).as("passed")): _*)
   }
+
+  /** Order-invariant grouped table fingerprint — the cross-engine /
+    * cross-snapshot reconciliation primitive ("do these two copies
+    * hold the same rows?") that never sorts or co-locates the corpus:
+    * per row, hash the NULL-explicit `#`-joined `cols` to 60 bits
+    * (the md5 recipe an independent engine replays byte-identically),
+    * then XOR-fold per group. XOR is a commutative, associative,
+    * overflow-free monoid, so partition-local folds merge losslessly
+    * in any order — one map-side-combined aggregation at any scale.
+    *
+    * Caveat (by construction): XOR is blind to rows repeated an EVEN
+    * number of times; `n_rows` travels alongside so a doubled row
+    * still shifts the count. Output:
+    * `(groupCols…, n_rows, fingerprint)`. */
+  def fingerprint(
+      df: DataFrame, groupCols: Seq[String], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one value column")
+    val rowHash = expr(
+      s"""CAST(conv(substr(md5(concat_ws('#', ${cols.map(c =>
+        s"coalesce(CAST(`$c` AS STRING), '<null>')").mkString(", ")})),
+         | 1, 15), 16, 10) AS BIGINT)""".stripMargin.replaceAll("\n", ""))
+    val base = df.withColumn("_rh", rowHash)
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      expr("bit_xor(_rh)").as("fingerprint"))
+    if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -115,6 +115,31 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
   }
 
+  test("fingerprint: order/partitioning-invariant, row-sensitive, NULL-explicit") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val base = Seq(("g1", 1L, "a"), ("g1", 2L, "b"), ("g2", 3L, null))
+      .toDF("g", "k", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Checks.fingerprint(df, Seq("g"), Seq("k", "v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = fp(base)
+    // reordered + repartitioned input: identical fingerprints
+    assert(fp(base.orderBy(org.apache.spark.sql.functions.col("k").desc)
+      .repartition(7)) === a)
+    // a changed value flips its group's fingerprint only
+    val b = fp(Seq(("g1", 1L, "a"), ("g1", 2L, "B"), ("g2", 3L, null))
+      .toDF("g", "k", "v"))
+    assert(b("g1") !== a("g1"))
+    assert(b("g2") === a("g2"))
+    // NULL is explicit, not an empty string
+    val c = fp(Seq(("g1", 1L, "a"), ("g1", 2L, "b"), ("g2", 3L, ""))
+      .toDF("g", "k", "v"))
+    assert(c("g2") !== a("g2"))
+    // ungrouped variant returns one row
+    assert(Checks.fingerprint(base, Nil, Seq("k", "v")).count() === 1L)
+  }
+
   test("groupedTrend: exact slope/intercept on linear data, NULL on degenerate groups") {
     import spark.implicits._
     import graft.operators.Stats
