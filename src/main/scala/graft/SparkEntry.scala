@@ -2255,6 +2255,27 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // JSONL roundtrip with corrupt-record quarantine: documents ->
+    // newline-delimited JSON (every 97th line deterministically
+    // broken) -> PERMISSIVE schema-on-read -> per-lang ingest summary
+    // whose XOR fingerprints the oracle derives from the ORIGINAL
+    // columns (proves the parse round-trips values bit-exactly)
+    "src_jsonl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_jsonl_" +
+        dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      docs.select(
+        when(col("doc_id") % 97 === 0,
+          concat(lit("{corrupt "), col("doc_id")))
+          .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val parsed = graft.sources.Jsonl.read(s, path, schema)
+      graft.sources.Jsonl.ingestSummary(parsed, "lang",
+        Seq("doc_id", "n_chars", "text"))
+    }),
     // Order-invariant per-segment table fingerprint (XOR-folded
     // 60-bit row hashes): the cross-engine reconciliation check,
     // one map-side-combined aggregation at any scale
@@ -4456,6 +4477,23 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "src_jsonl" ->
+      """WITH good AS (SELECT lang, doc_id, n_chars, text FROM documents
+        |  WHERE doc_id % 97 != 0),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS n_corrupt,
+        |    CAST(bit_xor(('0x' || substr(md5(concat_ws('#',
+        |      coalesce(doc_id::VARCHAR, '<null>'),
+        |      coalesce(n_chars::VARCHAR, '<null>'),
+        |      coalesce(text, '<null>'))), 1, 15))::BIGINT) AS BIGINT)
+        |      AS fingerprint
+        |  FROM good GROUP BY 1),
+        |c AS (SELECT CAST(NULL AS VARCHAR) AS lang,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_corrupt,
+        |    CAST(0 AS BIGINT) AS fingerprint
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT * FROM g UNION ALL SELECT * FROM c""".stripMargin,
     "m_fingerprint" ->
       """WITH c AS (SELECT c_mktsegment, c_custkey, c_name, c_nationkey,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents FROM customer),
