@@ -2255,6 +2255,31 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // Zipf rank-frequency slope per source (corpus-health power-law
+    // fit): ln(rank)/ln(freq) in integer micro-nats, OLS on exact
+    // int64 sums — slope near -1e6 is healthy natural language
+    "p_zipf" -> ((s, dir) =>
+      graft.pipeline.TextStats.zipfSlope(
+        t(s, dir, "documents"), "source", "text", topK = 1000)),
+    // TPC-H Q22 shape ("rich but churned"): customers richer than
+    // their segment's positive-balance average (integer cross-
+    // multiplied compare — no float division) with no order since
+    // 2000-01-01, rolled up per nation. Broadcast scalar rollup +
+    // anti join; the date predicate pushes into the orders scan
+    "q22_idle_rich" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      val seg = c.filter(col("cents") > 0).groupBy("c_mktsegment")
+        .agg(sum("cents").as("seg_sum"), count(lit(1)).as("seg_n"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      c.join(broadcast(seg), "c_mktsegment")
+        .filter(col("cents") * col("seg_n") > col("seg_sum"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+    }),
     // JSONL roundtrip with corrupt-record quarantine: documents ->
     // newline-delimited JSON (every 97th line deterministically
     // broken) -> PERMISSIVE schema-on-read -> per-lang ingest summary
@@ -4477,6 +4502,44 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "p_zipf" ->
+      """WITH tf AS (SELECT source AS _src, t.term, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT _src, n,
+        |    row_number() OVER (PARTITION BY _src ORDER BY n DESC, term) AS rank
+        |  FROM tf QUALIFY rank <= 1000),
+        |xy AS (SELECT _src,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM rk),
+        |s AS (SELECT _src, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT _src AS source, n,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+        |    * 1000000) AS BIGINT) AS slope_micro,
+        |  CAST(round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+        |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+        |    * 1000000) AS BIGINT) AS intercept_micro
+        |FROM s""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |seg AS (SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS seg_sum,
+        |    CAST(count(*) AS BIGINT) AS seg_n
+        |  FROM c WHERE cents > 0 GROUP BY 1)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c JOIN seg USING (c_mktsegment)
+        |WHERE cents * seg_n > seg_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "src_jsonl" ->
       """WITH good AS (SELECT lang, doc_id, n_chars, text FROM documents
         |  WHERE doc_id % 97 != 0),

@@ -506,4 +506,40 @@ object TextStats {
       .agg(count(lit(1)).as("n_terms"),
         sum("_ab").as("kl_ab_pico"), sum("_ba").as("kl_ba_pico"))
   }
+
+  /** Zipf slope per corpus slice — the rank-frequency power-law fit
+    * (Zipf 1949): regress `ln(freq)` on `ln(rank)` over each slice's
+    * `topK` most frequent terms. Natural language sits near slope −1;
+    * drift toward 0 flags boilerplate/template floods, steeper than
+    * −1.5 flags vocabulary collapse — a one-number corpus-health
+    * metric per source.
+    *
+    * Determinism: ln(rank)/ln(freq) quantize to integer micro-nats
+    * per term (the established ln-parity recipe), then the OLS runs
+    * on exact int64 sums via [[graft.operators.Stats.groupedTrend]].
+    *
+    * Scale shape: one token aggregation (map-side combine) + a
+    * per-slice top-`topK` window + a 5-long-per-slice trend rollup.
+    * The window sorts each slice's vocabulary on one task — fine for
+    * vocabulary-sized inputs (≤ millions); a single slice with a
+    * billion-term vocabulary would use the GlobalRank two-stage rank
+    * instead (documented, not needed at any realistic vocabulary).
+    * Output: `(srcCol, n, slope_micro, intercept_micro)` — slope in
+    * micro units (−1.0 → −1000000). */
+  def zipfSlope(
+      docs: DataFrame, srcCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 10, s"topK >= 10, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(srcCol).as("_src"), explode(toks(textCol)).as("term"))
+      .groupBy("_src", "term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("_src").orderBy(col("n").desc, col("term"))
+    val ranked = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("_src"),
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+    graft.operators.Stats.groupedTrend(ranked, Seq("_src"), "x", "y")
+      .withColumnRenamed("_src", srcCol)
+  }
 }

@@ -115,6 +115,21 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
   }
 
+  test("zipfSlope: ~-1 on a 1/rank corpus, exactly 0 on a uniform corpus") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    // freq(w_i) = floor(600/i): ln f = ln 600 - ln rank -> slope -1
+    val zipfText = (1 to 60).flatMap(i => Seq.fill(600 / i)(f"w$i%03d"))
+      .mkString(" ")
+    val flatText = (1 to 40).flatMap(i => Seq.fill(10)(f"u$i%03d")).mkString(" ")
+    val docs = Seq(("zipf", zipfText), ("flat", flatText)).toDF("src", "text")
+    val got = TextStats.zipfSlope(docs, "src", "text", topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(got("zipf") + 1000000L) < 100000L,
+      s"zipf slope ${got("zipf")} not near -1e6")
+    assert(got("flat") === 0L, "uniform corpus: exactly zero slope")
+  }
+
   test("fingerprint: order/partitioning-invariant, row-sensitive, NULL-explicit") {
     import spark.implicits._
     import graft.operators.Checks
