@@ -274,4 +274,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"chunking must not shuffle — it is a flatMap-shaped projection:\n$plan")
     assert(plan.contains("Generate"), s"expected the explode Generate node:\n$plan")
   }
+
+  test("fingerprint: one shuffle with map-side partial XOR/count") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.operators.Checks.fingerprint(
+      df, Seq("grp"), Seq("doc_id", "text")))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"fingerprint must be a single grouped aggregation:\n$plan")
+    assert(plan.contains("partial"),
+      s"fingerprint rollup lost map-side combine:\n$plan")
+  }
+
+  test("groupedTrend: single grouped aggregation, partial sums, pruned scan") {
+    val df = spark.read.parquet(tablePath)
+      .withColumn("x", col("doc_id") % 10)
+    val plan = planOf(graft.operators.Stats.groupedTrend(
+      df, Seq("grp"), "x", "doc_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"groupedTrend must aggregate in one pass:\n$plan")
+    assert(plan.contains("partial"), s"trend sums lost map-side combine:\n$plan")
+    assert(!plan.contains("text"),
+      s"unused text column must be pruned from the scan:\n$plan")
+  }
+
+  test("q22/q13: broadcast scalar rollup, anti-join shape, pushed date filter") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/orders.parquet"))
+    val q22 = planOf(SparkEntry.queries("q22_idle_rich")(spark, sfDir))
+    assert(q22.contains("BroadcastHashJoin") || q22.contains("BroadcastNestedLoop"),
+      s"q22: segment rollup must broadcast:\n$q22")
+    assert(q22.contains("LeftAnti"), s"q22: expected an anti join:\n$q22")
+    assert(q22.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      q22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q22: date predicate must reach the orders scan:\n$q22")
+    val q13 = planOf(SparkEntry.queries("q13_custdist")(spark, sfDir))
+    assert(q13.contains("partial_count"),
+      s"q13: orders must aggregate (map-side) before the customer join:\n$q13")
+  }
 }
