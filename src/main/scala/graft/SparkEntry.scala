@@ -2255,6 +2255,21 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // Explicit GROUPING SETS lattice with grouping() flags — the
+    // third member of the rollup/cube family; Catalyst plans it as
+    // one Expand + single aggregation (no N-pass union)
+    "q14_gsets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  count(*) AS n
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())""".stripMargin)
+    }),
     // Zipf rank-frequency slope per source (corpus-health power-law
     // fit): ln(rank)/ln(freq) in integer micro-nats, OLS on exact
     // int64 sums — slope near -1e6 is healthy natural language
@@ -4502,6 +4517,15 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "q14_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
     "p_zipf" ->
       """WITH tf AS (SELECT source AS _src, t.term, CAST(count(*) AS BIGINT) AS n
         |  FROM documents,

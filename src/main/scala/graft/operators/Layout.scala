@@ -85,4 +85,17 @@ object Layout {
       df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, key).sortBy(key).saveAsTable(table)
+
+  /** Hive-style partitioned layout — the FIRST-order 100 TB lever:
+    * `partitionBy` low-cardinality filter columns (day, source, lang)
+    * so a predicate on them prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan — files outside the matching
+    * partitions are never listed, let alone read). Z-order/row-group
+    * pruning refines WITHIN a partition; this skips partitions
+    * entirely. Keep partition cardinality in the hundreds-to-thousands
+    * (a per-user partition layout is a small-file catastrophe — that's
+    * what bucketing is for). LayoutSpec asserts the pruned scan. */
+  def partitionedWrite(
+      df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 }

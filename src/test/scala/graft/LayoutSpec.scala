@@ -95,4 +95,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(zWorst < linWorst / 2.0,
       s"z-order worst-dimension pruning $zWorst not better than linear $linWorst")
   }
+
+  test("partitionedWrite: partition predicates prune at planning time") {
+    import spark.implicits._
+    val path = "/tmp/graft_layout_partwrite"
+    graft.util.Fs.deleteRecursively(path)
+    val df = (0L until 2000L)
+      .map(i => (i, s"src${i % 8}", i * 3))
+      .toDF("id", "source", "v")
+    Layout.partitionedWrite(df, path, Seq("source"))
+    val read = spark.read.parquet(path).filter(col("source") === "src3")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src3"),
+      s"source predicate must prune partitions at planning time:\n$plan")
+    // the pruned scan must not carry the predicate as a data filter —
+    // partition columns aren't in the data files at all
+    assert(!plan.contains("PushedFilters: [IsNotNull(source)"),
+      s"partition predicate leaked into data-filter pushdown:\n$plan")
+    assert(read.count() === 250L)
+  }
 }
