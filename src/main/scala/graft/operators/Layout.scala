@@ -98,4 +98,26 @@ object Layout {
   def partitionedWrite(
       df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * streaming/incremental writer eventually owes (a micro-batch
+    * sink emits files per trigger; a year later the table is a
+    * million 200 KB files and every scan pays a million opens):
+    * rewrite `inPath` to `outPath` sized so each output file targets
+    * `targetBytes` of INPUT footprint. File count comes from the
+    * actual on-disk byte sum (Hadoop FS listing — works on any
+    * FileSystem impl), not a row-count guess, so compression ratio
+    * changes don't skew it. Uses coalesce (no shuffle) — partition
+    * mixing is acceptable for compaction; use [[zorderRepartition]]
+    * first when clustering matters. Returns the output file count. */
+  def compactTo(
+      spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes >= 1024 * 1024, "targetBytes >= 1 MiB")
+    val bytes = graft.util.Fs.sizeBytes(inPath)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

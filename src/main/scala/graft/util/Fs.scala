@@ -46,6 +46,14 @@ object Fs {
     if (f.exists(p)) f.delete(p, true): Unit
   }
 
+  /** Total byte footprint of `path` (recursive; 0 if absent) — the
+    * input to file-count planning in compaction. */
+  def sizeBytes(path: String): Long = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) 0L
+    else f.getContentSummary(p).getLength
+  }
+
   /** (modification time, length) stamp of a side file — cheap change
     * detection for cached readers (a rewritten manifest.json means the
     * index tables changed underneath an open handle). (0, 0) when

@@ -114,4 +114,25 @@ class LayoutSpec extends AnyFunSuite {
       s"partition predicate leaked into data-filter pushdown:\n$plan")
     assert(read.count() === 250L)
   }
+
+  test("compactTo collapses a many-file table to the byte-planned count") {
+    import spark.implicits._
+    val in = "/tmp/graft_layout_compact_in"
+    val out = "/tmp/graft_layout_compact_out"
+    graft.util.Fs.deleteRecursively(in)
+    graft.util.Fs.deleteRecursively(out)
+    // 64 tiny files
+    (0L until 10000L).map(i => (i, s"payload $i")).toDF("id", "v")
+      .repartition(64).write.parquet(in)
+    val inBytes = graft.util.Fs.sizeBytes(in)
+    assert(inBytes > 0L)
+    val n = graft.operators.Layout.compactTo(spark, in, out,
+      targetBytes = 1024 * 1024)
+    assert(n === math.max(1, math.ceil(inBytes / (1024.0 * 1024))).toInt)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === n, s"expected $n output files, got $files")
+    // row fidelity
+    assert(spark.read.parquet(out).count() === 10000L)
+  }
 }
