@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 10 MB default is sized for small executors; at local[32]/128 GiB a
+      // 64 MB broadcast beats shuffling a 10^8-row probe side (and AQE
+      // still falls back from stats at runtime)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

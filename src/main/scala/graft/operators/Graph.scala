@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.Plan
+
 /** Graph analytics over edge tables (the near-dup pair graph, user
   * transition graphs, …) in pure DataFrame algebra — each iteration is
   * one equi-join + one aggregation, the classic distributed PageRank
@@ -136,7 +138,14 @@ object Graph {
     val e2 = directed.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, "u")
       .filter(col("r1") < col("r2")).select("u", "v1", "v2")
-    val closing = directed.select(col("u").as("v1"), col("v").as("v2"))
+    // the closing probe side is edge-sized (m rows) while wedges are
+    // O(m^1.5): broadcast the edges when they fit the session threshold
+    // so the wedge stream never shuffles — a checkpointed relation has
+    // no stats, so the size-conditional hint must be explicit (count is
+    // cheap: the blocks are already materialized)
+    val closing = Plan.broadcastIfBounded(
+      directed.select(col("u").as("v1"), col("v").as("v2")),
+      directed.count(), bytesPerRow = 24L)
     val tri = wedges.join(closing, Seq("v1", "v2"))
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
