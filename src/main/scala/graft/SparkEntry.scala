@@ -2239,6 +2239,17 @@ object SparkEntry {
         .filter(col("src") < col("dst")).select("src", "dst")
       graft.operators.Graph.clusteringCoeff(e)
     }),
+    // k-core peeling of the part co-purchase graph (graph-quality
+    // filter): 8 fixed peels at k=80 (converges by peel 7; ~7% of the
+    // graph peels away), shrinking checkpointed edge set
+    "g_kcore" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = lp.select(col("ok"), col("pk").as("src"))
+        .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst")).select("src", "dst")
+      graft.operators.Graph.kCore(e, k = 80, peels = 8)
+    }),
     // A-priori association rules over order baskets (items =
     // l_partkey): integer ppm/micro measures, bit-replayable
     "a_assoc_rules" -> ((s, dir) =>
@@ -4482,6 +4493,11 @@ object SparkEntry {
         |    (20000 * coalesce(pn.n_tri, 0)) // (dg.deg * (dg.deg - 1)) AS BIGINT)
         |  ELSE 0 END AS cc_bp
         |FROM dg LEFT JOIN pn USING (node)""".stripMargin,
+    "g_kcore" -> graft.operators.Graph.kCoreSql(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS src, b.pk AS dst
+        |FROM lp a JOIN lp b USING (ok) WHERE a.pk < b.pk""".stripMargin,
+      k = 80, peels = 8),
     "a_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
         |sz AS (SELECT basket, count(*) AS bsize FROM it GROUP BY 1),

@@ -155,6 +155,68 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** k-core peeling over an undirected edge table — the graph-quality
+    * filter ("keep pages embedded in a dense link neighborhood", the
+    * crawl-spam heuristic): run exactly `peels` rounds of "drop every
+    * node with degree < k and its edges". A fixed peel count (not
+    * run-to-convergence) is the determinism contract: converged or
+    * not, an independent engine unrolling the same `peels` stages
+    * computes the identical edge set — and once the set is stable,
+    * extra peels are no-ops, so any `peels` ≥ the convergence round
+    * yields the exact k-core. (TPC-ish co-occurrence graphs converge
+    * in < 10 peels; raise `peels` for adversarial chains.)
+    *
+    * Scale shape: per peel, one degree aggregation (map-side combined)
+    * + two semi joins against the node-sized survivor set, over a
+    * SHRINKING edge table checkpointed each round (lineage stays one
+    * peel deep). Output: `(node, core_deg)` — survivors with their
+    * degree inside the peeled subgraph. */
+  def kCore(edges: DataFrame, k: Int, peels: Int = 10): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(peels >= 1 && peels <= 30, s"peels in [1,30], got $peels")
+    // symmetric adjacency (both directions) so degree = count per `u`
+    val und0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var adj = und0.select(col("a").as("u"), col("b").as("v"))
+      .union(und0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to peels) {
+      val alive = adj.groupBy("u").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select("u")
+      adj = adj
+        .join(alive, Seq("u"), "left_semi")
+        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The oracle twin of [[kCore]]: unrolled-CTE SQL over an `edges`
+    * CTE the caller supplies (columns `src, dst`). */
+  def kCoreSql(edgesCte: String, k: Int, peels: Int = 10): String = {
+    // MATERIALIZED is load-bearing: each stage references its
+    // predecessor 3×, so an inlining planner would expand the chain
+    // 3^peels-fold (DuckDB hit "too many open files" at 8 peels)
+    val stages = (1 to peels).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT e.u, e.v FROM a${i - 1} e
+         |  JOIN (SELECT u FROM a${i - 1} GROUP BY u HAVING count(*) >= $k) su
+         |    ON su.u = e.u
+         |  JOIN (SELECT u FROM a${i - 1} GROUP BY u HAVING count(*) >= $k) sv
+         |    ON sv.u = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS MATERIALIZED ($edgesCte),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |  greatest(src, dst) AS b FROM raw WHERE src != dst),
+       |a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |$stages
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM a$peels GROUP BY 1""".stripMargin
+  }
+
   /** Local clustering coefficient per node in integer basis points:
     * `cc_bp = (2·n_tri·10^4) div (deg·(deg−1))` (Watts & Strogatz
     * 1998), 0 for degree-<2 nodes. All operands positive → the

@@ -88,6 +88,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got(0L) === 39L && got(1L) === 1L && got(20L) === 2L)
   }
 
+  /** Reference peeler: iterate degree-filter to fixpoint. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = und.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != und.size
+      und = next
+    }
+    und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore: K5 survives k=3, pendant chain and triangle peel away") {
+    import spark.implicits._
+    // K5 on 1..5, a chain 5-6-7, and a triangle 8-9-10
+    val edges: Seq[(Long, Long)] =
+      (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        Seq((5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L))
+    def run(k: Int) = Graph.kCore(edges.toDF("src", "dst"), k, peels = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) === refKCore(edges, 3))
+    assert(run(3).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(run(3)(1L) === 4L, "core degree excludes peeled neighbors")
+    // at k=2 the triangle survives too; the chain still peels
+    assert(run(2) === refKCore(edges, 2))
+    assert(run(2).keySet === Set(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L))
+    // k above max degree: empty core
+    assert(run(5) === Map.empty)
+  }
+
   test("clusteringCoeff: K4 nodes are 10000 bp, pendant and low-degree are 0") {
     import spark.implicits._
     val edges: Seq[(Long, Long)] = Seq(
