@@ -2281,6 +2281,12 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |  (l_returnflag), ())""".stripMargin)
     }),
+    // Deterministic epoch shuffle: seed-keyed md5 permutation +
+    // distributed contiguous rank — the reproducible global training
+    // order, shard/split derivable downstream without a reshuffle
+    "p_epoch_shuffle" -> ((s, dir) =>
+      graft.pipeline.Mixing.epochShuffle(
+        t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id", seed = 7L)),
     // Zipf rank-frequency slope per source (corpus-health power-law
     // fit): ln(rank)/ln(freq) in integer micro-nats, OLS on exact
     // int64 sums — slope near -1e6 is healthy natural language
@@ -4533,6 +4539,12 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "p_epoch_shuffle" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5(doc_id::VARCHAR || '#epoch7'), doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
     "q14_gsets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,

@@ -473,4 +473,26 @@ object Mixing {
         size(col("_c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
+
+  /** Deterministic epoch shuffle — the reproducible global training
+    * order ("shard N of epoch E sees exactly these rows in exactly
+    * this order, on any cluster, re-run years later"): order by the
+    * md5 of (id, seed) — a fresh uniform permutation per seed — and
+    * assign a CONTIGUOUS 1-based `shuffle_pos` via the distributed
+    * [[graft.operators.GlobalRank]] (range-partitioned local ranks +
+    * a partition-count-sized offset table — no single-partition
+    * window). `shuffle_pos div shardSize` is then the shard
+    * assignment, `pmod(shuffle_pos, k)` a round-robin split — both
+    * derivable downstream without another shuffle.
+    *
+    * Scale shape: one range exchange on the hash key (the global-sort
+    * shuffle every shuffle of 100 TB costs at minimum); everything
+    * else is a projection. Output: input columns + `shuffle_pos`. */
+  def epochShuffle(
+      docs: DataFrame, idCol: String, seed: Long): DataFrame =
+    graft.operators.GlobalRank.withGlobalRank(
+      docs.withColumn("_esk",
+        expr(s"md5(concat(CAST(`$idCol` AS STRING), '#epoch$seed'))")),
+      Seq(col("_esk"), col(idCol)), "shuffle_pos")
+      .drop("_esk")
 }

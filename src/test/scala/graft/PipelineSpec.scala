@@ -1291,4 +1291,22 @@ class PipelineSpec extends AnyFunSuite {
     val r1 = TextStats.klDrift(shifted, "src", "text", "a", "b").collect()(0)
     assert(r1.getLong(1) > 0L && r1.getLong(2) > 0L, "shifted distributions diverge")
   }
+
+  test("epochShuffle: contiguous permutation, seed-fresh, partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Mixing.epochShuffle(df, "doc_id", seed)
+        .orderBy("shuffle_pos").collect().map(_.getLong(0)).toSeq
+    val e1 = order(docs, 1L)
+    // a bijection onto 1..n over the full id set
+    assert(e1.sorted === (0L until 500L))
+    // same seed, different physical partitioning: identical order
+    assert(order(docs.repartition(13), 1L) === e1)
+    // a different seed is a genuinely different permutation (and not
+    // the identity)
+    val e2 = order(docs, 2L)
+    assert(e2 !== e1)
+    assert(e1 !== (0L until 500L).toSeq)
+  }
 }
