@@ -2281,6 +2281,21 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |  (l_returnflag), ())""".stripMargin)
     }),
+    // Out-of-order arrival audit per user (watermark sizing): running
+    // event-time high-water mark over event_id arrival order; late
+    // count/ppm + worst lag in microseconds
+    "e_disorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"))
+      graft.operators.TimeSeries.disorderAudit(ev, "user_id", "event_id", "ts_us")
+    }),
+    // sqrt-temperature domain mix: stratum share ∝ √tokens (α=0.5 of
+    // the Gopher temperature family; sqrt is correctly-rounded in
+    // every IEEE engine where pow is not)
+    "p_sqrt_mix" -> ((s, dir) =>
+      graft.pipeline.Mixing.sqrtTemperatureMix(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        totalTokens = 20000L, seed = 11L)),
     // Deterministic epoch shuffle: seed-keyed md5 permutation +
     // distributed contiguous rank — the reproducible global training
     // order, shard/split derivable downstream without a reshuffle
@@ -4539,6 +4554,36 @@ object SparkEntry {
         |    nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
         |    * 1000000) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
+    "e_disorder" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |h AS (SELECT user_id, ts_us,
+        |  max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST((1000000 * sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS late_ppm,
+        |  CAST(coalesce(max(CASE WHEN ts_us < hwm THEN hwm - ts_us ELSE 0 END),
+        |    0) AS BIGINT) AS max_lag
+        |FROM h GROUP BY 1""".stripMargin,
+    "p_sqrt_mix" ->
+      """WITH c AS (SELECT doc_id, lang AS stratum,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT stratum, sum(n_tokens)::BIGINT AS src_tokens,
+        |    CAST(round(sqrt(sum(n_tokens)::DOUBLE) * 1000000) AS BIGINT)
+        |      AS sqrt_micro
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS sqrt_sum_micro FROM tot),
+        |r AS (SELECT c.doc_id, c.stratum, c.n_tokens,
+        |  least(1.0, tot.sqrt_micro::DOUBLE / d.sqrt_sum_micro::DOUBLE
+        |    * 20000.0 / tot.src_tokens::DOUBLE) AS rate
+        |  FROM c JOIN tot USING (stratum) CROSS JOIN d)
+        |SELECT doc_id, stratum, n_tokens, round(rate, 6) AS rate FROM r
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#11'), 1, 15))::BIGINT
+        |  % 1000000)::DOUBLE < rate * 1000000""".stripMargin,
     "p_epoch_shuffle" ->
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY

@@ -178,4 +178,34 @@ object TimeSeries {
     matrix.join(sizes, "cohort")
       .select("cohort", "offset", "n_active", "n_cohort")
   }
+
+  /** Out-of-order arrival audit per key — the stream-quality check
+    * that sizes watermarks ("what lateness budget does this source
+    * actually need?"): an event is LATE when its event time precedes
+    * the running max event time of everything that arrived before it
+    * (arrival order = `arrivalCol`, e.g. an ingest sequence or
+    * event_id). Per key: count, late count/ppm, and the worst
+    * observed lag — the max watermark delay that would have been
+    * needed. One per-key window (running max over arrival order) +
+    * one rollup; shuffle keyed on `keyCol` only.
+    * Output: `(keyCol, n_events, n_late, late_ppm, max_lag)` with
+    * `max_lag` in `tsCol` units (0 when never late). */
+  def disorderAudit(
+      events: DataFrame, keyCol: String, arrivalCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_hwm", max(col(tsCol)).over(w))
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col(tsCol) < col("_hwm"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col(tsCol) < col("_hwm"), col("_hwm") - col(tsCol))
+          .otherwise(lit(0L))).as("max_lag"))
+      .withColumn("late_ppm",
+        expr("CAST((1000000L * n_late) div n_events AS BIGINT)"))
+      .select(col(keyCol), col("n_events"), col("n_late"),
+        col("late_ppm"), coalesce(col("max_lag"), lit(0L)).as("max_lag"))
+  }
 }

@@ -474,6 +474,56 @@ object Mixing {
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
 
+  /** Square-root temperature mixing (the α = 0.5 point of the
+    * Gopher/LLaMA-style `p_s ∝ tokens_s^α` domain-rebalancing family):
+    * each stratum's share of `totalTokens` is proportional to
+    * √(its token mass), boosting small domains and damping the head
+    * without a hand-written weight table. α is FIXED at 0.5 because
+    * `sqrt` is IEEE-correctly-rounded in every engine while `pow` is
+    * only ~1-ulp — the gate's bit-exactness bar rules general α out
+    * (the general shape is [[tokenBudgetMix]] with caller weights).
+    *
+    * Scale shape: identical to [[tokenBudgetMix]] — one bounded
+    * stratum rollup broadcast back into a scan-shaped hash-threshold
+    * filter; the corpus never shuffles. Returns
+    * `(doc_id, stratum, n_tokens, rate)`. */
+  def sqrtTemperatureMix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: String,
+      totalTokens: Long,
+      seed: Long = 42L): DataFrame = {
+    require(totalTokens > 0, s"totalTokens > 0, got $totalTokens")
+    val counted = docs.select(
+      col(idCol).as("doc_id"),
+      col(stratumCol).as("stratum"),
+      expr(s"CASE WHEN length(trim(`$textCol`)) = 0 THEN 0L " +
+        s"ELSE size(split(trim(`$textCol`), '\\\\s+')) END")
+        .cast("long").as("n_tokens"))
+    // √tokens quantized to integer micro BEFORE the cross-stratum sum:
+    // a float Σ over strata is partition/engine-order-dependent where
+    // an integer Σ is not (the micro-nat recipe)
+    val totals = counted.groupBy("stratum")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("sqrt_micro", expr(
+        "CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    // Σ over a handful of strata: an in-plan 1-row aggregate
+    // cross-joined back (the bounded-literal discipline, no collect)
+    val denom = totals.agg(sum("sqrt_micro").as("sqrt_sum_micro"))
+    counted
+      .join(broadcast(totals), Seq("stratum"))
+      .crossJoin(broadcast(denom))
+      .withColumn("rate", least(lit(1.0),
+        col("sqrt_micro").cast("double") / col("sqrt_sum_micro").cast("double")
+          * totalTokens.toDouble / col("src_tokens").cast("double")))
+      .filter(
+        pmod(Dedup.hash60(col("doc_id").cast("string"), lit(seed)), lit(1000000L))
+          .cast("double") < col("rate") * 1000000.0)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        round(col("rate"), 6).as("rate"))
+  }
+
   /** Deterministic epoch shuffle — the reproducible global training
     * order ("shard N of epoch E sees exactly these rows in exactly
     * this order, on any cluster, re-run years later"): order by the

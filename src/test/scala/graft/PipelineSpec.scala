@@ -1292,6 +1292,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.getLong(1) > 0L && r1.getLong(2) > 0L, "shifted distributions diverge")
   }
 
+  test("sqrtTemperatureMix: small strata keep a higher rate; head is damped") {
+    import spark.implicits._
+    // big: 100 docs × 20 tokens = 2000; small: 10 docs × 20 = 200
+    val docs = ((0 until 100).map(i => (i.toLong, "big", ("w " * 20).trim)) ++
+      (0 until 10).map(i => (1000L + i, "small", ("w " * 20).trim)))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // budget low enough that neither stratum hits the rate cap:
+    // small share = √200/(√2000+√200) = 0.2402 → rate 0.6005
+    val got = Mixing.sqrtTemperatureMix(docs, "doc_id", "text", "lang",
+      totalTokens = 500L)
+    val rates = got.select("stratum", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // shares ∝ √2000 : √200 → small's keep RATE is √10× big's
+    assert(rates("small") > rates("big") * 2.5,
+      s"sqrt temperature must boost the small stratum: $rates")
+    // uncapped rates: ratio is exactly √(2000/200) = √10 ≈ 3.162
+    assert(math.abs(rates("small") / rates("big") - math.sqrt(10.0)) < 0.01)
+  }
+
   test("epochShuffle: contiguous permutation, seed-fresh, partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "v")

@@ -120,4 +120,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((1L, 0L)) === ((1L, 1L)))
     assert(out.size === 4)
   }
+
+  test("disorderAudit: late events counted against the running high-water mark") {
+    import spark.implicits._
+    // u1 arrivals (seq, ts): 10, 20, 15 (late by 5), 30, 12 (late by 18)
+    // u2 perfectly ordered; u3 single event (never late)
+    val ev = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 20L), ("u1", 3L, 15L),
+      ("u1", 4L, 30L), ("u1", 5L, 12L),
+      ("u2", 1L, 5L), ("u2", 2L, 6L), ("u2", 3L, 7L),
+      ("u3", 1L, 99L)).toDF("k", "seq", "ts")
+    val got = graft.operators.TimeSeries.disorderAudit(ev, "k", "seq", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("u1") === ((5L, 2L, 400000L, 18L)))
+    assert(got("u2") === ((3L, 0L, 0L, 0L)))
+    assert(got("u3") === ((1L, 0L, 0L, 0L)))
+  }
 }
