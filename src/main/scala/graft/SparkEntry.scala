@@ -2289,6 +2289,11 @@ object SparkEntry {
         expr("unix_micros(ts)").as("ts_us"))
       graft.operators.TimeSeries.disorderAudit(ev, "user_id", "event_id", "ts_us")
     }),
+    // Per-doc character entropy in integer micro-nats (gibberish /
+    // encoding-noise detector; bounded 512-char prefix explode)
+    "p_entropy" -> ((s, dir) =>
+      graft.pipeline.TextStats.charEntropy(
+        t(s, dir, "documents"), "doc_id", "text")),
     // sqrt-temperature domain mix: stratum share ∝ √tokens (α=0.5 of
     // the Gopher temperature family; sqrt is correctly-rounded in
     // every IEEE engine where pow is not)
@@ -4566,6 +4571,20 @@ object SparkEntry {
         |  CAST(coalesce(max(CASE WHEN ts_us < hwm THEN hwm - ts_us ELSE 0 END),
         |    0) AS BIGINT) AS max_lag
         |FROM h GROUP BY 1""".stripMargin,
+    "p_entropy" ->
+      """WITH ch AS (SELECT doc_id, c AS _ch
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(substr(lower(text), 1, 512), '')) t(c)
+        |  WHERE length(c) = 1),
+        |cnt AS (SELECT doc_id, _ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+        |SELECT cnt.doc_id, CAST(tot.n AS BIGINT) AS n_chars_used,
+        |  CAST(sum(CAST(round(CAST(c AS DOUBLE) / n *
+        |    ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS entropy_micro
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "p_sqrt_mix" ->
       """WITH c AS (SELECT doc_id, lang AS stratum,
         |    (CASE WHEN length(trim(text)) = 0 THEN 0

@@ -507,6 +507,41 @@ object TextStats {
         sum("_ab").as("kl_ab_pico"), sum("_ba").as("kl_ba_pico"))
   }
 
+  /** Per-document character entropy — the encoding-noise / gibberish
+    * detector (binary-pasted-as-text and base64 blobs sit near the
+    * ~log(64) ceiling; natural language around 2.6–3.1 nats; repeated
+    * padding near 0): Shannon entropy over the character distribution
+    * of the first `maxChars` characters, each term quantized to
+    * integer micro-nats before the per-doc sum (order-invariant, the
+    * micro-nat recipe). The prefix cap bounds the explode at corpus
+    * scale and is standard practice — noise classifiers don't need
+    * the tail. Output: `(idCol, n_chars_used, entropy_micro)`.
+    *
+    * Scale shape: one explode bounded at `maxChars` per doc + two
+    * map-side-combined aggregations keyed on the doc id (no corpus-
+    * wide state at all). */
+  def charEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxChars: Int = 512): DataFrame = {
+    require(maxChars >= 16 && maxChars <= 65536,
+      s"maxChars in [16, 65536], got $maxChars")
+    val chars = docs.select(col(idCol),
+      explode(expr(s"split(substr(lower(`$textCol`), 1, $maxChars), '')"))
+        .as("_ch"))
+      .filter(length(col("_ch")) === 1)
+    val counts = chars.groupBy(col(idCol), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("_n", sum("_c").over(Window.partitionBy(idCol)))
+      .groupBy(idCol).agg(
+        first(col("_n")).as("n_chars_used"),
+        sum(expr(
+          """CAST(round(CAST(_c AS DOUBLE) / _n *
+            |  ln(CAST(_n AS DOUBLE) / _c) * 1000000) AS BIGINT)"""
+            .stripMargin)).as("entropy_micro"))
+  }
+
   /** Zipf slope per corpus slice — the rank-frequency power-law fit
     * (Zipf 1949): regress `ln(freq)` on `ln(rank)` over each slice's
     * `topK` most frequent terms. Natural language sits near slope −1;

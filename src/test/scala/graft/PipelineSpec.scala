@@ -1292,6 +1292,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.getLong(1) > 0L && r1.getLong(2) > 0L, "shifted distributions diverge")
   }
 
+  test("charEntropy: uniform alphabet hits ln|A|, constant text is 0, prefix caps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd" * 50),          // uniform over 4 chars
+      (2L, "a" * 100),            // zero entropy
+      (3L, "xy" * 600)            // 1200 chars -> capped at 512
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // per-term micro quantization: 4 * round(0.25 * ln 4 * 1e6)
+    val ln4Term = math.round(0.25 * math.log(4.0) * 1e6)
+    assert(got(1L) === ((200L, 4 * ln4Term)))
+    assert(got(2L) === ((100L, 0L)))
+    val ln2Term = math.round(0.5 * math.log(2.0) * 1e6)
+    assert(got(3L) === ((512L, 2 * ln2Term)))
+  }
+
   test("sqrtTemperatureMix: small strata keep a higher rate; head is damped") {
     import spark.implicits._
     // big: 100 docs × 20 tokens = 2000; small: 10 docs × 20 = 200
