@@ -2266,6 +2266,54 @@ object SparkEntry {
         expr("unix_micros(ts) div 86400000000 - 19723").as("day_idx"))
       graft.operators.Stats.groupedTrend(e, Seq("event_type"), "day_idx", "cents")
     }),
+    // TPC-H Q17 shape (small-quantity revenue): lineitems below 20% of
+    // their part's average quantity — the correlated-average compare
+    // as an integer cross-multiplication (5·q·n < sum), per-part
+    // rollup aggregated FIRST then broadcast, never a correlated
+    // re-scan per row
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      val per = li.groupBy("l_partkey")
+        .agg(sum("q").as("sum_q"), count(lit(1)).as("n_q"))
+      li.join(broadcast(per), "l_partkey")
+        .filter(col("q") * lit(5L) * col("n_q") < col("sum_q"))
+        .agg(count(lit(1)).as("n_small"),
+          sum("price_cents").as("rev_cents"))
+    }),
+    // TPC-H Q11 shape (important stock): (nation, part) revenue groups
+    // above 1/8000 of GLOBAL revenue — supplier dim broadcast, the
+    // global scalar as an in-plan 1-row cross join, share compare as
+    // an integer cross-multiplication
+    "q11_part_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nationkey"))
+      val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("nationkey", "l_partkey")
+        .agg(sum("price_cents").as("rev_cents"))
+      val tot = rev.agg(sum("rev_cents").as("total_cents"))
+      rev.crossJoin(broadcast(tot))
+        .filter(col("rev_cents") * lit(8000L) > col("total_cents"))
+        .select("nationkey", "l_partkey", "rev_cents")
+    }),
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // quantity exceeds a threshold, joined back to customer — the
+    // HAVING-subquery plan as aggregate-then-join, top 100
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("total_qty"))
+        .filter(col("total_qty") > 55L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey")).limit(100)
+    }),
     // Explicit GROUPING SETS lattice with grouping() flags — the
     // third member of the rollup/cube family; Catalyst plans it as
     // one Expand + single aggregation (no N-pass union)
@@ -4609,6 +4657,36 @@ object SparkEntry {
         |    md5(doc_id::VARCHAR || '#epoch7'), doc_id) AS BIGINT)
         |    AS shuffle_pos
         |FROM documents""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |per AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+        |    CAST(count(*) AS BIGINT) AS n_q FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(price_cents) AS BIGINT) AS rev_cents
+        |FROM li JOIN per USING (l_partkey)
+        |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "q11_part_share" ->
+      """WITH rev AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |    l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev)
+        |SELECT nationkey, l_partkey, rev_cents
+        |FROM rev CROSS JOIN tot
+        |WHERE rev_cents * 8000 > total_cents""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 55)
+        |SELECT c_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q14_gsets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
