@@ -144,6 +144,11 @@ object ScaleProbe {
           col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
           col("o_orderpriority"))
     }
+    gen("supplier") {
+      // l_suppkey is NOT renumbered by the lineitem replicas, so the
+      // supplier dim passes through unchanged (same key universe)
+      spark.read.parquet(s"$sfDir/supplier.parquet")
+    }
     gen("lineitem") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .repartition(nPart).crossJoin(broadcast(reps))
