@@ -2282,6 +2282,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum("price_cents").as("rev_cents"))
     }),
+    // TPC-H Q5 proper (local-supplier revenue per nation in a region):
+    // the full snowflake — region→nation pruned FIRST and broadcast
+    // down the chain; the c_nation = s_nation "local" condition rides
+    // the join, never a post-filter over a wider product
+    "q5b_local_rev" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("rev_cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations.withColumnRenamed("n_nationkey", "nk")),
+          col("s_nationkey") === col("nk"))
+        .groupBy("n_name").agg(sum("rev_cents").as("rev_cents"))
+    }),
     // TPC-H Q11 shape (important stock): (nation, part) revenue groups
     // above 1/8000 of GLOBAL revenue — supplier dim broadcast, the
     // global scalar as an in-plan 1-row cross join, share compare as
@@ -4667,6 +4696,18 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS rev_cents
         |FROM li JOIN per USING (l_partkey)
         |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "q5b_local_rev" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "q11_part_share" ->
       """WITH rev AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |    l_partkey,
