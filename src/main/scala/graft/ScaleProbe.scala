@@ -149,6 +149,8 @@ object ScaleProbe {
       // supplier dim passes through unchanged (same key universe)
       spark.read.parquet(s"$sfDir/supplier.parquet")
     }
+    gen("nation") { spark.read.parquet(s"$sfDir/nation.parquet") }
+    gen("region") { spark.read.parquet(s"$sfDir/region.parquet") }
     gen("lineitem") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .repartition(nPart).crossJoin(broadcast(reps))
