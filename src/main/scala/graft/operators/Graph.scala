@@ -182,9 +182,16 @@ object Graph {
     var adj = und0.select(col("a").as("u"), col("b").as("v"))
       .union(und0.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    // survivor sets only shrink, so the initial node count bounds every
+    // round: when it fits the broadcast threshold, both per-peel semi
+    // joins broadcast and only the degree rollup shuffles (at a
+    // billion-node graph the bound correctly falls back to shuffles)
+    val n0 = adj.select("u").distinct().count()
     for (_ <- 1 to peels) {
-      val alive = adj.groupBy("u").agg(count(lit(1)).as("_d"))
-        .filter(col("_d") >= k).select("u")
+      val alive = Plan.broadcastIfBounded(
+        adj.groupBy("u").agg(count(lit(1)).as("_d"))
+          .filter(col("_d") >= k).select("u"),
+        n0)
       adj = adj
         .join(alive, Seq("u"), "left_semi")
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
