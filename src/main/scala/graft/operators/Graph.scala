@@ -49,11 +49,17 @@ object Graph {
     val base = (1000000000000L * 15L / 100L) / n
     var rank = nodes.withColumn("rank_micro", lit(1000000000000L / n))
     for (_ <- 1 to iterations) {
-      val contrib = rank
-        .join(outdeg, rank("node") === outdeg("src"))
-        .join(e, "src")
-        .select(col("dst").as("node"),
-          expr("(rank_micro * 85 div 100) div outdeg").as("share"))
+      // rank⋈outdeg is node-sized: broadcast it into the edge join when
+      // it fits (n is already counted), so the edge table never
+      // shuffles for the join — only the inflow rollup exchanges.
+      // Billion-node graphs fall back to shuffle joins automatically.
+      val shares = Plan.broadcastIfBounded(
+        rank.join(outdeg, rank("node") === outdeg("src"))
+          .select(col("src"),
+            expr("(rank_micro * 85 div 100) div outdeg").as("share")),
+        n, 32L)
+      val contrib = e.join(shares, "src")
+        .select(col("dst").as("node"), col("share"))
         .groupBy("node").agg(sum("share").as("inflow"))
       rank = nodes
         .join(contrib, Seq("node"), "left")
@@ -120,9 +126,14 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    val deg = und.select(col("a").as("node"))
+    val degAll = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // node-sized: broadcast into both rank joins when it fits (the
+    // checkpointed edge set has no stats, so the hint is explicit);
+    // a billion-node graph falls back to shuffle joins
+    val deg = Plan.broadcastIfBounded(degAll, degAll.count(), 24L)
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -150,7 +161,9 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.join(perNode, Seq("node"), "left")
+    // left side of a left-outer can't be the broadcast build side —
+    // use the unhinted handle for the final node spine join
+    degAll.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
