@@ -2282,6 +2282,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum("price_cents").as("rev_cents"))
     }),
+    // One-pass pairwise correlation matrix over 4 quantized lineitem
+    // measures (k + k(k+1)/2 exact sums in ONE aggregation; a
+    // per-pair loop would scan the corpus 6x)
+    "m_corr_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("price_usd"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("disc_bp"),
+        expr("CAST(round(l_tax * 10000) AS BIGINT)").as("tax_bp"))
+      graft.operators.Stats.corrMatrix(li,
+        Seq("qty", "price_usd", "disc_bp", "tax_bp"))
+    }),
     // TPC-H Q5 proper (local-supplier revenue per nation in a region):
     // the full snowflake — region→nation pruned FIRST and broadcast
     // down the chain; the c_nation = s_nation "local" condition rides
@@ -4696,6 +4708,40 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS rev_cents
         |FROM li JOIN per USING (l_partkey)
         |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "m_corr_matrix" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS price_usd,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+        |    CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp FROM lineitem),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS s0, CAST(sum(price_usd) AS BIGINT) AS s1,
+        |    CAST(sum(disc_bp) AS BIGINT) AS s2, CAST(sum(tax_bp) AS BIGINT) AS s3,
+        |    CAST(sum(qty * qty) AS BIGINT) AS q00,
+        |    CAST(sum(qty * price_usd) AS BIGINT) AS q01,
+        |    CAST(sum(qty * disc_bp) AS BIGINT) AS q02,
+        |    CAST(sum(qty * tax_bp) AS BIGINT) AS q03,
+        |    CAST(sum(price_usd * price_usd) AS BIGINT) AS q11,
+        |    CAST(sum(price_usd * disc_bp) AS BIGINT) AS q12,
+        |    CAST(sum(price_usd * tax_bp) AS BIGINT) AS q13,
+        |    CAST(sum(disc_bp * disc_bp) AS BIGINT) AS q22,
+        |    CAST(sum(disc_bp * tax_bp) AS BIGINT) AS q23,
+        |    CAST(sum(tax_bp * tax_bp) AS BIGINT) AS q33
+        |  FROM li),
+        |p AS (
+        |  SELECT 'qty' AS col_a, 'price_usd' AS col_b, n,
+        |    s0 AS sx, s1 AS sy, q00 AS sxx, q11 AS syy, q01 AS sxy FROM s
+        |  UNION ALL SELECT 'qty', 'disc_bp', n, s0, s2, q00, q22, q02 FROM s
+        |  UNION ALL SELECT 'qty', 'tax_bp', n, s0, s3, q00, q33, q03 FROM s
+        |  UNION ALL SELECT 'price_usd', 'disc_bp', n, s1, s2, q11, q22, q12 FROM s
+        |  UNION ALL SELECT 'price_usd', 'tax_bp', n, s1, s3, q11, q33, q13 FROM s
+        |  UNION ALL SELECT 'disc_bp', 'tax_bp', n, s2, s3, q22, q33, q23 FROM s)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0)
+        |    * 10000) AS BIGINT) AS corr_bp
+        |FROM p""".stripMargin,
     "q5b_local_rev" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

@@ -123,6 +123,46 @@ object Stats {
           |  * 1000000) AS BIGINT) AS dof_micro""".stripMargin)
   }
 
+  /** Pairwise Pearson correlation matrix over k INTEGER columns in ONE
+    * corpus aggregation — the EDA "which measures move together" pass
+    * (k + k·(k+1)/2 exact int64 sums, map-side combined; a per-pair
+    * [[pearsonCorr]] loop would scan the corpus k²/2 times). The
+    * bounded 1-row rollup is collected and each pair's statistic is
+    * computed over LITERALS with the exact fixed-order f64 expression
+    * [[pearsonCorr]] uses (the bounded-literal bit-parity recipe).
+    * Callers pre-quantize: products must fit int64
+    * (`Σ max(|x|)·max(|y|) · rows < 2^63`). Output one row per
+    * unordered pair: `(col_a, col_b, n, corr_bp)`. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"corrMatrix takes 2..16 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (i, j)
+    val aggs = (count(lit(1)).cast("long").as("n") +:
+      cols.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"s_$i") }) ++
+      pairs.map { case (i, j) =>
+        sum(col(cols(i)) * col(cols(j))).as(s"q_${i}_$j") }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getAs[Long]("n")
+    def s(i: Int) = r.getAs[Long](s"s_$i")
+    def q(i: Int, j: Int) =
+      if (i <= j) r.getAs[Long](s"q_${i}_$j") else r.getAs[Long](s"q_${j}_$i")
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs.filter { case (i, j) => i < j }
+      .map { case (i, j) =>
+        (cols(i), cols(j), n, s(i), s(j), q(i, i), q(j, j), q(i, j)) }
+      .toDF("col_a", "col_b", "n", "sx", "sy", "sxx", "syy", "sxy")
+      .select(col("col_a"), col("col_b"), col("n"), expr(
+        """CAST(round(
+          |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          |  nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+          |       (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0)
+          |  * 10000) AS BIGINT)""".stripMargin).as("corr_bp"))
+  }
+
   /** Per-group ordinary-least-squares trend line — the "is this metric
     * drifting?" primitive (daily revenue slope per segment, token-count
     * trend per source). `xCol`/`yCol` must be INTEGER (day index,

@@ -115,6 +115,26 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
   }
 
+  test("corrMatrix: one pass matches per-pair pearsonCorr on every pair") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val df = (1L to 200L).map(i => (i, 3 * i + 7, i % 13, 200L - i))
+      .toDF("a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d")
+    val got = Stats.corrMatrix(df, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got.size === 6)
+    for (i <- cols.indices; j <- (i + 1) until cols.size) {
+      val single = Stats.pearsonCorr(
+        df.withColumn("g", org.apache.spark.sql.functions.lit("g")),
+        Seq("g"), cols(i), cols(j)).collect()(0).getLong(2)
+      assert(got((cols(i), cols(j))) === single,
+        s"pair ${cols(i)},${cols(j)}")
+    }
+    // known values: perfect positive and negative linear pairs
+    assert(got(("a", "b")) === 10000L && got(("a", "d")) === -10000L)
+  }
+
   test("zipfSlope: ~-1 on a 1/rank corpus, exactly 0 on a uniform corpus") {
     import spark.implicits._
     import graft.pipeline.TextStats
