@@ -2282,6 +2282,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum("price_cents").as("rev_cents"))
     }),
+    // Uniform BPR-style negative sampling: 5 non-purchased parts per
+    // customer from the contiguous part universe — draw table is
+    // users x 15, never users x items
+    "p_neg_sample" -> ((s, dir) => {
+      val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      val nItems = t(s, dir, "part").count()
+      graft.pipeline.Similarity.uniformNegatives(
+        inter, "o_custkey", "l_partkey", nItems, k = 5)
+    }),
+    // Deterministic 80/10/10 train/val/test hash split (stable under
+    // corpus growth — a row's split never changes when other rows
+    // come or go), rolled up per (lang, split)
+    "p_split" -> ((s, dir) =>
+      graft.pipeline.Mixing.hashSplit(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))),
     // One-pass pairwise correlation matrix over 4 quantized lineitem
     // measures (k + k(k+1)/2 exact sums in ONE aggregation; a
     // per-pair loop would scan the corpus 6x)
@@ -4708,6 +4730,37 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS rev_cents
         |FROM li JOIN per USING (l_partkey)
         |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "p_neg_sample" ->
+      """WITH inter AS (SELECT DISTINCT o_custkey AS "user", l_partkey AS neg_item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT count(*) AS n_items FROM part),
+        |draws AS (SELECT u."user", CAST(j.range AS BIGINT) + 1 AS j,
+        |    ('0x' || substr(md5(u."user"::VARCHAR || ':' ||
+        |      CAST(j.range + 1 AS VARCHAR) || '##neg'), 1, 15))::BIGINT
+        |      % (SELECT n_items FROM n) AS neg_item
+        |  FROM (SELECT DISTINCT "user" FROM inter) u CROSS JOIN range(15) j),
+        |filt AS (SELECT d.* FROM draws d
+        |  LEFT JOIN inter i ON d."user" = i."user" AND d.neg_item = i.neg_item
+        |  WHERE i."user" IS NULL),
+        |dd AS (SELECT * FROM filt
+        |  QUALIFY row_number() OVER (PARTITION BY "user", neg_item ORDER BY j) = 1)
+        |SELECT "user", neg_item,
+        |  CAST(row_number() OVER (PARTITION BY "user" ORDER BY j) AS BIGINT)
+        |    AS neg_rank
+        |FROM dd
+        |QUALIFY neg_rank <= 5""".stripMargin,
+    "p_split" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '##split'), 1, 15))::BIGINT
+        |      % 1000000 AS draw
+        |  FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |  CASE WHEN draw < 800000 THEN 'train'
+        |       WHEN draw < 900000 THEN 'val'
+        |       ELSE 'test' END AS split FROM d)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "m_corr_matrix" ->
       """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
         |    CAST(round(l_extendedprice) AS BIGINT) AS price_usd,

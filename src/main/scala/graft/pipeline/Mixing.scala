@@ -474,6 +474,37 @@ object Mixing {
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
 
+  /** Deterministic train/validation/test split — the dataset-freeze
+    * primitive: assign each row a named split by carving the 60-bit
+    * hash space of `(id, salt)` into contiguous ppm ranges
+    * (`fractions` in parts-per-million; must sum to ≤ 10^6, any
+    * remainder rows get NULL — an explicit "held out entirely"
+    * bucket). Membership is a pure projection (zero shuffle, zero
+    * state), reproducible across engines/runs/partitionings, and
+    * STABLE under corpus growth: a row's split never changes when
+    * other rows are added or removed — the property random
+    * `randomSplit` does not have and the reason leakage audits insist
+    * on hash splits. Adds `split`. */
+  def hashSplit(
+      docs: DataFrame, idCol: String,
+      fractionsPpm: Seq[(String, Long)], salt: String = "#split"): DataFrame = {
+    require(fractionsPpm.nonEmpty, "at least one split")
+    require(fractionsPpm.map(_._1).distinct.size == fractionsPpm.size,
+      "duplicate split names")
+    require(fractionsPpm.forall(_._2 > 0), "fractions must be positive")
+    require(fractionsPpm.map(_._2).sum <= 1000000L,
+      "fractions must sum to <= 1e6 ppm")
+    val bounds = fractionsPpm.scanLeft(0L) { case (acc, (_, f)) => acc + f }
+    val draw = pmod(Dedup.hash60(col(idCol).cast("string"), lit(salt)),
+      lit(1000000L))
+    val splitCol = fractionsPpm.zip(bounds.sliding(2).toSeq)
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, ((name, _), Seq(lo, hi))) =>
+          when(draw >= lo && draw < hi, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", splitCol)
+  }
+
   /** Square-root temperature mixing (the α = 0.5 point of the
     * Gopher/LLaMA-style `p_s ∝ tokens_s^α` domain-rebalancing family):
     * each stratum's share of `totalTokens` is proportional to

@@ -353,4 +353,49 @@ object Similarity {
       .select(col("vec_id"), col("code").cast("long").as("code"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
+
+  /** Uniform negative sampling for implicit-feedback training
+    * (Rendle et al. 2009's BPR-style negatives, the recsys/contrastive
+    * counterpart of [[hardNegatives]]): for each user, draw
+    * `overdraw·k` deterministic pseudo-uniform item ids from the
+    * contiguous universe `[0, nItems)` (the md5 recipe keyed on
+    * (user, draw index) — reproducible on any engine), drop draws the
+    * user actually interacted with via one anti join, dedup repeated
+    * items keeping the earliest draw, and keep the first `k` by draw
+    * order. A user interacting with fraction p of the universe keeps
+    * ≥ k negatives with probability ≈ 1 − Binom(overdraw·k, p)
+    * shortfall — overdraw 3 is ample below p ≈ 0.4.
+    *
+    * Items must be contiguous ids (build them with
+    * [[graft.pipeline.TextStats.vocabulary]]/GlobalRank when they
+    * aren't). Scale shape: the draw table is `users × overdraw·k`
+    * (never `users × items`), the anti join is keyed on
+    * (user, item), and the two windows run over ≤ overdraw·k rows
+    * per user. Output: `(user, neg_item, neg_rank)`. */
+  def uniformNegatives(
+      interactions: DataFrame, userCol: String, itemCol: String,
+      nItems: Long, k: Int, overdraw: Int = 3,
+      salt: String = "#neg"): DataFrame = {
+    require(nItems >= 2, s"nItems >= 2, got $nItems")
+    require(k >= 1 && overdraw >= 2, s"k >= 1 and overdraw >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val users = interactions.select(col(userCol).as("user")).distinct()
+    val draws = users
+      .select(col("user"),
+        explode(expr(s"sequence(1, ${overdraw.toLong * k})")).as("j"))
+      .withColumn("neg_item", pmod(
+        Dedup.hash60(
+          concat(col("user").cast("string"), lit(":"), col("j").cast("string")),
+          lit(salt)),
+        lit(nItems)))
+    val inter = interactions
+      .select(col(userCol).as("user"), col(itemCol).as("neg_item")).distinct()
+    val w1 = Window.partitionBy("user", "neg_item").orderBy("j")
+    val w2 = Window.partitionBy("user").orderBy("j")
+    draws.join(inter, Seq("user", "neg_item"), "left_anti")
+      .withColumn("_r", row_number().over(w1)).filter(col("_r") === 1)
+      .withColumn("neg_rank", row_number().over(w2).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("user"), col("neg_item"), col("neg_rank"))
+  }
 }

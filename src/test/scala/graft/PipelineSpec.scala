@@ -1292,6 +1292,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.getLong(1) > 0L && r1.getLong(2) > 0L, "shifted distributions diverge")
   }
 
+  test("hashSplit: ppm-accurate, growth-stable, remainder is NULL") {
+    import spark.implicits._
+    val docs = (0L until 10000L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    val fr = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+    val counts = Mixing.hashSplit(docs, "doc_id", fr)
+      .groupBy("split").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(math.abs(counts(Some("train")) - 8000L) < 200L, s"$counts")
+    assert(math.abs(counts(Some("val")) - 1000L) < 120L)
+    // growth stability: a row's split is identical in a larger corpus
+    val small = Mixing.hashSplit(docs.limit(100), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val large = Mixing.hashSplit(docs, "doc_id", fr)
+      .filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(small === large)
+    // fractions summing below 1e6 leave a NULL remainder bucket
+    val part = Mixing.hashSplit(docs, "doc_id", Seq("x" -> 500000L))
+      .groupBy("split").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(part.contains(None) && math.abs(part(None) - 5000L) < 200L)
+  }
+
+  test("uniformNegatives: k per user, never an interacted item, in-range, deterministic") {
+    import spark.implicits._
+    // user 1 interacted with half the universe; user 2 with one item
+    val inter = ((0L until 10L).map(i => (1L, i * 2)) ++ Seq((2L, 7L)))
+      .toDF("u", "it")
+    val got = Similarity.uniformNegatives(inter, "u", "it",
+      nItems = 20L, k = 4, overdraw = 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val interSet = inter.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (u, item, _) =>
+      assert(!interSet((u, item)), s"sampled an interacted item: $u -> $item")
+      assert(item >= 0L && item < 20L)
+    }
+    assert(rows.count(_._1 == 1L) === 4 && rows.count(_._1 == 2L) === 4)
+    // per-user items are distinct; rerun is identical
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).distinct.size == rs.size })
+    val again = Similarity.uniformNegatives(inter, "u", "it",
+      nItems = 20L, k = 4, overdraw = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted === rows.sorted)
+  }
+
   test("charEntropy: uniform alphabet hits ln|A|, constant text is 0, prefix caps") {
     import spark.implicits._
     val docs = Seq(
