@@ -151,6 +151,7 @@ object ScaleProbe {
     }
     gen("nation") { spark.read.parquet(s"$sfDir/nation.parquet") }
     gen("region") { spark.read.parquet(s"$sfDir/region.parquet") }
+    gen("part") { spark.read.parquet(s"$sfDir/part.parquet") }
     gen("lineitem") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .repartition(nPart).crossJoin(broadcast(reps))

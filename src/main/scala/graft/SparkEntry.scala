@@ -2286,7 +2286,10 @@ object SparkEntry {
     // customer from the contiguous part universe — draw table is
     // users x 15, never users x items
     "p_neg_sample" -> ((s, dir) => {
+      // fact-to-fact join: pin a sort-merge join so a column-pruned stats
+      // under-estimate can never broadcast a 15M-row orders side
       val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .hint("merge")
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_partkey"))

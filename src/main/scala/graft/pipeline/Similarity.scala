@@ -388,8 +388,13 @@ object Similarity {
           concat(col("user").cast("string"), lit(":"), col("j").cast("string")),
           lit(salt)),
         lit(nItems)))
+    // the interaction set is CORPUS-sized — pin a sort-merge join (spill-safe) so
+    // a stats mis-estimate can never broadcast it (measured: Catalyst
+    // under-estimated a 15M-pair side below a 64 MB threshold at the
+    // ×100 probe and OOM'd the build)
     val inter = interactions
       .select(col(userCol).as("user"), col(itemCol).as("neg_item")).distinct()
+      .hint("merge")
     val w1 = Window.partitionBy("user", "neg_item").orderBy("j")
     val w2 = Window.partitionBy("user").orderBy("j")
     draws.join(inter, Seq("user", "neg_item"), "left_anti")
