@@ -2297,6 +2297,18 @@ object SparkEntry {
       graft.pipeline.Similarity.uniformNegatives(
         inter, "o_custkey", "l_partkey", nItems, k = 5)
     }),
+    // Popularity-proportional negatives via EXACT integer inverse-CDF
+    // (cumulative count ranges + the bucketed point-in-interval join —
+    // never a draws x items product, no floats anywhere)
+    "p_pop_negatives" -> ((s, dir) => {
+      val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .hint("merge")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      graft.pipeline.Similarity.popularityNegatives(
+        inter, "o_custkey", "l_partkey", k = 5)
+    }),
     // Deterministic 80/10/10 train/val/test hash split (stable under
     // corpus growth — a row's split never changes when other rows
     // come or go), rolled up per (lang, split)
@@ -4733,6 +4745,30 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS rev_cents
         |FROM li JOIN per USING (l_partkey)
         |WHERE q * 5 * n_q < sum_q""".stripMargin,
+    "p_pop_negatives" ->
+      """WITH inter AS (SELECT o_custkey AS "user", l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pop AS (SELECT item AS neg_item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM inter GROUP BY 1),
+        |rng AS (SELECT neg_item, cnt, CAST(coalesce(sum(cnt) OVER
+        |    (ORDER BY neg_item ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS lo
+        |  FROM pop),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM pop),
+        |draws AS (SELECT u."user", CAST(j.range AS BIGINT) + 1 AS j,
+        |    ('0x' || substr(md5(u."user"::VARCHAR || ':' ||
+        |      CAST(j.range + 1 AS VARCHAR) || '##pneg'), 1, 15))::BIGINT
+        |      % (SELECT total FROM t) AS r
+        |  FROM (SELECT DISTINCT "user" FROM inter) u CROSS JOIN range(20) j),
+        |asg AS (SELECT d."user", d.j, rng.neg_item
+        |  FROM draws d JOIN rng ON d.r >= rng.lo AND d.r < rng.lo + rng.cnt),
+        |dd AS (SELECT * FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY "user", neg_item ORDER BY j) = 1)
+        |SELECT "user", neg_item,
+        |  CAST(row_number() OVER (PARTITION BY "user" ORDER BY j) AS BIGINT)
+        |    AS neg_rank
+        |FROM dd
+        |QUALIFY neg_rank <= 5""".stripMargin,
     "p_neg_sample" ->
       """WITH inter AS (SELECT DISTINCT o_custkey AS "user", l_partkey AS neg_item
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -403,4 +403,59 @@ object Similarity {
       .filter(col("neg_rank") <= k)
       .select(col("user"), col("neg_item"), col("neg_rank"))
   }
+
+  /** Popularity-proportional negative sampling (the word2vec/recsys
+    * unigram scheme): inclusion probability ∝ an item's interaction
+    * count, implemented as EXACT integer inverse-CDF sampling — items
+    * own contiguous cumulative count ranges `[lo, lo+cnt)`, each
+    * uniform 60-bit draw mod Σcnt lands in exactly one range, and the
+    * range lookup is [[graft.operators.IntervalJoin.pointInInterval]]
+    * (the bucketed interval join — never a draws × items product).
+    * Bit-replayable: no floats anywhere.
+    *
+    * The cumulative ranges come from one window over the ITEM table
+    * (vocabulary-bounded — the [[graft.pipeline.TextStats.zipfSlope]]
+    * caveat; a billion-item catalog would use the GlobalRank two-stage
+    * prefix sum). Popular items repeat across draws, so yield after
+    * per-user dedup is below `overdraw·k` on skewed catalogs — raise
+    * `overdraw` there. Interacted items are NOT excluded (the classic
+    * scheme samples from the full unigram table); compose with
+    * [[uniformNegatives]]'s anti join when exclusion is wanted.
+    * Output: `(user, neg_item, neg_rank)`. */
+  def popularityNegatives(
+      interactions: DataFrame, userCol: String, itemCol: String,
+      k: Int, overdraw: Int = 4, salt: String = "#pneg"): DataFrame = {
+    require(k >= 1 && overdraw >= 2, "k >= 1 and overdraw >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pop = interactions
+      .groupBy(col(itemCol).as("neg_item")).agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("neg_item")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranges = pop
+      .withColumn("lo", coalesce(sum("cnt").over(wc), lit(0L)))
+      .withColumn("hi", col("lo") + col("cnt") - 1)
+    // bounded 1-row collect: the draw modulus and the bucket width
+    val r0 = ranges.agg(sum("cnt"), max("cnt")).collect()(0)
+    val (total, maxCnt) = (r0.getLong(0), r0.getLong(1))
+    val width = math.max(1L, maxCnt / 32 + 1)
+    val users = interactions.select(col(userCol).as("user")).distinct()
+    val draws = users
+      .select(col("user"),
+        explode(expr(s"sequence(1, ${overdraw.toLong * k})")).as("j"))
+      .withColumn("r", pmod(
+        Dedup.hash60(
+          concat(col("user").cast("string"), lit(":"), col("j").cast("string")),
+          lit(salt)),
+        lit(total)))
+    val assigned = graft.operators.IntervalJoin.pointInInterval(
+      ranges.select("neg_item", "lo", "hi"), draws,
+      Seq.empty, "lo", "hi", "r", bucketWidth = width)
+    val w1 = Window.partitionBy("user", "neg_item").orderBy("j")
+    val w2 = Window.partitionBy("user").orderBy("j")
+    assigned
+      .withColumn("_d", row_number().over(w1)).filter(col("_d") === 1)
+      .withColumn("neg_rank", row_number().over(w2).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("user"), col("neg_item"), col("neg_rank"))
+  }
 }

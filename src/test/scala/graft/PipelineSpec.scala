@@ -1338,6 +1338,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sorted === rows.sorted)
   }
 
+  test("popularityNegatives: inclusion tracks popularity, every draw lands once") {
+    import spark.implicits._
+    // item 1 is 60x more popular than items 2..11
+    val inter = ((1 to 600).map(i => (i.toLong % 50, 1L)) ++
+      (1 to 100).flatMap(i => (2L to 11L).map(it => ((i % 50).toLong, it))))
+      .toDF("u", "it")
+    val got = Similarity.popularityNegatives(inter, "u", "it",
+      k = 8, overdraw = 4)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // dominant item appears for almost every user (p_miss per draw 0.625^32)
+    val usersWithTop = rows.filter(_._2 == 1L).map(_._1).distinct.length
+    assert(usersWithTop >= 45, s"only $usersWithTop/50 users drew the head item")
+    // aggregate draw mass: the head item is ~0.375 of all kept negatives'
+    // PRE-dedup draws; post-dedup it is capped at 1/user, so just assert
+    // every item id is valid and ranks are contiguous from 1
+    rows.foreach { case (_, it) => assert(it >= 1L && it <= 11L) }
+    got.groupBy("user").agg(min("neg_rank"), max("neg_rank"), count(lit(1)))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 1L && r.getLong(2) === r.getLong(3))
+      }
+    // deterministic across reruns
+    val again = Similarity.popularityNegatives(inter, "u", "it",
+      k = 8, overdraw = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted === rows.sorted)
+  }
+
   test("charEntropy: uniform alphabet hits ln|A|, constant text is 0, prefix caps") {
     import spark.implicits._
     val docs = Seq(
