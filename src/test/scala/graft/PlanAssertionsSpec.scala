@@ -297,6 +297,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unused text column must be pruned from the scan:\n$plan")
   }
 
+  test("hashSplit is a zero-shuffle projection; negative-sampling joins never NL") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    val splitPlan = planOf(graft.pipeline.Mixing.hashSplit(
+      docs, "doc_id", Seq("a" -> 500000L, "b" -> 500000L)))
+    assert(!splitPlan.contains("Exchange"),
+      s"hashSplit must not shuffle:\n$splitPlan")
+    val inter = (1L to 50L).flatMap(u => (0L until 20L by 2).map(i => (u, i)))
+      .toDF("u", "it")
+    val negPlan = planOf(graft.pipeline.Similarity.popularityNegatives(
+      inter, "u", "it", k = 4))
+    assert(!negPlan.contains("NestedLoop") && !negPlan.contains("Cartesian"),
+      s"inverse-CDF lookup must stay a bucketed equi-join:\n$negPlan")
+  }
+
   test("q22/q13: broadcast scalar rollup, anti-join shape, pushed date filter") {
     val sfDir = "/root/testdata/sf0.001"
     assume(graft.util.Fs.exists(s"$sfDir/orders.parquet"))
