@@ -193,7 +193,10 @@ object SparkEntry {
       val n = spend.count()
       graft.operators.GlobalRank
         .withGlobalRank(spend, Seq(col("spend_cents").desc, col("user_id")))
-        .withColumn("pr_bp", expr(s"(global_rank - 1) * 10000 div (${n - 1})"))
+        // n == 1 guard: percent_rank of a singleton is 0 by convention
+        // (Spark's `div 0` would yield NULL; DuckDB's `// 0` errors)
+        .withColumn("pr_bp",
+          expr(s"(global_rank - 1) * 10000 div (${math.max(n - 1, 1L)})"))
         .select("user_id", "spend_cents", "global_rank", "pr_bp")
     }),
     // Unpivot/melt — the inverse of q4's pivot: wide per-nation metrics
@@ -2294,8 +2297,10 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_partkey"))
       val nItems = t(s, dir, "part").count()
+      // TPC-H partkeys are 1-based: idBase = 1 keeps every draw inside
+      // the real part universe [1, nItems]
       graft.pipeline.Similarity.uniformNegatives(
-        inter, "o_custkey", "l_partkey", nItems, k = 5)
+        inter, "o_custkey", "l_partkey", nItems, k = 5, idBase = 1L)
     }),
     // Popularity-proportional negatives via EXACT integer inverse-CDF
     // (cumulative count ranges + the bucketed point-in-interval join —
@@ -3757,7 +3762,7 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY spend_cents DESC, user_id) AS global_rank
         |  FROM sp)
         |SELECT user_id, spend_cents, CAST(global_rank AS BIGINT) AS global_rank,
-        |  (global_rank - 1) * 10000 // (SELECT count(*) - 1 FROM sp) AS pr_bp
+        |  (global_rank - 1) * 10000 // greatest((SELECT count(*) - 1 FROM sp), 1) AS pr_bp
         |FROM r""".stripMargin,
     "q8_unpivot" ->
       """WITH a AS (SELECT c_nationkey, count(*) AS n_customers,
@@ -4774,7 +4779,7 @@ object SparkEntry {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |n AS (SELECT count(*) AS n_items FROM part),
         |draws AS (SELECT u."user", CAST(j.range AS BIGINT) + 1 AS j,
-        |    ('0x' || substr(md5(u."user"::VARCHAR || ':' ||
+        |    1 + ('0x' || substr(md5(u."user"::VARCHAR || ':' ||
         |      CAST(j.range + 1 AS VARCHAR) || '##neg'), 1, 15))::BIGINT
         |      % (SELECT n_items FROM n) AS neg_item
         |  FROM (SELECT DISTINCT "user" FROM inter) u CROSS JOIN range(15) j),

@@ -47,6 +47,37 @@ object GlobalRank {
       .drop("_gr_pid", "_gr_local", "_gr_off")
   }
 
+  /** Adds the EXCLUSIVE global prefix sum of `valueCol` (a long) under
+    * the total order `sortCols` — `sum(value) OVER (ORDER BY sortCols
+    * ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)` without the
+    * single-partition window. Same two-stage shape as
+    * [[withGlobalRank]]: range-repartition on the sort keys, local
+    * exclusive cumsum per partition, then add the exclusive prefix sum
+    * of per-partition totals (a ≤numPartitions-row broadcast side).
+    * The result is the unique exclusive prefix sum of the total order,
+    * independent of how the range partitioner drew its boundaries. */
+  def withGlobalPrefixSum(df: DataFrame, valueCol: Column,
+      sortCols: Seq[Column], outCol: String = "prefix_sum",
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("_gp_pid", spark_partition_id())
+      .withColumn("_gp_v", valueCol.cast("long"))
+    val local = parted.withColumn("_gp_local",
+      coalesce(sum("_gp_v").over(
+        Window.partitionBy("_gp_pid").orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = local.groupBy("_gp_pid").agg(sum("_gp_v").as("_gp_n"))
+      .withColumn("_gp_off",
+        coalesce(sum("_gp_n").over(Window.orderBy("_gp_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_gp_pid", "_gp_off")
+    local.join(broadcast(offsets), Seq("_gp_pid"))
+      .withColumn(outCol, col("_gp_off") + col("_gp_local"))
+      .drop("_gp_pid", "_gp_v", "_gp_local", "_gp_off")
+  }
+
   /** SQL-standard NTILE(k) from the global rank, all-integer arithmetic:
     * with N rows, q = N div k, m = N mod k, the first m buckets hold
     * q+1 rows and the rest hold q. Matches `ntile(k) OVER (ORDER BY

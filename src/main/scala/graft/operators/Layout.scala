@@ -109,7 +109,10 @@ object Layout {
     * FileSystem impl), not a row-count guess, so compression ratio
     * changes don't skew it. Uses coalesce (no shuffle) — partition
     * mixing is acceptable for compaction; use [[zorderRepartition]]
-    * first when clustering matters. Returns the output file count. */
+    * first when clustering matters. Returns the ACTUAL output file
+    * count (an FS listing of `outPath`, not the planned n — coalesce
+    * cannot raise the partition count, so when the input has fewer
+    * partitions than the plan the write emits fewer files). */
   def compactTo(
       spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -118,6 +121,6 @@ object Layout {
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(n)
       .write.mode("overwrite").parquet(outPath)
-    n
+    graft.util.Fs.countDataFiles(outPath)
   }
 }

@@ -59,7 +59,10 @@ object SkewJoin {
     val total = df.count() // one job; driver-known scalar
     counts
       .withColumn("share_ppm", (col("n_rows") * 1000000L / lit(total)).cast("long"))
-      .orderBy(col("n_rows").desc, col(keys.head).asc)
+      // total order: count desc, then EVERY key column asc — ties on
+      // (n_rows, keys.head) at the topN boundary would otherwise make
+      // the census nondeterministic across runs/partitionings
+      .orderBy(col("n_rows").desc +: keys.map(col(_).asc): _*)
       .limit(topN)
   }
 }

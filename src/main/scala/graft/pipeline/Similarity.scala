@@ -366,7 +366,10 @@ object Similarity {
     * ≥ k negatives with probability ≈ 1 − Binom(overdraw·k, p)
     * shortfall — overdraw 3 is ample below p ≈ 0.4.
     *
-    * Items must be contiguous ids (build them with
+    * Items must be contiguous ids starting at `idBase` (the draw is
+    * `idBase + hash mod nItems`, i.e. the universe is
+    * `[idBase, idBase + nItems)` — pass `idBase = 1` for 1-based
+    * catalogs like TPC-H partkeys; build contiguous ids with
     * [[graft.pipeline.TextStats.vocabulary]]/GlobalRank when they
     * aren't). Scale shape: the draw table is `users × overdraw·k`
     * (never `users × items`), the anti join is keyed on
@@ -375,7 +378,7 @@ object Similarity {
   def uniformNegatives(
       interactions: DataFrame, userCol: String, itemCol: String,
       nItems: Long, k: Int, overdraw: Int = 3,
-      salt: String = "#neg"): DataFrame = {
+      salt: String = "#neg", idBase: Long = 0L): DataFrame = {
     require(nItems >= 2, s"nItems >= 2, got $nItems")
     require(k >= 1 && overdraw >= 2, s"k >= 1 and overdraw >= 2")
     import org.apache.spark.sql.expressions.Window
@@ -383,7 +386,7 @@ object Similarity {
     val draws = users
       .select(col("user"),
         explode(expr(s"sequence(1, ${overdraw.toLong * k})")).as("j"))
-      .withColumn("neg_item", pmod(
+      .withColumn("neg_item", lit(idBase) + pmod(
         Dedup.hash60(
           concat(col("user").cast("string"), lit(":"), col("j").cast("string")),
           lit(salt)),
@@ -413,10 +416,12 @@ object Similarity {
     * (the bucketed interval join — never a draws × items product).
     * Bit-replayable: no floats anywhere.
     *
-    * The cumulative ranges come from one window over the ITEM table
-    * (vocabulary-bounded — the [[graft.pipeline.TextStats.zipfSlope]]
-    * caveat; a billion-item catalog would use the GlobalRank two-stage
-    * prefix sum). Popular items repeat across draws, so yield after
+    * The cumulative ranges come from
+    * [[graft.operators.GlobalRank.withGlobalPrefixSum]] — a two-stage
+    * distributed prefix sum over the item table (range-repartition +
+    * local cumsum + per-partition offset broadcast), so a billion-item
+    * catalog never serializes through a single-partition window.
+    * Popular items repeat across draws, so yield after
     * per-user dedup is below `overdraw·k` on skewed catalogs — raise
     * `overdraw` there. Interacted items are NOT excluded (the classic
     * scheme samples from the full unigram table); compose with
@@ -429,10 +434,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val pop = interactions
       .groupBy(col(itemCol).as("neg_item")).agg(count(lit(1)).as("cnt"))
-    val wc = Window.orderBy("neg_item")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranges = pop
-      .withColumn("lo", coalesce(sum("cnt").over(wc), lit(0L)))
+    val ranges = graft.operators.GlobalRank
+      .withGlobalPrefixSum(pop, col("cnt"), Seq(col("neg_item")), "lo")
       .withColumn("hi", col("lo") + col("cnt") - 1)
     // bounded 1-row collect: the draw modulus and the bucket width
     val r0 = ranges.agg(sum("cnt"), max("cnt")).collect()(0)

@@ -54,6 +54,21 @@ object Fs {
     else f.getContentSummary(p).getLength
   }
 
+  /** Count of data files under `path` (recursive), skipping writer
+    * side-markers (`_SUCCESS`, hidden `.`/`_` files) — the honest
+    * "how many part files did that write actually emit". */
+  def countDataFiles(path: String): Int = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return 0
+    var n = 0
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** (modification time, length) stamp of a side file — cheap change
     * detection for cached readers (a rewritten manifest.json means the
     * index tables changed underneath an open handle). (0, 0) when

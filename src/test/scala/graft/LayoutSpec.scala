@@ -134,5 +134,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(files === n, s"expected $n output files, got $files")
     // row fidelity
     assert(spark.read.parquet(out).count() === 10000L)
+    // coalesce cannot RAISE the partition count: with a 1-partition
+    // input and a tiny targetBytes the plan wants many files but the
+    // write emits one — the return value must report the actual count
+    val in1 = "/tmp/graft_layout_compact_in1"
+    val out1 = "/tmp/graft_layout_compact_out1"
+    graft.util.Fs.deleteRecursively(in1)
+    graft.util.Fs.deleteRecursively(out1)
+    (0L until 200000L).map(i => (i, s"padded payload string $i"))
+      .toDF("id", "v").coalesce(1).write.parquet(in1)
+    val n1 = graft.operators.Layout.compactTo(spark, in1, out1,
+      targetBytes = 1024 * 1024)
+    val files1 = new java.io.File(out1).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(n1 === files1, s"returned $n1 but wrote $files1 files")
   }
 }

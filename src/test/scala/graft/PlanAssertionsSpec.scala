@@ -306,10 +306,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"hashSplit must not shuffle:\n$splitPlan")
     val inter = (1L to 50L).flatMap(u => (0L until 20L by 2).map(i => (u, i)))
       .toDF("u", "it")
-    val negPlan = planOf(graft.pipeline.Similarity.popularityNegatives(
-      inter, "u", "it", k = 4))
+    val negDf = graft.pipeline.Similarity.popularityNegatives(
+      inter, "u", "it", k = 4)
+    val negPlan = planOf(negDf)
     assert(!negPlan.contains("NestedLoop") && !negPlan.contains("Cartesian"),
       s"inverse-CDF lookup must stay a bucketed equi-join:\n$negPlan")
+    // The cumulative item ranges come from GlobalRank's two-stage prefix
+    // sum: the ONLY unpartitioned WindowExec allowed is the per-partition
+    // offsets prefix (ordered on the synthetic _gp_pid, ≤ numPartitions
+    // rows). An unpartitioned window ordered on the ITEM key would
+    // serialize the whole vocabulary through one task at catalog scale.
+    val phys = negDf.queryExecution.executedPlan match {
+      // AQE wraps the plan in a leaf node — collect would see nothing
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val unpart = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty,
+      s"expected the bounded offsets prefix window in the plan (did the " +
+        s"prefix-sum shape change?):\n$negPlan")
+    unpart.foreach { w =>
+      val orderRefs = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name))
+      assert(orderRefs.forall(_.startsWith("_gp_pid")),
+        s"vocabulary-sized single-partition window in popularityNegatives " +
+          s"(ordered on ${orderRefs.mkString(",")}):\n$negPlan")
+    }
   }
 
   test("q22/q13: broadcast scalar rollup, anti-join shape, pushed date filter") {

@@ -13,6 +13,7 @@ import math
 import struct
 import subprocess
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -83,6 +84,14 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return struct.pack("<d", a) == struct.pack("<d", b)
+    # Symmetric int-strictness: bool-vs-int (True == 1) and
+    # Decimal-vs-int (Decimal(1) == 1) would otherwise certify green
+    # through plain `==` — the same class of blind spot as the
+    # int-vs-float one above. Decimal-vs-Decimal still compares by ==.
+    if _is_int(a) != _is_int(b):
+        return False
+    if isinstance(a, Decimal) != isinstance(b, Decimal):
+        return False
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
     return a == b
