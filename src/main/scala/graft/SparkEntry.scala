@@ -642,6 +642,21 @@ object SparkEntry {
         .groupBy(col("doc_id").as("query_id")).agg(
           transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
             x => x.getField("embedding")).as("embeddings"))
+      // Correctness twin (Verify only — the graft.verify property, set
+      // by graft.Verify.main): replay the SAME 64-query batch through
+      // the DISTRIBUTED funnel with both serving fast paths disabled
+      // and dump it; the oracle reads the dump back, so the driver's
+      // hash compare proves fast-path == distributed-funnel result
+      // identity (the S9 4-strategy contract, Searcher scaladoc) end to
+      // end instead of recording a rows-only `no_oracle`. Guarded so
+      // Bench keeps timing pure serving throughput.
+      if (sys.props.get("graft.verify").contains("1"))
+        GraftIndex.open(s, path)
+          .search(queries, graft.search.SearchParams(
+            localIndexBudgetBytes = 0, shardedScoreBudgetBytes = 0))
+          .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
+            round(col("score"), 3).as("score"))
+          .write.mode("overwrite").parquet(s"$path/qps_funnel")
       GraftIndex.open(s, path)
         .search(queries, graft.search.SearchParams())
         .select(col("query_id"), col("doc_id"), col("rank").cast("long"),
@@ -3951,6 +3966,14 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    // Not a tautology: the dump is the DISTRIBUTED funnel's answer
+    // (fast paths disabled, written by the Verify-only twin inside the
+    // query), while the compared Spark result is the serving fast
+    // path — the driver's hash compare IS the cross-implementation
+    // result-identity check at the reference serving configuration.
+    "v_search_qps" ->
+      """SELECT query_id, doc_id, rank, score
+        |FROM read_parquet('/tmp/graft_idx__root_testdata_sf0_01/qps_funnel/*.parquet')""".stripMargin,
     "c6_path_penalty" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  CASE WHEN doc_id % 5 = 0 THEN 'tests/' || source || '.py'

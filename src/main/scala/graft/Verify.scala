@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Correctness-gate marker: queries whose DuckDB twin reads a dumped
+    // artifact that is EXPENSIVE to produce (v_search_qps' distributed-
+    // funnel replay) key the dump on this, so Bench's timings stay pure
+    // serving throughput while Verify always materializes the twin.
+    System.setProperty("graft.verify", "1")
     // optional 3rd arg: comma-separated query names (local iteration only —
     // the driver always runs the full suite)
     val only: Option[Set[String]] =
