@@ -2127,6 +2127,54 @@ object SparkEntry {
       finally q.stop()
       s.table("st_stream_dedup_sink").select("doc_id", "text", "text_hash")
     }),
+    // Stream-stream time-range join (attribution: each purchase joined
+    // to the user's clicks in the trailing 24 h) — Structured
+    // Streaming's watermarked range condition IS the streaming
+    // counterpart of the batch pointInInterval. Gate parity: the
+    // watermark is sized to the corpus span (90 days >> the 30-day
+    // testdata stream) so no row can be late and the append-mode inner
+    // join emits exactly the batch join — which the DuckDB oracle
+    // replays. Bounded-state behavior under a TIGHT watermark (state
+    // eviction, late-row drop) is pinned by StreamingSpec's
+    // stream-stream test; at production scale the 24h+delay window
+    // bounds per-key state, not the corpus.
+    "st_range_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events").select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"), col("event_type"))
+      def side(tp: String): Seq[(Long, Long, Long)] = ev
+        .filter(col("event_type") === tp)
+        .select(col("ts_us"), col("user_id"), col("event_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val clickS = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val buyS = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val clicks = clickS.toDF().toDF("c_us", "c_user", "click_id")
+        .withColumn("c_ts", timestamp_micros(col("c_us")))
+        .withWatermark("c_ts", "90 days")
+      val buys = buyS.toDF().toDF("p_us", "p_user", "purchase_id")
+        .withColumn("p_ts", timestamp_micros(col("p_us")))
+        .withWatermark("p_ts", "90 days")
+      val joined = buys.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+      val ckpt = "/tmp/graft_strange_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(ckpt)
+      val q = joined.writeStream.format("memory")
+        .queryName("st_range_join_sink").outputMode("append")
+        .option("checkpointLocation", s"$ckpt/ckpt").start()
+      try {
+        clickS.addData(side("click"))
+        buyS.addData(side("purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("st_range_join_sink").select("purchase_id", "click_id", "gap_us")
+    }),
 
     // C7: incremental reindex ≡ scratch rebuild (colgrep mod.rs:
     // 1615-1956). A 120-file Python tree (sources derived from the
@@ -4340,6 +4388,16 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "st_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, ts_us AS p_us, user_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, ts_us AS c_us, user_id FROM e
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id, p.p_us - c.c_us AS gap_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_us >= p.p_us - 86400000000 AND c.c_us <= p.p_us""".stripMargin,
     "e_prep_query" ->
       """SELECT doc_id, array_to_string(list_slice(list_concat(
         |    list_concat(['[Q]'], list_filter(

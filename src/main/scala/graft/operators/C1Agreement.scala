@@ -89,7 +89,7 @@ object C1Agreement {
   }
 
   final case class StructScore(lang: String, cases: Int, sigOk: Int,
-      codeOk: Int, fullOk: Int) {
+      codeOk: Int, fullOk: Int, callsOk: Int) {
     def pct(n: Int): Double = if (cases == 0) 100.0 else 100.0 * n / cases
   }
 
@@ -137,6 +137,7 @@ object C1Agreement {
         val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val blocks = text.split("""#\[test\]""").drop(1)
         var cases = 0; var sigOk = 0; var codeOk = 0; var fullOk = 0
+        var callsOk = 0
         blocks.foreach { block =>
           for (src <- sourceRe.findFirstMatchIn(block).map(_.group(2))) {
             val fileName = parseRe.findFirstMatchIn(block).map(_.group(2))
@@ -170,6 +171,11 @@ object C1Agreement {
                   val i = exp.indexOf("Code:\n")
                   if (i >= 0) Some(exp.substring(i + 6)) else None
                 }
+                // call-graph ground truth: the expected literal's
+                // `Calls:` / `Called by:` lines — ABSENCE is also
+                // asserted (a no-calls unit must not invent a line)
+                val expCalls = exp.linesIterator.find(_.startsWith("Calls: "))
+                val expCalledBy = exp.linesIterator.find(_.startsWith("Called by: "))
                 units.find(u => u.name == uname || u.qualifiedName == uname) match {
                   case Some(u) =>
                     if (expSig.forall(_ == u.signature)) sigOk += 1
@@ -177,7 +183,13 @@ object C1Agreement {
                     if (expCode.forall(c => rstrip(c) == rstrip(u.code))) codeOk += 1
                     else if (verbose) println(s"CODE [$lang] '$uname' ours=<<<${rstrip(u.code)}>>> want=<<<${rstrip(expCode.get)}>>>")
                     if (CodeUnits.embedText(u) == exp) fullOk += 1
-                  case None => // counted as all-three misses
+                    val ourCalls = if (u.calls.nonEmpty)
+                      Some(s"Calls: ${u.calls.mkString(", ")}") else None
+                    val ourCalledBy = if (u.calledBy.nonEmpty)
+                      Some(s"Called by: ${u.calledBy.mkString(", ")}") else None
+                    if (expCalls == ourCalls && expCalledBy == ourCalledBy) callsOk += 1
+                    else if (verbose) println(s"CALLS [$lang] '$uname' ours='${ourCalls.orElse(ourCalledBy)}' want='${expCalls.orElse(expCalledBy)}'")
+                  case None => // counted as all-four misses
                     if (verbose) println(s"NOUNIT [$lang] '$uname'")
                 }
               }
@@ -185,7 +197,7 @@ object C1Agreement {
           }
         }
         if (cases == 0) None
-        else Some(StructScore(lang, cases, sigOk, codeOk, fullOk))
+        else Some(StructScore(lang, cases, sigOk, codeOk, fullOk, callsOk))
       }
     }.toSeq
   }
@@ -234,13 +246,13 @@ object C1Agreement {
 
     val structs = scoreStructure(testsDir)
     println("\nC1_STRUCTURE span/signature agreement vs build_embedding_text fixtures:")
-    println(f"${"lang"}%-12s ${"cases"}%6s ${"sig%"}%7s ${"code%"}%7s ${"full%"}%7s")
+    println(f"${"lang"}%-12s ${"cases"}%6s ${"sig%"}%7s ${"code%"}%7s ${"full%"}%7s ${"calls%"}%7s")
     structs.foreach { s =>
-      println(f"${s.lang}%-12s ${s.cases}%6d ${s.pct(s.sigOk)}%6.1f%% ${s.pct(s.codeOk)}%6.1f%% ${s.pct(s.fullOk)}%6.1f%%")
+      println(f"${s.lang}%-12s ${s.cases}%6d ${s.pct(s.sigOk)}%6.1f%% ${s.pct(s.codeOk)}%6.1f%% ${s.pct(s.fullOk)}%6.1f%% ${s.pct(s.callsOk)}%6.1f%%")
     }
     val st = StructScore("TOTAL", structs.map(_.cases).sum, structs.map(_.sigOk).sum,
-      structs.map(_.codeOk).sum, structs.map(_.fullOk).sum)
-    println(f"${st.lang}%-12s ${st.cases}%6d ${st.pct(st.sigOk)}%6.1f%% ${st.pct(st.codeOk)}%6.1f%% ${st.pct(st.fullOk)}%6.1f%%")
+      structs.map(_.codeOk).sum, structs.map(_.fullOk).sum, structs.map(_.callsOk).sum)
+    println(f"${st.lang}%-12s ${st.cases}%6d ${st.pct(st.sigOk)}%6.1f%% ${st.pct(st.codeOk)}%6.1f%% ${st.pct(st.fullOk)}%6.1f%% ${st.pct(st.callsOk)}%6.1f%%")
 
     val corpusRoot = if (args.length > 1) args(1) else "/root/reference"
     println(s"\nC1_CORPUS sweep of $corpusRoot (real files, crash/yield check):")

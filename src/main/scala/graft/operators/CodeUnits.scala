@@ -261,12 +261,29 @@ object CodeUnits {
     """(?<![A-Za-z0-9_])(?<!\bdef[ \t]{1,4})(?<!\bdefp[ \t]{1,4})(?<!\bfn[ \t]{1,4})(?<!\bfun[ \t]{1,4})(?<!\bfunc[ \t]{1,4})(?<!\bfunction[ \t]{1,4})(?<!\bmacro[ \t]{1,4})(?<!\bclass[ \t]{1,4})(?<!\bstruct[ \t]{1,4})(?<!\bimpl[ \t]{1,4})(?<!\benum[ \t]{1,4})(?<!\btrait[ \t]{1,4})(?<!\binterface[ \t]{1,4})(?<!\bextension[ \t]{1,4})(?<!@)([A-Za-z_][A-Za-z0-9_]*)\s*\(""")
 
   /** Control-flow and definition keywords that read as `name(` to the
-    * regex but are never call expressions under a real grammar. */
+    * regex but are never call expressions under a real grammar.
+    * Includes C primitive types (casts/function-pointer params), the
+    * anonymous-fn keywords (`func(`/`fn(`/`use(`), binding keywords
+    * (`let (a, b) =` destructuring), and `init` (a swift/kotlin
+    * initializer DECLARATION header, which tree-sitter never scores as
+    * a call). */
   private val CallStop = Set(
     "if", "for", "while", "switch", "match", "catch", "return", "when",
     "unless", "until", "elif", "except", "raise", "throw", "case", "do",
     "not", "and", "or", "in", "defer", "loop", "foreach", "function",
-    "new", "assert", "yield", "typeof", "sizeof", "await")
+    "new", "assert", "yield", "typeof", "sizeof", "await",
+    "int", "float", "double", "char", "long", "short", "unsigned",
+    "signed", "bool", "void", "func", "fn", "use", "let", "var", "val",
+    "init")
+  /** Rust macro invocations (`println!(..)`, `vec![..]`) — tree-sitter's
+    * macro_invocation nodes score as calls under the bare macro name. */
+  private val RustMacroRe = java.util.regex.Pattern.compile(
+    """(?<![A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*)!\s*[(\[{]""")
+  /** Abstract type containers (interface/protocol/enum headers) carry
+    * member DECLARATIONS that read as `name(` — tree-sitter emits no
+    * calls for them (no call_expression under a declaration node). */
+  private val AbstractContainerRe = java.util.regex.Pattern.compile(
+    """(?:^|\s)(interface|protocol|enum)\s""")
   private val VarRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
     java.util.regex.Pattern.MULTILINE)
@@ -1081,10 +1098,26 @@ object CodeUnits {
         else source.substring(defLineStart, math.max(defLineStart, defLineEnd)).trim
       val parent = if (recv.nonEmpty) recv else fparents(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
-      val cm = CallRe.matcher(code)
-      val calls = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (cm.find()) {
-        if (cm.group(1) != name && !CallStop(cm.group(1))) calls += cm.group(1)
+      // Calls: tree-sitter parity — names SORTED (the reference joins a
+      // BTreeSet), self-calls INCLUDED (recursion is a real call edge)
+      // except when the match sits on the unit's own definition line
+      // (that's the declaration, not a call), and abstract containers
+      // (interface/protocol/enum) emit none (member declarations are
+      // not call_expressions).
+      val calls = scala.collection.mutable.HashSet.empty[String]
+      if (!AbstractContainerRe.matcher(sigText).find()) {
+        val sigStartInCode = defLineStart - codeStart
+        val sigEndInCode = defLineEnd - codeStart
+        val cm = CallRe.matcher(code)
+        while (cm.find()) {
+          val onOwnDefLine = cm.group(1) == name &&
+            cm.start >= sigStartInCode && cm.start < sigEndInCode
+          if (!onOwnDefLine && !CallStop(cm.group(1))) calls += cm.group(1)
+        }
+        if (lang == "rust") {
+          val mm = RustMacroRe.matcher(code)
+          while (mm.find()) if (!CallStop(mm.group(1))) calls += mm.group(1)
+        }
       }
       val (params, ret0) =
         if (kind == "function" || kind == "method")
@@ -1106,7 +1139,7 @@ object CodeUnits {
       while (cxm.find()) complexity += 1
       CodeUnit(path, lang, kind, name, sigText,
         start + 1 + lineOffset, end + 1 + lineOffset,
-        code, calls.toSeq.take(16),
+        code, calls.toSeq.sorted.take(16),
         docstring = docstringOf(lines,
           if (lang == "haskell") hsSigLine.getOrElse(off, start) else start, code),
         parameters = params.take(16),
@@ -1129,10 +1162,15 @@ object CodeUnits {
         variables = vars.toSeq.take(16),
         imports = imports)
     }
-    // layer 2 reverse edges, file-local: A ∈ calledBy(B) iff A calls B
+    // layer 2 reverse edges, file-local: A ∈ calledBy(B) iff A calls B;
+    // self-recursion stays a `calls` edge only (tree-sitter emits no
+    // called_by line for a function that only calls itself)
     val names = units.map(_.name).toSet
-    val reverse = units.flatMap(u => u.calls.filter(names.contains).map(c => c -> u.name))
-      .groupBy(_._1).map { case (callee, edges) => callee -> edges.map(_._2).distinct.take(16) }
+    val reverse = units
+      .flatMap(u => u.calls.filter(c => names.contains(c) && c != u.name)
+        .map(c => c -> u.name))
+      .groupBy(_._1)
+      .map { case (callee, edges) => callee -> edges.map(_._2).distinct.take(16) }
     units.map(u => u.copy(calledBy = reverse.getOrElse(u.name, Seq.empty)))
   }
 

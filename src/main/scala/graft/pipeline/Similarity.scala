@@ -371,40 +371,51 @@ object Similarity {
     * `[idBase, idBase + nItems)` — pass `idBase = 1` for 1-based
     * catalogs like TPC-H partkeys; build contiguous ids with
     * [[graft.pipeline.TextStats.vocabulary]]/GlobalRank when they
-    * aren't). Scale shape: the draw table is `users × overdraw·k`
-    * (never `users × items`), the anti join is keyed on
-    * (user, item), and the two windows run over ≤ overdraw·k rows
-    * per user. Output: `(user, neg_item, neg_rank)`. */
+    * aren't). Scale shape: ONE shuffle (the per-user interacted-set
+    * aggregation, map-side combined); draw generation, the
+    * interacted-exclusion, dedup, and the top-k cut are all narrow
+    * per-row array ops over `overdraw·k` elements (never
+    * `users × items`). Output: `(user, neg_item, neg_rank)`. */
   def uniformNegatives(
       interactions: DataFrame, userCol: String, itemCol: String,
       nItems: Long, k: Int, overdraw: Int = 3,
       salt: String = "#neg", idBase: Long = 0L): DataFrame = {
     require(nItems >= 2, s"nItems >= 2, got $nItems")
     require(k >= 1 && overdraw >= 2, s"k >= 1 and overdraw >= 2")
-    import org.apache.spark.sql.expressions.Window
-    val users = interactions.select(col(userCol).as("user")).distinct()
-    val draws = users
-      .select(col("user"),
-        explode(expr(s"sequence(1, ${overdraw.toLong * k})")).as("j"))
-      .withColumn("neg_item", lit(idBase) + pmod(
+    val nDraws = overdraw * k
+    require(nDraws <= 4096, s"overdraw*k <= 4096 (unrolled draw array), got $nDraws")
+    // ONE wide op total: per-user interacted-item sets, with map-side
+    // partial aggregation collapsing duplicate interactions before the
+    // shuffle. The r13 shape (distinct + SMJ anti join + two windows =
+    // four wide ops over users×overdraw·k exploded draws) measured
+    // 295 s at the ×1000 probe; everything after this groupBy is now a
+    // narrow per-row array computation.
+    val interSets = interactions
+      .groupBy(col(userCol).as("user"))
+      .agg(collect_set(col(itemCol).cast("long")).as("_items"))
+    // UNROLLED draw array — one codegen'd md5 per draw index, bitwise
+    // the same recipe as before (hash of "user:j"). Never
+    // transform(sequence(...)): any HOF lambda body evaluates
+    // interpreted (measured 4.7-8x regression with md5 in the body).
+    val drawCols: Seq[org.apache.spark.sql.Column] = (1 to nDraws).map { j =>
+      lit(idBase) + pmod(
         Dedup.hash60(
-          concat(col("user").cast("string"), lit(":"), col("j").cast("string")),
+          concat(col("user").cast("string"), lit(":"), lit(j.toString)),
           lit(salt)),
-        lit(nItems)))
-    // the interaction set is CORPUS-sized — pin a sort-merge join (spill-safe) so
-    // a stats mis-estimate can never broadcast it (measured: Catalyst
-    // under-estimated a 15M-pair side below a 64 MB threshold at the
-    // ×100 probe and OOM'd the build)
-    val inter = interactions
-      .select(col(userCol).as("user"), col(itemCol).as("neg_item")).distinct()
-      .hint("merge")
-    val w1 = Window.partitionBy("user", "neg_item").orderBy("j")
-    val w2 = Window.partitionBy("user").orderBy("j")
-    draws.join(inter, Seq("user", "neg_item"), "left_anti")
-      .withColumn("_r", row_number().over(w1)).filter(col("_r") === 1)
-      .withColumn("neg_rank", row_number().over(w2).cast("long"))
-      .filter(col("neg_rank") <= k)
-      .select(col("user"), col("neg_item"), col("neg_rank"))
+        lit(nItems))
+    }
+    // array_except walks the left array in order, emitting first
+    // occurrences not present in the right — exactly "drop interacted
+    // draws, dedup keeping the earliest draw index"; the first k
+    // survivors are the negatives. Per-user state is the user's
+    // DISTINCT item set: row-sized for interaction data (bounded by
+    // the user's catalog touch, not the corpus).
+    interSets
+      .withColumn("_negs",
+        slice(array_except(array(drawCols: _*), col("_items")), 1, k))
+      .select(col("user"), posexplode(col("_negs")))
+      .select(col("user"), col("col").as("neg_item"),
+        (col("pos") + 1).cast("long").as("neg_rank"))
   }
 
   /** Popularity-proportional negative sampling (the word2vec/recsys

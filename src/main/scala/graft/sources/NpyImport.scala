@@ -53,6 +53,107 @@ object NpyImport {
     (if (sign == 1) -f else f).toFloat
   }
 
+  /** float → IEEE 754 half, round-to-nearest-even — the fixture-writer
+    * inverse of [[halfToFloat]] (fast-plaid emits f2 side files;
+    * mmap.rs:1761-1779 converts them on load, we read them directly). */
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp = (bits >>> 23) & 0xff
+    val frac = bits & 0x7fffff
+    if (exp == 0xff) // inf / nan (nan keeps a payload bit so it stays nan)
+      (sign | 0x7c00 | (if (frac != 0) 0x200 else 0)).toShort
+    else {
+      val e = exp - 127 + 15
+      if (e >= 0x1f) (sign | 0x7c00).toShort // overflow → ±inf
+      else if (e <= 0) {
+        if (e < -10) sign.toShort // underflow → ±0
+        else {
+          // subnormal half: drop (14 - e) mantissa bits with RNE
+          val mant24 = frac | 0x800000
+          val shift = 14 - e
+          val mant = mant24 >>> shift
+          val rem = mant24 & ((1 << shift) - 1)
+          val half = 1 << (shift - 1)
+          val h = sign | mant
+          (if (rem > half || (rem == half && (mant & 1) == 1)) h + 1 else h).toShort
+        }
+      } else {
+        // normal: 23 → 10 mantissa bits with RNE; a mantissa carry
+        // overflows into the exponent exactly as IEEE intends
+        val mant = frac >>> 13
+        val rem = frac & 0x1fff
+        val h = sign | (e << 10) | mant
+        (if (rem > 0x1000 || (rem == 0x1000 && (mant & 1) == 1)) h + 1 else h).toShort
+      }
+    }
+  }
+
+  /** Raw descr string from an npy header (with its byte-order prefix —
+    * [[readNpy]] strips it, the legacy converter needs it). */
+  def npyDescr(path: String): String = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val major = bytes(6)
+    val (headerLen, headerOff) =
+      if (major == 1) (ByteBuffer.wrap(bytes, 8, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt, 10)
+      else (ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt, 12)
+    val header = new String(bytes, headerOff, headerLen, "ASCII")
+    "'descr'\\s*:\\s*'([^']+)'".r.findFirstMatchIn(header).get.group(1)
+  }
+
+  /** In-place conversion of a fast-plaid-built index directory to the
+    * nextplaid dtype contract — the reference's
+    * convert_fastplaid_to_nextplaid (mmap.rs:1757-1812): the four
+    * float side files f2→f4, ivf_lengths.npy i8→i4, and `<u1`
+    * residual descriptors normalized to `|u1` (byte order is
+    * meaningless at 1 byte; the reference's loader accepts only the
+    * `|` form). Returns true when anything was rewritten.
+    * [[importIndex]] reads BOTH forms directly — this exists for
+    * format parity, so a converted directory round-trips through
+    * reference tooling too. */
+  def convertFastPlaid(dir: String): Boolean = {
+    var converted = false
+    Seq("centroids.npy", "avg_residual.npy",
+        "bucket_cutoffs.npy", "bucket_weights.npy").foreach { f =>
+      val p = s"$dir/$f"
+      if (Files.exists(Paths.get(p))) {
+        val npy = readNpy(p)
+        if (npy.descr == "f2") {
+          val xs = floats(npy)
+          val b = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+          xs.foreach(b.putFloat)
+          writeNpy(p, "f4", npy.shape, b.array())
+          converted = true
+        }
+      }
+    }
+    val ivf = s"$dir/ivf_lengths.npy"
+    if (Files.exists(Paths.get(ivf))) {
+      val npy = readNpy(ivf)
+      if (npy.descr == "i8") {
+        val xs = longs(npy)
+        require(xs.forall(x => x >= Int.MinValue && x <= Int.MaxValue),
+          "ivf_lengths value out of i32 range")
+        val b = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        xs.foreach(x => b.putInt(x.toInt))
+        writeNpy(ivf, "i4", npy.shape, b.array())
+        converted = true
+      }
+    }
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".residuals.npy")).foreach { f =>
+        if (npyDescr(f.getPath) == "<u1") {
+          val npy = readNpy(f.getPath)
+          val payload = new Array[Byte](npy.data.remaining())
+          npy.data.duplicate().get(payload)
+          writeNpy(f.getPath, "|u1", npy.shape, payload)
+          converted = true
+        }
+      }
+    converted
+  }
+
   def floats(npy: Npy): Array[Float] = {
     val n = npy.shape.product
     val out = new Array[Float](n)
@@ -85,11 +186,15 @@ object NpyImport {
     Array.fill(rows) { val r = new Array[Byte](cols); buf.get(r); r }
   }
 
-  /** Write an npy (v1) file — used by round-trip tests and export. */
+  /** Write an npy (v1) file — used by round-trip tests and export.
+    * `descr` may carry an explicit byte-order prefix (`<f4`, `|u1`);
+    * a bare dtype gets the little-endian `<` prefix. */
   def writeNpy(path: String, descr: String, shape: Seq[Int], payload: Array[Byte]): Unit = {
     val shapeStr =
       if (shape.length == 1) s"(${shape.head},)" else shape.mkString("(", ", ", ")")
-    var header = s"{'descr': '<$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val d = if (descr.startsWith("<") || descr.startsWith("|") ||
+      descr.startsWith(">")) descr else s"<$descr"
+    var header = s"{'descr': '$d', 'fortran_order': False, 'shape': $shapeStr, }"
     val total = 10 + header.length + 1
     val pad = (64 - total % 64) % 64
     header = header + (" " * pad) + "\n"
