@@ -53,14 +53,69 @@ object Similarity {
     *
     * `queries(query_id, qemb, qlabel)` broadcast against
     * `docs(vec_id, embedding, label)`; the label-mismatch filter runs
-    * scan-side BEFORE scoring, so same-label vectors never rank. This
-    * is the brute-force scorer — swap the candidate generation for
-    * [[annTopK]]'s IVF probe at corpus scale (identical downstream
-    * contract). */
-  def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * scan-side BEFORE scoring, so same-label vectors never rank.
+    *
+    * Dispatch: below `annThresholdDocs` (or when it is 0) this is the
+    * exact brute-force scorer (one broadcast + linear scan — right for
+    * bounded corpora and what the oracle pins); ABOVE it the
+    * index-backed [[hardNegativesAnn]] is the default — at corpus
+    * scale a linear scan per query batch is the wrong plan (r13
+    * verdict finding 3). */
+  def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int,
+      annThresholdDocs: Long = 4000000L): DataFrame = {
+    if (annThresholdDocs > 0 && docs.count() > annThresholdDocs) {
+      import docs.sparkSession.implicits._
+      val dim = docs.select(size(col("embedding"))).as[Int].head()
+      val n = docs.count()
+      // sqrt-ish centroid count, capped; probe a quarter of them so the
+      // post-probe label filter still leaves k candidates on skewed
+      // label distributions
+      val kCent = math.min(4096, math.max(64, math.sqrt(n.toDouble).toInt))
+      return hardNegativesAnn(docs.sparkSession, docs, queries, k, dim,
+        numCentroids = kCent, nProbe = math.max(8, kCent / 4))
+    }
     graft.functions.ArrayMath.register(docs.sparkSession)
     val scored = broadcast(queries.select("query_id", "qemb", "qlabel"))
       .crossJoin(docs.select("vec_id", "embedding", "label"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
+    Rankers.topKPerGroup(
+      scored.select("query_id", "vec_id", "label", "cosine"),
+      Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
+  }
+
+  /** Index-backed hard-negative mining: IVF probe for candidate
+    * generation (the [[annTopK]] plan), label-mismatch filter on the
+    * candidates, exact cosine only on what survives. Same output
+    * contract as the brute path modulo IVF recall — probing ALL
+    * centroids (`nProbe >= numCentroids`) makes it exactly equal
+    * (spec-asserted). The label filter runs AFTER probing, so size
+    * `nProbe` to cover the same-label fraction of each probe set. */
+  def hardNegativesAnn(
+      spark: SparkSession, docs: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, numCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.ArrayMath.register(spark)
+    val (centroids, assign) = buildIvf(spark, docs, dim, numCentroids)
+    val qs: Array[(Long, Array[Float])] = queries
+      .select("query_id", "qemb").as[(Long, Array[Float])].collect()
+    val kCent = centroids.length / dim
+    val probed = qs.toSeq.flatMap { case (qid, q) =>
+      val scores = new Array[Float](kCent)
+      var c = 0
+      while (c < kCent) {
+        var s = 0.0f; var i = 0
+        while (i < dim) { s += centroids(c * dim + i) * q(i); i += 1 }
+        scores(c) = s; c += 1
+      }
+      graft.search.Searcher.topNIndices(scores, nProbe).map(code => (qid, code))
+    }.toDF("query_id", "code")
+    val candidates = assign.join(broadcast(probed), "code")
+      .select("query_id", "vec_id")
+    val scored = candidates
+      .join(docs.select("vec_id", "embedding", "label"), "vec_id")
+      .join(broadcast(queries.select("query_id", "qemb", "qlabel")), "query_id")
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cosine",
         dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))

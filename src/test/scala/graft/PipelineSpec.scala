@@ -1207,6 +1207,20 @@ class PipelineSpec extends AnyFunSuite {
     val bf = Similarity.bruteForceTopK(docs, qs.drop("qlabel"), 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hn.forall(r => bf.contains((r.getLong(0), r.getLong(1)))))
+    // index-backed path probing ALL centroids == brute path exactly
+    val ann = Similarity.hardNegativesAnn(spark, docs, qs, 5,
+        dim = 16, numCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(ann.sortBy(x => (x._1, x._2)) ===
+      hn.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(x => (x._1, x._2)),
+      "exhaustive-probe ANN hard negatives must equal brute force")
+    // dispatcher: a threshold below the corpus size routes to the ANN
+    // path and still returns k rows per query with no same-label rows
+    val routed = Similarity.hardNegatives(docs, qs, 5, annThresholdDocs = 50L)
+      .collect()
+    assert(routed.length === 15)
+    assert(routed.forall(r => r.getString(2) != s"lab${r.getLong(0) % 4}"))
   }
 
   test("prefixFilterPairs == brute-force all-pairs Jaccard (exact, no false negatives)") {
