@@ -4049,11 +4049,11 @@ object SparkEntry {
         |WHERE length(trim(text)) > 0""".stripMargin,
     "c2_embed_text" ->
       """SELECT doc_id,
-        |  '# Document: doc_' || doc_id || chr(10) ||
+        |  'Document: doc_' || doc_id || chr(10) ||
         |  'Signature: ' || trim('# ' || source) || chr(10) ||
-        |  'Doc: ' || substr(trim('# ' || source) || ' ' || trim(text), 1, 512) || chr(10) ||
-        |  'Flow: complexity 1' || chr(10) ||
-        |  'File: notes doc ' || doc_id || ' md' || chr(10) || chr(10) ||
+        |  'Description: ' || substr(trim('# ' || source) || ' ' || trim(text), 1, 512) || chr(10) ||
+        |  'File: notes doc ' || doc_id || ' doc_' || doc_id || '.md' || chr(10) ||
+        |  'Code:' || chr(10) ||
         |  '# ' || source || chr(10) || text || chr(10) || chr(10) || 'lang: ' || lang
         |  AS embed_text
         |FROM documents WHERE length(trim(text)) > 0""".stripMargin,

@@ -183,6 +183,19 @@ object C1Agreement {
                     if (expCode.forall(c => rstrip(c) == rstrip(u.code))) codeOk += 1
                     else if (verbose) println(s"CODE [$lang] '$uname' ours=<<<${rstrip(u.code)}>>> want=<<<${rstrip(expCode.get)}>>>")
                     if (CodeUnits.embedText(u) == exp) fullOk += 1
+                    else if (verbose) {
+                      val ours = CodeUnits.embedText(u)
+                      val diff = ours.linesIterator.zipAll(
+                          exp.linesIterator, "<missing>", "<missing>")
+                        .find { case (a, b) => a != b }
+                      val ci = ours.zip(exp).indexWhere { case (a, b) => a != b }
+                      val at = if (ci >= 0) ci else math.min(ours.length, exp.length)
+                      println(s"FULL [$lang] '$uname' first diff: " +
+                        s"ours='${diff.map(_._1).getOrElse("")}' " +
+                        s"want='${diff.map(_._2).getOrElse("")}' " +
+                        s"charAt=$at ours[..]='${ours.slice(at - 5, at + 10).replace("\n", "\\n")}' " +
+                        s"want[..]='${exp.slice(at - 5, at + 10).replace("\n", "\\n")}'")
+                    }
                     val ourCalls = if (u.calls.nonEmpty)
                       Some(s"Calls: ${u.calls.mkString(", ")}") else None
                     val ourCalledBy = if (u.calledBy.nonEmpty)

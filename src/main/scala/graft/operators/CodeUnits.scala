@@ -279,6 +279,10 @@ object CodeUnits {
     * macro_invocation nodes score as calls under the bare macro name. */
   private val RustMacroRe = java.util.regex.Pattern.compile(
     """(?<![A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*)!\s*[(\[{]""")
+  /** Ruby parenless command calls (`puts "hi"`) — real method calls in
+    * ruby's grammar; allowlisted to the idiomatic IO commands. */
+  private val RubyCommandRe = java.util.regex.Pattern.compile(
+    """(?<![\w.:])(puts|print|pp)[ \t]+[^=\s]""")
   /** Abstract type containers (interface/protocol/enum headers) carry
     * member DECLARATIONS that read as `name(` — tree-sitter emits no
     * calls for them (no call_expression under a declaration node). */
@@ -288,7 +292,7 @@ object CodeUnits {
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
     java.util.regex.Pattern.MULTILINE)
   private val ImportRe = java.util.regex.Pattern.compile(
-    """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:const\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\))""",
+    """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:const\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\)|require(?:_relative)?[ \t]+['"]([^'"]+)['"])""",
     java.util.regex.Pattern.MULTILINE)
   private val LoopRe = java.util.regex.Pattern.compile("""\b(for|while|loop)\b""")
   private val BranchRe = java.util.regex.Pattern.compile("""\b(if|else|match|switch|when)\b|\bcase\s""")
@@ -298,7 +302,19 @@ object CodeUnits {
 
   /** Layer-1 helper: parameters + return type from the text following a
     * definition's name (balanced-paren scan, top-level comma split). */
-  private[operators] def paramsAndReturn(afterName: String): (Seq[String], String) = {
+  /** Parse `(params) [-> ret | : ret | ret]` from the text following a
+    * definition's name, with per-language conventions (tree-sitter
+    * parity throughout): C family = type-before-name params (`int a` →
+    * a, function pointers `int (*func)(int)` → func); go = bare return
+    * type between `)` and `{` (`(int, error)` kept as written); python
+    * = only `->` marks a return (the def colon is the block opener);
+    * php = parameter names keep their `$` sigil. */
+  private[operators] def paramsAndReturn(afterName: String,
+      lang: String = ""): (Seq[String], String) = {
+    val typedFirst = lang == "c" || lang == "cpp" ||
+      lang == "java" || lang == "csharp"
+    val trailingReturn = lang == "go"
+    val arrowOnlyReturn = lang == "python" || lang == "ruby"
     val open = afterName.indexOf('(')
     val nl = afterName.indexOf('\n')
     if (open < 0 || (nl >= 0 && nl < open)) return (Seq.empty, "")
@@ -319,27 +335,98 @@ object CodeUnits {
     }
     if (close < 0) return (Seq.empty, "")
     val bounds = paramSplits.toSeq :+ (close + 1)
+    val identRe = java.util.regex.Pattern.compile("""([A-Za-z_][A-Za-z0-9_]*)""")
+    val fnPtrRe = java.util.regex.Pattern.compile("""\(\s*\*\s*([A-Za-z_]\w*)\s*\)""")
     val params = bounds.sliding(2).flatMap { case Seq(a, b) =>
-      val piece = afterName.substring(a, math.max(a, b - 1))
-      val pm = java.util.regex.Pattern
-        .compile("""[&*]?\s*(?:mut\s+)?([A-Za-z_][A-Za-z0-9_]*)""").matcher(piece)
-      if (pm.find()) Some(pm.group(1)) else None
+      val piece0 = afterName.substring(a, math.max(a, b - 1))
+      val piece = piece0.takeWhile(_ != '=') // strip default values
+      if (lang == "php") {
+        // php parameter names keep the sigil (`int $a` → $a)
+        val dm = java.util.regex.Pattern
+          .compile("""(\$[A-Za-z_]\w*)""").matcher(piece)
+        if (dm.find()) Some(dm.group(1)) else None
+      } else if (typedFirst) {
+        // C family: the NAME is the last identifier of the declarator
+        // (`const std::vector<int>& nums` → nums, `char *argv[]` →
+        // argv); function-pointer params carry it inside `(*name)`
+        val fp = fnPtrRe.matcher(piece)
+        if (fp.find()) Some(fp.group(1))
+        else {
+          val it = identRe.matcher(piece)
+          var last: String = null
+          while (it.find()) last = it.group(1)
+          Option(last)
+        }
+      } else {
+        val pm = java.util.regex.Pattern
+          .compile("""[&*]?\s*(?:mut\s+)?([A-Za-z_][A-Za-z0-9_]*)""").matcher(piece)
+        if (pm.find()) {
+          // swift's wildcard external label: `_ date: Date` names the
+          // INTERNAL identifier (tree-sitter scores `date`)
+          if (pm.group(1) == "_" && pm.find()) Some(pm.group(1))
+          else if (pm.group(1) == "_") None
+          else Some(pm.group(1))
+        } else None
+      }
     }.toSeq
-    val retM = java.util.regex.Pattern
-      .compile("""^\s*(?:->|:)\s*([^={\n]+)""")
-      .matcher(afterName.substring(close + 1))
-    val ret = if (retM.find()) retM.group(1).trim else ""
+    val after = afterName.substring(close + 1)
+    val retPat = if (arrowOnlyReturn) """^\s*(?:->)\s*([^={:\n]+)"""
+      else """^\s*(?:->|:)\s*([^={\n]+)"""
+    val retM = java.util.regex.Pattern.compile(retPat).matcher(after)
+    val ret =
+      if (retM.find()) retM.group(1).trim
+      else if (trailingReturn)
+        after.takeWhile(c => c != '{' && c != '\n').trim
+      else ""
     (params, ret)
   }
 
   /** Layer-1 helper: docstring — a Python-style triple-quoted string in
     * the body, or the contiguous comment block immediately above. */
-  private[operators] def docstringOf(lines: Array[String], startLine: Int, code: String): String = {
+  /** Languages whose doc comments the reference processes with the
+    * JSDoc branch (analysis.rs:143-180): per line, trim, strip a
+    * leading slash-star-star or slash-star, strip leading stars, strip
+    * a trailing star-slash, trim; EMPTY lines dropped, the rest joined
+    * with one space. A closing star-slash alone on a line therefore
+    * survives as `/` — replicated for byte parity. */
+  private val JsDocLangs = Set("javascript", "typescript", "vue", "svelte",
+    "java", "csharp", "kotlin", "scala", "php", "c", "cpp")
+
+  private[operators] def docstringOf(lines: Array[String], startLine: Int,
+      code: String, lang: String = ""): String = {
     val dsM = java.util.regex.Pattern
       .compile("\"\"\"([\\s\\S]*?)\"\"\"|'''([\\s\\S]*?)'''").matcher(code)
     if (dsM.find()) {
+      if (lang == "python") {
+        // reference parity (analysis.rs:102-121): the string node's FULL
+        // physical lines, quote chars trimmed from the STRING ends only
+        // — an indented docstring's leading quotes are shielded by the
+        // indent and survive the whitespace trim
+        val ls = code.lastIndexOf('\n', dsM.start) + 1
+        val le0 = code.indexOf('\n', dsM.end)
+        val le = if (le0 < 0) code.length else le0
+        val joined = code.substring(ls, le)
+        val noTrail = joined.reverse.dropWhile(c => c == '"' || c == '\'').reverse
+        return noTrail.dropWhile(c => c == '"' || c == '\'').trim.take(512)
+      }
       val raw = Option(dsM.group(1)).getOrElse(dsM.group(2))
       return raw.trim.take(512)
+    }
+    if (JsDocLangs(lang) && startLine >= 1 &&
+        lines(startLine - 1).trim.endsWith("*/")) {
+      var i = startLine - 1
+      while (i >= 0 && !(lines(i).trim.startsWith("/**") ||
+          lines(i).trim.startsWith("/*"))) i -= 1
+      if (i >= 0) {
+        val doc = (i until startLine).map { j =>
+          lines(j).trim
+            .stripPrefix("/**").stripPrefix("/*")
+            .dropWhile(_ == '*')
+            .stripSuffix("*/")
+            .trim
+        }.filter(_.nonEmpty).mkString(" ")
+        return doc.take(512)
+      }
     }
     // comment block immediately above the definition (`--` covers
     // Lua/Haskell/SQL line comments; `@doc "..."` is Elixir's attribute)
@@ -714,7 +801,7 @@ object CodeUnits {
       val im = ImportRe.matcher(source)
       val out = scala.collection.mutable.LinkedHashSet.empty[String]
       while (im.find()) {
-        (1 to 5).map(im.group).find(_ != null).foreach(g => out += g.trim)
+        (1 to 6).map(im.group).find(_ != null).foreach(g => out += g.trim)
       }
       out.toSeq.take(24)
     }
@@ -1115,25 +1202,59 @@ object CodeUnits {
           if (!onOwnDefLine && !CallStop(cm.group(1))) calls += cm.group(1)
         }
         if (lang == "rust") {
+          // no CallStop here: `assert!`/`match!`-style names ARE calls
+          // when the bang is present (macro_invocation nodes)
           val mm = RustMacroRe.matcher(code)
-          while (mm.find()) if (!CallStop(mm.group(1))) calls += mm.group(1)
+          while (mm.find()) calls += mm.group(1)
+        }
+        if (lang == "ruby") {
+          // parenless command calls tree-sitter scores (identifier
+          // call nodes); conservative allowlist to avoid regex noise
+          val rm = RubyCommandRe.matcher(code)
+          while (rm.find()) calls += rm.group(1)
         }
       }
-      val (params, ret0) =
+      val (params1, ret1) =
         if (kind == "function" || kind == "method")
-          paramsAndReturn(source.substring(endOff, unitEndOff))
+          paramsAndReturn(source.substring(endOff, unitEndOff), lang)
         else (Seq.empty[String], "")
+      // C-style and JS-method defs consume the whole header (CFuncRe /
+      // JsMethodRe match past the parameter list), leaving nothing for
+      // the suffix scan — fall back to the definition line after the
+      // name ("const add = function(a, b) {" works too: the first
+      // paren before the newline is the parameter list)
+      val (params, ret0) =
+        if (params1.isEmpty && (kind == "function" || kind == "method")) {
+          val defLine = source.substring(defLineStart,
+            math.max(defLineStart, defLineEnd))
+          val at = defLine.indexOf(name)
+          if (at >= 0) {
+            val (p, r) = paramsAndReturn(defLine.substring(at + name.length), lang)
+            (p, if (ret1.nonEmpty) ret1 else r)
+          } else (params1, ret1)
+        } else (params1, ret1)
       // Java/C# declare the return type BEFORE the name — take it from
       // the CMethodRe capture when the suffix scan found none
       val ret = if (ret0.nonEmpty) ret0 else retHint
       val extendsClass =
         if (kind == "class") {
+          // prefer an explicit `extends X` anywhere on the line over the
+          // python base-in-parens rule: `case class Failure(message: ...)
+          // extends Result` must yield Result, not the first field name
           val em = ExtendsRe.matcher(lines(start))
-          if (em.find()) Option(em.group(1)).getOrElse(em.group(2)) else ""
+          var byKeyword = ""
+          var byParens = ""
+          while (em.find() && byKeyword.isEmpty) {
+            if (em.group(1) != null) byKeyword = em.group(1)
+            else if (byParens.isEmpty && em.group(2) != null) byParens = em.group(2)
+          }
+          if (byKeyword.nonEmpty) byKeyword else byParens
         } else ""
       val vm = VarRe.matcher(code)
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (vm.find()) vars += vm.group(1)
+      // a `const add = function(...)` binding is the unit itself, not
+      // one of its locals
+      while (vm.find()) if (vm.group(1) != name) vars += vm.group(1)
       var complexity = 1
       val cxm = ComplexityRe.matcher(code)
       while (cxm.find()) complexity += 1
@@ -1141,7 +1262,8 @@ object CodeUnits {
         start + 1 + lineOffset, end + 1 + lineOffset,
         code, calls.toSeq.sorted.take(16),
         docstring = docstringOf(lines,
-          if (lang == "haskell") hsSigLine.getOrElse(off, start) else start, code),
+          if (lang == "haskell") hsSigLine.getOrElse(off, start) else start,
+          code, lang),
         parameters = params.take(16),
         returnType = ret,
         parentClass = parent,
@@ -1185,41 +1307,95 @@ object CodeUnits {
       .toDF()
   }
 
-  /** C2 structured embedding text (colgrep/src/embed.rs:115-200): a
-    * header of analysis fields over the raw code, path CamelCase/
-    * underscore-normalized, capped at 8 KiB. */
+  /** C2 structured embedding text — byte-for-byte the reference's
+    * build_embedding_text (colgrep/src/embed.rs:115-208, aligned in
+    * round 14; previously a same-fields different-labels rendering):
+    * bare-name typed header, then Signature / Extends / Class /
+    * Description / Parameters / Returns, the call-graph lines, the
+    * data-flow `Variables:` line, `Uses:` (imports), the normalized
+    * `File:` line, and `Code:` with the raw span — each field skipped
+    * when empty, parts joined with single newlines, truncated at 8 KiB
+    * with the reference's marker. raw_code/constant units are
+    * code-only (embed.rs:116-119). The Flow layer (complexity/loops/
+    * branches) stays on the CodeUnit row; the reference does not
+    * render it into the embedding text. */
   val EmbedTextCap = 8192
+  private val TruncationMarker = "\n[...truncated...]\n"
+
+  private def truncateText(s: String, cap: Int = EmbedTextCap): String =
+    if (s.length <= cap) s
+    else if (cap <= TruncationMarker.length) TruncationMarker.take(cap)
+    else s.take(cap - TruncationMarker.length)
+      .replaceAll("\\s+$", "") + TruncationMarker
+
+  /** `File:` line body (embed.rs:14-82): keep the last ≤4 path
+    * components, replace separators/underscores/hyphens/dots with
+    * spaces, split CamelCase (space before an uppercase whose previous
+    * char is lowercase), collapse whitespace, lowercase, then append
+    * the ORIGINAL filename (extension intact) for exact-match recall. */
+  private[graft] def normalizePathForEmbedding(path: String): String = {
+    val comps = path.split("[/\\\\]").filter(_.nonEmpty)
+    val short = comps.takeRight(4).mkString("/")
+    val originalFilename = if (comps.nonEmpty) comps.last else path
+    val dot = short.lastIndexOf('.')
+    val withoutExt = if (dot >= 0) short.substring(0, dot) else short
+    val sb = new StringBuilder
+    var i = 0
+    while (i < withoutExt.length) {
+      val c = withoutExt.charAt(i)
+      if (c == '/' || c == '\\' || c == '_' || c == '-' || c == '.') {
+        if (sb.nonEmpty && sb.last != ' ') sb += ' '
+      } else if (c.isUpper) {
+        if (i > 0 && withoutExt.charAt(i - 1).isLower) sb += ' '
+        sb += c
+      } else sb += c
+      i += 1
+    }
+    val normalized = sb.toString.split("\\s+").filter(_.nonEmpty)
+      .mkString(" ").toLowerCase
+    s"$normalized $originalFilename"
+  }
 
   def embedText(u: CodeUnit): String = {
     if (u.kind == "raw_code" || u.kind == "constant")
-      return u.code.take(EmbedTextCap)
-    val pathWords = u.file
-      .replaceAll("[/_.]", " ")
-      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
-    val sb = new StringBuilder
-    // documents/sections header on the bare name (embed.rs:124-133);
-    // code units on the class-qualified name
-    val headerName =
-      if (u.kind == "document" || u.kind == "section") u.name
-      else if (u.qualifiedName.nonEmpty) u.qualifiedName else u.name
-    sb.append(s"# ${u.kind.capitalize}: $headerName\n")
-    sb.append(s"Signature: ${u.signature}\n")
-    if (u.parentClass.nonEmpty) sb.append(s"In class: ${u.parentClass}\n")
-    if (u.extendsClass.nonEmpty) sb.append(s"Extends: ${u.extendsClass}\n")
-    if (u.docstring.nonEmpty) sb.append(s"Doc: ${u.docstring}\n")
-    if (u.parameters.nonEmpty) sb.append(s"Params: ${u.parameters.mkString(", ")}\n")
-    if (u.returnType.nonEmpty) sb.append(s"Returns: ${u.returnType}\n")
-    if (u.calls.nonEmpty) sb.append(s"Calls: ${u.calls.mkString(", ")}\n")
-    if (u.calledBy.nonEmpty) sb.append(s"Called by: ${u.calledBy.mkString(", ")}\n")
-    if (u.variables.nonEmpty) sb.append(s"Vars: ${u.variables.mkString(", ")}\n")
-    if (u.imports.nonEmpty) sb.append(s"Imports: ${u.imports.mkString(", ")}\n")
-    sb.append(s"Flow: complexity ${u.complexity}" +
-      (if (u.hasLoops) ", loops" else "") +
-      (if (u.hasBranches) ", branches" else "") +
-      (if (u.hasErrorHandling) ", error-handling" else "") + "\n")
-    sb.append(s"File: $pathWords\n\n")
-    sb.append(u.code)
-    sb.toString.take(EmbedTextCap)
+      return truncateText(u.code)
+    val typeStr = u.kind match {
+      case "function" => "Function"
+      case "method"   => "Method"
+      case "class"    => "Class"
+      case "document" => "Document"
+      case "section"  => "Section"
+      case k          => k.capitalize
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      s"$typeStr: ${u.name}")
+    if (u.signature.nonEmpty) parts += s"Signature: ${u.signature}"
+    if (u.extendsClass.nonEmpty) parts += s"Extends: ${u.extendsClass}"
+    if (u.parentClass.nonEmpty) parts += s"Class: ${u.parentClass}"
+    if (u.docstring.nonEmpty) parts += s"Description: ${u.docstring}"
+    if (u.parameters.nonEmpty) parts += s"Parameters: ${u.parameters.mkString(", ")}"
+    // typescript return types render as the raw type_annotation text,
+    // leading colon included ("Returns: : number"); php return types
+    // never render (the reference's php layer doesn't extract them) —
+    // tree-sitter parity, the FIELD stays populated either way
+    if (u.returnType.nonEmpty && u.language != "php" &&
+        u.language != "scala" && u.language != "kotlin" &&
+        u.language != "swift") parts += (
+      if (u.language == "typescript") s"Returns: : ${u.returnType}"
+      else s"Returns: ${u.returnType}")
+    if (u.calls.nonEmpty) parts += s"Calls: ${u.calls.mkString(", ")}"
+    if (u.calledBy.nonEmpty) parts += s"Called by: ${u.calledBy.mkString(", ")}"
+    if (u.variables.nonEmpty) parts += s"Variables: ${u.variables.mkString(", ")}"
+    // rust `use` paths never render as Uses in the reference (its rust
+    // import layer doesn't feed the embed text) — the imports FIELD
+    // stays populated either way
+    if (u.imports.nonEmpty && u.language != "rust")
+      parts += s"Uses: ${u.imports.mkString(", ")}"
+    parts += s"File: ${normalizePathForEmbedding(u.file)}"
+    // the reference's code span is the node text — no trailing newline
+    val codeBody = u.code.replaceAll("\\s+$", "")
+    if (codeBody.nonEmpty) parts += s"Code:\n$codeBody"
+    truncateText(parts.mkString("\n"))
   }
 
 

@@ -74,7 +74,11 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val byName = CodeUnits.extractUnits("lib/parser.py", src).map(u => u.name -> u).toMap
     val ph = byName("parse_header")
     assert(ph.kind === "function" && ph.parentClass === "" && ph.qualifiedName === "parse_header")
-    assert(ph.docstring.startsWith("Parse the file header."))
+    // reference parity (analysis.rs:102-121): an INDENTED docstring
+    // keeps its opening quotes (the indent shields them from the
+    // end-trim); the closing quotes are stripped
+    assert(ph.docstring.startsWith("'''Parse the file header."))
+    assert(!ph.docstring.endsWith("'''"))
     assert(ph.parameters === Seq("data", "strict"))
     assert(ph.hasLoops && ph.hasBranches && ph.hasErrorHandling)
     assert(ph.complexity > 1)
@@ -107,12 +111,17 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(sp.calledBy === Seq("caller"))
     // the layers flow into the C2 embedding text
     val txt = CodeUnits.embedText(sp)
-    assert(txt.contains("Doc: Sums the positive entries."))
-    assert(txt.contains("Params: xs, floor"))
-    assert(txt.contains("Returns: Int"))
+    assert(txt.contains("Description: Sums the positive entries."))
+    assert(txt.contains("Parameters: xs, floor"))
+    // the returnType FIELD is populated, but scala/kotlin/swift/php
+    // embed text never renders Returns (reference parity — their
+    // grammars don't extract it, 0 fixture occurrences)
+    assert(sp.returnType === "Int" && !txt.contains("Returns:"))
     assert(txt.contains("Called by: caller"))
-    assert(txt.contains("Imports: scala.collection.mutable"))
-    assert(txt.contains("Flow: complexity"))
+    assert(txt.contains("Uses: scala.collection.mutable"))
+    // the Flow layer stays on the row; the reference's embed text
+    // does not render it (embed.rs has no Flow section)
+    assert(!txt.contains("Flow:") && sp.complexity >= 1)
   }
 
   test("C1: Go method receivers and Ruby self-methods resolve to the method name") {
@@ -154,8 +163,8 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(byQn("Base").extendsClass === "")
     assert(byQn("standalone").kind === "function" && byQn("standalone").parentClass === "")
     val txt = CodeUnits.embedText(byQn("Reader.read"))
-    assert(txt.startsWith("# Method: Reader.read\n"))
-    assert(txt.contains("In class: Reader"))
+    assert(txt.startsWith("Method: read\n"), "bare name in the header (embed.rs:133)")
+    assert(txt.contains("Class: Reader"))
   }
 
   test("C1: modifier-first C#/Java methods, Kotlin fun, Swift extension, PHP") {
@@ -622,7 +631,8 @@ class CodeUnitsNpySpec extends AnyFunSuite {
         |}
         |""".stripMargin
     val cs = CodeUnits.extractUnits("src/Calculator.cs", csSrc).map(u => u.name -> u).toMap
-    assert(cs("Add").parameters === Seq("int", "int"), s"got: ${cs("Add").parameters}")
+    // typed-first params name the declarator, not the type (r14 fix)
+    assert(cs("Add").parameters === Seq("a", "b"), s"got: ${cs("Add").parameters}")
     assert(cs("Add").returnType === "int")
     val jv = CodeUnits.extractUnits("src/Main.java",
       "public class Main {\n    public static void main(String[] args) {\n        run(args);\n    }\n}\n")
@@ -681,16 +691,20 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val u = CodeUnits.extractUnits("lib/io/FileReader.py", pySource)
       .find(_.name == "parse_header").get
     val txt = CodeUnits.embedText(u)
-    assert(txt.startsWith("# Function: parse_header\n"))
+    assert(txt.startsWith("Function: parse_header\n"))
     assert(txt.contains("Calls: check"))
-    assert(txt.contains("File: lib io File Reader py"))
-    assert(txt.contains("def parse_header"))
+    // lowercased CamelCase-split path + ORIGINAL filename (embed.rs:31-82)
+    assert(txt.contains("File: lib io file reader FileReader.py"))
+    assert(txt.contains("Code:\ndef parse_header"))
     // raw code units are code-only (embed.rs:115-119)
     val raw = CodeUnits.extractUnits("empty.py", "# nothing\npass_through()").head
     assert(CodeUnits.embedText(raw) === "# nothing\npass_through()")
     // documents get the header form with the Document label (embed.rs:129)
     val doc = CodeUnits.extractUnits("notes.txt", "plain text").head
-    assert(CodeUnits.embedText(doc).startsWith("# Document: notes\n"))
+    assert(CodeUnits.embedText(doc).startsWith("Document: notes\n"))
+    // reference's own normalize test (embed.rs:214-221)
+    assert(CodeUnits.normalizePathForEmbedding("src/parser/mod.rs")
+      === "src parser mod mod.rs")
   }
 
   test("C7: readTree walks a source tree into (path, source) rows with an oversize cap") {
