@@ -261,20 +261,30 @@ object CodeUnits {
     """(?<![A-Za-z0-9_])(?<!\bdef[ \t]{1,4})(?<!\bdefp[ \t]{1,4})(?<!\bfn[ \t]{1,4})(?<!\bfun[ \t]{1,4})(?<!\bfunc[ \t]{1,4})(?<!\bfunction[ \t]{1,4})(?<!\bmacro[ \t]{1,4})(?<!\bclass[ \t]{1,4})(?<!\bstruct[ \t]{1,4})(?<!\bimpl[ \t]{1,4})(?<!\benum[ \t]{1,4})(?<!\btrait[ \t]{1,4})(?<!\binterface[ \t]{1,4})(?<!\bextension[ \t]{1,4})(?<!@)([A-Za-z_][A-Za-z0-9_]*)\s*\(""")
 
   /** Control-flow and definition keywords that read as `name(` to the
-    * regex but are never call expressions under a real grammar.
-    * Includes C primitive types (casts/function-pointer params), the
-    * anonymous-fn keywords (`func(`/`fn(`/`use(`), binding keywords
-    * (`let (a, b) =` destructuring), and `init` (a swift/kotlin
-    * initializer DECLARATION header, which tree-sitter never scores as
-    * a call). */
+    * regex but are never call expressions under a real grammar, plus
+    * the binding keywords (`let (a, b) =` destructuring). */
   private val CallStop = Set(
     "if", "for", "while", "switch", "match", "catch", "return", "when",
     "unless", "until", "elif", "except", "raise", "throw", "case", "do",
     "not", "and", "or", "in", "defer", "loop", "foreach", "function",
     "new", "assert", "yield", "typeof", "sizeof", "await",
+    "let", "var", "val")
+  /** Per-language call stops — a word is only a keyword where its
+    * grammar says so (`func(` is go's anonymous-fn keyword but a real
+    * function-pointer CALL in C; `fn(` is php's arrow keyword; `init`
+    * heads a swift/kotlin initializer DECLARATION; C primitive types
+    * appear as casts and function-pointer params). */
+  private val CPrimitives = Set(
     "int", "float", "double", "char", "long", "short", "unsigned",
-    "signed", "bool", "void", "func", "fn", "use", "let", "var", "val",
-    "init")
+    "signed", "bool", "void")
+  private val LangCallStop: Map[String, Set[String]] = Map(
+    "go" -> Set("func"),
+    "php" -> Set("use", "fn"),
+    "rust" -> Set("fn"),
+    "swift" -> Set("init"),
+    "kotlin" -> Set("init"),
+    "c" -> CPrimitives, "cpp" -> CPrimitives,
+    "java" -> CPrimitives, "csharp" -> CPrimitives)
   /** Rust macro invocations (`println!(..)`, `vec![..]`) — tree-sitter's
     * macro_invocation nodes score as calls under the bare macro name. */
   private val RustMacroRe = java.util.regex.Pattern.compile(
@@ -290,6 +300,15 @@ object CodeUnits {
     """(?:^|\s)(interface|protocol|enum)\s""")
   private val VarRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
+    java.util.regex.Pattern.MULTILINE)
+  /** go short declarations (`total := 0`) — anywhere on the line. */
+  private val GoShortVarRe = java.util.regex.Pattern.compile(
+    """(?<![\w.])([a-z_]\w*)\s*:=""")
+  /** C-family typed locals: `int temp = *a;`, `Point p = {..};`,
+    * `for (int i = 0; ...`, and uninitialized `std::vector<int> r;`.
+    * Keyword-led statements (`return x;`) are excluded up front. */
+  private val CVarRe = java.util.regex.Pattern.compile(
+    """(?:^[ \t]*|\(\s*)(?!(?:return|delete|throw|new|else|typedef|using|case|goto|break|continue)\b)(?:(?:const|static|unsigned|signed|struct|auto)\s+)*[A-Za-z_][\w:]*(?:<[^>\n]{0,40}>)?(?:\s*[*&]+\s*|\s+)([a-z_]\w*)(?:\s*\[\w*\])?\s*(?:=[^=]|;)""",
     java.util.regex.Pattern.MULTILINE)
   private val ImportRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:const\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\)|require(?:_relative)?[ \t]+['"]([^'"]+)['"])""",
@@ -348,9 +367,11 @@ object CodeUnits {
       } else if (typedFirst) {
         // C family: the NAME is the last identifier of the declarator
         // (`const std::vector<int>& nums` → nums, `char *argv[]` →
-        // argv); function-pointer params carry it inside `(*name)`
+        // argv); function-pointer params carry it inside `(*name)`;
+        // a bare `void` parameter list declares NO parameters
         val fp = fnPtrRe.matcher(piece)
-        if (fp.find()) Some(fp.group(1))
+        if (piece.trim == "void") None
+        else if (fp.find()) Some(fp.group(1))
         else {
           val it = identRe.matcher(piece)
           var last: String = null
@@ -411,6 +432,44 @@ object CodeUnits {
       }
       val raw = Option(dsM.group(1)).getOrElse(dsM.group(2))
       return raw.trim.take(512)
+    }
+    if (lang == "haskell") {
+      // Haddock parity (analysis.rs:181-207): only a `-- |`/`-- ^` line
+      // anchors a docstring; plain `--` lines extend an anchored one
+      // upward; any other nonempty line stops the scan
+      val doc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = startLine - 1
+      var stop = false
+      while (i >= 0 && !stop) {
+        val line = lines(i).trim
+        if (line.startsWith("-- |") || line.startsWith("-- ^"))
+          doc.insert(0, line.stripPrefix("-- |").stripPrefix("-- ^").trim)
+        else if (line.startsWith("--") && doc.nonEmpty)
+          doc.insert(0, line.stripPrefix("--").trim)
+        else if (line.nonEmpty) stop = true
+        i -= 1
+      }
+      return doc.mkString(" ").take(512)
+    }
+    if (lang == "lua") {
+      // LuaDoc parity (analysis.rs:366-397): `--` lines collect, but the
+      // block only counts as a docstring when at least one line opened
+      // with `---`
+      val doc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var found = false
+      var i = startLine - 1
+      var stop = false
+      while (i >= 0 && !stop) {
+        val line = lines(i).trim
+        if (line.startsWith("---")) {
+          doc.insert(0, line.dropWhile(_ == '-').trim)
+          found = true
+        } else if (line.startsWith("--"))
+          doc.insert(0, line.stripPrefix("--").trim)
+        else if (line.nonEmpty) stop = true
+        i -= 1
+      }
+      return (if (found) doc.mkString(" ") else "").take(512)
     }
     if (JsDocLangs(lang) && startLine >= 1 &&
         lines(startLine - 1).trim.endsWith("*/")) {
@@ -800,8 +859,19 @@ object CodeUnits {
     val imports = {
       val im = ImportRe.matcher(source)
       val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      val jsFamily = lang == "javascript" || lang == "typescript" ||
+        lang == "vue" || lang == "svelte"
       while (im.find()) {
-        (1 to 6).map(im.group).find(_ != null).foreach(g => out += g.trim)
+        (1 to 6).map(im.group).find(_ != null).foreach { g0 =>
+          val g = g0.trim
+          if (jsFamily && g.contains(" from")) {
+            // `import axios from 'axios'` → the default-import BINDING;
+            // named-only imports (`import { format } from ...`) don't
+            // surface (tree-sitter parity: only identifier clauses)
+            val binding = g.substring(0, g.indexOf(" from")).trim
+            if (binding.nonEmpty && !binding.startsWith("{")) out += binding
+          } else out += g
+        }
       }
       out.toSeq.take(24)
     }
@@ -1193,13 +1263,14 @@ object CodeUnits {
       // not call_expressions).
       val calls = scala.collection.mutable.HashSet.empty[String]
       if (!AbstractContainerRe.matcher(sigText).find()) {
+        val callStop = CallStop ++ LangCallStop.getOrElse(lang, Set.empty)
         val sigStartInCode = defLineStart - codeStart
         val sigEndInCode = defLineEnd - codeStart
         val cm = CallRe.matcher(code)
         while (cm.find()) {
           val onOwnDefLine = cm.group(1) == name &&
             cm.start >= sigStartInCode && cm.start < sigEndInCode
-          if (!onOwnDefLine && !CallStop(cm.group(1))) calls += cm.group(1)
+          if (!onOwnDefLine && !callStop(cm.group(1))) calls += cm.group(1)
         }
         if (lang == "rust") {
           // no CallStop here: `assert!`/`match!`-style names ARE calls
@@ -1239,8 +1310,11 @@ object CodeUnits {
       val extendsClass =
         if (kind == "class") {
           // prefer an explicit `extends X` anywhere on the line over the
-          // python base-in-parens rule: `case class Failure(message: ...)
-          // extends Result` must yield Result, not the first field name
+          // base-in-parens rule: `case class Failure(message: ...)
+          // extends Result` must yield Result, not the first field name.
+          // The parens rule is PYTHON's inheritance syntax — elsewhere
+          // `class Person(val name: String)` parens hold constructor
+          // params, never a base
           val em = ExtendsRe.matcher(lines(start))
           var byKeyword = ""
           var byParens = ""
@@ -1248,13 +1322,31 @@ object CodeUnits {
             if (em.group(1) != null) byKeyword = em.group(1)
             else if (byParens.isEmpty && em.group(2) != null) byParens = em.group(2)
           }
-          if (byKeyword.nonEmpty) byKeyword else byParens
+          if (byKeyword.nonEmpty) byKeyword
+          else if (lang == "python") byParens else ""
         } else ""
       val vm = VarRe.matcher(code)
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
       // a `const add = function(...)` binding is the unit itself, not
       // one of its locals
       while (vm.find()) if (vm.group(1) != name) vars += vm.group(1)
+      if (lang == "go") {
+        val gm = GoShortVarRe.matcher(code)
+        while (gm.find()) if (gm.group(1) != name) vars += gm.group(1)
+      }
+      if (lang == "c" || lang == "cpp") {
+        val cv = CVarRe.matcher(code)
+        while (cv.find()) if (cv.group(1) != name) vars += cv.group(1)
+      }
+      // js/ts lexical_declaration parity: tree-sitter's declaration node
+      // surfaces the KEYWORD itself as a variable alongside the binding
+      if ((lang == "javascript" || lang == "typescript" ||
+          lang == "vue" || lang == "svelte") && vars.nonEmpty) {
+        val kw = java.util.regex.Pattern
+          .compile("""^[ \t]*(const|let|var)\s""", java.util.regex.Pattern.MULTILINE)
+          .matcher(code)
+        while (kw.find()) vars += kw.group(1)
+      }
       var complexity = 1
       val cxm = ComplexityRe.matcher(code)
       while (cxm.find()) complexity += 1
@@ -1281,7 +1373,8 @@ object CodeUnits {
         hasLoops = LoopRe.matcher(code).find(),
         hasBranches = BranchRe.matcher(code).find(),
         hasErrorHandling = ErrRe.matcher(code).find(),
-        variables = vars.toSeq.take(16),
+        // sorted + deduped like the reference (analysis.rs:757-758)
+        variables = vars.toSeq.sorted.take(16),
         imports = imports)
     }
     // layer 2 reverse edges, file-local: A ∈ calledBy(B) iff A calls B;
@@ -1386,10 +1479,11 @@ object CodeUnits {
     if (u.calls.nonEmpty) parts += s"Calls: ${u.calls.mkString(", ")}"
     if (u.calledBy.nonEmpty) parts += s"Called by: ${u.calledBy.mkString(", ")}"
     if (u.variables.nonEmpty) parts += s"Variables: ${u.variables.mkString(", ")}"
-    // rust `use` paths never render as Uses in the reference (its rust
-    // import layer doesn't feed the embed text) — the imports FIELD
-    // stays populated either way
-    if (u.imports.nonEmpty && u.language != "rust")
+    // rust `use` paths and C/C++ `#include`s never render as Uses in
+    // the reference (those import layers don't feed the embed text) —
+    // the imports FIELD stays populated either way
+    if (u.imports.nonEmpty && u.language != "rust" &&
+        u.language != "c" && u.language != "cpp")
       parts += s"Uses: ${u.imports.mkString(", ")}"
     parts += s"File: ${normalizePathForEmbedding(u.file)}"
     // the reference's code span is the node text — no trailing newline

@@ -535,12 +535,21 @@ class CodeUnitsNpySpec extends AnyFunSuite {
   }
 
   test("C1 layer 1: dash-comment and @doc docstrings (Lua/Haskell/SQL/Elixir)") {
+    // LuaDoc parity: the block needs a `---` anchor line; a bare `--`
+    // comment is NOT a docstring (analysis.rs:366-397)
     val lua = CodeUnits.extractUnits("m.lua",
-      "-- adds two numbers\nfunction add(a, b)\n  return a + b\nend\n")
+      "--- adds two numbers\nfunction add(a, b)\n  return a + b\nend\n")
     assert(lua.head.docstring === "adds two numbers")
+    val luaBare = CodeUnits.extractUnits("m.lua",
+      "-- not a docstring\nfunction add(a, b)\n  return a + b\nend\n")
+    assert(luaBare.head.docstring === "")
+    // Haddock parity: `-- |`/`-- ^` anchors; bare `--` alone doesn't
     val hs = CodeUnits.extractUnits("P.hs",
       "-- | Parse a header line\nparseHeader :: String -> Int\nparseHeader s = 1\n")
     assert(hs.head.docstring === "Parse a header line")
+    val hsBare = CodeUnits.extractUnits("P.hs",
+      "-- plain note\nparseHeader :: String -> Int\nparseHeader s = 1\n")
+    assert(hsBare.head.docstring === "")
     val sql = CodeUnits.extractUnits("s.sql",
       "-- user accounts\nCREATE TABLE users (id INT);\n")
     assert(sql.head.docstring === "user accounts")
