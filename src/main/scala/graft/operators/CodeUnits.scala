@@ -301,17 +301,24 @@ object CodeUnits {
   private val VarRe = java.util.regex.Pattern.compile(
     """^[ \t]*(?:(?:val|var|let|const|mut)\s+)?([a-z_][A-Za-z0-9_]*)(?:\s*:\s*[^=\n]+)?\s*=[^=]""",
     java.util.regex.Pattern.MULTILINE)
-  /** go short declarations (`total := 0`) — anywhere on the line. */
+  /** go short declarations — the FIRST binding of the list (`a, b :=`
+    * → a; a leading `_` blank means tree-sitter surfaces nothing). */
   private val GoShortVarRe = java.util.regex.Pattern.compile(
-    """(?<![\w.])([a-z_]\w*)\s*:=""")
+    """(?<![\w.])([a-z_]\w*)(?:\s*,\s*[a-z_]\w*)*\s*:=""")
   /** C-family typed locals: `int temp = *a;`, `Point p = {..};`,
     * `for (int i = 0; ...`, and uninitialized `std::vector<int> r;`.
     * Keyword-led statements (`return x;`) are excluded up front. */
   private val CVarRe = java.util.regex.Pattern.compile(
-    """(?:^[ \t]*|\(\s*)(?!(?:return|delete|throw|new|else|typedef|using|case|goto|break|continue)\b)(?:(?:const|static|unsigned|signed|struct|auto)\s+)*[A-Za-z_][\w:]*(?:<[^>\n]{0,40}>)?(?:\s*[*&]+\s*|\s+)([a-z_]\w*)(?:\s*\[\w*\])?\s*(?:=[^=]|;)""",
+    """(?:^[ \t]*|\(\s*)(?!(?:return|delete|throw|new|else|typedef|using|case|goto|break|continue)\b)(?:(?:const|static|unsigned|signed|struct|auto|final|private|public|protected)\s+)*[A-Za-z_][\w:]*(?:<[^>\n]{0,40}>)?(?:\s*[*&]+\s*|\s+)([a-z_]\w*)(?:\s*\[\w*\])?\s*(?:=[^=]|;)""",
+    java.util.regex.Pattern.MULTILINE)
+  /** swift property/constant declarations — tree-sitter counts ONLY
+    * `let`/`var`-introduced names (bare reassignments aren't
+    * declarations), with or without an initializer. */
+  private val SwiftVarRe = java.util.regex.Pattern.compile(
+    """^[ \t]*(?:(?:public|private|internal|fileprivate|static|lazy|weak)\s+)*(?:let|var)\s+([a-z_]\w*)""",
     java.util.regex.Pattern.MULTILINE)
   private val ImportRe = java.util.regex.Pattern.compile(
-    """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:const\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\)|require(?:_relative)?[ \t]+['"]([^'"]+)['"])""",
+    """^[ \t]*(?:import\s+([\w.{}, ]+)|from\s+([\w.]+)\s+import|use\s+([\w:{}, ]+);|#include\s+[<"]([^>"]+)[>"]|(?:(?:const|local|var|let)\s+\w+\s*=\s*)?require\(['"]([^'"]+)['"]\)|require(?:_relative)?[ \t]+['"]([^'"]+)['"])""",
     java.util.regex.Pattern.MULTILINE)
   private val LoopRe = java.util.regex.Pattern.compile("""\b(for|while|loop)\b""")
   private val BranchRe = java.util.regex.Pattern.compile("""\b(if|else|match|switch|when)\b|\bcase\s""")
@@ -432,6 +439,14 @@ object CodeUnits {
       }
       val raw = Option(dsM.group(1)).getOrElse(dsM.group(2))
       return raw.trim.take(512)
+    }
+    if (lang == "ocaml" && startLine >= 1) {
+      // OCamldoc parity (analysis.rs:338-364): a `(** ... *)` comment
+      // directly above the binding
+      val am = java.util.regex.Pattern
+        .compile("""^\(\*\*\s*(.*?)\s*\*+\)$""")
+        .matcher(lines(startLine - 1).trim)
+      if (am.find()) return am.group(1).trim.take(512)
     }
     if (lang == "haskell") {
       // Haddock parity (analysis.rs:181-207): only a `-- |`/`-- ^` line
@@ -856,21 +871,59 @@ object CodeUnits {
       lineOffset: Int): Seq[CodeUnit] = {
     val lines = source.split("\n", -1)
     val lineStart = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
+    // Uses/imports — module-NAME normalization per the reference
+    // (analysis.rs:763-1000): qualified-import langs keep the LAST dot
+    // component, others the FIRST; go/ruby keep the last `/` segment;
+    // python counts only plain `import X` (from-imports don't surface);
+    // ocaml modules come from `open` AND dotted references.
     val imports = {
-      val im = ImportRe.matcher(source)
       val out = scala.collection.mutable.LinkedHashSet.empty[String]
-      val jsFamily = lang == "javascript" || lang == "typescript" ||
-        lang == "vue" || lang == "svelte"
-      while (im.find()) {
-        (1 to 6).map(im.group).find(_ != null).foreach { g0 =>
-          val g = g0.trim
-          if (jsFamily && g.contains(" from")) {
-            // `import axios from 'axios'` → the default-import BINDING;
-            // named-only imports (`import { format } from ...`) don't
-            // surface (tree-sitter parity: only identifier clauses)
-            val binding = g.substring(0, g.indexOf(" from")).trim
-            if (binding.nonEmpty && !binding.startsWith("{")) out += binding
-          } else out += g
+      def add(m: String): Unit = if (m.nonEmpty) out += m
+      val lastDot = Set("java", "kotlin", "scala", "csharp")
+      val jsFamily = Set("javascript", "typescript", "vue", "svelte")
+      if (lang == "go") {
+        val single = java.util.regex.Pattern
+          .compile("(?m)^import\\s+(?:\\w+\\s+)?\"([^\"]+)\"").matcher(source)
+        while (single.find()) add(single.group(1).split('/').last)
+        val block = java.util.regex.Pattern
+          .compile("(?s)import\\s*\\(([^)]*)\\)").matcher(source)
+        while (block.find()) {
+          val qm = java.util.regex.Pattern
+            .compile("\"([^\"]+)\"").matcher(block.group(1))
+          while (qm.find()) add(qm.group(1).split('/').last)
+        }
+      } else if (lang == "ocaml") {
+        val om = java.util.regex.Pattern
+          .compile("(?m)^\\s*open\\s+([A-Z][\\w.]*)").matcher(source)
+        while (om.find()) add(om.group(1))
+        val dm = java.util.regex.Pattern
+          .compile("(?<![\\w.'])([A-Z]\\w*)\\.\\w").matcher(source)
+        while (dm.find()) add(dm.group(1))
+      } else {
+        val im = ImportRe.matcher(source)
+        while (im.find()) {
+          val groups = (1 to 6).map(i => i -> im.group(i))
+            .collectFirst { case (i, g) if g != null => (i, g.trim) }
+          groups.foreach { case (gi, g0) =>
+            if (gi == 2 && lang == "python") () // from-import: not surfaced
+            else {
+              val g =
+                if (jsFamily(lang) && g0.contains(" from"))
+                  g0.substring(0, g0.indexOf(" from")).trim
+                else g0
+              if (g.nonEmpty && !g.startsWith("{")) {
+                val path = g.takeWhile(c => c != '{' && c != ';').trim
+                  .split("\\s+").headOption.getOrElse("")
+                val comps = path.split('.').filter(_.nonEmpty)
+                if (comps.nonEmpty) {
+                  if (gi == 4 || gi == 5 || gi == 6)
+                    add(path.split('/').last) // include/require: basename
+                  else if (lastDot(lang)) add(comps.last)
+                  else add(comps.head.split("::").head)
+                }
+              }
+            }
+          }
         }
       }
       out.toSeq.take(24)
@@ -1270,7 +1323,15 @@ object CodeUnits {
         while (cm.find()) {
           val onOwnDefLine = cm.group(1) == name &&
             cm.start >= sigStartInCode && cm.start < sigEndInCode
-          if (!onOwnDefLine && !callStop(cm.group(1))) calls += cm.group(1)
+          // php `->method(` and `new X(` aren't call_expressions in the
+          // reference's php grammar; ts `new X(` is a new_expression
+          val pre2 = code.substring(math.max(0, cm.start - 2), cm.start)
+          val pre4 = code.substring(math.max(0, cm.start - 4), cm.start)
+          val grammarSkip =
+            (lang == "php" && (pre2 == "->" || pre4 == "new ")) ||
+              (lang == "typescript" && pre4 == "new ")
+          if (!onOwnDefLine && !grammarSkip && !callStop(cm.group(1)))
+            calls += cm.group(1)
         }
         if (lang == "rust") {
           // no CallStop here: `assert!`/`match!`-style names ARE calls
@@ -1284,6 +1345,20 @@ object CodeUnits {
           val rm = RubyCommandRe.matcher(code)
           while (rm.find()) calls += rm.group(1)
         }
+        if (lang == "ocaml") {
+          // dotted module application is parenless (`Printf.printf x`):
+          // the method segment is the call
+          val om = java.util.regex.Pattern
+            .compile("""[A-Z]\w*\.([a-z_]\w*)""").matcher(code)
+          while (om.find()) calls += om.group(1)
+        }
+        if (lang == "scala") {
+          // brace-block application (`items.foreach { ... }`) is a call
+          // with a function-literal argument — no parens involved
+          val bm = java.util.regex.Pattern
+            .compile("""\.([a-z_]\w*)\s*\{""").matcher(code)
+          while (bm.find()) if (!callStop(bm.group(1))) calls += bm.group(1)
+        }
       }
       val (params1, ret1) =
         if (kind == "function" || kind == "method")
@@ -1294,7 +1369,7 @@ object CodeUnits {
       // the suffix scan — fall back to the definition line after the
       // name ("const add = function(a, b) {" works too: the first
       // paren before the newline is the parameter list)
-      val (params, ret0) =
+      val (params2, ret0) =
         if (params1.isEmpty && (kind == "function" || kind == "method")) {
           val defLine = source.substring(defLineStart,
             math.max(defLineStart, defLineEnd))
@@ -1304,6 +1379,26 @@ object CodeUnits {
             (p, if (ret1.nonEmpty) ret1 else r)
           } else (params1, ret1)
         } else (params1, ret1)
+      // ocaml: parenless curried params (`let greet name =`, typed
+      // `let add (a : int) (b : int) : int =` → a, b)
+      val params =
+        if (params2.isEmpty && lang == "ocaml" &&
+            (kind == "function" || kind == "method")) {
+          val defLine = source.substring(defLineStart,
+            math.max(defLineStart, defLineEnd))
+          val at = defLine.indexOf(name)
+          if (at >= 0) {
+            val rest = defLine.substring(at + name.length).takeWhile(_ != '=')
+              .replaceAll("""\(\s*([a-z_]\w*)\s*:[^)]*\)""", " $1 ")
+              .replaceAll(""":\s*[A-Za-z_][\w.]*""", " ")
+            val pm = java.util.regex.Pattern
+              .compile("""([a-z_]\w*)""").matcher(rest)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (pm.find())
+              if (!Set("rec", "function", "fun")(pm.group(1))) buf += pm.group(1)
+            buf.toSeq
+          } else params2
+        } else params2
       // Java/C# declare the return type BEFORE the name — take it from
       // the CMethodRe capture when the suffix scan found none
       val ret = if (ret0.nonEmpty) ret0 else retHint
@@ -1325,16 +1420,27 @@ object CodeUnits {
           if (byKeyword.nonEmpty) byKeyword
           else if (lang == "python") byParens else ""
         } else ""
-      val vm = VarRe.matcher(code)
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
-      // a `const add = function(...)` binding is the unit itself, not
-      // one of its locals
-      while (vm.find()) if (vm.group(1) != name) vars += vm.group(1)
+      if (lang == "swift") {
+        // only let/var declarations count (reference: property/constant
+        // declaration nodes; bare reassignments are not declarations)
+        val sm = SwiftVarRe.matcher(code)
+        while (sm.find()) if (sm.group(1) != name) vars += sm.group(1)
+      } else {
+        val vm = VarRe.matcher(code)
+        // a `const add = function(...)` binding is the unit itself, not
+        // one of its locals
+        while (vm.find()) if (vm.group(1) != name) vars += vm.group(1)
+      }
       if (lang == "go") {
         val gm = GoShortVarRe.matcher(code)
         while (gm.find()) if (gm.group(1) != name) vars += gm.group(1)
       }
-      if (lang == "c" || lang == "cpp") {
+      // typed declarations: c/cpp locals (struct/class FIELDS are
+      // field_declarations, not variables — skip class-kind units);
+      // java/csharp count fields too (variable_declarator)
+      if (((lang == "c" || lang == "cpp") && kind != "class") ||
+          lang == "java" || lang == "csharp") {
         val cv = CVarRe.matcher(code)
         while (cv.find()) if (cv.group(1) != name) vars += cv.group(1)
       }

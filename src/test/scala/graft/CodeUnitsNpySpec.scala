@@ -83,7 +83,9 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(ph.hasLoops && ph.hasBranches && ph.hasErrorHandling)
     assert(ph.complexity > 1)
     assert(ph.variables.contains("size"))
-    assert(ph.imports.contains("os") && ph.imports.contains("collections"))
+    // python Uses parity: only plain `import X` surfaces (module name);
+    // `from collections import ...` does not (analysis.rs fixtures)
+    assert(ph.imports === Seq("os"))
     // file-local reverse call edge: check is called by parse_header
     assert(byName("check").calledBy === Seq("parse_header"))
     assert(!byName("check").hasLoops)
@@ -107,7 +109,9 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     assert(sp.parameters === Seq("xs", "floor"))
     assert(sp.returnType === "Int")
     assert(sp.variables.contains("total"))
-    assert(sp.imports.exists(_.contains("scala.collection.mutable")))
+    // qualified-import langs keep the LAST component (reference:
+    // "java.util.Arrays" -> "Arrays"); here scala.collection.mutable
+    assert(sp.imports.contains("mutable"))
     assert(sp.calledBy === Seq("caller"))
     // the layers flow into the C2 embedding text
     val txt = CodeUnits.embedText(sp)
@@ -118,7 +122,7 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     // grammars don't extract it, 0 fixture occurrences)
     assert(sp.returnType === "Int" && !txt.contains("Returns:"))
     assert(txt.contains("Called by: caller"))
-    assert(txt.contains("Uses: scala.collection.mutable"))
+    assert(txt.contains("Uses: mutable"))
     // the Flow layer stays on the row; the reference's embed text
     // does not render it (embed.rs has no Flow section)
     assert(!txt.contains("Flow:") && sp.complexity >= 1)
