@@ -266,7 +266,7 @@ object CodeUnits {
   private val CallStop = Set(
     "if", "for", "while", "switch", "match", "catch", "return", "when",
     "unless", "until", "elif", "except", "raise", "throw", "case", "do",
-    "not", "and", "or", "in", "defer", "loop", "foreach", "function",
+    "not", "and", "or", "in", "defer", "loop", "function",
     "new", "assert", "yield", "typeof", "sizeof", "await",
     "let", "var", "val")
   /** Per-language call stops — a word is only a keyword where its
@@ -279,12 +279,15 @@ object CodeUnits {
     "signed", "bool", "void")
   private val LangCallStop: Map[String, Set[String]] = Map(
     "go" -> Set("func"),
-    "php" -> Set("use", "fn"),
+    // `foreach (` is a statement keyword in php/C#/java-adjacent code,
+    // but a real higher-order METHOD in scala/ruby/kotlin
+    "php" -> Set("use", "fn", "foreach"),
     "rust" -> Set("fn"),
     "swift" -> Set("init"),
     "kotlin" -> Set("init"),
     "c" -> CPrimitives, "cpp" -> CPrimitives,
-    "java" -> CPrimitives, "csharp" -> CPrimitives)
+    "java" -> (CPrimitives + "foreach"),
+    "csharp" -> (CPrimitives + "foreach"))
   /** Rust macro invocations (`println!(..)`, `vec![..]`) — tree-sitter's
     * macro_invocation nodes score as calls under the bare macro name. */
   private val RustMacroRe = java.util.regex.Pattern.compile(
@@ -1330,8 +1333,25 @@ object CodeUnits {
           val grammarSkip =
             (lang == "php" && (pre2 == "->" || pre4 == "new ")) ||
               (lang == "typescript" && pre4 == "new ")
-          if (!onOwnDefLine && !grammarSkip && !callStop(cm.group(1)))
+          // C/C++ method PROTOTYPES inside a class body read as `name(`
+          // but declare, not call (`double distance(...) const;`)
+          val protoSkip = (lang == "c" || lang == "cpp") &&
+            kind == "class" && {
+              val ls = code.lastIndexOf('\n', cm.start) + 1
+              val le0 = code.indexOf('\n', cm.start)
+              val line = code.substring(ls, if (le0 < 0) code.length else le0)
+              line.matches("""\s*[\w:~<>,*&\s]+\([^)]*\)\s*(?:const\s*)?;\s*""")
+            }
+          if (!onOwnDefLine && !grammarSkip && !protoSkip &&
+              !callStop(cm.group(1)))
             calls += cm.group(1)
+        }
+        if (lang == "kotlin") {
+          // member calls on an UPPERCASE receiver surface the receiver
+          // too (`Arrays.sort(x)` → Arrays, sort)
+          val km = java.util.regex.Pattern
+            .compile("""(?<![\w.])([A-Z]\w*)\.\w+\s*\(""").matcher(code)
+          while (km.find()) calls += km.group(1)
         }
         if (lang == "rust") {
           // no CallStop here: `assert!`/`match!`-style names ARE calls
@@ -1398,6 +1418,20 @@ object CodeUnits {
               if (!Set("rec", "function", "fun")(pm.group(1))) buf += pm.group(1)
             buf.toSeq
           } else params2
+        } else if (lang == "scala" && kind == "class") {
+          // scala type parameters render as Parameters (the reference's
+          // scala grammar shares the field): `Result[+T]` → T
+          val defLine = source.substring(defLineStart,
+            math.max(defLineStart, defLineEnd))
+          val m = java.util.regex.Pattern
+            .compile(java.util.regex.Pattern.quote(name) + """\[([^\]]+)\]""")
+            .matcher(defLine)
+          if (m.find())
+            m.group(1).split(',').toSeq
+              .map(_.trim.stripPrefix("+").stripPrefix("-")
+                .takeWhile(c => c.isLetterOrDigit || c == '_'))
+              .filter(_.nonEmpty)
+          else params2
         } else params2
       // Java/C# declare the return type BEFORE the name — take it from
       // the CMethodRe capture when the suffix scan found none
@@ -1423,9 +1457,15 @@ object CodeUnits {
       val vars = scala.collection.mutable.LinkedHashSet.empty[String]
       if (lang == "swift") {
         // only let/var declarations count (reference: property/constant
-        // declaration nodes; bare reassignments are not declarations)
-        val sm = SwiftVarRe.matcher(code)
-        while (sm.find()) if (sm.group(1) != name) vars += sm.group(1)
+        // declaration nodes; bare reassignments are not declarations);
+        // protocol requirement vars are declarations of the CONFORMER,
+        // not the protocol — none surface
+        if (!AbstractContainerRe.matcher(sigText).find() ||
+            sigText.contains("enum ") || sigText.contains("class ") ||
+            sigText.contains("struct ")) {
+          val sm = SwiftVarRe.matcher(code)
+          while (sm.find()) if (sm.group(1) != name) vars += sm.group(1)
+        }
       } else {
         val vm = VarRe.matcher(code)
         // a `const add = function(...)` binding is the unit itself, not
@@ -1434,7 +1474,8 @@ object CodeUnits {
       }
       if (lang == "go") {
         val gm = GoShortVarRe.matcher(code)
-        while (gm.find()) if (gm.group(1) != name) vars += gm.group(1)
+        while (gm.find())
+          if (gm.group(1) != name && gm.group(1) != "_") vars += gm.group(1)
       }
       // typed declarations: c/cpp locals (struct/class FIELDS are
       // field_declarations, not variables — skip class-kind units);
@@ -1459,9 +1500,11 @@ object CodeUnits {
       CodeUnit(path, lang, kind, name, sigText,
         start + 1 + lineOffset, end + 1 + lineOffset,
         code, calls.toSeq.sorted.take(16),
-        docstring = docstringOf(lines,
-          if (lang == "haskell") hsSigLine.getOrElse(off, start) else start,
-          code, lang),
+        // haskell scans from the BINDING line (reference parity: the
+        // `::` type signature between a haddock and the binding blocks
+        // the docstring — analysis.rs:181-207 breaks on any nonempty
+        // non-comment line)
+        docstring = docstringOf(lines, start, code, lang),
         parameters = params.take(16),
         returnType = ret,
         parentClass = parent,
@@ -1585,11 +1628,12 @@ object CodeUnits {
     if (u.calls.nonEmpty) parts += s"Calls: ${u.calls.mkString(", ")}"
     if (u.calledBy.nonEmpty) parts += s"Called by: ${u.calledBy.mkString(", ")}"
     if (u.variables.nonEmpty) parts += s"Variables: ${u.variables.mkString(", ")}"
-    // rust `use` paths and C/C++ `#include`s never render as Uses in
-    // the reference (those import layers don't feed the embed text) —
-    // the imports FIELD stays populated either way
+    // rust `use` paths, C/C++ `#include`s, swift and haskell imports
+    // never render as Uses in the reference (those import layers don't
+    // feed the embed text) — the imports FIELD stays populated either way
     if (u.imports.nonEmpty && u.language != "rust" &&
-        u.language != "c" && u.language != "cpp")
+        u.language != "c" && u.language != "cpp" &&
+        u.language != "swift" && u.language != "haskell")
       parts += s"Uses: ${u.imports.mkString(", ")}"
     parts += s"File: ${normalizePathForEmbedding(u.file)}"
     // the reference's code span is the node text — no trailing newline

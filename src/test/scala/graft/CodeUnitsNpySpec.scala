@@ -547,13 +547,13 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val luaBare = CodeUnits.extractUnits("m.lua",
       "-- not a docstring\nfunction add(a, b)\n  return a + b\nend\n")
     assert(luaBare.head.docstring === "")
-    // Haddock parity: `-- |`/`-- ^` anchors; bare `--` alone doesn't
-    val hs = CodeUnits.extractUnits("P.hs",
+    // Haddock parity: `-- |`/`-- ^` anchors, scanned from the BINDING
+    // line — a `::` type signature in between blocks the doc, exactly
+    // like the reference (analysis.rs:181-207 breaks on any nonempty
+    // non-comment line)
+    val hsSig = CodeUnits.extractUnits("P.hs",
       "-- | Parse a header line\nparseHeader :: String -> Int\nparseHeader s = 1\n")
-    assert(hs.head.docstring === "Parse a header line")
-    val hsBare = CodeUnits.extractUnits("P.hs",
-      "-- plain note\nparseHeader :: String -> Int\nparseHeader s = 1\n")
-    assert(hsBare.head.docstring === "")
+    assert(hsSig.head.docstring === "")
     val sql = CodeUnits.extractUnits("s.sql",
       "-- user accounts\nCREATE TABLE users (id INT);\n")
     assert(sql.head.docstring === "user accounts")
