@@ -511,9 +511,12 @@ object CodeUnits {
     var li = startLine - 1
     while (li >= 0 && lines(li).trim.matches("""^(///|//|#|\*|/\*\*?|\*/|--).*|^\s*$""") &&
         lines(li).trim.nonEmpty) {
+      // full trim after the marker strip (reference joins TRIMMED lines
+      // with one space — `///   - a` must not keep its inner indent)
       block += lines(li).trim
         .replaceAll("""^(///|//|--(?: ?\|)?|#|\*+/?|/\*+)\s?""", "")
         .replaceAll("""\s*\*+/\s*$""", "")
+        .trim
       li -= 1
     }
     if (block.isEmpty && startLine >= 1) {
