@@ -52,7 +52,7 @@ object JsonMeta {
         StructType(Seq(StructField("_subset_", LongType, nullable = false))))
     val parsed = rows
       .select(col("order"), from_json(col("json"), schema).as("j"))
-      .select(col("order") +: schema.fieldNames.map(f => col(s"j.`$f`")): _*)
+      .select(col("order") +: schema.fieldNames.toIndexedSeq.map(f => col(s"j.`$f`")): _*)
     val typed = normalizeTypes(parsed)
     val numRanges = spark.sessionState.conf.numShufflePartitions
     MetadataOps.denseResequenceScalable(typed, "order", numRanges)

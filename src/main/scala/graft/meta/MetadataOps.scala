@@ -60,7 +60,7 @@ object MetadataOps {
   ): DataFrame = {
     val rows = get(df, idCol, cond, ids, limit)
     rows.select(col(idCol),
-      to_json(struct(rows.columns.map(col): _*)).as("json"))
+      to_json(struct(rows.columns.map(col).toIndexedSeq: _*)).as("json"))
   }
 
   /** M6 `get_distinct_strings`: distinct non-null values of a column. */

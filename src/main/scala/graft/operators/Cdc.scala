@@ -47,7 +47,7 @@ object Cdc {
       .withColumn(opCol, lit("I"))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc_nulls_last)
-    taggedBase.unionByName(changes.select(taggedBase.columns.map(col): _*))
+    taggedBase.unionByName(changes.select(taggedBase.columns.map(col).toIndexedSeq: _*))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "D")
       .select(payload.map(col): _*)

@@ -115,7 +115,7 @@ object CodeIndexer {
           val kept = units(spark, dir)
             .join(broadcast(affectedPaths.withColumnRenamed("path", "file")),
               Seq("file"), "left_anti")
-          kept.unionByName(fresh.select(kept.columns.map(col): _*))
+          kept.unionByName(fresh.select(kept.columns.map(col).toIndexedSeq: _*))
         } else fresh
       Fs.rewrite(merged, s"$dir/units")
 

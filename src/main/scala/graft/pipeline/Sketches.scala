@@ -456,7 +456,7 @@ object Sketches {
       .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("cum_before", col("cum") - col("cnt"))
     cum
-      .select(cum.columns.map(col) :+
+      .select(cum.columns.toIndexedSeq.map(col) :+
         explode(array(qBasisPoints.map(lit): _*)).as("q_bp"): _*)
       .withColumn("target",
         ceil(col("q_bp") / lit(10000.0) * col("n")))
