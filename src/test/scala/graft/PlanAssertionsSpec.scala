@@ -335,6 +335,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"vocabulary-sized single-partition window in popularityNegatives " +
           s"(ordered on ${orderRefs.mkString(",")}):\n$negPlan")
     }
+    // uniformNegatives is ONE wide op since r14: the per-user
+    // interacted-set aggregation is the only shuffle — draw generation,
+    // exclusion, dedup, and the top-k cut are narrow array ops. A
+    // second Exchange or any Window/Join node means the r13 shape
+    // (anti join + two windows) crept back.
+    val uniPlan = planOf(graft.pipeline.Similarity.uniformNegatives(
+      inter, "u", "it", nItems = 20L, k = 4))
+    val nExchanges = "Exchange".r.findAllIn(uniPlan).size
+    assert(nExchanges <= 1,
+      s"uniformNegatives must shuffle exactly once, found $nExchanges:\n$uniPlan")
+    assert(!uniPlan.contains("Window") && !uniPlan.contains("Join"),
+      s"uniformNegatives must be aggregation + narrow array ops:\n$uniPlan")
   }
 
   test("q22/q13: broadcast scalar rollup, anti-join shape, pushed date filter") {
