@@ -1312,7 +1312,13 @@ object CodeUnits {
       val sigText =
         if (lang == "swift" && prefixLine < start) lines(prefixLine).trim
         else source.substring(defLineStart, math.max(defLineStart, defLineEnd)).trim
-      val parent = if (recv.nonEmpty) recv else fparents(i)
+      // kotlin EXTENSION functions (`fun String.addExclamation()`) stay
+      // top-level Functions with no parent class (tree-sitter parity:
+      // the receiver type is part of the signature, not an enclosing
+      // class); nesting-derived parents still make methods
+      val parent =
+        if (lang == "kotlin" && recv.nonEmpty) fparents(i)
+        else if (recv.nonEmpty) recv else fparents(i)
       val kind = if (kind0 == "function" && parent.nonEmpty) "method" else kind0
       // Calls: tree-sitter parity — names SORTED (the reference joins a
       // BTreeSet), self-calls INCLUDED (recursion is a real call edge)
@@ -1343,7 +1349,12 @@ object CodeUnits {
               val ls = code.lastIndexOf('\n', cm.start) + 1
               val le0 = code.indexOf('\n', cm.start)
               val line = code.substring(ls, if (le0 < 0) code.length else le0)
-              line.matches("""\s*[\w:~<>,*&\s]+\([^)]*\)\s*(?:const\s*)?;\s*""")
+              // a member declaration/definition HEADER is
+              // type-then-name(params) ending in `;` or `{` — never a
+              // statement (possessive \s*+ so the keyword lookahead
+              // can't be backtracked away)
+              !line.contains('=') &&
+                line.matches("""\s*+(?!(?:return|if|while|for|switch|throw|delete)\b)[\w:~<>,*&\s]+\([^)]*\)\s*(?:const\s*|override\s*|final\s*|noexcept\s*)*[;{]\s*""")
             }
           if (!onOwnDefLine && !grammarSkip && !protoSkip &&
               !callStop(cm.group(1)))
@@ -1351,9 +1362,11 @@ object CodeUnits {
         }
         if (lang == "kotlin") {
           // member calls on an UPPERCASE receiver surface the receiver
-          // too (`Arrays.sort(x)` → Arrays, sort)
+          // too (`Arrays.sort(x)` → Arrays, sort) — but not an
+          // extension-function DEFINITION (`fun String.addExcl()`)
           val km = java.util.regex.Pattern
-            .compile("""(?<![\w.])([A-Z]\w*)\.\w+\s*\(""").matcher(code)
+            .compile("""(?<![\w.])(?<!\bfun[ \t]{1,4})([A-Z]\w*)\.\w+\s*\(""")
+            .matcher(code)
           while (km.find()) calls += km.group(1)
         }
         if (lang == "rust") {
