@@ -2165,9 +2165,19 @@ object SparkEntry {
           (col("p_us") - col("c_us")).as("gap_us"))
       val ckpt = "/tmp/graft_strange_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
       graft.util.Fs.deleteRecursively(ckpt)
-      val q = joined.writeStream.format("memory")
-        .queryName("st_range_join_sink").outputMode("append")
-        .option("checkpointLocation", s"$ckpt/ckpt").start()
+      // state-store task count: a stream-stream join runs 4 stateful
+      // operators per micro-batch, each with one task per shuffle
+      // partition — at this input scale the fixed per-task state-store
+      // open/commit dominates, so pin a small partition count for the
+      // STREAMING query only (content is partition-invariant; the
+      // conf is restored before the batch result is read)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory")
+          .queryName("st_range_join_sink").outputMode("append")
+          .option("checkpointLocation", s"$ckpt/ckpt").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         clickS.addData(side("click"))
         buyS.addData(side("purchase"))
