@@ -2088,15 +2088,25 @@ object SparkEntry {
       graft.util.Fs.deleteRecursively(statePath)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Double)]
-      val q = stream.toDF().toDF("event_type", "value")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$statePath/ckpt")
-        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.streaming.StreamingSketch.mergeHistBatch(
-            b, id, statePath, Seq("event_type"), "value", lo, hi, 64))
-        .start()
+      // per-micro-batch merge plans read the CURRENT conf: hold a small
+      // shuffle-partition count through processing (fixed per-task cost
+      // dominates at gate scale; merged state is partition-invariant)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        stream.toDF().toDF("event_type", "value")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$statePath/ckpt")
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.StreamingSketch.mergeHistBatch(
+              b, id, statePath, Seq("event_type"), "value", lo, hi, 64))
+          .start()
+      }
       try batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
-      finally q.stop()
+      finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       graft.streaming.StreamingSketch.currentState(s, statePath).get
         .select(col("event_type"), col("bin"), col("cnt"))
     }),
@@ -2117,12 +2127,19 @@ object SparkEntry {
       graft.util.Fs.deleteRecursively(ckpt)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingDedup
-        .firstSeen(stream.toDF().toDF("doc_id", "text"))
-        .writeStream.format("memory").queryName("st_stream_dedup_sink")
-        .outputMode("append")
-        .option("checkpointLocation", s"$ckpt/ckpt")
-        .start()
+      // small state-store task count for the STREAMING query only
+      // (per-task open/commit dominates at gate scale; content is
+      // partition-invariant)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamingDedup
+          .firstSeen(stream.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName("st_stream_dedup_sink")
+          .outputMode("append")
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
       finally q.stop()
       s.table("st_stream_dedup_sink").select("doc_id", "text", "text_hash")
