@@ -519,12 +519,18 @@ object Similarity {
     val assigned = graft.operators.IntervalJoin.pointInInterval(
       ranges.select("neg_item", "lo", "hi"), draws,
       Seq.empty, "lo", "hi", "r", bucketWidth = width)
-    val w1 = Window.partitionBy("user", "neg_item").orderBy("j")
-    val w2 = Window.partitionBy("user").orderBy("j")
+    // dedup keeping the earliest draw, then per-user top-k in DRAW
+    // order — two hash aggregations with map-side combine instead of
+    // the r13 shape's two window sort-shuffles (draw indexes are
+    // unique per user, so the struct sort is a total order and the
+    // output is bit-identical)
     assigned
-      .withColumn("_d", row_number().over(w1)).filter(col("_d") === 1)
-      .withColumn("neg_rank", row_number().over(w2).cast("long"))
-      .filter(col("neg_rank") <= k)
-      .select(col("user"), col("neg_item"), col("neg_rank"))
+      .groupBy(col("user"), col("neg_item")).agg(min("j").as("j"))
+      .groupBy(col("user")).agg(
+        slice(array_sort(collect_list(struct(col("j"), col("neg_item")))),
+          1, k).as("_top"))
+      .select(col("user"), posexplode(col("_top")))
+      .select(col("user"), col("col.neg_item").as("neg_item"),
+        (col("pos") + 1).cast("long").as("neg_rank"))
   }
 }
