@@ -25,6 +25,8 @@ import graft.operators.Rankers
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Cosine via the native codegen'd `dot_f` expression
     * (graft.functions.DotF — no intermediate product arrays, same
     * left-to-right double accumulation as the DuckDB twin). */
@@ -63,10 +65,17 @@ object Similarity {
     * verdict finding 3). */
   def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int,
       annThresholdDocs: Long = 4000000L): DataFrame = {
-    if (annThresholdDocs > 0 && docs.count() > annThresholdDocs) {
+    // annThresholdDocs == 0 pins the exact path with NO count job at
+    // all; otherwise ONE count decides dispatch (reused as n below)
+    val n = if (annThresholdDocs > 0) docs.count() else 0L
+    if (annThresholdDocs > 0 && n > annThresholdDocs) {
       import docs.sparkSession.implicits._
+      // same API signature, different contract: the IVF path is
+      // APPROXIMATE (recall < 1 below full probing) — say so loudly
+      log.warn(s"hardNegatives: corpus has $n docs > annThresholdDocs=" +
+        s"$annThresholdDocs — dispatching to the approximate IVF path " +
+        "(recall < 1); pass annThresholdDocs = 0 to force the exact scan")
       val dim = docs.select(size(col("embedding"))).as[Int].head()
-      val n = docs.count()
       // sqrt-ish centroid count, capped; probe a quarter of them so the
       // post-probe label filter still leaves k candidates on skewed
       // label distributions
@@ -95,27 +104,19 @@ object Similarity {
   def hardNegativesAnn(
       spark: SparkSession, docs: DataFrame, queries: DataFrame, k: Int,
       dim: Int, numCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
-    import spark.implicits._
     graft.functions.ArrayMath.register(spark)
     val (centroids, assign) = buildIvf(spark, docs, dim, numCentroids)
-    val qs: Array[(Long, Array[Float])] = queries
-      .select("query_id", "qemb").as[(Long, Array[Float])].collect()
-    val kCent = centroids.length / dim
-    val probed = qs.toSeq.flatMap { case (qid, q) =>
-      val scores = new Array[Float](kCent)
-      var c = 0
-      while (c < kCent) {
-        var s = 0.0f; var i = 0
-        while (i < dim) { s += centroids(c * dim + i) * q(i); i += 1 }
-        scores(c) = s; c += 1
-      }
-      graft.search.Searcher.topNIndices(scores, nProbe).map(code => (qid, code))
-    }.toDF("query_id", "code")
-    val candidates = assign.join(broadcast(probed), "code")
+    // Distributed probe + UNHINTED joins: the query side of mining is
+    // the training corpus (r14 verdict finding 1) — it must stream
+    // through executors, never collect to the driver, and never be
+    // force-broadcast. AQE still broadcasts both small sides at
+    // serving-batch sizes from runtime stats.
+    val probed = probeTopN(spark, queries, centroids, dim, nProbe)
+    val candidates = assign.join(probed, "code")
       .select("query_id", "vec_id")
     val scored = candidates
       .join(docs.select("vec_id", "embedding", "label"), "vec_id")
-      .join(broadcast(queries.select("query_id", "qemb", "qlabel")), "query_id")
+      .join(queries.select("query_id", "qemb", "qlabel"), "query_id")
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cosine",
         dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
@@ -152,9 +153,53 @@ object Similarity {
     (centroids, assign)
   }
 
-  /** ANN top-k through the IVF: per query score all K centroids (tiny),
-    * keep top-`nProbe` codes, gather candidates via the assignment
-    * table (broadcast probe join), exact cosine only on candidates. */
+  /** Distributed IVF probe: per query score all K centroids (tiny,
+    * broadcast) and keep the top-`nProbe` codes — a `mapPartitions`
+    * pass over the QUERY table, the same shape as [[buildIvf]]'s
+    * assignment pass. This replaced an r14 driver-side
+    * `queries.collect()` + Scala loop: for mining operators the query
+    * side is the training corpus (reference analogue: the batched
+    * query funnel, `next-plaid/src/search.rs:643-675`), so at 100M
+    * queries a driver collect is an OOM, not a plan. Arithmetic is the
+    * identical sequential-f32 dot + bounded-heap top-n as the old
+    * driver loop, so probe sets (and every downstream gate hash) are
+    * bit-identical. Output: `(query_id, code)`, `nProbe` rows/query. */
+  def probeTopN(
+      spark: SparkSession,
+      queries: DataFrame,
+      centroids: Array[Float],
+      dim: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    queries.select("query_id", "qemb")
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        val kCent = cents.length / dim
+        rows.flatMap { case (qid, q) =>
+          val scores = new Array[Float](kCent)
+          var c = 0
+          while (c < kCent) {
+            var s = 0.0f; var i = 0
+            while (i < dim) { s += cents(c * dim + i) * q(i); i += 1 }
+            scores(c) = s; c += 1
+          }
+          graft.search.Searcher.topNIndices(scores, nProbe)
+            .map(code => (qid, code))
+        }
+      }
+      .toDF("query_id", "code")
+  }
+
+  /** ANN top-k through the IVF: distributed per-query centroid probe
+    * ([[probeTopN]]), gather candidates via the assignment table
+    * (equi-join on the cell code), exact cosine only on candidates.
+    * No broadcast hints: at serving-batch sizes AQE broadcasts the
+    * probe table and the query rejoin from runtime stats; at
+    * training-corpus query scale both sides shuffle on their keys —
+    * hinting broadcast there would OOM exactly like the driver
+    * collect this plan replaced. */
   def annTopK(
       spark: SparkSession,
       docs: DataFrame,
@@ -164,26 +209,13 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nProbe: Int): DataFrame = {
-    import spark.implicits._
     graft.functions.ArrayMath.register(spark)
-    val qs: Array[(Long, Array[Float])] = queries
-      .select("query_id", "qemb").as[(Long, Array[Float])].collect()
-    val kCent = centroids.length / dim
-    val probed = qs.toSeq.flatMap { case (qid, q) =>
-      val scores = new Array[Float](kCent)
-      var c = 0
-      while (c < kCent) {
-        var s = 0.0f; var i = 0
-        while (i < dim) { s += centroids(c * dim + i) * q(i); i += 1 }
-        scores(c) = s; c += 1
-      }
-      graft.search.Searcher.topNIndices(scores, nProbe).map(code => (qid, code))
-    }.toDF("query_id", "code")
-    val candidates = assign.join(broadcast(probed), "code")
+    val probed = probeTopN(spark, queries, centroids, dim, nProbe)
+    val candidates = assign.join(probed, "code")
       .select("query_id", "vec_id")
     val scored = candidates
       .join(docs.select("vec_id", "embedding"), "vec_id")
-      .join(broadcast(queries.select("query_id", "qemb")), "query_id")
+      .join(queries.select("query_id", "qemb"), "query_id")
       .withColumn("cosine",
         dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
     Rankers.topKPerGroup(
@@ -492,20 +524,52 @@ object Similarity {
     * `overdraw` there. Interacted items are NOT excluded (the classic
     * scheme samples from the full unigram table); compose with
     * [[uniformNegatives]]'s anti join when exclusion is wanted.
-    * Output: `(user, neg_item, neg_rank)`. */
+    * Output: `(user, neg_item, neg_rank)`.
+    *
+    * Pass economics (the r14 ×1000 finding): the cumulative ranges are
+    * CATALOG-sized (one row per item), not corpus-sized, yet their
+    * lineage scans the full interaction corpus — so they are computed
+    * EXACTLY ONCE here (persist + count), never re-derived by the
+    * scalar lookup or the final sampling DAG. At ≤ `maxLocalRanges`
+    * items they come back to the driver and re-enter the plan as a
+    * broadcast local relation, so the draw table never shuffles for
+    * the range lookup and (being generated from the user-distinct
+    * aggregation, which already clusters by user) flows into BOTH
+    * per-user aggregations with zero further exchanges. Catalogs above
+    * the threshold keep the distributed interval join against the
+    * cached ranges (the cache is item-count-bounded and stays pinned
+    * for the session — document-noted, the price of a lazy result
+    * whose lineage must not re-scan the corpus). Net: two passes over
+    * the interactions (item counts, distinct users) — down from the
+    * r14 plan's three. */
   def popularityNegatives(
       interactions: DataFrame, userCol: String, itemCol: String,
-      k: Int, overdraw: Int = 4, salt: String = "#pneg"): DataFrame = {
+      k: Int, overdraw: Int = 4, salt: String = "#pneg",
+      maxLocalRanges: Int = 1 << 20): DataFrame = {
     require(k >= 1 && overdraw >= 2, "k >= 1 and overdraw >= 2")
-    import org.apache.spark.sql.expressions.Window
     val pop = interactions
       .groupBy(col(itemCol).as("neg_item")).agg(count(lit(1)).as("cnt"))
-    val ranges = graft.operators.GlobalRank
+    val rangesDist = graft.operators.GlobalRank
       .withGlobalPrefixSum(pop, col("cnt"), Seq(col("neg_item")), "lo")
       .withColumn("hi", col("lo") + col("cnt") - 1)
-    // bounded 1-row collect: the draw modulus and the bucket width
-    val r0 = ranges.agg(sum("cnt"), max("cnt")).collect()(0)
-    val (total, maxCnt) = (r0.getLong(0), r0.getLong(1))
+      .select("neg_item", "cnt", "lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = rangesDist.count() // materializes the one corpus pass
+    require(nItems > 0, "popularityNegatives: no interactions")
+    val (ranges, total, maxCnt) =
+      if (nItems <= maxLocalRanges) {
+        val rows = rangesDist.collect() // cached — no recompute
+        rangesDist.unpersist(false)     // nothing lingers on the local path
+        val spark = interactions.sparkSession
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), rangesDist.schema)
+        (broadcast(local),
+          rows.iterator.map(_.getLong(1)).sum,
+          rows.iterator.map(_.getLong(1)).max)
+      } else {
+        val r0 = rangesDist.agg(sum("cnt"), max("cnt")).collect()(0)
+        (rangesDist, r0.getLong(0), r0.getLong(1))
+      }
     val width = math.max(1L, maxCnt / 32 + 1)
     val users = interactions.select(col(userCol).as("user")).distinct()
     val draws = users

@@ -311,30 +311,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val negPlan = planOf(negDf)
     assert(!negPlan.contains("NestedLoop") && !negPlan.contains("Cartesian"),
       s"inverse-CDF lookup must stay a bucketed equi-join:\n$negPlan")
-    // The cumulative item ranges come from GlobalRank's two-stage prefix
-    // sum: the ONLY unpartitioned WindowExec allowed is the per-partition
-    // offsets prefix (ordered on the synthetic _gp_pid, ≤ numPartitions
-    // rows). An unpartitioned window ordered on the ITEM key would
-    // serialize the whole vocabulary through one task at catalog scale.
-    val phys = negDf.queryExecution.executedPlan match {
-      // AQE wraps the plan in a leaf node — collect would see nothing
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.initialPlan
-      case p => p
-    }
-    val unpart = phys.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
-    assert(unpart.nonEmpty,
-      s"expected the bounded offsets prefix window in the plan (did the " +
-        s"prefix-sum shape change?):\n$negPlan")
-    unpart.foreach { w =>
-      val orderRefs = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name))
-      assert(orderRefs.forall(_.startsWith("_gp_pid")),
-        s"vocabulary-sized single-partition window in popularityNegatives " +
-          s"(ordered on ${orderRefs.mkString(",")}):\n$negPlan")
-    }
+    // r15 shape (bounded catalog): the ranges were computed ONCE eagerly
+    // (persist + count inside the operator) and re-enter the sampling
+    // plan as a broadcast local relation, so the returned plan has NO
+    // window at all (the GlobalRank prefix sum ran in the eager pass)
+    // and exactly ONE row shuffle — the user-distinct aggregation, whose
+    // hashpartitioning(user) clustering satisfies the draw dedup AND the
+    // per-user top-k aggs downstream (subset-clustering reuse).
+    assert(!negPlan.contains("WindowExec") && !negPlan.contains("Window "),
+      s"a window reappeared in the popularityNegatives sampling plan:\n$negPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(negPlan).length === 1,
+      s"popularityNegatives must shuffle rows exactly once (users " +
+        s"distinct); the aggs downstream reuse that clustering:\n$negPlan")
+    assert(negPlan.contains("BroadcastExchange"),
+      s"catalog-sized ranges must broadcast into the lookup join:\n$negPlan")
     // uniformNegatives is ONE wide op since r14: the per-user
     // interacted-set aggregation is the only shuffle — draw generation,
     // exclusion, dedup, and the top-k cut are narrow array ops. A
@@ -347,6 +337,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"uniformNegatives must shuffle exactly once, found $nExchanges:\n$uniPlan")
     assert(!uniPlan.contains("Window") && !uniPlan.contains("Join"),
       s"uniformNegatives must be aggregation + narrow array ops:\n$uniPlan")
+  }
+
+  test("ANN probe is distributed: no driver-collected query rows in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/embeddings.parquet"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val (cents, assign) =
+      graft.pipeline.Similarity.buildIvf(spark, emb, 64, numCentroids = 16)
+    val ann = graft.pipeline.Similarity.annTopK(
+      spark, emb, cents, assign, 64, qs, k = 10, nProbe = 8)
+    val plan = planOf(ann)
+    // The r14 shape collected the queries to the driver and re-created
+    // the probe table with toDF — a LocalTableScan of driver-materialized
+    // rows. The distributed shape probes inside mapPartitions over the
+    // query scan, so NOTHING in this plan may be a local relation.
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-collected probe rows back in the ANN plan:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"expected the mapPartitions probe stage:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN gather degenerated to a product:\n$plan")
+    // same invariants for the mining entry point (label-filtered)
+    val qsl = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("label").as("qlabel"))
+    val hn = graft.pipeline.Similarity.hardNegativesAnn(
+      spark, emb, qsl, k = 10, dim = 64, numCentroids = 16, nProbe = 8)
+    val hnPlan = planOf(hn)
+    assert(!hnPlan.contains("LocalTableScan"),
+      s"driver-collected probe rows in the hard-negative plan:\n$hnPlan")
+    assert(hnPlan.contains("MapPartitions"),
+      s"expected the mapPartitions probe stage:\n$hnPlan")
   }
 
   test("q22/q13: broadcast scalar rollup, anti-join shape, pushed date filter") {
