@@ -62,13 +62,24 @@ object Bench {
         v.toDoubleOption.forall(_ <= 0))) ""
       else try {
         import graft.search.QpsHarness
-        val (sec, qps, buildSec) = QpsHarness.measure(spark, "/tmp/graft_bench_qps")
+        // best-of-3 FULL measure() calls in this one JVM (the index is
+        // built once and cache-hits afterwards): qps_warm historically
+        // swung 123-159 across bench invocations on identical code —
+        // ambient, not code — so the record keeps every run for
+        // provenance and reports the best (r14 verdict item 7)
+        val runs = (1 to 3).map { _ =>
+          QpsHarness.measure(spark, "/tmp/graft_bench_qps")
+        }
+        val (sec, qps) = (runs.map(_._1).min, runs.map(_._2).max)
+        val buildSec = runs.head._3
         // ROOT locale like the truncation path below: Scala's f"" delegates
         // to the default-locale String.format, so a comma-decimal locale
         // would emit invalid JSON here too
         def d(v: Double, places: Int) =
           String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+        val runsJson = runs.map(r => d(r._2, 1)).mkString("[", ",", "]")
         s""","qps_warm":${d(qps, 1)},"qps_sec":${d(sec, 3)},"qps_build_sec":${d(buildSec, 1)}""" +
+          s""","qps_runs":$runsJson""" +
           s""","qps_docs":${QpsHarness.NumDocs},"qps_queries":${QpsHarness.NumQueries}""" +
           s""","qps_dim":${QpsHarness.Dim},"qps_tokens_per_doc":${QpsHarness.TokensPerDoc}"""
       } catch {
@@ -94,20 +105,36 @@ object Bench {
     // Contended-pass guard (round-13 lesson: the driver's record ran
     // 233 s where an identical-HEAD clean run measured 173 s, with
     // pure-SQL unchanged-plan queries inflated 4-5×): re-run the 5
-    // slowest queries once and keep each per-query MINIMUM, so one
-    // ambient-contention spike can't dominate the round's record. The
-    // rerun count rides the JSON line for provenance.
+    // slowest queries once, and replace a timing ONLY when the first
+    // run is a clear contention outlier (> 1.5× the rerun) — an
+    // unconditional min would systematically read the warm second
+    // pass (r14 advice). BOTH timings and any rerun failure ride the
+    // JSON line for provenance.
     val rerunSlowest = times.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val rerunDetail =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     rerunSlowest.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
+        val first = times(name)
         val t0 = System.nanoTime()
         try {
           forcedCount(fn(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
-          if (sec < times(name)) times(name) = sec
-        } catch { case _: Throwable => () } // keep the first timing
+          // ROOT locale — f"" would emit comma decimals in some locales
+          rerunDetail(name) = String.format(
+            java.util.Locale.ROOT, "[%.3f,%.3f]",
+            Double.box(first), Double.box(sec))
+          if (first > 1.5 * sec) times(name) = sec
+        } catch { case e: Throwable =>
+          // keep the first (successful) timing; record the flake
+          rerunDetail(name) = s"""["${Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(80)}"]"""
+        }
       }
     }
+    val rerunJson = rerunDetail
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
     // retrieval-quality gate (separate fields, NOT part of the query
     // total): recall@10 AND ndcg@10 of the default pruned funnel vs
@@ -143,7 +170,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
     def lineWith(queriesJson: String, extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size},"rerun_slowest":${rerunSlowest.size}$recallField$qpsField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size},"rerun_slowest":${rerunSlowest.size},"rerun":$rerunJson$recallField$qpsField,"sf":"$sfDir"}"""
     // full-precision, all-queries record → bench.json (for the judge)
     Files.writeString(Paths.get("bench.json"), lineWith(qs, "") + "\n")
     // stdout: the driver parses the JSON line out of a FIXED 2000-char

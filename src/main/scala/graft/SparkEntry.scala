@@ -2090,10 +2090,13 @@ object SparkEntry {
         .MemoryStream[(String, Double)]
       // per-micro-batch merge plans read the CURRENT conf: hold a small
       // shuffle-partition count through processing (fixed per-task cost
-      // dominates at gate scale; merged state is partition-invariant)
+      // dominates at gate scale; merged state is partition-invariant).
+      // Unlike the other two streaming gates the pin must OUTLIVE
+      // start() — so a failed construction/start restores it here, and
+      // the success path restores it in the processing finally below.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
         stream.toDF().toDF("event_type", "value")
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$statePath/ckpt")
@@ -2101,6 +2104,8 @@ object SparkEntry {
             graft.streaming.StreamingSketch.mergeHistBatch(
               b, id, statePath, Seq("event_type"), "value", lo, hi, 64))
           .start()
+      } catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
       }
       try batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
       finally {

@@ -177,7 +177,19 @@ object C1Agreement {
                 val expCalls = exp.linesIterator.find(_.startsWith("Calls: "))
                 val expCalledBy = exp.linesIterator.find(_.startsWith("Called by: "))
                 units.find(u => u.name == uname || u.qualifiedName == uname) match {
-                  case Some(u) =>
+                  case Some(u0) =>
+                    // FIXTURE-PIPELINE parity: the reference's test
+                    // helper `parse` is bare extract_units — it never
+                    // runs build_call_graph (tests/common.rs:7-9; the
+                    // graph is built at INDEX time, index/mod.rs:1892),
+                    // so no fixture literal can contain a `Called by:`
+                    // line (grep: zero across the suite). Our extractor
+                    // populates file-local calledBy inline; suppress it
+                    // here so the compare scores what the fixtures
+                    // actually assert. Production called_by semantics
+                    // (name match, sort, dedup) are covered by
+                    // CodeUnitsNpySpec's own reverse-edge tests.
+                    val u = u0.copy(calledBy = Seq.empty)
                     if (expSig.forall(_ == u.signature)) sigOk += 1
                     else if (verbose) println(s"SIG [$lang] '$uname' ours='${u.signature}' want='${expSig.get}'")
                     if (expCode.forall(c => rstrip(c) == rstrip(u.code))) codeOk += 1

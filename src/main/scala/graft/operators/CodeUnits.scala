@@ -296,6 +296,150 @@ object CodeUnits {
     * ruby's grammar; allowlisted to the idiomatic IO commands. */
   private val RubyCommandRe = java.util.regex.Pattern.compile(
     """(?<![\w.:])(puts|print|pp)[ \t]+[^=\s]""")
+  /** Kotlin statement/soft keywords that can never BASE a postfix call
+    * chain (their grammar nodes are if/when/loop/accessor/initializer
+    * forms, not call_expressions). `this`/`it`/`super` are NOT stopped:
+    * tree-sitter scores `this.x` as a navigation_expression whose
+    * child(0) text is `this`. */
+  private val KotlinChainStop = Set(
+    "if", "when", "for", "while", "do", "else", "try", "catch",
+    "finally", "return", "throw", "is", "in", "as", "package", "import",
+    "typealias", "init", "val", "var", "by", "get", "set", "where")
+  /** Kotlin declaration heads — no call nodes until the body opens. */
+  private val KotlinDeclKw = Set(
+    "fun", "class", "object", "interface", "constructor", "enum",
+    "annotation")
+
+  /** Kotlin call extraction with tree-sitter NODE-TEXT parity
+    * (analysis.rs:600 call_types = [call_expression,
+    * navigation_expression]; :612-641 scored name = raw text of the
+    * node's FIRST CHILD reduced to its last `.` segment then last `::`
+    * segment, first char must be alphabetic). Tree-sitter parses a
+    * trailing lambda as a SECOND nested call node, so
+    * `withContext(Dispatchers.IO) { ... }` genuinely scores `IO)` (the
+    * parenthesized prefix's last dot segment) and
+    * `Gson().fromJson(...)` scores `Gson()` — raw-node-text artifacts
+    * the reference's own fixtures pin (test_kotlin.rs:114,261).
+    *
+    * Simulated as a postfix-chain scan over masked source: a chain is
+    * `base (suffix)*`, suffix ∈ `.name` | `::name` | `(args)` |
+    * `{lambda}` | `<typeargs>` before `(`; every node-creating suffix
+    * emits lastSegment(prefix-text) — exactly the child(0) text of the
+    * node that suffix creates. Declaration headers (fun/class/object/
+    * interface/constructor, including delegation specifiers up to the
+    * body brace, line end, or an expression-body `=`) produce no call
+    * nodes; strings and comments are masked. */
+  private[operators] def kotlinChainCalls(code: String): Seq[String] = {
+    // strings/comments only — argument text must stay scannable
+    val masked = maskedOffsets(code, "kotlin", maskParens = false)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val n = code.length
+    def isIdStart(c: Char) = c.isLetter || c == '_'
+    def isIdPart(c: Char) = c.isLetterOrDigit || c == '_'
+    def emit(prefix: String): Unit = {
+      val a = prefix.substring(prefix.lastIndexOf('.') + 1)
+      val di = a.lastIndexOf("::")
+      val b = if (di >= 0) a.substring(di + 2) else a
+      val name = b.reverse.dropWhile(_ == '!').reverse
+      if (name.nonEmpty && name.charAt(0).isLetter) out += name
+    }
+    def readIdent(i0: Int): Int = {
+      var i = i0; while (i < n && isIdPart(code.charAt(i))) i += 1; i
+    }
+    def skipWs(i0: Int, to: Int): Int = {
+      var i = i0
+      while (i < to && (code.charAt(i) == ' ' || code.charAt(i) == '\t')) i += 1
+      i
+    }
+    def matchClose(i0: Int, open: Char, close: Char, to: Int): Int = {
+      var depth = 0; var i = i0
+      while (i < to) {
+        if (!masked.get(i)) {
+          val c = code.charAt(i)
+          if (c == open) depth += 1
+          else if (c == close) { depth -= 1; if (depth == 0) return i + 1 }
+        }
+        i += 1
+      }
+      to
+    }
+    def scanRange(from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        val c = code.charAt(i)
+        if (masked.get(i)) i += 1
+        else if (isIdStart(c) && (i == 0 || {
+          val p = code.charAt(i - 1)
+          !isIdPart(p) && p != '.' && p != ':' && p != '@' && p != '$'
+        })) i = chain(i, to)
+        else i += 1
+      }
+    }
+    def chain(start: Int, to: Int): Int = {
+      var i = readIdent(start)
+      val base = code.substring(start, i)
+      if (KotlinDeclKw(base)) {
+        while (i < to && code.charAt(i) != '{' && code.charAt(i) != '\n' &&
+          code.charAt(i) != '=') i += 1
+        return i
+      }
+      if (KotlinChainStop(base)) return i
+      var loop = true
+      while (loop && i < to) {
+        val j = skipWs(i, to)
+        if (j >= to) loop = false
+        else code.charAt(j) match {
+          case '.' if j + 1 < to && isIdStart(code.charAt(j + 1)) =>
+            emit(code.substring(start, i)) // navigation node child(0)
+            i = readIdent(j + 1)
+          case ':' if j + 1 < to && code.charAt(j + 1) == ':' &&
+              j + 2 < to && isIdStart(code.charAt(j + 2)) =>
+            emit(code.substring(start, i)) // `::` navigation child(0)
+            i = readIdent(j + 2)
+          case '(' =>
+            emit(code.substring(start, i)) // call node child(0)
+            val e = matchClose(j, '(', ')', to)
+            scanRange(j + 1, e - 1)
+            i = e
+          case '{' =>
+            emit(code.substring(start, i)) // trailing-lambda call node
+            val e = matchClose(j, '{', '}', to)
+            scanRange(j + 1, e - 1)
+            i = e
+          case '<' =>
+            // call-site type arguments: `<...>` directly followed by
+            // `(`/`{` belongs to the call_suffix — child(0) stays the
+            // pre-`<` prefix. Anything else is a comparison: chain ends.
+            var k = j + 1
+            var ok = true
+            var depth = 1
+            while (ok && k < to && depth > 0) {
+              val ck = code.charAt(k)
+              if (ck == '<') depth += 1
+              else if (ck == '>') depth -= 1
+              else if (ck == '\n' || ck == ';' || ck == '=' || ck == '{') ok = false
+              k += 1
+            }
+            val after = if (ok && depth == 0) skipWs(k, to) else to
+            if (ok && depth == 0 && after < to &&
+                (code.charAt(after) == '(' || code.charAt(after) == '{')) {
+              emit(code.substring(start, i)) // callee before type args
+              val open = code.charAt(after)
+              val e =
+                if (open == '(') matchClose(after, '(', ')', to)
+                else matchClose(after, '{', '}', to)
+              scanRange(after + 1, e - 1)
+              i = e
+            } else loop = false
+          case _ => loop = false
+        }
+      }
+      i
+    }
+    scanRange(0, n)
+    out.toSeq
+  }
+
   /** Abstract type containers (interface/protocol/enum headers) carry
     * member DECLARATIONS that read as `name(` — tree-sitter emits no
     * calls for them (no call_expression under a declaration node). */
@@ -388,6 +532,22 @@ object CodeUnits {
           while (it.find()) last = it.group(1)
           Option(last)
         }
+      } else if (lang == "javascript" || lang == "vue" || lang == "svelte") {
+        // tree-sitter JS formal_parameters (analysis.rs:454-459,493-497):
+        // only a BARE identifier child is a parameter — assignment_pattern
+        // (defaults), rest_pattern (...rest), and object/array_pattern
+        // (destructuring) extract NOTHING (their kinds match neither
+        // "parameter" nor "identifier")
+        val t = piece0.trim
+        if (t.matches("[A-Za-z_$][A-Za-z0-9_$]*")) Some(t) else None
+      } else if (lang == "typescript" && {
+        val t = piece0.trim
+        t.startsWith("...") || t.startsWith("{") || t.startsWith("[")
+      }) {
+        // TS wraps params in required_parameter nodes whose `pattern`
+        // field must be an identifier — defaults qualify (the pattern is
+        // still the identifier), rest/destructuring patterns do not
+        None
       } else {
         val pm = java.util.regex.Pattern
           .compile("""[&*]?\s*(?:mut\s+)?([A-Za-z_][A-Za-z0-9_]*)""").matcher(piece)
@@ -781,7 +941,8 @@ object CodeUnits {
     * lexer approximation as the brace-depth walk in [[codeUnits]], plus
     * `#`/`--` line comments for the languages that use them, plus paren
     * depth (so `for(;;)` separators don't anchor definitions). */
-  private[graft] def maskedOffsets(source: String, lang: String): java.util.BitSet = {
+  private[graft] def maskedOffsets(source: String, lang: String,
+      maskParens: Boolean = true): java.util.BitSet = {
     val masked = new java.util.BitSet(source.length)
     val hashComment =
       Set("python", "ruby", "elixir", "r", "julia", "perl", "shell")(lang)
@@ -860,9 +1021,9 @@ object CodeUnits {
             state = S_LINE; masked.set(i); masked.set(i + 1); i += 1
           case '/' if i + 1 < source.length && source.charAt(i + 1) == '*' =>
             state = S_BLOCK; masked.set(i); masked.set(i + 1); i += 1
-          case '(' => if (paren > 0) masked.set(i); paren += 1
-          case ')' => paren = math.max(0, paren - 1); if (paren > 0) masked.set(i)
-          case _ => if (paren > 0) masked.set(i)
+          case '(' => if (maskParens && paren > 0) masked.set(i); paren += 1
+          case ')' => paren = math.max(0, paren - 1); if (maskParens && paren > 0) masked.set(i)
+          case _ => if (maskParens && paren > 0) masked.set(i)
         }
       }
       i += 1
@@ -963,13 +1124,16 @@ object CodeUnits {
           defs0 += ((m.start(), m.end(), n, kind, recv(m), retHint(m)))
       }
     }
-    // dotted/colon function names (`function M.insert(`, Lua `M:get`):
-    // last segment is the name, the prefix the receiver. Outside Lua a
-    // ':' is a type ascription (`def foo: Int`) — strip, don't split.
+    // dotted/colon function names: in Lua the WHOLE dotted/colon text
+    // IS the unit name ("M.greet", "obj:method" — tree-sitter-lua's
+    // name node spans it; test_lua.rs:107,164,254,270), kind Function,
+    // no parent. Elsewhere the last dot segment is the name and the
+    // prefix the receiver; a ':' is a type ascription (`def foo: Int`)
+    // — strip, don't split.
     def splitDotted(raw: String): (String, String) = {
-      val colonCut = if (lang == "lua") raw.lastIndexOf(':') else -1
-      val base = if (lang == "lua") raw else raw.takeWhile(_ != ':')
-      val cut = math.max(base.lastIndexOf('.'), colonCut)
+      if (lang == "lua") return ("", raw)
+      val base = raw.takeWhile(_ != ':')
+      val cut = base.lastIndexOf('.')
       if (cut >= 0) (base.substring(0, cut), base.substring(cut + 1)) else ("", base)
     }
     scan(FuncRe, "function", m => splitDotted(m.group(2))._2,
@@ -1327,13 +1491,28 @@ object CodeUnits {
       // (interface/protocol/enum) emit none (member declarations are
       // not call_expressions).
       val calls = scala.collection.mutable.HashSet.empty[String]
-      if (!AbstractContainerRe.matcher(sigText).find()) {
+      if (lang == "kotlin") {
+        // node-text parity scanner (call_expression + navigation_
+        // expression, child(0) raw text) — replaces the generic regex
+        // for kotlin entirely; declarations are skipped structurally
+        if (!AbstractContainerRe.matcher(sigText).find())
+          kotlinChainCalls(code).foreach(calls += _)
+      } else if (!AbstractContainerRe.matcher(sigText).find()) {
         val callStop = CallStop ++ LangCallStop.getOrElse(lang, Set.empty)
         val sigStartInCode = defLineStart - codeStart
         val sigEndInCode = defLineEnd - codeStart
+        // lua keeps the full dotted/colon text as the unit name
+        // ("obj:method") — the def-line suppression must also match the
+        // regex-visible tail segment ("method"), or the declaration
+        // line reads as a self-call (tree-sitter emits none there)
+        val defTail =
+          if (lang == "lua")
+            name.substring(
+              math.max(name.lastIndexOf(':'), name.lastIndexOf('.')) + 1)
+          else name
         val cm = CallRe.matcher(code)
         while (cm.find()) {
-          val onOwnDefLine = cm.group(1) == name &&
+          val onOwnDefLine = (cm.group(1) == name || cm.group(1) == defTail) &&
             cm.start >= sigStartInCode && cm.start < sigEndInCode
           // php `->method(` and `new X(` aren't call_expressions in the
           // reference's php grammar; ts `new X(` is a new_expression
@@ -1359,15 +1538,6 @@ object CodeUnits {
           if (!onOwnDefLine && !grammarSkip && !protoSkip &&
               !callStop(cm.group(1)))
             calls += cm.group(1)
-        }
-        if (lang == "kotlin") {
-          // member calls on an UPPERCASE receiver surface the receiver
-          // too (`Arrays.sort(x)` → Arrays, sort) — but not an
-          // extension-function DEFINITION (`fun String.addExcl()`)
-          val km = java.util.regex.Pattern
-            .compile("""(?<![\w.])(?<!\bfun[ \t]{1,4})([A-Z]\w*)\.\w+\s*\(""")
-            .matcher(code)
-          while (km.find()) calls += km.group(1)
         }
         if (lang == "rust") {
           // no CallStop here: `assert!`/`match!`-style names ARE calls
@@ -1580,11 +1750,32 @@ object CodeUnits {
   val EmbedTextCap = 8192
   private val TruncationMarker = "\n[...truncated...]\n"
 
-  private def truncateText(s: String, cap: Int = EmbedTextCap): String =
-    if (s.length <= cap) s
-    else if (cap <= TruncationMarker.length) TruncationMarker.take(cap)
-    else s.take(cap - TruncationMarker.length)
-      .replaceAll("\\s+$", "") + TruncationMarker
+  /** Unicode White_Space property — Rust's `char::is_whitespace`, which
+    * `trim_end()` uses. NOT Java's `Character.isWhitespace` (that one
+    * excludes NBSP/NNBSP and NEL) and NOT regex `\s` (ASCII-only). */
+  private def isUnicodeWhitespace(cp: Int): Boolean = cp match {
+    case 0x09 | 0x0A | 0x0B | 0x0C | 0x0D | 0x20 | 0x85 | 0xA0 |
+         0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case c => c >= 0x2000 && c <= 0x200A
+  }
+
+  /** embed.rs:99-111 `truncate_text`: lengths count Unicode SCALAR
+    * chars (code points — a non-BMP char is one, not two UTF-16 units,
+    * and a cut can never split a surrogate pair) and the trailing trim
+    * is Rust `trim_end` = Unicode White_Space (see above). */
+  private def truncateText(s: String, cap: Int = EmbedTextCap): String = {
+    val n = s.codePointCount(0, s.length)
+    if (n <= cap) return s
+    if (cap <= TruncationMarker.length) return TruncationMarker.take(cap)
+    var e = s.offsetByCodePoints(0, cap - TruncationMarker.length)
+    var trimming = true
+    while (trimming && e > 0) {
+      val cp = s.codePointBefore(e)
+      if (isUnicodeWhitespace(cp)) e -= Character.charCount(cp)
+      else trimming = false
+    }
+    s.substring(0, e) + TruncationMarker
+  }
 
   /** `File:` line body (embed.rs:14-82): keep the last ≤4 path
     * components, replace separators/underscores/hyphens/dots with

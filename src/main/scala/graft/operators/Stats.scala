@@ -23,21 +23,36 @@ object Stats {
     *
     * NULL categories are excluded (a NULL key never equi-joins its
     * own marginal). Output: one row
-    * `(n_rows, n_cells, dof, chi2_micro)`, all integers. */
-  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    * `(n_rows, n_cells, dof, chi2_micro)`, all integers.
+    *
+    * `maxCells` bounds BOTH the observed-cell collect and the full
+    * |A|×|B| spine: a high-cardinality pair (ids, timestamps, free
+    * text) fails loudly with the offending cardinalities instead of
+    * OOMing the driver — chi-square over such a pair is statistically
+    * meaningless anyway (dof ≈ n). */
+  def chiSquare(df: DataFrame, a: String, b: String,
+      maxCells: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // bounded by |A|×|B| observed cells — categorical columns by
-    // contract (this is the documented driver-known bound)
+    // contract, ENFORCED by the limit+length guard before anything
+    // is materialized on the driver
     val raw = df
       .filter(col(a).isNotNull && col(b).isNotNull)
       .groupBy(col(a).cast("string").as("_a"), col(b).cast("string").as("_b"))
       .agg(count(lit(1)).as("o"))
+      .limit(maxCells + 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     require(raw.nonEmpty, "no non-null (a, b) observations")
+    require(raw.length <= maxCells,
+      s"chiSquare($a, $b): more than $maxCells observed category pairs — " +
+        "these columns are not categorical; quantize or bucket them first")
     val n = raw.map(_._3).sum
     val nA = raw.map(_._1).distinct.length
     val nB = raw.map(_._2).distinct.length
+    require(nA.toLong * nB <= maxCells,
+      s"chiSquare($a, $b): contingency spine |A|x|B| = $nA x $nB exceeds " +
+        s"$maxCells cells — quantize or bucket the columns first")
     val cells = raw.toSeq.toDF("_a", "_b", "o")
     val rts = cells.groupBy("_a").agg(sum("o").as("rt"))
     val cts = cells.groupBy("_b").agg(sum("o").as("ct"))

@@ -85,6 +85,25 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(3) === 20000000L)
   }
 
+  test("chiSquare: high-cardinality pair fails loudly, never OOMs the driver") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 60 observed pairs under maxCells=50: the limit+length guard trips
+    // BEFORE any unbounded driver materialization
+    val wide = (1L to 60L).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.chiSquare(wide, "a", "b", maxCells = 50)
+    }
+    assert(e1.getMessage.contains("not categorical"), e1.getMessage)
+    // observed cells fit (diagonal = 30) but the full |A|x|B| spine
+    // (30x30 = 900 > 800) would blow the crossJoin — second guard
+    val diag = (1L to 30L).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.chiSquare(diag, "a", "b", maxCells = 800)
+    }
+    assert(e2.getMessage.contains("contingency spine"), e2.getMessage)
+  }
+
   test("pearsonCorr: +-1 for linear data, ~0 for designed-orthogonal, NULL for constant") {
     import spark.implicits._
     import graft.operators.Stats

@@ -259,8 +259,12 @@ class CodeUnitsNpySpec extends AnyFunSuite {
         |""".stripMargin
     val lua = CodeUnits.extractUnits("lib/list.lua", luaSrc).map(u => u.name -> u).toMap
     assert(lua("helper").kind === "function")
-    assert(lua("insert").kind === "method" && lua("insert").parentClass === "M")
-    assert(lua("get").kind === "method" && lua("get").parentClass === "M")
+    // tree-sitter-lua keeps the FULL dotted/colon text as the unit name
+    // and emits plain Functions, no parent (test_lua.rs:107,164,254,270)
+    assert(lua("M.insert").kind === "function" && lua("M.insert").parentClass === "")
+    assert(lua("M:get").kind === "function" && lua("M:get").parentClass === "")
+    // the declaration line is not a self-call; the body's call edge stays
+    assert(lua("M.insert").calls === Seq("helper"))
 
     val exSrc =
       """defmodule Cache do
@@ -629,10 +633,13 @@ class CodeUnitsNpySpec extends AnyFunSuite {
       "<script>\n  export let name = 'World';\n  function greet() {\n    return name\n  }\n</script>\n<h1>hi</h1>\n")
     assert(sv.exists(u => u.name == "name" && u.kind == "constant"))
     assert(sv.exists(_.name == "greet"))
-    // lua colon-method keeps ':' in the qualified name
+    // lua colon-method: the WHOLE "obj:method" is the unit name, kind
+    // Function, no parent class, and no phantom self-call from the
+    // declaration line (test_lua.rs:164-175 pins the full embed text)
     val lua = CodeUnits.extractUnits("o.lua",
       "function obj:method(arg)\n    return self.value + arg\nend\n")
-    assert(lua.exists(u => u.name == "method" && u.qualifiedName == "obj:method"))
+    assert(lua.exists(u => u.name == "obj:method" && u.kind == "function" &&
+      u.parentClass == "" && u.calls.isEmpty && u.parameters == Seq("arg")))
   }
 
   test("C1 layer 1: modifier-first methods carry parameters and return type") {
@@ -698,6 +705,32 @@ class CodeUnitsNpySpec extends AnyFunSuite {
     val src = "def process(data):\n    rocess = 1\n    check(data)\n"
     val u = CodeUnits.extractUnits("t.py", src).head
     assert(u.calls === Seq("check"), s"got: ${u.calls}")
+  }
+
+  test("C2: truncation counts code points and trims Unicode whitespace (embed.rs:99-111)") {
+    import graft.operators.CodeUnits.CodeUnit
+    def raw(code: String) = CodeUnit("f.py", "python", "raw_code", "", "",
+      1, 1, code, Seq.empty)
+    val marker = "\n[...truncated...]\n"
+    val cap = 8192
+    // 8192 non-BMP chars (each 2 UTF-16 units, 1 scalar char): the
+    // reference counts scalar chars, so this is exactly AT the cap —
+    // untouched. The old UTF-16 String.length counting truncated it.
+    val astral = "😀" // U+1F600
+    val atCap = astral * cap
+    assert(CodeUnits.embedText(raw(atCap)) === atCap)
+    // one over: keep cap - marker chars = 8173 SCALAR chars, then the
+    // marker — and the cut never splits a surrogate pair
+    val over = astral * (cap + 1)
+    val t = CodeUnits.embedText(raw(over))
+    assert(t === astral * (cap - marker.length) + marker)
+    assert(t.codePointCount(0, t.length) === cap - marker.length + marker.length)
+    // Rust trim_end trims Unicode White_Space: NBSP (U+00A0), NNBSP
+    // (U+202F), IDEOGRAPHIC SPACE (U+3000) — which neither ASCII \s+
+    // nor Java's Character.isWhitespace would catch
+    val keep = cap - marker.length // 8173 scalar chars kept pre-trim
+    val s2 = "x" * (keep - 4) + "\u0020\u00A0\u202F\u3000" + "y" * 100
+    assert(CodeUnits.embedText(raw(s2)) === "x" * (keep - 4) + marker)
   }
 
   test("C2: embedText builds the header form and normalizes the path") {
