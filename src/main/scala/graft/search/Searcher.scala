@@ -970,6 +970,99 @@ final class Searcher(index: MultiVectorIndex) {
     }
   }
 
+  /** S1–S5 oracle twin in FIXED-ORDER f64: centroid scoring (S1),
+    * per-token top-`nProbe` probe + max-over-all-tokens threshold (S2,
+    * search.rs:417-425), IVF candidate gather with tombstone exclusion
+    * (S3), and codes-only approximate MaxSim per candidate TOKEN (S5) —
+    * every dot accumulates sequentially in double, so a SQL engine
+    * reading the dumped centroids / doc codes / query tokens replays
+    * each value bit-for-bit (the same discipline `rerankFloat32=false`
+    * pins for S7 in v_index_search). Production serves the f32 kernels
+    * ([[Searcher.centroidScores]] / [[Searcher.probeCentroids]] /
+    * [[graft.core.MaxSim.approxScore]]); IndexSearchSpec asserts both
+    * select identical probe sets and candidate rankings on the gate
+    * corpus. Returns PER-QUERY-TOKEN rows `(query_id, doc_id, qtok,
+    * best)` — the caller quantizes each `best` to integer micro-units
+    * before summing so the cross-engine sum is order-free. */
+  def approxFunnelF64(queries: DataFrame, nProbe: Int,
+      threshold: Option[Double]): DataFrame = {
+    val codec = index.codec
+    val dim = codec.dim
+    val k = codec.numCentroids
+    val cents = codec.centroids
+    val queryMap: Map[Long, Array[Array[Float]]] = queries
+      .select("query_id", "embeddings")
+      .as[(Long, Array[Array[Float]])].collect().toMap
+    // S1 (f64): per token × centroid sequential double dot — products
+    // of two f32 are exact in f64, so DuckDB's
+    // list_sum(list_transform(... ::DOUBLE ...)) is bit-identical
+    def matrixOf(emb: Array[Array[Float]]): Array[Array[Double]] =
+      emb.map { q =>
+        val r = new Array[Double](k)
+        var c = 0
+        while (c < k) {
+          var s = 0.0; val off = c * dim; var i = 0
+          while (i < dim) { s += cents(off + i).toDouble * q(i).toDouble; i += 1 }
+          r(c) = s; c += 1
+        }
+        r
+      }
+    val mats: Map[Long, Array[Array[Double]]] =
+      queryMap.map { case (q, e) => q -> matrixOf(e) }
+    // S2: per-token top-nProbe (score DESC, code ASC — the bounded-heap
+    // tie semantics of topNIndices), union over tokens, then keep a
+    // centroid iff its max over ALL query tokens meets the threshold
+    val t = threshold.getOrElse(Double.NegativeInfinity)
+    val probedPairs: Seq[(Long, Int)] =
+      mats.toSeq.sortBy(_._1).flatMap { case (qid, m) =>
+        val sel = scala.collection.mutable.SortedSet.empty[Int]
+        m.foreach { row =>
+          (0 until k).sortBy(c => (-row(c), c)).take(math.min(nProbe, k))
+            .foreach(sel += _)
+        }
+        sel.iterator.filter { c =>
+          var mx = Double.NegativeInfinity
+          m.foreach { row => if (!row(c).isNaN && row(c) > mx) mx = row(c) }
+          mx >= t
+        }.map(c => (qid, c)).toSeq
+      }
+    val probed = probedPairs.toDF("query_id", "code")
+    // S3: IVF gather + dedup + tombstone exclusion (same plan shape as
+    // the production funnel)
+    val candidates0 = index.ivf
+      .join(broadcast(probed), "code")
+      .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+      .distinct()
+    val candidates = index.tombstonesOpt match {
+      case Some(tomb) => candidates0.join(tomb, Seq("doc_id"), "left_anti")
+      case None       => candidates0
+    }
+    // S5 (f64): per query token, max over the doc's codes of the S1
+    // score — emitted per token so the caller's integer-micro sum is
+    // accumulation-order-free across engines
+    val matsBc = spark.sparkContext.broadcast(mats)
+    candidates.join(docCodes, "doc_id")
+      .select("doc_id", "query_id", "codes")
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { rows =>
+        val ms = matsBc.value
+        rows.flatMap { case (docId, qid, codes) =>
+          val m = ms(qid)
+          m.indices.iterator.map { qi =>
+            var best = Double.NegativeInfinity
+            var ci = 0
+            while (ci < codes.length) {
+              val s = m(qi)(codes(ci))
+              if (!s.isNaN && s > best) best = s
+              ci += 1
+            }
+            (qid, docId, qi, best)
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "qtok", "best")
+  }
+
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
   def reconstruct(docIds: DataFrame): DataFrame = {
     val codecBc = spark.sparkContext.broadcast(index.codec)

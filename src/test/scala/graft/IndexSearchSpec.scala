@@ -118,6 +118,81 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("approxFunnelF64 oracle twin == production f32 kernels: probe sets and candidate order") {
+    import spark.implicits._
+    val idx = new MultiVectorIndex(spark, indexPath)
+    val searcher = new Searcher(idx)
+    val queries = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val qmap = queries.as[(Long, Array[Array[Float]])].collect().toMap
+    val codec = idx.codec
+    val k = codec.numCentroids
+    // production S1+S2 (f32 kernels, the ones the serving funnel runs)
+    val prodProbe: Map[Long, Seq[Int]] = qmap.map { case (qid, emb) =>
+      val m = Searcher.centroidScores(emb, codec.centroids, k, codec.dim)
+      qid -> Searcher.probeCentroids(m, 8, Some(0.4f))
+    }
+    // f64 twin: per-token best rows -> micro sums (the gate's shape)
+    val twin = searcher.approxFunnelF64(queries, nProbe = 8, threshold = Some(0.4))
+    val twinAgg = twin.groupBy("query_id", "doc_id")
+      .agg(sum(expr("CAST(round(best * 1000000) AS BIGINT)")).as("am"))
+      .as[(Long, Long, Long)].collect()
+    // twin probe sets: reconstruct from its own f64 matrices via the
+    // candidates it produced — compare against the f32 production sets
+    // indirectly through the candidate UNION per query (identical probe
+    // sets over the same ivf lists yield identical candidate sets)...
+    // and directly: recompute f64 probe here with the same rule
+    val f64Probe: Map[Long, Seq[Int]] = qmap.map { case (qid, emb) =>
+      val cents = codec.centroids
+      val m: Array[Array[Double]] = emb.map { q =>
+        val r = new Array[Double](k)
+        var c = 0
+        while (c < k) {
+          var s = 0.0; val off = c * codec.dim; var i = 0
+          while (i < codec.dim) { s += cents(off + i).toDouble * q(i).toDouble; i += 1 }
+          r(c) = s; c += 1
+        }
+        r
+      }
+      val sel = scala.collection.mutable.SortedSet.empty[Int]
+      m.foreach(row => (0 until k).sortBy(c => (-row(c), c)).take(8).foreach(sel += _))
+      qid -> sel.iterator.filter { c =>
+        m.iterator.map(_(c)).max >= 0.4
+      }.toSeq
+    }
+    assert(f64Probe === prodProbe,
+      "f32 production probe sets diverge from the f64 oracle twin's")
+    // candidate sets: identical probe sets over the same ivf lists must
+    // gather the same candidates — assert directly against the
+    // production gather (same join the serving funnel runs)
+    val twinCands = twinAgg.map(t => (t._1, t._2)).toSet
+    val prodCands = idx.ivf
+      .join(broadcast(prodProbe.toSeq.flatMap { case (q, cs) =>
+        cs.map(c => (q, c))
+      }.toDF("query_id", "code")), "code")
+      .select(col("query_id"), explode(col("doc_ids")).as("doc_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(twinCands === prodCands,
+      "f64 twin candidate set diverges from the production gather")
+    // S5 values: f32 production approx vs f64 twin agree to f32
+    // precision (a few micro at unit-normalized scores). Exact-micro
+    // identity is the f64-twin <-> DuckDB contract (the gate hash), not
+    // the f32 <-> f64 one — f32 keeps ~7 significant digits.
+    val codesMap = idx.docCodes.select("doc_id", "codes")
+      .as[(Long, Array[Int])].collect().toMap
+    twinAgg.foreach { case (qid, doc, am) =>
+      val m = Searcher.centroidScores(qmap(qid), codec.centroids, k, codec.dim)
+      val f32 = m.map { row =>
+        var best = Float.NegativeInfinity
+        codesMap(doc).foreach { c => if (row(c) > best) best = row(c) }
+        best.toDouble
+      }.sum
+      assert(math.abs(f32 * 1e6 - am) <= 5.0,
+        s"approx f32 vs f64 drift above f32 precision for ($qid, $doc): " +
+          s"${f32 * 1e6} vs $am")
+    }
+  }
+
   test("serving fast path is bit-identical to the distributed funnel (with and without subset)") {
     import spark.implicits._
     val idx = new MultiVectorIndex(spark, indexPath)
