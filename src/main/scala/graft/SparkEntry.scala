@@ -2236,22 +2236,29 @@ object SparkEntry {
           (col("p_us") - col("c_us")).as("gap_us"))
       val ckpt = "/tmp/graft_strange_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
       graft.util.Fs.deleteRecursively(ckpt)
-      // state-store task count: a stream-stream join runs 4 stateful
-      // operators per micro-batch, each with one task per shuffle
-      // partition — at this input scale the fixed per-task state-store
-      // open/commit dominates, so pin a small partition count for the
-      // STREAMING query only (content is partition-invariant; the
-      // conf is restored before the batch result is read)
+      // state-store task count ~ INPUT RATE, not a fixed pin: a
+      // stream-stream join runs 4 stateful operators per micro-batch,
+      // each with one task per shuffle partition and a fixed
+      // state-store open/commit cost per task. Partitions =
+      // clamp(rows-per-batch / 250k, 8, 32): at gate scale the fixed
+      // per-task cost dominates (floor 8 — the r13 measurement:
+      // 7.9 s -> 3.3 s isolated), at the ×1000 probe (~40M rows/side)
+      // the per-partition state size does (content is
+      // partition-invariant; conf restored before the result is read).
+      val clickRows = side("click")
+      val buyRows = side("purchase")
+      val nParts = math.max(8L, math.min(32L,
+        (clickRows.size.toLong + buyRows.size.toLong) / 250000L))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
         joined.writeStream.format("memory")
           .queryName("st_range_join_sink").outputMode("append")
           .option("checkpointLocation", s"$ckpt/ckpt").start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
-        clickS.addData(side("click"))
-        buyS.addData(side("purchase"))
+        clickS.addData(clickRows)
+        buyS.addData(buyRows)
         q.processAllAvailable()
       } finally q.stop()
       s.table("st_range_join_sink").select("purchase_id", "click_id", "gap_us")

@@ -448,6 +448,66 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-stream range join produced $got")
   }
 
+  test("stream-stream range join keeps BOUNDED state under a tight watermark (eviction + late drop)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // join window 24h, watermark 1h: state must hold ~one window of
+    // rows per side, NOT the whole history — the production-scale
+    // contract the st_range_join gate's 90-day gate-parity watermark
+    // deliberately suspends (update.rs:75-108 is the reference's
+    // bounded-buffer analogue)
+    val clickS = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buyS = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = clickS.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val buys = buyS.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    val joined = buys.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_state_out")
+      .option("checkpointLocation", "/tmp/graft_ssjst_ckpt_" + System.nanoTime())
+      .start()
+    val B = 200
+    def day(d: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-$d%02d 10:${i % 60}%02d:00")
+    def feed(d: Int): Unit = {
+      clickS.addData((0 until B).map(i => (day(d, i), (i % 50).toLong, d * 1000L + i)))
+      buyS.addData((0 until B).map(i => (day(d, i), (i % 50).toLong, d * 100000L + i)))
+      q.processAllAvailable()
+    }
+    try {
+      feed(1); feed(10); feed(20)
+      // batch N evicts with the watermark derived from batch N-1, so
+      // push one more tiny batch to apply day-20's watermark
+      clickS.addData(Seq((day(21, 0), 999L, 1L)))
+      buyS.addData(Seq((day(21, 0), 999L, 2L)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.toSeq
+        .map(_.numRowsTotal).sum
+      val fed = 3L * 2L * B + 2L
+      // bounded: at most the last in-window day's rows (+ the probe
+      // pair and eviction-lag slack), never the 1202-row history
+      assert(stateRows <= 2L * B + 2L,
+        s"state holds $stateRows rows — watermark eviction not bounding it")
+      assert(stateRows < fed / 2,
+        s"state ($stateRows) tracks history ($fed), not the window")
+      // late row far behind the watermark joins nothing and adds no state
+      val before = spark.table("ssj_state_out").count()
+      clickS.addData(Seq((day(1, 1), 1L, 424242L)))
+      q.processAllAvailable()
+      val afterState = q.lastProgress.stateOperators.toSeq
+        .map(_.numRowsTotal).sum
+      assert(spark.table("ssj_state_out").count() === before,
+        "a click 19 days behind the watermark produced output")
+      assert(afterState <= stateRows,
+        s"late row grew the state: $stateRows -> $afterState")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark is a valid streaming plan matching the batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
