@@ -14,10 +14,14 @@ import graft.operators.Rankers
   *    (broadcast queries × full scan; linear in corpus size);
   *  - IVF path ([[buildIvf]] + [[annTopK]]) — the 100 TB path: seeded
   *    k-means coarse quantizer, per-vector centroid assignment table,
-  *    probe the top-`nProbe` centroids per query and score only those
-  *    partitions' vectors. Candidate volume drops by ~K/nProbe; the
-  *    assignment table is the only shuffle at build, and search is a
-  *    broadcast semi-join (no shuffle of the corpus).
+  *    probe the top-`nProbe` centroids per query ([[probeTopN]], a
+  *    mapPartitions pass over the QUERY table with broadcast
+  *    centroids — never a driver collect) and score only those cells'
+  *    vectors. Candidate volume drops by ~K/nProbe; the assignment
+  *    table is the only shuffle at build, and the candidate gather is
+  *    an unhinted equi-join on the cell code — AQE broadcasts the
+  *    probe table at serving-batch sizes and shuffles both sides on
+  *    their keys when the query side is itself a corpus (mining).
   *
   * Doc-vs-doc near-dedup ([[cosineDedupPairs]]) runs every corpus vector
   * as a query through the IVF path — a bucketed join via the shared
