@@ -1892,6 +1892,40 @@ object SparkEntry {
       ).toDF("metric", "value")
     }),
 
+    // B1: seeded Lloyd's k-means training, EXTERNALLY recomputed (was
+    // the largest unit-terminal row): the training rows are dumped WITH
+    // their init-selection hash, and the DuckDB twin replays the WHOLE
+    // algorithm — init = k smallest by (hash, doc_id, tok), three
+    // assignment rounds (f64 argmin, lowest code on ties), per-cluster
+    // per-coordinate means folded in (code, doc_id, tok) order via
+    // `list(x ORDER BY …)` + left-to-right list_sum (DuckDB's ordered
+    // fold), f32 cast between iterations, empty-cluster carry, final
+    // L2 normalize — bit-for-bit against Searcher-side
+    // GraftKMeans.trainOracleF64 (the fixed-order-f64 twin; its
+    // equivalence to the production SIMD-f32 `train` is
+    // IndexSearchSpec-pinned, the same discipline as approxFunnelF64 /
+    // rerankFloat32=false). Output quantized to integer micro-units.
+    "b1_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val seed = 42L
+      val dim = 64
+      val withH = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id").as("doc_id"), lit(0).as("tok"),
+          col("embedding").as("vec"))
+        .withColumn("h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
+        .select("h", "doc_id", "tok", "vec")
+      val path = "/tmp/graft_b1_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      withH.write.mode("overwrite").parquet(s"$path/train")
+      val rows = withH.as[(Long, Long, Int, Array[Float])].collect()
+      val cents = graft.index.GraftKMeans.trainOracleF64(
+        rows.toSeq, dim, k = 8, iters = 3)
+      (0 until 8).flatMap(c => (0 until dim).map(i =>
+        (c.toLong, (i + 1).toLong, cents(c * dim + i).toDouble)))
+        .toDF("code", "i", "x")
+        .select(col("code"), col("i"),
+          expr("CAST(round(x * 1000000) AS BIGINT)").as("coord_micro"))
+    }),
+
     // B3: codec training (index.rs:182-287) — cutoffs at quantiles
     // i/2^nbits, weights at midpoint quantiles (i+0.5)/2^nbits, numpy
     // "linear" interpolation. The residual sample is dumped and the
@@ -4703,6 +4737,49 @@ object SparkEntry {
         |  CAST(ceil(nt.n / 2.0) AS BIGINT) AS n_clusters,
         |  round(a.v0d, 4) AS v0, round(a.vsumd, 3) AS vsum
         |FROM agg a JOIN nt ON a.doc_id = nt.doc_id""".stripMargin,
+    // Full Lloyd's replay from the dumped training rows: init by the
+    // dumped hash order, then per iteration an f64 argmin assignment
+    // (lowest code on ties) and ordered per-coordinate f64 folds
+    // (list(x ORDER BY doc_id, tok) + left-to-right list_sum == the
+    // Scala fold), f32 cast between iterations, empty-cluster carry,
+    // final L2 normalize — generated per iteration below.
+    "b1_kmeans_train" -> {
+      def iterSql(n: Int): String =
+        s"""a$n AS (
+           |  SELECT doc_id, tok, vec, code FROM (
+           |    SELECT t.doc_id, t.tok, t.vec, c.code,
+           |      row_number() OVER (PARTITION BY t.doc_id, t.tok ORDER BY
+           |        list_sum(list_transform(range(1, 65),
+           |          j -> (t.vec[j]::DOUBLE - c.cvec[j]) * (t.vec[j]::DOUBLE - c.cvec[j]))),
+           |        c.code) AS rn
+           |    FROM train t CROSS JOIN c${n - 1}l c)
+           |  WHERE rn = 1),
+           |s$n AS (
+           |  SELECT a.code, ci.i,
+           |    list_sum(list(a.vec[ci.i]::DOUBLE ORDER BY a.doc_id, a.tok)) AS acc,
+           |    count(*) AS cnt
+           |  FROM a$n a CROSS JOIN ci
+           |  GROUP BY 1, 2),
+           |c$n AS (
+           |  SELECT p.code, p.i,
+           |    coalesce(CAST(CAST(s.acc / s.cnt AS FLOAT) AS DOUBLE), p.x) AS x
+           |  FROM c${n - 1} p LEFT JOIN s$n s ON s.code = p.code AND s.i = p.i),
+           |c${n}l AS (SELECT code, list(x ORDER BY i) AS cvec FROM c$n GROUP BY code),""".stripMargin
+      s"""WITH train AS (
+         |  SELECT h, doc_id, tok, vec
+         |  FROM read_parquet('/tmp/graft_b1__root_testdata_sf0_01/train/*.parquet')),
+         |ci AS (SELECT unnest(range(1, 65)) AS i),
+         |init AS (SELECT vec, row_number() OVER (ORDER BY h, doc_id, tok) AS rn FROM train),
+         |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS code, ci.i, vec[ci.i]::DOUBLE AS x
+         |  FROM init CROSS JOIN ci WHERE rn <= 8),
+         |c0l AS (SELECT code, list(x ORDER BY i) AS cvec FROM c0 GROUP BY code),
+         |${(1 to 3).map(iterSql).mkString("\n")}
+         |nrm AS (SELECT code, greatest(sqrt(list_sum(list(x * x ORDER BY i))), 1e-12) AS nv
+         |  FROM c3 GROUP BY code)
+         |SELECT CAST(c.code AS BIGINT) AS code, CAST(c.i AS BIGINT) AS i,
+         |  CAST(round(CAST(CAST(c.x / n.nv AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS coord_micro
+         |FROM c3 c JOIN nrm n ON n.code = c.code""".stripMargin
+    },
     "b2_partitions" ->
       """WITH c AS (SELECT n_docs, n_tokens
         |  FROM read_parquet('/tmp/graft_b2__root_testdata_sf0_01/counts/*.parquet'))

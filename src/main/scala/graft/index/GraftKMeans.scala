@@ -183,6 +183,88 @@ object GraftKMeans {
     centroids
   }
 
+  /** B1 oracle twin: Lloyd's with FIXED-ORDER f64 arithmetic end to
+    * end — assignment argmin in sequential double (strict `<`, lowest
+    * code wins ties), per-cluster per-coordinate sums folded in
+    * (code, doc_id, tok) row order in double (the same fold order
+    * [[train]] pins), means cast to f32 (the production precision
+    * boundary between iterations), empty clusters carrying the
+    * previous centroid, and final L2 normalization as double-divide
+    * then f32 round. A SQL engine reading the dumped
+    * `(init_hash, doc_id, tok, vec)` training rows replays every step
+    * bit-for-bit (`list(x ORDER BY …)` + left-to-right `list_sum` is
+    * the ordered fold; `CAST(… AS FLOAT)` is the f32 boundary).
+    * Production [[train]] differs only in its SIMD-f32 assignment
+    * kernel and f32 normalize division — IndexSearchSpec pins both to
+    * this twin on the gate corpus. `rows`: (initHash, doc_id, tok,
+    * vec) in any order; init takes the `k` smallest by (hash, doc_id,
+    * tok), exactly [[train]]'s selection. */
+  def trainOracleF64(
+      rows: Seq[(Long, Long, Int, Array[Float])],
+      dim: Int, k: Int, iters: Int): Array[Float] = {
+    require(rows.nonEmpty, "cannot train on an empty set")
+    val kEff = math.min(k.toLong, rows.size.toLong).toInt
+    var centroids: Array[Float] = flatten(
+      rows.sortBy(t => (t._1, t._2, t._3)).take(kEff).map(_._4).toArray, dim)
+    val ordered = rows.sortBy(t => (t._2, t._3)).map(t => (t._2, t._3, t._4))
+    var it = 0
+    while (it < iters) {
+      val kNow = centroids.length / dim
+      val assigned = ordered.map { case (docId, tok, vec) =>
+        var best = 0
+        var bestDist = Double.PositiveInfinity
+        var c = 0
+        while (c < kNow) {
+          var s = 0.0
+          val off = c * dim
+          var i = 0
+          while (i < dim) {
+            val d = vec(i).toDouble - centroids(off + i).toDouble
+            s += d * d
+            i += 1
+          }
+          if (s < bestDist) { best = c; bestDist = s }
+          c += 1
+        }
+        (best, docId, tok, vec)
+      }
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Long)]
+      assigned.sortBy { case (code, docId, tok, _) => (code, docId, tok) }
+        .foreach { case (code, _, _, vec) =>
+          val (acc, n) = sums.getOrElseUpdate(code, (new Array[Double](dim), 0L))
+          var i = 0
+          while (i < dim) { acc(i) += vec(i); i += 1 }
+          sums(code) = (acc, n + 1)
+        }
+      val next = centroids.clone()
+      sums.foreach { case (code, (acc, n)) =>
+        var i = 0
+        while (i < dim) { next(code * dim + i) = (acc(i) / n).toFloat; i += 1 }
+      }
+      centroids = next
+      it += 1
+    }
+    val kNow = centroids.length / dim
+    var c = 0
+    while (c < kNow) {
+      val off = c * dim
+      var sumSq = 0.0
+      var i = 0
+      while (i < dim) {
+        sumSq += centroids(off + i).toDouble * centroids(off + i)
+        i += 1
+      }
+      val norm = math.max(math.sqrt(sumSq), 1e-12)
+      i = 0
+      while (i < dim) {
+        centroids(off + i) = (centroids(off + i).toDouble / norm).toFloat
+        i += 1
+      }
+      c += 1
+    }
+    centroids
+  }
+
   private def flatten(rows: Array[Array[Float]], dim: Int): Array[Float] = {
     val out = new Array[Float](rows.length * dim)
     var i = 0

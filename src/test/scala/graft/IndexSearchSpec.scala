@@ -118,6 +118,36 @@ class IndexSearchSpec extends AnyFunSuite {
     assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("trainOracleF64 twin == production train: assignments and centroids on the gate corpus") {
+    import spark.implicits._
+    import graft.index.GraftKMeans
+    val seed = 42L
+    val dim = 64
+    val toks = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id").as("doc_id"), lit(0).as("tok"),
+        col("embedding").as("vec"))
+    val prod = GraftKMeans.train(spark, toks, dim, 8, iters = 3, seed,
+      maxPointsPerCentroid = 1 << 20)
+    val rows = toks
+      .withColumn("h", xxhash64(col("doc_id"), col("tok"), lit(seed + 1)))
+      .select("h", "doc_id", "tok", "vec")
+      .as[(Long, Long, Int, Array[Float])].collect()
+    val twin = GraftKMeans.trainOracleF64(rows.toSeq, dim, 8, iters = 3)
+    // the twin differs from production only in the f32-SIMD assignment
+    // kernel and the f32 normalize division — on this corpus the
+    // centroids must agree to f32 precision and induce IDENTICAL
+    // nearest-centroid assignments (if an f32-vs-f64 boundary flip ever
+    // lands here, the b1_kmeans_train gate needs a re-look)
+    assert(prod.length === twin.length)
+    val maxDiff = prod.indices.map(i => math.abs(prod(i) - twin(i))).max
+    assert(maxDiff < 1e-5f, s"twin centroids drifted: max |diff| = $maxDiff")
+    rows.foreach { case (_, _, _, vec) =>
+      assert(GraftKMeans.nearestCosine(prod, 8, dim, vec) ===
+        GraftKMeans.nearestCosine(twin, 8, dim, vec))
+    }
+  }
+
   test("approxFunnelF64 oracle twin == production f32 kernels: probe sets and candidate order") {
     import spark.implicits._
     val idx = new MultiVectorIndex(spark, indexPath)
