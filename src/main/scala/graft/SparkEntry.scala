@@ -633,16 +633,27 @@ object SparkEntry {
         transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
           x => x.getField("embedding")).as("embeddings"))
       val path = "/tmp/graft_approx_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
-      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
-      val codec = idx.codec
-      codec.centroids.grouped(codec.dim).zipWithIndex
-        .map { case (c, i) => (i, c) }.toSeq.toDF("code", "centroid")
-        .write.mode("overwrite").parquet(s"$path/cents")
-      idx.docCodes.select("doc_id", "codes")
-        .write.mode("overwrite").parquet(s"$path/dcodes")
-      emb.filter(col("doc_id") < 4)
-        .select(col("doc_id").as("query_id"), col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(s"$path/qtok")
+      // index + dumps are pure functions of the source data — build
+      // once per source fingerprint (the v_search_qps discipline) so
+      // bench times the funnel, not a rebuild; in-place testdata
+      // regeneration invalidates via the stamp
+      val srcFp = graft.util.Fs.fingerprint(s"$dir/embeddings.parquet")
+      if (!graft.util.Fs.exists(s"$path/manifest.json") ||
+          !graft.util.Fs.cacheFresh(path, srcFp)) {
+        graft.util.Fs.deleteRecursively(path)
+        val built = graft.index.MultiVectorIndex.build(s, docs, path)
+        val codec = built.codec
+        codec.centroids.grouped(codec.dim).zipWithIndex
+          .map { case (c, i) => (i, c) }.toSeq.toDF("code", "centroid")
+          .write.mode("overwrite").parquet(s"$path/cents")
+        built.docCodes.select("doc_id", "codes")
+          .write.mode("overwrite").parquet(s"$path/dcodes")
+        emb.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("query_id"), col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$path/qtok")
+        graft.util.Fs.stampCache(path, srcFp)
+      }
+      val idx = new graft.index.MultiVectorIndex(s, path)
       val queries = docs.filter(col("doc_id") < 4)
         .select(col("doc_id").as("query_id"), col("embeddings"))
       new graft.search.Searcher(idx)
