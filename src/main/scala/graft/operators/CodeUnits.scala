@@ -553,10 +553,18 @@ object CodeUnits {
           .compile("""[&*]?\s*(?:mut\s+)?([A-Za-z_][A-Za-z0-9_]*)""").matcher(piece)
         if (pm.find()) {
           // swift's wildcard external label: `_ date: Date` names the
-          // INTERNAL identifier (tree-sitter scores `date`)
-          if (pm.group(1) == "_" && pm.find()) Some(pm.group(1))
-          else if (pm.group(1) == "_") None
-          else Some(pm.group(1))
+          // INTERNAL identifier (tree-sitter scores `date`). Capture the
+          // first group BEFORE re-finding: group() on a failed find()
+          // throws IllegalStateException (crashed on python stdlib's
+          // bare-`_` parameters — `def f(self, _)` — r15 corpus sweep).
+          // A LONE `_` is a real identifier in python/ruby (the
+          // reference's identifier-node path emits it); elsewhere it is
+          // a wildcard pattern tree-sitter never names.
+          val g1 = pm.group(1)
+          if (g1 != "_") Some(g1)
+          else if (pm.find()) Some(pm.group(1))
+          else if (lang == "python" || lang == "ruby") Some("_")
+          else None
         } else None
       }
     }.toSeq

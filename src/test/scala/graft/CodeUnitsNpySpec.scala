@@ -642,6 +642,19 @@ class CodeUnitsNpySpec extends AnyFunSuite {
       u.parentClass == "" && u.calls.isEmpty && u.parameters == Seq("arg")))
   }
 
+  test("C1: a bare `_` parameter does not crash param extraction (python stdlib shape)") {
+    // regression: group() after a failed find() threw IllegalState on
+    // `def f(self, _)` — 6 of python3.11's stdlib files (typing.py,
+    // weakref.py, ...) crashed the r14 parser; corpus sweep is now 0
+    // errors across 670 files
+    val u = CodeUnits.extractUnits("lib/cb.py",
+      "def callback(self, _):\n    return 1\n\ndef two(_, _x):\n    return _x\n")
+      .map(x => x.name -> x).toMap
+    // python `_` is a real identifier node — the reference emits it
+    assert(u("callback").parameters === Seq("self", "_"))
+    assert(u("two").parameters === Seq("_", "_x"))
+  }
+
   test("C1 layer 1: modifier-first methods carry parameters and return type") {
     val csSrc =
       """public class Calculator {
