@@ -235,7 +235,11 @@ object C1Agreement {
     val exts = extOf.values.toSet
     val byExt = mutable.HashMap.empty[String, (Int, Int, Int)]
     def walk(f: java.io.File): Unit = {
-      if (f.isDirectory && !f.getName.startsWith(".") && f.getName != "target")
+      // never follow directory symlinks: real trees contain cycles
+      // (/usr/lib/llvm-14's build/Release links to itself — the r15
+      // sweep walked it forever)
+      if (f.isDirectory && !f.getName.startsWith(".") && f.getName != "target"
+          && !java.nio.file.Files.isSymbolicLink(f.toPath))
         Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
       else if (f.isFile) {
         val ext = f.getName.split('.').lastOption.getOrElse("")
