@@ -171,4 +171,38 @@ object KernelProperties extends Properties("kernels") {
         u.startLine >= 1 && u.endLine >= u.startLine && u.endLine <= nLines)) &&
         Prop(units.forall(u => graft.operators.CodeUnits.embedText(u) != null))
     }
+
+  // ---- structured-definition fuzz: REAL definition templates with
+  // adversarial parameter lists (the class that crashed on python
+  // stdlib's bare `_` — pure-random text never composes `def f(self, _)`)
+  private val paramGen: Gen[String] = Gen.oneOf(
+    "_", "x", "_x", "self", "this", "cls", "x = 1", "*args", "**kw",
+    "...rest", "{a, b}", "[c]", "x: Int", "x: Int = 3", "&mut s",
+    "_ label: Date", "$php", "int *p", "const T& v", "", " ", "\u00a0")
+  private val defGen: Gen[(String, String)] = for {
+    ps <- Gen.listOfN(3, paramGen).map(_.mkString(", "))
+    body <- Gen.oneOf("return 1", "pass", "x.y()", "f(g(h))", "{ z() }")
+    tpl <- Gen.oneOf(
+      ("d.py", s"def f($ps):\n    $body\n"),
+      ("d.py", s"class C:\n    def m($ps):\n        $body\n"),
+      ("d.js", s"function f($ps) {\n  $body\n}\n"),
+      ("d.ts", s"function f($ps): number {\n  $body\n}\n"),
+      ("d.kt", s"fun f($ps): Int {\n    $body\n}\n"),
+      ("d.lua", s"function obj:m($ps)\n  $body\nend\n"),
+      ("d.rs", s"fn f($ps) -> i32 {\n    $body\n}\n"),
+      ("d.swift", s"func f($ps) -> Int {\n    $body\n}\n"),
+      ("d.go", s"func f($ps) int {\n\t$body\n}\n"),
+      ("d.c", s"int f($ps) {\n    $body;\n}\n"),
+      ("d.rb", s"def f($ps)\n  $body\nend\n"),
+      ("d.scala", s"def f($ps): Int = {\n  $body\n}\n"))
+  } yield tpl
+
+  property("definition templates with adversarial params: total + deterministic") =
+    forAll(defGen) { case (path, src) =>
+      val u1 = graft.operators.CodeUnits.extractUnits(path, src)
+      val u2 = graft.operators.CodeUnits.extractUnits(path, src)
+      Prop(u1 == u2) &&
+        Prop(u1.forall(u => graft.operators.CodeUnits.embedText(u) != null)) &&
+        Prop(u1.forall(u => u.parameters.forall(p => p != null && p.nonEmpty)))
+    }
 }
