@@ -1376,6 +1376,14 @@ class PipelineSpec extends AnyFunSuite {
     val again = Similarity.popularityNegatives(inter, "u", "it",
       k = 8, overdraw = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.sorted === rows.sorted)
+    // the >maxLocalRanges DISTRIBUTED fallback (ranges stay a cached
+    // distributed relation instead of a broadcast local one) is
+    // byte-identical to the local path — maxLocalRanges = 0 forces it
+    val dist = Similarity.popularityNegatives(inter, "u", "it",
+      k = 8, overdraw = 4, maxLocalRanges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val loc = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dist.sorted === loc.sorted)
   }
 
   test("charEntropy: uniform alphabet hits ln|A|, constant text is 0, prefix caps") {
