@@ -47,22 +47,12 @@ object AnnProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // same corpus recipe as ScaleProbe so numbers are comparable
+    // single-sourced corpus recipe (shared cache path with ScaleProbe —
+    // the generator must be the same code, not a copy)
     val path = s"/tmp/graft_scale_x$factor/embeddings.parquet"
-    if (!graft.util.Fs.exists(path)) {
-      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val n0 = src.count()
-      val reps = spark.range(factor).select(col("id").as("r"))
-      src.repartition(cpus.toInt * 2).crossJoin(broadcast(reps))
-        .select(
-          (col("r") * n0 + col("vec_id")).as("vec_id"),
-          expr(
-            """transform(embedding, (x, i) ->
-              |  cast(x + (pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.02 as float))"""
-              .stripMargin).as("embedding"),
-          col("label"))
+    if (!graft.util.Fs.exists(path))
+      ScaleProbe.replicatedEmbeddings(spark, sfDir, factor, cpus.toInt * 2)
         .write.parquet(path)
-    }
     val emb = spark.read.parquet(path)
     val nDocs = emb.count()
     val dim = 64

@@ -55,6 +55,9 @@ object RangeJoinProbe {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     val clicks = side("click")
     val buys = side("purchase")
+    require(clicks.nonEmpty && buys.nonEmpty,
+      s"empty event side (clicks=${clicks.length}, purchases=${buys.length})" +
+        s" — was $path generated with the events table included?")
 
     val clickS = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long)]

@@ -35,6 +35,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** THE ×factor embeddings replication recipe — deterministic per-dim
+    * jitter (±0.01 from `hash(vec_id, r, dim)`) so replicas are near-
+    * but not exact-duplicates and k-means/IVF geometry stays
+    * non-degenerate. Shared with [[AnnProbe]] (both cache to the same
+    * /tmp path, so the recipe must be single-sourced — two divergent
+    * copies would silently measure different corpora). */
+  def replicatedEmbeddings(
+      spark: SparkSession, sfDir: String, factor: Int, nPart: Int): DataFrame = {
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = src.count()
+    val reps = spark.range(factor).select(col("id").as("r"))
+    src.repartition(nPart).crossJoin(broadcast(reps))
+      .select(
+        (col("r") * n + col("vec_id")).as("vec_id"),
+        expr(
+          """transform(embedding, (x, i) ->
+            |  cast(x + (pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.02 as float))"""
+            .stripMargin).as("embedding"),
+        col("label"))
+  }
+
   /** Headline set: one representative per heavy layer — TPC-H-ish agg,
     * the four text-dedup paths, vector similarity join, FTS build +
     * BM25, IVF build, and the full funnel search (which also builds
@@ -90,18 +111,7 @@ object ScaleProbe {
               .stripMargin)).as("text"),
           col("lang"), col("source"), col("n_chars"))
     }
-    gen("embeddings") {
-      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val n = src.count()
-      src.repartition(nPart).crossJoin(broadcast(reps))
-        .select(
-          (col("r") * n + col("vec_id")).as("vec_id"),
-          expr(
-            """transform(embedding, (x, i) ->
-              |  cast(x + (pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.02 as float))"""
-              .stripMargin).as("embedding"),
-          col("label"))
-    }
+    gen("embeddings") { replicatedEmbeddings(spark, sfDir, factor, nPart) }
     gen("events") {
       // replica r shifts the whole stream by r stream-lengths and uses a
       // fresh user population per replica: user cardinality AND the time

@@ -284,7 +284,8 @@ object CodeUnits {
     "php" -> Set("use", "fn", "foreach"),
     "rust" -> Set("fn"),
     "swift" -> Set("init"),
-    "kotlin" -> Set("init"),
+    // kotlin no longer consults this map — kotlinChainCalls (its own
+    // KotlinChainStop set) replaced the generic CallRe path entirely
     "c" -> CPrimitives, "cpp" -> CPrimitives,
     "java" -> (CPrimitives + "foreach"),
     "csharp" -> (CPrimitives + "foreach"))
@@ -323,17 +324,56 @@ object CodeUnits {
     *
     * Simulated as a postfix-chain scan over masked source: a chain is
     * `base (suffix)*`, suffix ∈ `.name` | `::name` | `(args)` |
-    * `{lambda}` | `<typeargs>` before `(`; every node-creating suffix
-    * emits lastSegment(prefix-text) — exactly the child(0) text of the
-    * node that suffix creates. Declaration headers (fun/class/object/
-    * interface/constructor, including delegation specifiers up to the
-    * body brace, line end, or an expression-body `=`) produce no call
-    * nodes; strings and comments are masked. */
+    * `{lambda}` | `<typeargs>` before `(`; a newline continues a chain
+    * only when the next line starts with `.`/`::` (kotlin's
+    * leading-dot continuation rule); every node-creating suffix emits
+    * lastSegment(prefix-text) — exactly the child(0) text of the node
+    * that suffix creates. Declaration headers (fun/class/object/
+    * interface/constructor — bracket groups consumed as units, so
+    * multi-line signatures and delegation-ctor args emit nothing)
+    * produce no call nodes; strings and comments are masked EXCEPT
+    * `${…}` template interiors, which tree-sitter scores as code.
+    * Documented residual: enum entries with ctor args/bodies
+    * (`RED("x") { … }`) read as calls textually though tree-sitter
+    * types them enum_entry — same behavior as the regex path this
+    * replaced, and no fixture pins it. */
   private[operators] def kotlinChainCalls(code: String): Seq[String] = {
     // strings/comments only — argument text must stay scannable
     val masked = maskedOffsets(code, "kotlin", maskParens = false)
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     val n = code.length
+    // `${ expr }` template interiors are CODE — tree-sitter scores the
+    // call/navigation nodes inside them. Unmask each block; string
+    // segments nested INSIDE the interpolation stay masked (depth-1
+    // approximation: a `${…}` inside such a nested string stays dark).
+    locally {
+      var i = 0
+      while (i < n - 1) {
+        if (masked.get(i) && code.charAt(i) == '$' && code.charAt(i + 1) == '{') {
+          var depth = 0
+          var j = i + 1
+          var inStr = false
+          var strCh = ' '
+          var done = false
+          while (j < n && !done) {
+            val cj = code.charAt(j)
+            if (inStr) {
+              if (cj == '\\') j += 1
+              else if (cj == strCh) inStr = false
+            } else cj match {
+              case '{' => depth += 1; masked.clear(j)
+              case '}' =>
+                depth -= 1
+                if (depth == 0) done = true else masked.clear(j)
+              case '"' | '\'' => inStr = true; strCh = cj
+              case _ => masked.clear(j)
+            }
+            j += 1
+          }
+          i = j
+        } else i += 1
+      }
+    }
     def isIdStart(c: Char) = c.isLetter || c == '_'
     def isIdPart(c: Char) = c.isLetterOrDigit || c == '_'
     def emit(prefix: String): Unit = {
@@ -379,14 +419,44 @@ object CodeUnits {
       var i = readIdent(start)
       val base = code.substring(start, i)
       if (KotlinDeclKw(base)) {
-        while (i < to && code.charAt(i) != '{' && code.charAt(i) != '\n' &&
-          code.charAt(i) != '=') i += 1
+        // Skip the WHOLE declaration header: consume bracket groups
+        // (parameter lists, type arguments, delegation-ctor args) as
+        // units so multi-line signatures don't leak `): Int {` into the
+        // expression scanner, and stop at the body `{`, an
+        // expression-body `=`, or a top-level newline (brace-less
+        // declarations like `data class S(...) : R<T>()`).
+        var done = false
+        while (!done && i < to) {
+          code.charAt(i) match {
+            case '{' | '=' => done = true
+            case '\n' => done = true
+            case '(' => i = matchClose(i, '(', ')', to)
+            case '<' => i = matchClose(i, '<', '>', to)
+            case _ => i += 1
+          }
+        }
         return i
       }
       if (KotlinChainStop(base)) return i
       var loop = true
       while (loop && i < to) {
-        val j = skipWs(i, to)
+        // kotlin newline continuation: an expression continues past a
+        // line break iff the next line starts with a navigation
+        // operator (`items\n  .filter {…}\n  .map(f)` — the idiomatic
+        // leading-dot chain); any other token after a newline ends the
+        // chain (a `{` on a fresh line is a block, never a trailing
+        // lambda)
+        val j0 = skipWs(i, to)
+        val j =
+          if (j0 < to && code.charAt(j0) == '\n') {
+            var k = j0
+            while (k < to && (code.charAt(k) == '\n' || code.charAt(k) == '\r' ||
+              code.charAt(k) == ' ' || code.charAt(k) == '\t')) k += 1
+            if (k < to && (code.charAt(k) == '.' ||
+                (code.charAt(k) == ':' && k + 1 < to && code.charAt(k + 1) == ':')))
+              k
+            else j0
+          } else j0
         if (j >= to) loop = false
         else code.charAt(j) match {
           case '.' if j + 1 < to && isIdStart(code.charAt(j + 1)) =>
