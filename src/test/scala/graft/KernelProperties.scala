@@ -197,6 +197,35 @@ object KernelProperties extends Properties("kernels") {
       ("d.scala", s"def f($ps): Int = {\n  $body\n}\n"))
   } yield tpl
 
+  // ---- M3 WHERE grammar: the user-facing filter surface must fail
+  // ONLY with the typed WhereError — any other exception class on a
+  // malformed condition is a bug (the reference's validator returns a
+  // typed error too, filtering.rs:107-614)
+  private val whereTokGen: Gen[String] = Gen.oneOf(
+    "a", "b2", "_c", "?", "=", "!=", "<>", "<", "<=", ">", ">=", "(", ")",
+    ",", "AND", "OR", "NOT", "IS", "NULL", "BETWEEN", "IN", "LIKE",
+    "REGEXP", "and", "not", "5", "5=5", "';'", "--", "/*", "select",
+    "drop", "", " ", "\t")
+  private val whereCondGen: Gen[String] =
+    Gen.listOf(whereTokGen).map(_.mkString(" "))
+  private val whereParamGen: Gen[graft.meta.Where.Param] = Gen.oneOf(
+    graft.meta.Where.SStr("x'y\"z"), graft.meta.Where.SLong(-7L),
+    graft.meta.Where.SDouble(0.5), graft.meta.Where.SBool(true),
+    graft.meta.Where.SNull)
+
+  property("WHERE grammar: random token soup either renders or throws the typed WhereError") =
+    forAll(whereCondGen, Gen.listOf(whereParamGen)) { (cond, params) =>
+      try {
+        val sql = graft.meta.Where.toSparkSql(cond, params, Seq("a", "b2", "_c"))
+        // a rendered predicate must at least be non-empty and balanced
+        Prop(sql.nonEmpty &&
+          sql.count(_ == '(') == sql.count(_ == ')'))
+      } catch {
+        case _: graft.meta.Where.WhereError => Prop(true)
+        case e: Throwable => Prop.falsified :| s"non-typed exception: $e on <<$cond>>"
+      }
+    }
+
   property("definition templates with adversarial params: total + deterministic") =
     forAll(defGen) { case (path, src) =>
       val u1 = graft.operators.CodeUnits.extractUnits(path, src)
