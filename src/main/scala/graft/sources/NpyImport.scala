@@ -26,16 +26,31 @@ object NpyImport {
     require(bytes.length > 10 && bytes(0) == 0x93.toByte &&
       new String(bytes, 1, 5, "ASCII") == "NUMPY", s"not an npy file: $path")
     val major = bytes(6)
+    // a v2+ header length field is 4 bytes (offset 8..11) — a truncated
+    // file must fail the length require, not IndexOutOfBounds the wrap
+    require(bytes.length >= (if (major == 1) 10 else 12),
+      s"truncated npy header in $path")
     val (headerLen, headerOff) =
       if (major == 1) (ByteBuffer.wrap(bytes, 8, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt, 10)
       else (ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt, 12)
+    // a corrupt/truncated file must fail with a TYPED error naming the
+    // file (the reference's loader returns typed errors, mmap.rs), not
+    // an IndexOutOfBounds / NoSuchElement / NumberFormat crash
+    require(headerLen >= 0 && headerOff.toLong + headerLen <= bytes.length,
+      s"corrupt npy header length ($headerLen) in $path")
     val header = new String(bytes, headerOff, headerLen, "ASCII")
-    val descr = "'descr'\\s*:\\s*'([^']+)'".r.findFirstMatchIn(header).get.group(1)
-    val fortran = "'fortran_order'\\s*:\\s*(True|False)".r
-      .findFirstMatchIn(header).get.group(1) == "True"
+    def field(re: String, what: String): String =
+      re.r.findFirstMatchIn(header).getOrElse(
+        throw new IllegalArgumentException(
+          s"npy header missing $what in $path")).group(1)
+    val descr = field("'descr'\\s*:\\s*'([^']+)'", "'descr'")
+    val fortran = field("'fortran_order'\\s*:\\s*(True|False)", "'fortran_order'") == "True"
     require(!fortran, s"fortran_order unsupported: $path")
-    val shape = "'shape'\\s*:\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header).get.group(1)
-      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val shape = field("'shape'\\s*:\\s*\\(([^)]*)\\)", "'shape'")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map(s => s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"non-integer npy shape component '$s' in $path"))).toSeq
+    require(shape.forall(_ >= 0), s"negative npy shape in $path")
     val data = ByteBuffer.wrap(bytes, headerOff + headerLen,
       bytes.length - headerOff - headerLen).order(ByteOrder.LITTLE_ENDIAN)
     Npy(shape, descr.stripPrefix("<").stripPrefix("|"), data)
@@ -94,6 +109,10 @@ object NpyImport {
   def npyDescr(path: String): String = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val major = bytes(6)
+    // a v2+ header length field is 4 bytes (offset 8..11) — a truncated
+    // file must fail the length require, not IndexOutOfBounds the wrap
+    require(bytes.length >= (if (major == 1) 10 else 12),
+      s"truncated npy header in $path")
     val (headerLen, headerOff) =
       if (major == 1) (ByteBuffer.wrap(bytes, 8, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt, 10)
       else (ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt, 12)

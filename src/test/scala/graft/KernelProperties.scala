@@ -226,6 +226,46 @@ object KernelProperties extends Properties("kernels") {
       }
     }
 
+  // ---- B11 npy reader: corrupt files fail with typed errors only ----
+  private val npyBytesGen: Gen[Array[Byte]] = {
+    val magic = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
+    val junk = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    Gen.oneOf(
+      junk, // arbitrary garbage
+      junk.map(j => magic ++ j), // right magic, garbage header
+      // plausible header with fuzzed pieces
+      for {
+        v <- Gen.oneOf(1.toByte, 2.toByte, 9.toByte)
+        hl <- Gen.chooseNum(-5, 400)
+        body <- Gen.oneOf(
+          "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }",
+          "{'descr': '<f4', 'shape': (2, 3), }",
+          "{'descr': '<f4', 'fortran_order': False, 'shape': (x, 3), }",
+          "{'descr': '<f4', 'fortran_order': True, 'shape': (2,), }",
+          "{'descr': '<f4', 'fortran_order': False, 'shape': (-2,), }",
+          "garbage")
+      } yield {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(magic); b.write(v); b.write(0)
+        b.write(hl & 0xff); b.write((hl >> 8) & 0xff)
+        b.write(body.getBytes("ASCII"))
+        b.toByteArray
+      })
+  }
+
+  property("readNpy on corrupt bytes fails ONLY with IllegalArgumentException") =
+    forAll(npyBytesGen) { bytes =>
+      val f = java.nio.file.Files.createTempFile("npyfuzz", ".npy")
+      try {
+        java.nio.file.Files.write(f, bytes)
+        try { graft.sources.NpyImport.readNpy(f.toString); Prop(true) }
+        catch {
+          case _: IllegalArgumentException => Prop(true)
+          case e: Throwable => Prop.falsified :| s"untyped crash: $e"
+        }
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+
   property("definition templates with adversarial params: total + deterministic") =
     forAll(defGen) { case (path, src) =>
       val u1 = graft.operators.CodeUnits.extractUnits(path, src)
