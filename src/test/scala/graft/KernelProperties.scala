@@ -253,6 +253,25 @@ object KernelProperties extends Properties("kernels") {
       })
   }
 
+  // ---- C4 glob conversion: every user glob must compile ----
+  private val globGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.oneOf("*", "**", "?", "/", ".",
+      "[", "]", "{", "}", "(", ")", "+", "^", "$", "|", "\\", "-", "!")))
+    .map(_.mkString)
+
+  property("globToRegex output always compiles and ? never matches '/'") =
+    forAll(globGen) { g =>
+      try {
+        val p = java.util.regex.Pattern.compile(
+          graft.operators.Rankers.globToRegex(g))
+        // '?' is a single NON-separator char in glob semantics
+        Prop(g != "?" || !p.matcher("/").matches())
+      } catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          Prop.falsified :| s"glob <<$g>> produced invalid regex: ${e.getMessage}"
+      }
+    }
+
   property("readNpy on corrupt bytes fails ONLY with IllegalArgumentException") =
     forAll(npyBytesGen) { bytes =>
       val f = java.nio.file.Files.createTempFile("npyfuzz", ".npy")
