@@ -76,10 +76,10 @@ object HybridSearch {
     params.mode match {
       case "semantic" => semList
       case "keyword" =>
-        val qids = queries.select("query_id").distinct()
-        qids.crossJoin(broadcast(
-          fts.search(textQuery, params.topK, ftsSubset).select("doc_id", "score", "rank")))
-          .select("query_id", "doc_id", "score", "rank")
+        // fetchK == params.topK outside hybrid mode, so the shared
+        // kwList IS the keyword result — one retrieval code path to
+        // keep tombstone/subset wiring in sync
+        kwList.select("query_id", "doc_id", "score", "rank")
       case "hybrid" =>
         val fused =
           if (params.fusion == "rrf")

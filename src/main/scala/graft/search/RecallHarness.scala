@@ -90,8 +90,12 @@ object RecallHarness {
   def qualityAtK(
       index: MultiVectorIndex,
       queries: DataFrame,
-      params: SearchParams = SearchParams()): (Double, Double) = {
-    val searcher = new Searcher(index)
+      params: SearchParams = SearchParams(),
+      /** reuse a caller-held Searcher / precomputed brute-force result
+        * (hardQuality's multi-set sweep shares one oracle per topK) */
+      searcherOpt: Option[Searcher] = None,
+      exactOpt: Option[DataFrame] = None): (Double, Double) = {
+    val searcher = searcherOpt.getOrElse(new Searcher(index))
     def ranked(df: DataFrame): Map[Long, Seq[Long]] = df
       .select("query_id", "doc_id", "rank").collect()
       .groupBy(_.getLong(0))
@@ -99,7 +103,7 @@ object RecallHarness {
         q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
       }
     val ann = ranked(searcher.search(queries, params))
-    val exact = ranked(searcher.bruteForce(queries, params.topK))
+    val exact = ranked(exactOpt.getOrElse(searcher.bruteForce(queries, params.topK)))
     val k = params.topK
     def dcg(gains: Seq[Double]): Double =
       gains.zipWithIndex.map { case (g, i) =>
@@ -221,8 +225,21 @@ object RecallHarness {
     try {
       val idx = MultiVectorIndex.build(spark, hardCorpus(spark, numDocs), workDir)
       val queries = hardQueries(spark, numQueries).cache()
-      try paramSets.map(p => qualityAtK(idx, queries, p))
-      finally queries.unpersist()
+      // ONE Searcher + one brute-force oracle per distinct topK across
+      // the parameter sets: the exact scan dominates the harness on the
+      // 50k-doc hard corpus and depends only on (queries, topK) — a
+      // multi-set calibration sweep must not rerun it per set
+      val searcher = new Searcher(idx)
+      val exactByK = scala.collection.mutable.HashMap.empty[Int, DataFrame]
+      try paramSets.map { p =>
+        val exact = exactByK.getOrElseUpdate(p.topK,
+          searcher.bruteForce(queries, p.topK).cache())
+        qualityAtK(idx, queries, p, Some(searcher), Some(exact))
+      }
+      finally {
+        exactByK.values.foreach(_.unpersist())
+        queries.unpersist()
+      }
     } finally graft.util.Fs.deleteRecursively(workDir)
   }
 

@@ -49,7 +49,11 @@ final case class SearchParams(
       * with the footprint now counted honestly (~10% of the default
       * 8 GB driver heap). Above the budget — the 100 TB regime — the
       * distributed funnel is the only correct plan and runs unchanged.
-      * 0 disables the fast path. */
+      * 0 disables BOTH resident-image fast paths (local AND sharded —
+      * sharded dispatch is gated on this budget too, since its slices
+      * are the same collected-image idea spread across executors);
+      * to disable only the sharded path set shardedScoreBudgetBytes
+      * to 0. */
     localIndexBudgetBytes: Long = 768L << 20,
     /** Sharded serving fast path: when the packed image EXCEEDS the
       * local budget (too big to collect to one node) but the batch is
@@ -145,30 +149,36 @@ final class Searcher(index: MultiVectorIndex) {
           params.localIndexBudgetBytes)
       return searchLocal(queryMap, params, subset)
 
+    // Subset counted ONCE (drives sharded dispatch, probe scaling, and
+    // every subset join's plan — a broad filter selecting 10⁹ ids must
+    // never be force-broadcast OR driver-collected).
+    val subsetCounted: Option[(DataFrame, Long)] = subset.map { s =>
+      val ids = s.select("doc_id")
+      (ids, ids.count())
+    }
+
     // Sharded serving fast path: the image is too big to collect to ONE
     // node (it failed the dispatch above) but the batch is serving-
     // shaped — serve from doc-sliced resident images instead of paying
     // the distributed funnel's shuffle barriers. Bounded by the S1
-    // broadcast footprint (batch × tokens × K × 4B).
+    // broadcast footprint (batch × tokens × K × 4B) AND — when a subset
+    // filter is present — by its driver/broadcast residency (~64 B per
+    // boxed id in the per-task HashSet): the sharded path exists
+    // because the CORPUS doesn't fit one node, so a corpus-sized subset
+    // must route to the distributed funnel, whose subset joins are
+    // size-planned.
     if (params.localIndexBudgetBytes > 0 && params.shardedScoreBudgetBytes > 0 &&
         queryMap.size <= Searcher.LocalMaxBatch &&
         queryMap.valuesIterator.map(_.length.toLong).sum * k * 4L <=
-          params.shardedScoreBudgetBytes)
-      return searchSharded(queryMap, params, subset)
+          params.shardedScoreBudgetBytes &&
+        subsetCounted.forall(_._2 * 64L <= params.localIndexBudgetBytes))
+      return searchSharded(queryMap, params, subsetCounted)
 
     // S4 pre-computation: adaptive probe scaling (search.rs:370-382) —
     // with a subset filter, probe more centroids so recall holds — and
     // the eligible-centroid restriction (search.rs:350-364): only
     // centroids that actually contain subset docs compete for the probe
     // budget (derived from the doc_codes artifact, one small semi-join).
-    // The subset is counted ONCE (the count also drives probe scaling,
-    // and is shared by every query chunk) and that count plans every
-    // subset join by size — a broad filter selecting 10⁹ ids must never
-    // be force-broadcast.
-    val subsetCounted: Option[(DataFrame, Long)] = subset.map { s =>
-      val ids = s.select("doc_id")
-      (ids, ids.count())
-    }
     val nProbe = subsetCounted match {
       case Some((_, n)) =>
         val scaled = params.nIvfProbe.toLong * math.max(
@@ -525,31 +535,41 @@ final class Searcher(index: MultiVectorIndex) {
     // S7: survivors' tokens decode against centroid rows fetched by join
     // (no broadcast codebook), then exact MaxSim — kernel choice follows
     // params.rerankFloat32 like the dense/fast paths, so all three
-    // funnels stay result-identical at any given setting
+    // funnels stay result-identical at any given setting. Grouped by
+    // DOC like the dense path: a per-(query, doc) grouping decoded the
+    // same doc once per query that reranked it and shuffled the decoded
+    // floats that many times (the 12.6× redundancy the dense S7 was
+    // restructured to remove); each surviving doc now decodes ONCE and
+    // scores against every query in its survivor list.
     val rerank32 = params.rerankFloat32
     val survivorsBound = qids.size.toLong * nDecompress
+    val survivorsByDoc = survivors
+      .groupBy("doc_id").agg(collect_list("query_id").as("doc_qids"))
     val exact = index.tokens
-      .join(graft.util.Plan.broadcastIfBounded(survivors, survivorsBound), "doc_id")
+      .join(graft.util.Plan.broadcastIfBounded(survivorsByDoc, survivorsBound), "doc_id")
       .join(centDf, "code")
-      .select(col("query_id"), col("doc_id"), col("tok"), col("residual"), col("vec"))
-      .as[(Long, Long, Int, Array[Byte], Array[Float])]
+      .select(col("doc_id"), col("doc_qids"), col("tok"), col("residual"), col("vec"))
+      .as[(Long, Array[Long], Int, Array[Byte], Array[Float])]
       .mapPartitions { rows =>
         val qz = quantBc.value
-        rows.map { case (qid, docId, tok, packed, cent) =>
-          (qid, docId, tok, qz.decompress(packed, cent))
+        rows.map { case (docId, docQids, tok, packed, cent) =>
+          (docId, docQids, tok, qz.decompress(packed, cent))
         }
       }
-      .toDF("query_id", "doc_id", "tok", "dvec")
-      .groupBy("query_id", "doc_id")
-      .agg(collect_list(struct(col("tok"), col("dvec"))).as("toks"))
-      .as[(Long, Long, Array[(Int, Array[Float])])]
+      .toDF("doc_id", "doc_qids", "tok", "dvec")
+      .groupBy("doc_id")
+      .agg(first(col("doc_qids")).as("doc_qids"),
+        collect_list(struct(col("tok"), col("dvec"))).as("toks"))
+      .as[(Long, Array[Long], Array[(Int, Array[Float])])]
       .mapPartitions { rows =>
         val qs = queriesBc.value
-        rows.map { case (qid, docId, toks) =>
+        rows.flatMap { case (docId, docQids, toks) =>
           val docEmb = toks.sortBy(_._1).map(_._2)
-          val s = if (rerank32) MaxSim.scoreFast(qs(qid), docEmb).toDouble
-                  else MaxSim.scoreDouble(qs(qid), docEmb)
-          (qid, docId, s)
+          docQids.iterator.map { qid =>
+            val s = if (rerank32) MaxSim.scoreFast(qs(qid), docEmb).toDouble
+                    else MaxSim.scoreDouble(qs(qid), docEmb)
+            (qid, docId, s)
+          }
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -572,13 +592,22 @@ final class Searcher(index: MultiVectorIndex) {
     * order, the S7 input). Built lazily on the first fast-path search of
     * this Searcher and broadcast; sized by
     * [[graft.index.MultiVectorIndex.packedBytesEstimate]]. */
-  /** Manifest build id at the moment the image was collected — the fast
-    * path refuses to serve from a stale image (see [[searchLocal]]). */
-  @volatile private var localImageStamp: String = _
+  /** Manifest build id snapshotted EAGERLY when this Searcher is
+    * constructed — one stamp per handle, shared by the local and
+    * sharded stale-image guards and NEVER re-captured. Stamping at
+    * image-build time (the pre-r15 shape) had two holes: a sharded
+    * image rebuild on a slice-count change re-stamped with the POST-
+    * flip build id and served the stale lazy codec/DataFrame snapshots
+    * without tripping the guard, and an index flip between handle
+    * construction and the first image build was absorbed the same way.
+    * With an eager stamp, any flip after construction trips the guard
+    * (worst case a false positive when nothing stale was read yet —
+    * the caller reopens, which is the documented contract anyway). */
+  private val snapshotStamp: String =
+    graft.index.MultiVectorIndex.readBuildId(index.path)
 
   private lazy val localImageBc
       : org.apache.spark.broadcast.Broadcast[Searcher.LocalIndexImage] = {
-    localImageStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
     val ivfM: Map[Int, Array[Long]] = index.ivf
       .select("code", "doc_ids").as[(Int, Array[Long])]
       .collect().toMap
@@ -626,10 +655,10 @@ final class Searcher(index: MultiVectorIndex) {
     // a rebuild within filesystem timestamp granularity producing a
     // same-length manifest must still trip the guard.
     val nowStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
-    if (localImageStamp != nowStamp)
+    if (snapshotStamp != nowStamp)
       throw new IllegalStateException(
         s"index at ${index.path} changed on disk since this Searcher collected " +
-        s"its image (manifest build id $localImageStamp -> $nowStamp); " +
+        s"its image (manifest build id $snapshotStamp -> $nowStamp); " +
         "open a fresh Searcher/GraftIndex handle after updates")
 
     // S4: subset ids collected (bounded by the corpus, which fits the
@@ -767,7 +796,6 @@ final class Searcher(index: MultiVectorIndex) {
   // collect to one node (dispatch: SearchParams.shardedScoreBudgetBytes).
   // ---------------------------------------------------------------------
 
-  @volatile private var shardedImageStamp: String = _
   @volatile private var shardedImageCache
       : (Int, org.apache.spark.rdd.RDD[Searcher.LocalIndexImage]) = _
 
@@ -802,7 +830,9 @@ final class Searcher(index: MultiVectorIndex) {
     else {
       if (shardedImageCache != null)
         shardedImageCache._2.unpersist(blocking = false)
-      shardedImageStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
+      // NO re-stamp here: the guard compares against the handle's
+      // construction-time snapshotStamp, so a rebuild triggered by a
+      // slice-count change cannot absorb an on-disk index flip
       val part = new org.apache.spark.HashPartitioner(slices)
       val n = slices.toLong
       val ivfR = index.ivf.select("code", "doc_ids").as[(Int, Array[Long])].rdd
@@ -850,37 +880,40 @@ final class Searcher(index: MultiVectorIndex) {
   private def searchSharded(
       queryMap: Map[Long, Array[Array[Float]]],
       params: SearchParams,
-      subset: Option[DataFrame]): DataFrame = {
+      subsetCounted: Option[(DataFrame, Long)]): DataFrame = {
     val cdc = index.codec
     val k = cdc.numCentroids
     val qids: Array[Long] = queryMap.keys.toArray.sorted
     val slices = if (params.shardedSlices > 0) params.shardedSlices
       else math.max(2, spark.sparkContext.defaultParallelism)
     val img = shardedImage(slices)
-    // same stale-image guard as the local fast path (build_id, not mtime)
+    // same stale-image guard as the local fast path (build_id, not
+    // mtime), against the handle's construction-time stamp
     val nowStamp = graft.index.MultiVectorIndex.readBuildId(index.path)
-    if (shardedImageStamp != nowStamp)
+    if (snapshotStamp != nowStamp)
       throw new IllegalStateException(
         s"index at ${index.path} changed on disk since this Searcher sliced " +
-        s"its image (manifest build id $shardedImageStamp -> $nowStamp); " +
+        s"its image (manifest build id $snapshotStamp -> $nowStamp); " +
         "open a fresh Searcher/GraftIndex handle after updates")
 
     // S4: subset restriction + probe scaling + eligible centroids — the
-    // eligible mask comes from the doc_codes ARTIFACT (one semi-join,
-    // as the distributed path), never from a driver-collected corpus
+    // eligible mask comes from the doc_codes ARTIFACT (one size-planned
+    // semi-join, as the distributed path), never from a driver-collected
+    // corpus. The subset COLLECT below is bounded by dispatch (its
+    // residency was checked against localIndexBudgetBytes in search()).
     val subsetIds: Option[Array[Long]] =
-      subset.map(_.select("doc_id").as[Long].collect())
-    val nProbe = subsetIds match {
-      case Some(ids) =>
+      subsetCounted.map(_._1.as[Long].collect())
+    val nProbe = subsetCounted match {
+      case Some((_, n)) =>
         val scaled = params.nIvfProbe.toLong * math.max(
-          index.numDocuments / math.max(ids.length.toLong, 1L), 1L)
+          index.numDocuments / math.max(n, 1L), 1L)
         math.min(scaled, k.toLong).toInt
       case None => params.nIvfProbe
     }
-    val eligible: Option[Array[Boolean]] = subsetIds.map { ids =>
+    val eligible: Option[Array[Boolean]] = subsetCounted.map { case (ids, n) =>
       val mask = new Array[Boolean](k)
       docCodes
-        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .join(graft.util.Plan.broadcastIfBounded(ids, n), Seq("doc_id"), "left_semi")
         .select(explode(col("codes")).as("code")).distinct()
         .collect().foreach(r => mask(r.getInt(0)) = true)
       mask
@@ -1066,8 +1099,13 @@ final class Searcher(index: MultiVectorIndex) {
   /** S10 reconstruction: decompressed embeddings for given doc ids. */
   def reconstruct(docIds: DataFrame): DataFrame = {
     val codecBc = spark.sparkContext.broadcast(index.codec)
+    val ids = docIds.select("doc_id")
+    // size-planned like every other caller-sized join side: a bulk
+    // reconstruction of 10^8 ids must fall back to a shuffle semi-join,
+    // never a forced broadcast
     index.tokens
-      .join(broadcast(docIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .join(graft.util.Plan.broadcastIfBounded(ids, ids.count()),
+        Seq("doc_id"), "left_semi")
       .select("doc_id", "tok", "code", "residual")
       .as[(Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
@@ -1369,13 +1407,17 @@ object Searcher {
                 var s = 0.0f
                 var i = 0
                 while (i < dimLocal) { s += vec(i) * q(i); i += 1 }
-                val h = heaps.getOrElseUpdate((qid, ti),
-                  // initial capacity clamped: nProbe may be Int.MaxValue
-                  // (exhaustive search) and the heap grows on demand
-                  new java.util.PriorityQueue[(Float, Int)](
-                    math.min(nProbeLocal, 1024) + 1, ord))
-                if (h.size < nProbeLocal) h.add((s, code))
-                else if (s > h.peek()._1) { h.poll(); h.add((s, code)) }
+                // NaN never enters a selection heap (same guard as
+                // topNIndices — an admitted NaN freezes eviction)
+                if (!s.isNaN) {
+                  val h = heaps.getOrElseUpdate((qid, ti),
+                    // initial capacity clamped: nProbe may be Int.MaxValue
+                    // (exhaustive search) and the heap grows on demand
+                    new java.util.PriorityQueue[(Float, Int)](
+                      math.min(nProbeLocal, 1024) + 1, ord))
+                  if (h.size < nProbeLocal) h.add((s, code))
+                  else if (s > h.peek()._1) { h.poll(); h.add((s, code)) }
+                }
                 ti += 1
               }
             }
@@ -1477,13 +1519,20 @@ object Searcher {
 
   private[graft] def topNIndices(scores: Array[Float], n: Int): Array[Int] = {
     if (n >= scores.length) return scores.indices.toArray
-    // bounded selection: maintain a small min-heap of (score, idx)
+    // bounded selection: maintain a small min-heap of (score, idx).
+    // NaN scores never enter the heap: a NaN admitted early poisons the
+    // peek comparison (x > NaN is always false) and silently freezes the
+    // selection at "first n columns scanned" — every other funnel stage
+    // is NaN-guarded, so probe selection must be too.
     val heap = new java.util.PriorityQueue[(Float, Int)](
       n, (a: (Float, Int), b: (Float, Int)) => java.lang.Float.compare(a._1, b._1))
     var i = 0
     while (i < scores.length) {
-      if (heap.size < n) heap.add((scores(i), i))
-      else if (scores(i) > heap.peek()._1) { heap.poll(); heap.add((scores(i), i)) }
+      val s = scores(i)
+      if (!s.isNaN) {
+        if (heap.size < n) heap.add((s, i))
+        else if (s > heap.peek()._1) { heap.poll(); heap.add((s, i)) }
+      }
       i += 1
     }
     val out = new Array[Int](heap.size)
