@@ -82,6 +82,7 @@ object SparkEntry {
     * m_delete_reseq, u_append_ivf, b8_ivf_build). */
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
+      "u7_meta_sync",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
       "b2_partitions", "b3_codec", "b4_assign", "b6_bucketize",
       "c5_hybrid", "c7_reindex",
@@ -2426,6 +2427,51 @@ object SparkEntry {
           round(element_at(col("vec"), 1).cast("double"), 4).as("v0"),
           round(aggregate(col("vec"), lit(0.0), (a, x) => a + x.cast("double")), 3).as("vsum"))
     }),
+
+    // B9: chunked encode+write layout (index.rs:289-371, :551-911) —
+    // docs in doc_id order split into batchSize chunks, each doc's
+    // token rows at [token_start, token_start+len) WITHIN its chunk
+    // file. Computed with the GlobalRank two-stage prefix sums (no
+    // single-partition window); the oracle recomputes the whole layout
+    // from the embeddings table with window cumsums.
+    "b9_chunk_layout" -> ((s, dir) => {
+      val lens = t(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("len"))
+      graft.index.ChunkLayout.chunkLayout(lens, batchSize = 16)
+        .select(col("doc_id"), col("len"), col("doc_seq"),
+          col("chunk_id"), col("doc_offset"), col("token_start"))
+    }),
+
+    // U7: metadata sync on delete — the index delete's old→new dense
+    // renumber map (Updater.delete writes <path>/last_delete_map)
+    // applied to an aligned metadata table (index.rs:1826-1843, the
+    // `_subset_` ≡ doc_id invariant). The oracle recomputes the map
+    // from first principles (survivor rank over the pre-delete ids)
+    // and re-derives the same metadata rows — the Spark side reads the
+    // REAL map the delete wrote, so a renumber drift fails the hash.
+    "u7_meta_sync" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+        .filter(col("doc_id") < 40)
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_u7_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      // deterministic metadata aligned with the pre-delete ids
+      val meta = docs.select(col("doc_id"),
+        concat(lit("cat"), (col("doc_id") % 4).cast("string")).as("cat"),
+        (col("doc_id") * 3 + 1).cast("long").as("score"))
+      val idx2 = graft.index.Updater.delete(s, idx, (0L until 40L).filter(_ % 3 == 1))
+      graft.index.Updater.syncMetadataDelete(s, idx2, meta, "doc_id")
+        .select(col("doc_id"), col("cat"), col("score"))
+    }),
     // Per-node triangle count + degree + local clustering coefficient
     // over the part co-purchase graph (parts sharing an order) —
     // degree-ordered wedge join, 3 equi-join shuffles, hub-safe on
@@ -4682,6 +4728,35 @@ object SparkEntry {
         |  round(vec[1]::DOUBLE, 4) AS v0,
         |  round(list_sum(list_transform(vec, x -> x::DOUBLE)), 3) AS vsum
         |FROM read_parquet('/tmp/graft_npy__root_testdata_sf0_01/recon0/*.parquet')""".stripMargin,
+    "b9_chunk_layout" ->
+      """WITH d AS (
+        |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM embeddings GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_seq,
+        |    CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gsum
+        |  FROM d),
+        |c AS (SELECT *, CAST(doc_seq // 16 AS BIGINT) AS chunk_id FROM r),
+        |base AS (SELECT chunk_id, min(gsum) AS cbase FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.len, c.doc_seq, c.chunk_id,
+        |  CAST(c.doc_seq % 16 AS BIGINT) AS doc_offset,
+        |  CAST(c.gsum - b.cbase AS BIGINT) AS token_start
+        |FROM c JOIN base b USING (chunk_id)""".stripMargin,
+    "u7_meta_sync" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT CAST(vec_id // 5 AS BIGINT) AS doc_id
+        |  FROM embeddings WHERE vec_id // 5 < 40),
+        |map AS (
+        |  SELECT doc_id AS old_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS new_id
+        |  FROM ids WHERE doc_id % 3 <> 1)
+        |SELECT new_id AS doc_id,
+        |  'cat' || CAST(old_id % 4 AS VARCHAR) AS cat,
+        |  CAST(old_id * 3 + 1 AS BIGINT) AS score
+        |FROM map""".stripMargin,
     "u1_dispatch" ->
       """WITH pre AS (SELECT count(*) AS n
         |  FROM read_parquet('/tmp/graft_u1__root_testdata_sf0_01/pre_codes/*.parquet')),

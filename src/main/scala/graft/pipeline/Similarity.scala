@@ -70,16 +70,19 @@ object Similarity {
   def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int,
       annThresholdDocs: Long = 4000000L): DataFrame = {
     // annThresholdDocs == 0 pins the exact path with NO count job at
-    // all; otherwise ONE count decides dispatch (reused as n below)
-    val n = if (annThresholdDocs > 0) docs.count() else 0L
+    // all; otherwise ONE agg job decides dispatch (count + dim together,
+    // so the ANN branch pays no second scan for the dimension)
+    val stats = if (annThresholdDocs > 0)
+      Some(docs.agg(count(lit(1)), first(size(col("embedding")))).head())
+    else None
+    val n = stats.fold(0L)(_.getLong(0))
     if (annThresholdDocs > 0 && n > annThresholdDocs) {
-      import docs.sparkSession.implicits._
+      val dim = stats.get.getInt(1) // n > 0, so the first() is non-null
       // same API signature, different contract: the IVF path is
       // APPROXIMATE (recall < 1 below full probing) — say so loudly
       log.warn(s"hardNegatives: corpus has $n docs > annThresholdDocs=" +
         s"$annThresholdDocs — dispatching to the approximate IVF path " +
         "(recall < 1); pass annThresholdDocs = 0 to force the exact scan")
-      val dim = docs.select(size(col("embedding"))).as[Int].head()
       // sqrt-ish centroid count, capped; probe a quarter of them so the
       // post-probe label filter still leaves k candidates on skewed
       // label distributions

@@ -85,4 +85,37 @@ class GlobalRankBloomSpec extends AnyFunSuite {
     assert(antiGot.except(antiWant).count() === 0 &&
       antiWant.except(antiGot).count() === 0)
   }
+
+  test("chunkLayout matches the single-partition-window reference layout") {
+    import spark.implicits._
+    // ragged doc lengths, ids deliberately non-contiguous
+    val lens = (0L until 537L).map(i => (i * 3 + (i % 2), 1L + (i * 2654435761L % 7)))
+      .toDF("doc_id", "len")
+    for (batch <- Seq(1, 7, 50, 1000)) {
+      val got = graft.index.ChunkLayout.chunkLayout(lens, batch)
+        .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+      val w = Window.orderBy("doc_id")
+      val want = lens
+        .withColumn("doc_seq", row_number().over(w).cast("long") - 1)
+        .withColumn("chunk_id", expr(s"doc_seq DIV $batch"))
+        .withColumn("gsum", coalesce(sum("len").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("doc_offset", col("doc_seq") % batch)
+        .withColumn("token_start",
+          col("gsum") - min("gsum").over(Window.partitionBy("chunk_id")))
+        .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+      assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+        s"chunk layout mismatch at batch=$batch")
+    }
+    // invariants: every chunk except the last holds exactly batch docs,
+    // and token_start is the contiguous cumsum within each chunk
+    val out = graft.index.ChunkLayout.chunkLayout(lens, 50).cache()
+    val sizes = out.groupBy("chunk_id").count().orderBy("chunk_id").collect()
+    assert(sizes.dropRight(1).forall(_.getLong(1) === 50L))
+    val perChunk = out.groupBy("chunk_id")
+      .agg(sum("len").as("toks"), max(col("token_start") + col("len")).as("hi"),
+        min("token_start").as("lo"))
+    assert(perChunk.filter(col("lo") =!= 0L || col("hi") =!= col("toks")).count() === 0)
+    out.unpersist()
+  }
 }

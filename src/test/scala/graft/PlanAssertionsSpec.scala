@@ -339,6 +339,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"uniformNegatives must be aggregation + narrow array ops:\n$uniPlan")
   }
 
+  test("chunkLayout: unpartitioned windows only over the bounded offsets side") {
+    import spark.implicits._
+    val lens = (0L until 2000L).map(i => (i, 1L + i % 7)).toDF("doc_id", "len")
+    val out = graft.index.ChunkLayout.chunkLayout(lens, 128)
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected GlobalRank windows in the layout plan")
+    // every window over the FULL relation must be partitioned (by the
+    // range-partition pid); an unpartitioned window is allowed ONLY for
+    // the ≤numPartitions-row offsets prefix (its order key is the pid)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val orderKeys = w.orderSpec.map(_.child.toString).mkString(",")
+      assert(orderKeys.contains("_gr_pid") || orderKeys.contains("_gp_pid"),
+        s"unpartitioned window over the full relation crept in: $w")
+    }
+    val plan = planOf(out)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"chunk-base join must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"numChunks-row base table must broadcast back:\n$plan")
+  }
+
   test("ANN probe is distributed: no driver-collected query rows in the plan") {
     val sfDir = "/root/testdata/sf0.001"
     assume(graft.util.Fs.exists(s"$sfDir/embeddings.parquet"))
