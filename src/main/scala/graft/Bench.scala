@@ -67,11 +67,17 @@ object Bench {
         // swung 123-159 across bench invocations on identical code —
         // ambient, not code — so the record keeps every run for
         // provenance and reports the best (r14 verdict item 7)
+        // one EXCLUDED warmup pass first: it absorbs the index
+        // build/cache-load and the search path's first-call JIT, so the
+        // three recorded runs measure steady-state serving (with the
+        // warmup inside run 1 the recorded spread was ~17%; the warmup
+        // run itself still rides the JSON as qps_warmup_run)
+        val warmup = QpsHarness.measure(spark, "/tmp/graft_bench_qps")
         val runs = (1 to 3).map { _ =>
           QpsHarness.measure(spark, "/tmp/graft_bench_qps")
         }
         val (sec, qps) = (runs.map(_._1).min, runs.map(_._2).max)
-        val buildSec = runs.head._3
+        val buildSec = warmup._3
         // ROOT locale like the truncation path below: Scala's f"" delegates
         // to the default-locale String.format, so a comma-decimal locale
         // would emit invalid JSON here too
@@ -79,7 +85,7 @@ object Bench {
           String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
         val runsJson = runs.map(r => d(r._2, 1)).mkString("[", ",", "]")
         s""","qps_warm":${d(qps, 1)},"qps_sec":${d(sec, 3)},"qps_build_sec":${d(buildSec, 1)}""" +
-          s""","qps_runs":$runsJson""" +
+          s""","qps_runs":$runsJson,"qps_warmup_run":${d(warmup._2, 1)}""" +
           s""","qps_docs":${QpsHarness.NumDocs},"qps_queries":${QpsHarness.NumQueries}""" +
           s""","qps_dim":${QpsHarness.Dim},"qps_tokens_per_doc":${QpsHarness.TokensPerDoc}"""
       } catch {

@@ -55,4 +55,24 @@ object ChunkLayout {
       .withColumn("token_start", col("_cl_gsum") - col("_cl_base"))
       .drop("_cl_rank1", "_cl_gsum", "_cl_base")
   }
+
+  /** Physically write a doc-keyed table in bounded chunks: tag each row
+    * with its doc's `chunk_id` from [[chunkLayout]], cluster one writer
+    * per chunk (`repartition(chunk_id)` — without it every input
+    * partition would spray a small file into every chunk directory),
+    * and `partitionBy("chunk_id")` so each chunk is a self-contained
+    * directory — the Spark analogue of the reference's per-chunk npy
+    * files (index.rs:551-911): bounded writer memory and atomic
+    * per-chunk replace, the shape a 100 TB export needs. Returns the
+    * chunk count. `rows` must carry a `doc_id` column; docs absent from
+    * `layout` are dropped (inner join), same as the reference writing
+    * only the docs in the build set. */
+  def writeChunked(rows: DataFrame, layout: DataFrame, path: String): Long = {
+    val keyed = rows.join(layout.select("doc_id", "chunk_id"), "doc_id")
+    val nChunks = keyed.agg(countDistinct("chunk_id")).head().getLong(0)
+    keyed
+      .repartition(math.max(1, nChunks).toInt, col("chunk_id"))
+      .write.mode("overwrite").partitionBy("chunk_id").parquet(path)
+    nChunks
+  }
 }

@@ -118,4 +118,31 @@ class GlobalRankBloomSpec extends AnyFunSuite {
     assert(perChunk.filter(col("lo") =!= 0L || col("hi") =!= col("toks")).count() === 0)
     out.unpersist()
   }
+
+  test("writeChunked produces one bounded self-contained directory per chunk") {
+    import spark.implicits._
+    val rows = (0L until 537L).map(i => (i, s"payload$i")).toDF("doc_id", "v")
+    val lens = rows.select(col("doc_id"), lit(3L).as("len"))
+    val layout = graft.index.ChunkLayout.chunkLayout(lens, 50)
+    val path = "/tmp/graft_chunk_write_spec"
+    graft.util.Fs.deleteRecursively(path)
+    val n = graft.index.ChunkLayout.writeChunked(rows, layout, path)
+    assert(n === 11) // ceil(537/50)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 537)
+    // every chunk holds <= batch docs, exactly batch except the last
+    val sizes = back.groupBy("chunk_id").agg(countDistinct("doc_id").as("n"))
+    assert(sizes.filter(col("n") > 50).count() === 0)
+    assert(sizes.filter(col("n") === 50).count() === 10)
+    // round-trip identity of the payload
+    assert(back.select("doc_id", "v").except(rows).count() === 0 &&
+      rows.except(back.select("doc_id", "v")).count() === 0)
+    // one writer per chunk: each chunk directory holds a single parquet part
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk_id="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(parts.length === 11 && parts.forall(_ === 1),
+      s"expected 1 part file per chunk dir, got ${parts.mkString(",")}")
+    graft.util.Fs.deleteRecursively(path)
+  }
 }
