@@ -119,6 +119,26 @@ class GlobalRankBloomSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("chunkLayout survives a downstream coalesce(1) (the Verify dump shape)") {
+    import spark.implicits._
+    // regression: a coalesce merges several range partitions into one
+    // task that runs the local-rank closure once per PARENT partition; a
+    // TaskContext-derived pid stamps them all with the task id while the
+    // rank resets, silently zeroing the global offsets (caught by the b9
+    // gate under Verify's coalesce(1) parquet dump)
+    val lens = (0L until 537L).map(i => (i, 1L + (i * 2654435761L % 7)))
+      .toDF("doc_id", "len")
+    val direct = graft.index.ChunkLayout.chunkLayout(lens, 16)
+      .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+    val coalesced = graft.index.ChunkLayout.chunkLayout(lens, 16).coalesce(1)
+      .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+    assert(coalesced.except(direct).count() === 0 &&
+      direct.except(coalesced).count() === 0)
+    // doc_seq must be the contiguous 0..N-1 sequence even under coalesce
+    assert(coalesced.agg(max("doc_seq")).head().getLong(0) === 536L)
+    assert(coalesced.select("doc_seq").distinct().count() === 537L)
+  }
+
   test("writeChunked produces one bounded self-contained directory per chunk") {
     import spark.implicits._
     val rows = (0L until 537L).map(i => (i, s"payload$i")).toDF("doc_id", "v")

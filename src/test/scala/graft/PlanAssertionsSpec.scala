@@ -339,27 +339,46 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"uniformNegatives must be aggregation + narrow array ops:\n$uniPlan")
   }
 
-  test("chunkLayout: unpartitioned windows only over the bounded offsets side") {
+  test("chunkLayout: one corpus shuffle; windows only over the bounded offsets side") {
     import spark.implicits._
     val lens = (0L until 2000L).map(i => (i, 1L + i % 7)).toDF("doc_id", "len")
     val out = graft.index.ChunkLayout.chunkLayout(lens, 128)
     val wins = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(wins.nonEmpty, "expected GlobalRank windows in the layout plan")
-    // every window over the FULL relation must be partitioned (by the
-    // range-partition pid); an unpartitioned window is allowed ONLY for
-    // the ≤numPartitions-row offsets prefix (its order key is the pid)
-    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+    assert(wins.nonEmpty, "expected the offsets-prefix window in the layout plan")
+    // the corpus-sized relation is never windowed: every window in the
+    // plan is the ≤numPartitions-row offsets prefix (order key = pid)
+    wins.foreach { w =>
       val orderKeys = w.orderSpec.map(_.child.toString).mkString(",")
-      assert(orderKeys.contains("_gr_pid") || orderKeys.contains("_gp_pid"),
-        s"unpartitioned window over the full relation crept in: $w")
+      assert(w.partitionSpec.isEmpty && orderKeys.contains("_cl_pid"),
+        s"a window over the full relation crept in: $w")
     }
     val plan = planOf(out)
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
       s"chunk-base join must stay an equi-join:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"numChunks-row base table must broadcast back:\n$plan")
+    // the ONE corpus shuffle (the range repartition) lives inside the
+    // pinned RDD lineage (mapPartitionsWithIndex over the range-sorted
+    // partitions — Scan ExistingRDD in this plan); the DataFrame plan on
+    // top must add NO corpus-sized exchange of its own: everything above
+    // the scan is broadcast joins plus the tiny offsets/bases aggregates
+    // (hash exchanges on _cl_pid/chunk_id ride ≤numPartitions/numChunks
+    // partial-agg rows, never corpus rows)
+    // rdd.toDF plans as ExternalRDD (+SerializeFromObject); a Dataset
+    // .rdd round trip would be LogicalRDD — accept either leaf
+    val rddScans = out.queryExecution.optimizedPlan.collect {
+      case r if r.children.isEmpty && r.nodeName.contains("RDD") => r
+    }
+    assert(rddScans.nonEmpty,
+      s"expected the pinned RDD scan under the layout plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a second range shuffle crept into the DataFrame plan:\n$plan")
+    val corpusHash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    assert(corpusHash === 0,
+      s"corpus-keyed hash exchange crept into the layout plan:\n$plan")
   }
 
   test("ANN probe is distributed: no driver-collected query rows in the plan") {
