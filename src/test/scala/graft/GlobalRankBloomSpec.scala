@@ -88,25 +88,34 @@ class GlobalRankBloomSpec extends AnyFunSuite {
 
   test("chunkLayout matches the single-partition-window reference layout") {
     import spark.implicits._
-    // ragged doc lengths, ids deliberately non-contiguous
-    val lens = (0L until 537L).map(i => (i * 3 + (i % 2), 1L + (i * 2654435761L % 7)))
-      .toDF("doc_id", "len")
-    for (batch <- Seq(1, 7, 50, 1000)) {
-      val got = graft.index.ChunkLayout.chunkLayout(lens, batch)
-        .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
-      val w = Window.orderBy("doc_id")
-      val want = lens
-        .withColumn("doc_seq", row_number().over(w).cast("long") - 1)
-        .withColumn("chunk_id", expr(s"doc_seq DIV $batch"))
-        .withColumn("gsum", coalesce(sum("len").over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("doc_offset", col("doc_seq") % batch)
-        .withColumn("token_start",
-          col("gsum") - min("gsum").over(Window.partitionBy("chunk_id")))
-        .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
-      assert(got.except(want).count() === 0 && want.except(got).count() === 0,
-        s"chunk layout mismatch at batch=$batch")
+    // ragged doc lengths, ids deliberately non-contiguous, a zero-length
+    // doc planted every 97th (empty docs must hold the cumsum, not break
+    // it); second fixture has FEWER docs than shuffle partitions (empty
+    // range partitions in the offsets side)
+    val big = (0L until 537L).map(i =>
+      (i * 3 + (i % 2), if (i % 97 == 0) 0L else 1L + (i * 2654435761L % 7)))
+    val tiny = (0L until 3L).map(i => (i * 5, 2L + i))
+    for ((rows, batches) <- Seq(
+        (big, Seq(1, 7, 50, 1000)), (tiny, Seq(1, 2, 10)))) {
+      val lens = rows.toDF("doc_id", "len")
+      for (batch <- batches) {
+        val got = graft.index.ChunkLayout.chunkLayout(lens, batch)
+          .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+        val w = Window.orderBy("doc_id")
+        val want = lens
+          .withColumn("doc_seq", row_number().over(w).cast("long") - 1)
+          .withColumn("chunk_id", expr(s"doc_seq DIV $batch"))
+          .withColumn("gsum", coalesce(sum("len").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("doc_offset", col("doc_seq") % batch)
+          .withColumn("token_start",
+            col("gsum") - min("gsum").over(Window.partitionBy("chunk_id")))
+          .select("doc_id", "doc_seq", "chunk_id", "doc_offset", "token_start")
+        assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+          s"chunk layout mismatch at batch=$batch n=${rows.length}")
+      }
     }
+    val lens = big.toDF("doc_id", "len")
     // invariants: every chunk except the last holds exactly batch docs,
     // and token_start is the contiguous cumsum within each chunk
     val out = graft.index.ChunkLayout.chunkLayout(lens, 50).cache()
