@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   * `sortCols` must be a TOTAL order (append a unique id as the last
   * key); with ties the rank would be nondeterministic, same as SQL
   * `row_number()` over a non-total order.
+  *
+  * Coalesce-safety invariant (do NOT "optimize" the pid window away):
+  * `spark_partition_id()` reads the TASK partition id, so it is only
+  * correct while the pid-stamping projection runs in the shuffle-read
+  * stage of the range exchange itself. Here the pid-partitioned window
+  * forces a hash exchange directly above it, which PINS that stage — a
+  * downstream `coalesce()` cannot cross the exchange. Replacing the
+  * window with a narrow mapPartitions (as `index/ChunkLayout` does)
+  * requires RDD `mapPartitionsWithIndex`, whose index is the true
+  * parent partition even when a CoalescedRDD merges several parents
+  * into one task — `TaskContext.getPartitionId()` there stamps every
+  * parent with the merged task id while the local rank resets,
+  * silently corrupting the global sequence (caught by the b9 gate
+  * under Verify's coalesce(1) dump, round 15).
   */
 object GlobalRank {
 
