@@ -113,8 +113,14 @@ object ChunkLayout {
   def writeChunked(rows: DataFrame, layout: DataFrame, path: String): Long = {
     val keyed = rows.join(layout.select("doc_id", "chunk_id"), "doc_id")
     val nChunks = keyed.agg(countDistinct("chunk_id")).head().getLong(0)
+    // cap the writer-task count: one-file-per-chunk needs only that a
+    // chunk's rows land in ONE partition (hash clustering on chunk_id
+    // gives that at any partition count — a task just writes one file
+    // per chunk directory it holds); a degenerate batchSize (chunk
+    // count ~ doc count) must not explode into millions of tasks
+    val writers = math.max(1L, math.min(nChunks, 10000L)).toInt
     keyed
-      .repartition(math.max(1, nChunks).toInt, col("chunk_id"))
+      .repartition(writers, col("chunk_id"))
       .write.mode("overwrite").partitionBy("chunk_id").parquet(path)
     nChunks
   }
