@@ -36,13 +36,23 @@ object RangeJoinProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val nBatches = if (args.length > 1) args(1).toInt else 60
+    // optional 3rd arg: state-store provider — "rocksdb" (the production
+    // choice for state larger than executor heaps: spill-to-disk, no
+    // full-map JVM residency, changelog checkpointing) vs the default
+    // HDFS-backed in-memory provider. The join's state here is bounded
+    // by the watermark (~1k rows), so this A/Bs provider OVERHEAD at a
+    // commit-heavy workload, not capacity.
+    val provider = if (args.length > 2) args(2) else "hdfs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -110,7 +120,8 @@ object RangeJoinProbe {
       f"""{"metric":"range_join_probe","factor":$factor,""" +
         f""""clicks":${clicks.length},"purchases":${buys.length},""" +
         f""""pairs":${pairs.get()},"sec":$sec%.1f,"max_state_rows":$maxState,""" +
-        f""""batches":$nBatches,"parts":$cpus,"watermark":"24h window + 1h delay"}""")
+        f""""batches":$nBatches,"parts":$cpus,"provider":"$provider",""" +
+        f""""watermark":"24h window + 1h delay"}""")
     spark.stop()
   }
 }
