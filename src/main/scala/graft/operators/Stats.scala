@@ -161,6 +161,8 @@ object Stats {
         sum(col(cols(i)) * col(cols(j))).as(s"q_${i}_$j") }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = r.getAs[Long]("n")
+    // fail loudly, not with an unboxing NPE on the null sums
+    require(n > 0, "corrMatrix over an empty relation (0 rows)")
     def s(i: Int) = r.getAs[Long](s"s_$i")
     def q(i: Int, j: Int) =
       if (i <= j) r.getAs[Long](s"q_${i}_$j") else r.getAs[Long](s"q_${j}_$i")

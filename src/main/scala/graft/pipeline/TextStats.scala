@@ -422,7 +422,10 @@ object TextStats {
     require(minCount >= 1 && topK >= 1, s"bad params $minCount/$topK")
     val base = docs.select(toks(textCol).as("_t"))
     val r = base.agg(
-      sum(size(col("_t"))), sum(greatest(size(col("_t")) - 1, lit(0)))).collect()(0)
+      coalesce(sum(size(col("_t"))), lit(0L)),
+      coalesce(sum(greatest(size(col("_t")) - 1, lit(0))), lit(0L))).collect()(0)
+    // coalesce: an empty corpus must flow through as an empty result,
+    // not an unboxing NPE on the null sums
     val (tTot, bTot) = (r.getLong(0), r.getLong(1))
     val uni = base.select(explode(col("_t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -495,7 +498,9 @@ object TextStats {
       .groupBy("term").agg(
         sum(when(col("_g") === a, 1L).otherwise(0L)).as("cnt_a"),
         sum(when(col("_g") === b, 1L).otherwise(0L)).as("cnt_b"))
-    val r = cnts.agg(sum("cnt_a"), sum("cnt_b"), count(lit(1))).collect()(0)
+    val r = cnts.agg(coalesce(sum("cnt_a"), lit(0L)),
+      coalesce(sum("cnt_b"), lit(0L)), count(lit(1))).collect()(0)
+    // coalesce: empty vocabularies flow through as empty drift output
     val tA = (r.getLong(0) + r.getLong(2)).toDouble
     val tB = (r.getLong(1) + r.getLong(2)).toDouble
     val pA = (col("cnt_a") + lit(1.0)) / lit(tA)

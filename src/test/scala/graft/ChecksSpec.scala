@@ -134,6 +134,16 @@ class ChecksSpec extends AnyFunSuite {
     assert(r1.getLong(2) - r1.getLong(3) === 100000000L, "means differ by the shift")
   }
 
+  test("corrMatrix fails loudly on an empty relation, not with an NPE") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.corrMatrix(empty, Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("empty relation"))
+  }
+
   test("corrMatrix: one pass matches per-pair pearsonCorr on every pair") {
     import spark.implicits._
     import graft.operators.Stats

@@ -1170,6 +1170,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr.exists(p => !isNew(p._1) || !isNew(p._2)), "new-vs-corpus pairs present")
   }
 
+  test("collocations and klDrift flow empty corpora through, not an NPE") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.collocations(empty, "doc_id", "text").count() === 0)
+    val grouped = Seq.empty[(String, String)].toDF("src", "text")
+    val drift = TextStats.klDrift(grouped, "src", "text", "a", "b").collect()(0)
+    assert(drift.getLong(0) === 0L) // zero terms, null KL sums — no crash
+  }
+
   test("collocations: planted collocation tops the PMI ranking; min-count guard") {
     import spark.implicits._
     import graft.pipeline.TextStats
