@@ -28,6 +28,29 @@ object KernelProperties extends Properties("kernels") {
           sel.map(arr(_)).min >= unselected.map(arr(_)).max)
     }
 
+  property("topNIndices never admits a NaN below the exhaustive cutoff") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.frequency(4 -> floatGen, 1 -> Gen.const(Float.NaN))),
+      Gen.chooseNum(1, 12)) { (xs, n) =>
+      val arr = xs.toArray
+      val sel = Searcher.topNIndices(arr, n)
+      if (n >= arr.length)
+        // documented early path: exhaustive selection returns every index
+        Prop(sel.toSeq == arr.indices.toSeq)
+      else {
+        val selSet = sel.toSet
+        val finite = arr.indices.filterNot(i => arr(i).isNaN)
+        val unselected = finite.filterNot(selSet)
+        // a NaN admitted into the heap froze eviction pre-r15; the guard
+        // must keep the selection NaN-free AND still maximal over the
+        // finite values
+        Prop(sel.forall(i => !arr(i).isNaN)) &&
+          Prop(sel.length == math.min(n, finite.length)) &&
+          Prop(unselected.isEmpty || sel.isEmpty ||
+            sel.map(arr(_)).min >= unselected.map(arr(_)).max)
+      }
+    }
+
   // ---- probeCentroids vs a naive reference ----
 
   private val matrixGen: Gen[Array[Array[Float]]] = for {
