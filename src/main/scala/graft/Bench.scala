@@ -60,13 +60,17 @@ object Bench {
           acc ^= java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 31); i += 1L
         }
       }
-      mix(50000000L) // untimed: JIT the loop so both readings are ambient
+      // untimed full-length warmup: C2 compiles on a BACKGROUND thread,
+      // so a short warmup lets the timed run race the compiler (pre_1t
+      // read 0.54-0.56 vs post_1t 0.09 with a 50M warmup)
+      mix(200000000L)
+      mix(200000000L)
       val t0 = System.nanoTime()
       mix(200000000L)
       val st = (System.nanoTime() - t0) / 1e9
       def job(n: Long): Long = spark.range(0L, n, 1L, 32)
         .selectExpr("bit_xor(xxhash64(id))").collect()(0).getLong(0)
-      var r = job(100000000L) // untimed: codegen + executor-thread warm
+      var r = job(2000000000L) // untimed: codegen + executor-thread warm
       val t1 = System.nanoTime()
       r ^= job(2000000000L)
       val mt = (System.nanoTime() - t1) / 1e9
