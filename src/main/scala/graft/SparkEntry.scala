@@ -82,7 +82,7 @@ object SparkEntry {
     * m_delete_reseq, u_append_ivf, b8_ivf_build). */
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
-      "u7_meta_sync",
+      "u7_meta_sync", "u_fsck",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
       "b2_partitions", "b3_codec", "b4_assign", "b6_bucketize",
       "c5_hybrid", "c7_reindex",
@@ -2472,6 +2472,37 @@ object SparkEntry {
       graft.index.Updater.syncMetadataDelete(s, idx2, meta, "doc_id")
         .select(col("doc_id"), col("cat"), col("score"))
     }),
+    // Index fsck (IndexCheck.validate): cross-table invariant checks
+    // over a built index — clean phase all-green, then doclens is
+    // deliberately corrupted (doc 3's row dropped, manifest untouched)
+    // and the count arithmetic must flag exactly the right checks. The
+    // oracle re-derives every expected/actual count from the embeddings
+    // table (docs, tokens, the dropped doc) — the fsck's arithmetic is
+    // externally recomputed, not read back.
+    "u_fsck" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+        .filter(col("doc_id") < 30)
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_fsck_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = graft.index.MultiVectorIndex.build(s, docs, path)
+      val clean = graft.index.IndexCheck.validate(s, idx)
+        .withColumn("phase", lit("a_clean"))
+      graft.util.Fs.rewrite(
+        idx.doclens.filter(col("doc_id") =!= 3), s"$path/doclens")
+      val corrupted = new graft.index.MultiVectorIndex(s, path)
+      val dirty = graft.index.IndexCheck.validate(s, corrupted)
+        .withColumn("phase", lit("b_corrupt"))
+      clean.union(dirty).select("phase", "check", "ok", "expected", "actual")
+    }),
+
     // Per-node triangle count + degree + local clustering coefficient
     // over the part co-purchase graph (parts sharing an order) —
     // degree-ordered wedge join, 3 equi-join shuffles, hub-safe on
@@ -4745,6 +4776,32 @@ object SparkEntry {
         |  CAST(c.doc_seq % 16 AS BIGINT) AS doc_offset,
         |  CAST(c.gsum - b.cbase AS BIGINT) AS token_start
         |FROM c JOIN base b USING (chunk_id)""".stripMargin,
+    "u_fsck" ->
+      """WITH d AS (
+        |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id
+        |  FROM embeddings WHERE vec_id // 5 < 30),
+        |s AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(count(DISTINCT doc_id) - 1 AS BIGINT) AS ns
+        |  FROM d)
+        |SELECT 'a_clean' AS phase, 'manifest_docs' AS "check", true AS ok,
+        |  nd AS expected, nd AS actual FROM s
+        |UNION ALL SELECT 'a_clean', 'dense_ids', true, nd, nd FROM s
+        |UNION ALL SELECT 'a_clean', 'manifest_embeddings', true, nt, nt FROM s
+        |UNION ALL SELECT 'a_clean', 'doc_codes_rows', true, nd, nd FROM s
+        |UNION ALL SELECT 'a_clean', 'tokens_vs_doclens', true, 0, 0
+        |UNION ALL SELECT 'a_clean', 'codes_vs_doclens', true, 0, 0
+        |UNION ALL SELECT 'a_clean', 'code_range', true, 0, 0
+        |UNION ALL SELECT 'a_clean', 'ivf_pairs', true, 0, 0
+        |UNION ALL SELECT 'b_corrupt', 'manifest_docs', false, nd, ns FROM s
+        |UNION ALL SELECT 'b_corrupt', 'dense_ids', false, ns, ns FROM s
+        |UNION ALL SELECT 'b_corrupt', 'manifest_embeddings', true, nt, nt FROM s
+        |UNION ALL SELECT 'b_corrupt', 'doc_codes_rows', false, ns, nd FROM s
+        |UNION ALL SELECT 'b_corrupt', 'tokens_vs_doclens', false, 0, 1
+        |UNION ALL SELECT 'b_corrupt', 'codes_vs_doclens', false, 0, 1
+        |UNION ALL SELECT 'b_corrupt', 'code_range', true, 0, 0
+        |UNION ALL SELECT 'b_corrupt', 'ivf_pairs', true, 0, 0""".stripMargin,
     "u7_meta_sync" ->
       """WITH ids AS (
         |  SELECT DISTINCT CAST(vec_id // 5 AS BIGINT) AS doc_id

@@ -415,4 +415,32 @@ class UpdaterSpec extends AnyFunSuite {
     assert(ids.toSeq === (0L until 30L))
     ivfMatchesTokens(idx2)
   }
+
+  test("IndexCheck: consistent through the lifecycle; pinpoints a planted corruption") {
+    import graft.index.IndexCheck
+    val path = freshPath("fsck")
+    val idx0 = MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 25), path)
+    assert(IndexCheck.isConsistent(spark, idx0), "fresh build must validate clean")
+    // stays consistent across append and delete (the documented crash
+    // windows are BETWEEN table writes — completed ops must be green)
+    val idx1 = Updater.append(spark, idx0,
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 30)
+        .select((col("doc_id") - 25).as("doc_id"), col("embeddings")))
+    assert(IndexCheck.isConsistent(spark, idx1), "post-append must validate clean")
+    val idx2 = Updater.delete(spark, idx1, Seq(2L, 17L))
+    assert(IndexCheck.isConsistent(spark, idx2), "post-delete must validate clean")
+    // plant a crash-window corruption: doclens loses one doc, manifest
+    // and every other table untouched (the append-interrupted shape)
+    graft.util.Fs.rewrite(idx2.doclens.filter(col("doc_id") =!= 5), s"$path/doclens")
+    val bad = new MultiVectorIndex(spark, path)
+    val rows = IndexCheck.validate(spark, bad).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!rows("manifest_docs") && !rows("dense_ids") &&
+      !rows("doc_codes_rows") && !rows("tokens_vs_doclens") &&
+      !rows("codes_vs_doclens"),
+      s"corruption must trip the count checks: $rows")
+    assert(rows("manifest_embeddings") && rows("code_range") && rows("ivf_pairs"),
+      s"untouched tables must stay green: $rows")
+    assert(!IndexCheck.isConsistent(spark, bad))
+  }
 }
