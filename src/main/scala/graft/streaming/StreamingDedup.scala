@@ -61,19 +61,28 @@ object StreamingDedup {
           val st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
           if (st.poisoned) Iterator.empty
           else {
+            // Set membership + an explicit size counter: a near-cap hot
+            // bucket (the exact bucket the poison guard exists for) would
+            // otherwise pay O(|bucket|) List.contains per arriving doc
+            // and O(|bucket|) List.size per admission — O(n·m + n²) per
+            // trigger at cap 10k. Emission order and state layout are
+            // unchanged (byte-identical output).
+            val residentSet = st.ids.toSet
             val incoming = rows.map(_.doc_id).toSeq.distinct.sorted
-              .filterNot(st.ids.contains)
+              .filterNot(residentSet.contains)
             var resident = st.ids
+            var residentN = residentSet.size
             var poisoned = false
             val out = scala.collection.mutable.ArrayBuffer.empty[PairRow]
             incoming.foreach { d =>
               if (!poisoned) {
-                if (resident.size + 1 > maxBucketSize) poisoned = true
+                if (residentN + 1 > maxBucketSize) poisoned = true
                 else {
                   resident.foreach { r =>
                     out += PairRow(math.min(r, d), math.max(r, d), key._1, key._2)
                   }
                   resident = d :: resident
+                  residentN += 1
                 }
               }
             }
