@@ -94,4 +94,42 @@ object IndexCheck {
   /** True iff every [[validate]] check passes. */
   def isConsistent(spark: SparkSession, idx: MultiVectorIndex): Boolean =
     validate(spark, idx).filter(!col("ok")).isEmpty
+
+  /** FTS-side fsck over a [[graft.fts.FtsIndex]]'s two tables (the F3
+    * lifecycle spans postings + doclens + fts.json — same per-table
+    * atomicity, same cross-table windows):
+    *   - `postings_keys`: (term, doc_id) is a key (no duplicate rows)
+    *   - `tf_positive` / `dl_positive`: counts are ≥ 1
+    *   - `dl_vs_postings`: per-doc Σtf == dl for EVERY doc, both ways
+    *     (a doc in one table and not the other is a violation)
+    *   - `ids_in_range` (when `numDocs` is given, e.g. the paired
+    *     [[MultiVectorIndex.numDocuments]]): doc ids sit in [0, N) —
+    *     the `_subset_` ≡ doc_id alignment invariant after delete-sync.
+    */
+  def validateFts(spark: SparkSession, fts: graft.fts.FtsIndex,
+      numDocs: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val p = fts.postings.select(col("term"), col("doc_id"),
+      col("tf").cast("long").as("tf"))
+    val dl = fts.doclens.select(col("doc_id"), col("dl").cast("long").as("dl"))
+    val nP = p.count()
+    val nKeys = p.select("term", "doc_id").distinct().count()
+    val badTf = p.filter(col("tf") < 1).count()
+    val badDl = dl.filter(col("dl") < 1).count()
+    val sums = p.groupBy("doc_id").agg(sum("tf").as("stf"))
+    val dlMismatch = dl.join(sums, Seq("doc_id"), "full_outer")
+      .filter(col("dl").isNull || col("stf").isNull || col("dl") =!= col("stf"))
+      .count()
+    val outOfRange = numDocs.map { n =>
+      p.select("doc_id").union(dl.select("doc_id"))
+        .filter(col("doc_id") < 0 || col("doc_id") >= n).count()
+    }
+    val base = Seq(
+      ("postings_keys", nKeys == nP, nP, nKeys),
+      ("tf_positive", badTf == 0L, 0L, badTf),
+      ("dl_positive", badDl == 0L, 0L, badDl),
+      ("dl_vs_postings", dlMismatch == 0L, 0L, dlMismatch)) ++
+      outOfRange.map(o => ("ids_in_range", o == 0L, 0L, o))
+    base.toDF("check", "ok", "expected", "actual")
+  }
 }

@@ -167,4 +167,30 @@ class FtsJsonMetaSpec extends AnyFunSuite {
     assert(!SafeRegex.matches("hello", "(((("))
     assert(!SafeRegex.matches(null, "x"))
   }
+
+  test("validateFts: clean build green; a doclens drift is pinpointed") {
+    import graft.index.IndexCheck
+    val d = docsDf(
+      0L -> "spark joins big tables",
+      1L -> "duck ponds and rivers",
+      2L -> "spark streams and rivers")
+    val path = fresh("fsck")
+    val idx = FtsIndex.build(spark, d, "doc_id", "text", path)
+    val clean = IndexCheck.validateFts(spark, idx, numDocs = Some(3L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(clean.size === 5 && clean.values.forall(identity), s"clean: $clean")
+    // plant a crash-window drift: one doc's dl off by one, one dropped
+    import org.apache.spark.sql.functions._
+    graft.util.Fs.rewrite(
+      idx.doclens.filter(col("doc_id") =!= 1)
+        .withColumn("dl", when(col("doc_id") === 0, col("dl") + 1)
+          .otherwise(col("dl"))), s"$path/doclens")
+    val bad = IndexCheck.validateFts(spark, new FtsIndex(spark, path), Some(3L))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(3))).toList
+    val byName = bad.map(t => t._1 -> t).toMap
+    assert(!byName("dl_vs_postings")._2 && byName("dl_vs_postings")._3 === 2L,
+      s"expected exactly the two planted drifts: $bad")
+    assert(byName("postings_keys")._2 && byName("tf_positive")._2 &&
+      byName("dl_positive")._2 && byName("ids_in_range")._2, s"others green: $bad")
+  }
 }
