@@ -439,6 +439,44 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     (ids.filter(present), ids.filterNot(present))
   }
 
+  /** Whole-directory consistency report (no reference-route analogue —
+    * the operational fsck a 100 TB deployment runs after a crashed
+    * update before deciding whether to restore a snapshot): the vector
+    * tables ([[graft.index.IndexCheck.validate]]), the FTS pair when
+    * present ([[graft.index.IndexCheck.validateFts]] pinned to this
+    * index's doc count), and metadata alignment when present —
+    * `_subset_` ids must be UNIQUE and inside [0, numDocuments)
+    * (metadata may legitimately cover only some docs, so completeness
+    * is NOT required). One row per check, `(section, check, ok,
+    * expected, actual)`; aggregate-only, corpus-scale safe. */
+  def fsck(): DataFrame = {
+    import spark.implicits._
+    val idx = index
+    val n = idx.numDocuments
+    val vec = graft.index.IndexCheck.validate(spark, idx)
+      .withColumn("section", lit("index"))
+    val fts =
+      if (graft.util.Fs.exists(s"$path/fts/postings"))
+        Seq(graft.index.IndexCheck.validateFts(spark, ftsIndex, Some(n))
+          .withColumn("section", lit("fts")))
+      else Seq.empty
+    val meta =
+      if (graft.util.Fs.exists(metaPath)) {
+        def cnt(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.count(c)
+        val m = metadata.select(col("_subset_").cast("long").as("id"))
+        val a = m.agg(cnt(lit(1)).as("c"), countDistinct("id").as("d"),
+          cnt(when(col("id") < 0 || col("id") >= n, lit(1))).as("bad")).head()
+        Seq(Seq(
+          ("meta_ids_unique", a.getLong(1) == a.getLong(0), a.getLong(0), a.getLong(1)),
+          ("meta_ids_in_range", a.getLong(2) == 0L, 0L, a.getLong(2)))
+          .toDF("check", "ok", "expected", "actual")
+          .withColumn("section", lit("meta")))
+      } else Seq.empty
+    (Seq(vec) ++ fts ++ meta).reduce(_ union _)
+      .select("section", "check", "ok", "expected", "actual")
+  }
+
   // ---- npy interchange (B11, both directions) ----
 
   /** Export the vector index in the reference's npy/json directory

@@ -315,6 +315,22 @@ class ApiSpec extends AnyFunSuite {
     // FTS hit for "doc 2"'s title resolves to its new index id 1
     val hit = gi.ftsIndex.search("2", topK = 1).collect()
     assert(hit.nonEmpty && hit.head.getLong(0) === 1L)
+
+    // whole-directory fsck: vector + fts + meta sections all green on
+    // this partial-metadata, post-delete state (completeness is NOT
+    // required of metadata — only uniqueness and id range)
+    val report = gi.fsck().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(report.keys.map(_._1).toSet === Set("index", "fts", "meta"))
+    assert(report.values.forall(identity), s"fsck must be green: $report")
+    // an out-of-range metadata id is caught by the meta section
+    import org.apache.spark.sql.functions.lit
+    gi.metadata.limit(1).withColumn("_subset_", lit(99L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/meta")
+    val bad = gi.fsck().collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toMap
+    assert(!bad("meta_ids_in_range"), s"planted bad id must trip: $bad")
     gi.drop()
   }
 
