@@ -2476,9 +2476,13 @@ object SparkEntry {
     // over a built index — clean phase all-green, then doclens is
     // deliberately corrupted (doc 3's row dropped, manifest untouched)
     // and the count arithmetic must flag exactly the right checks. The
-    // oracle re-derives every expected/actual count from the embeddings
-    // table (docs, tokens, the dropped doc) — the fsck's arithmetic is
-    // externally recomputed, not read back.
+    // oracle re-derives the doc/token/survivor counts from the
+    // embeddings table (docs, tokens, the dropped doc); the four
+    // structural zero-rows (tokens/codes mismatch, code_range,
+    // ivf_pairs) are pinned CONSTANTS — their content correctness is
+    // carried by the b4/b6/b8 oracles, and this gate pins that the
+    // fsck reports them clean (and that the corruption does NOT leak
+    // into them).
     "u_fsck" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
