@@ -52,9 +52,26 @@ object ChunkScaleProbe {
     val n = agg.getLong(0)
     val ok = n == numDocs && agg.getLong(1) == numDocs - 1 &&
       agg.getLong(2) == numDocs && perChunkBad == 0L
+
+    // optional arg 3 "write": the PHYSICAL bounded-chunk write
+    // (ChunkLayout.writeChunked) over the same rows — one directory per
+    // chunk, one part file each, verified by directory census
+    val writeField = if (args.length > 2 && args(2) == "write") {
+      val outPath = "/tmp/graft_chunk_probe_write"
+      graft.util.Fs.deleteRecursively(outPath)
+      val tw0 = System.nanoTime()
+      val nChunks = graft.index.ChunkLayout.writeChunked(
+        lens, graft.index.ChunkLayout.chunkLayout(lens, batch), outPath)
+      val wSec = (System.nanoTime() - tw0) / 1e9
+      val dirs = new java.io.File(outPath).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("chunk_id="))
+      val nBack = spark.read.parquet(outPath).count()
+      s""","write_sec":${math.round(wSec * 10) / 10.0},"write_chunks":$nChunks,""" +
+        s""""write_dirs":$dirs,"write_rows":$nBack"""
+    } else ""
     println(s"""{"metric":"chunk_scale","docs":$numDocs,"batch":$batch,""" +
       s""""chunks":${agg.getLong(3)},"total_tokens":${agg.getLong(4)},""" +
-      s""""sec":${math.round(sec * 10) / 10.0},"invariants_ok":$ok}""")
+      s""""sec":${math.round(sec * 10) / 10.0},"invariants_ok":$ok$writeField}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
