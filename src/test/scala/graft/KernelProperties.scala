@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.core.{MaxSim, Ward}
+import graft.core.{MaxSim, Quantizer, Ward}
 import graft.search.Searcher
 
 /** Property-based checks over the pure kernels (no SparkSession):
@@ -49,6 +49,25 @@ object KernelProperties extends Properties("kernels") {
           Prop(unselected.isEmpty || sel.isEmpty ||
             sel.map(arr(_)).min >= unselected.map(arr(_)).max)
       }
+    }
+
+  property("quantizer bit-pack roundtrip == bucketOf == linear cutoff count, nbits 1..8") =
+    forAll(Gen.chooseNum(1, 8), Gen.nonEmptyListOf(
+      Gen.frequency(8 -> floatGen, 1 -> Gen.const(Float.NaN)))) { (nbits, vs) =>
+      // dim*nbits must be byte-aligned: pad to a multiple of 8 dims
+      val dim = math.max(8, (vs.length + 7) / 8 * 8)
+      val r = Array.tabulate(dim)(i => if (i < vs.length) vs(i) else 0.0f)
+      val n = 1 << nbits
+      val cutoffs = Array.tabulate(n - 1)(i => -10.0f + 20.0f * (i + 1) / n)
+      val weights = Array.tabulate(n)(i => -10.0f + 20.0f * (i + 0.5f) / n)
+      val qz = new Quantizer(nbits, cutoffs, weights)
+      val expect = r.map(qz.bucketOf)
+      val got = qz.unpackBuckets(qz.quantize(r), dim)
+      // binary search must agree with the reference's literal filter-count
+      // (val > c), including NaN → bucket 0 (NaN compares false)
+      val linear = r.map(v => cutoffs.count(v > _))
+      Prop(got.sameElements(expect)) && Prop(expect.sameElements(linear)) &&
+        Prop(expect.forall(b => b >= 0 && b < n))
     }
 
   // ---- probeCentroids vs a naive reference ----
