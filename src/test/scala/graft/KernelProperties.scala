@@ -70,6 +70,22 @@ object KernelProperties extends Properties("kernels") {
         Prop(expect.forall(b => b >= 0 && b < n))
     }
 
+  private def nanMatGen(dim: Int, rows: Gen[Int]): Gen[Array[Array[Float]]] =
+    rows.flatMap(t => Gen.listOfN(t,
+      Gen.listOfN(dim, Gen.frequency(15 -> floatGen, 1 -> Gen.const(Float.NaN)))
+        .map(_.toArray)).map(_.toArray))
+
+  property("scoreFast (serving kernel) tracks scoreDouble (oracle kernel) under NaN injection") =
+    forAll(Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.zip(nanMatGen(d, Gen.chooseNum(1, 4)), nanMatGen(d, Gen.chooseNum(1, 5))))) {
+      case (q, doc) =>
+        val fast = MaxSim.scoreFast(q, doc).toDouble
+        val dbl = MaxSim.scoreDouble(q, doc)
+        // same NaN-safe max/drop semantics; only f32-vs-f64 accumulation
+        // differs, so agreement is within f32 tolerance at these scales
+        Prop(math.abs(fast - dbl) <= 1e-3 * (1.0 + math.abs(dbl)))
+    }
+
   // ---- probeCentroids vs a naive reference ----
 
   private val matrixGen: Gen[Array[Array[Float]]] = for {
