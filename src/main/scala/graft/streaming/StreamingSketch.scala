@@ -35,16 +35,25 @@ object StreamingSketch {
     val spark = values.sparkSession
     import spark.implicits._
     values.select(col(valueCol).cast("string").as("v")).as[String]
-      .map { v =>
+      .mapPartitions { it =>
+        // one digest per partition, not per row (MessageDigest.digest
+        // resets the instance, so reuse is safe); the hash bytes and
+        // bucket/rho math stay byte-identical to the per-row version
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(v.getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
-        val h = java.lang.Long.parseLong(hex.take(15), 16)
-        val rest = h / m
-        val rho =
-          if (rest == 0L) (w + 1).toLong
-          else (w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))).toLong
-        RegisterRow(h % m, rho)
+        it.map { v =>
+          val digest = md.digest(v.getBytes("UTF-8"))
+          // 60-bit prefix = first 7.5 bytes, matching
+          // parseLong(hexString.take(15), 16) of the old formulation
+          var h = 0L
+          var i = 0
+          while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+          h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+          val rest = h / m
+          val rho =
+            if (rest == 0L) (w + 1).toLong
+            else (w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))).toLong
+          RegisterRow(h % m, rho)
+        }
       }
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[RegState, RegisterRow](
