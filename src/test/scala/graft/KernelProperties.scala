@@ -178,6 +178,24 @@ object KernelProperties extends Properties("kernels") {
       graft.core.Tokenizers.trigram(s).size == math.max(s.length - 2, 0)
     }
 
+  // operator words mixed into arbitrary text at high frequency so the
+  // filter actually fires; the contract is the reference's sanitizer
+  // (text_search.rs:949-969): exactly unicode61 tokens minus operators,
+  // order and multiplicity preserved
+  private val queryGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      3 -> Gen.oneOf("AND", "or", "NoT", "NEAR", "near"),
+      5 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.const("and-near.or"))).map(_.mkString(" "))
+
+  property("sanitizeQueryTerms == unicode61 minus FTS5 operator words, order-preserving") =
+    forAll(queryGen) { s =>
+      val ops = Set("and", "or", "not", "near")
+      val got = graft.core.Tokenizers.sanitizeQueryTerms(s).toList
+      val want = graft.core.Tokenizers.unicode61(s).filterNot(ops).toList
+      Prop(got == want) && Prop(got.forall(t => !ops(t)))
+    }
+
   // ---- SafeRegex: total function — never throws, never hangs ----
 
   private val patternishGen: Gen[String] =
