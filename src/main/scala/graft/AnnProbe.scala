@@ -22,17 +22,71 @@ import org.apache.spark.sql.functions._
   *     ×100 — the candidate-volume ratio, not nProbe itself, is what
   *     transfers to larger corpora).
   *
+  * SKEW MODE (third arg = hot-cell percent, r15 verdict item 1): the
+  * jittered replication gives roughly BALANCED IVF cells, which never
+  * stresses the per-key quadratic of the `assign ⋈ probed` candidate
+  * gather. Real corpora are Zipf-ish — a pre-dedup crawl can put
+  * 20-30% of its vectors in one cell of near-duplicates. With
+  * `skewPct > 0` the probe overwrites that percentage of the corpus
+  * (hash-selected rows) with ONE exact vector, so k-means collapses
+  * them into a single hot cell (exact duplicates tie-break to the same
+  * centroid index), ~skewPct% of the query sample probes it, and the
+  * gather join sees a key carrying skewPct% of the corpus on the build
+  * side AND skewPct% of the probe rows. The probe then runs the ANN
+  * top-k twice — guard OFF (`maxSalt = 1`, the plain equi-join) and
+  * guard ON (default salting, [[graft.pipeline.Similarity.gatherCandidates]])
+  * — and records wall time plus the straggler ratio (max / median task
+  * time of the heaviest stage) for both, and that the two results
+  * hash-identically (the guard must only change task layout, never the
+  * candidate multiset).
+  *
   * Prints one JSON line:
   * `{"metric":"ann_probe","factor":N,"docs":...,"queries":...,
-  *  "build_sec":...,"ann_sec":...,"hardneg_sec":...,"rows":{...}}`
+  *  "build_sec":...,"ann_sec":...,"hardneg_sec":...,"rows":{...},
+  *  "calib":{...}}` (+ skew fields in skew mode).
   *
   * Usage: `SPARK_DRIVER_MEM=24g sbt "runMain graft.AnnProbe 100 100000"`
+  *        `... "runMain graft.AnnProbe 100 20000 25"`  (skew point)
   */
 object AnnProbe {
+
+  /** Per-stage task-duration listener for the straggler ratio. Spark's
+    * statusTracker exposes live stage info but not completed task
+    * durations, so the probe records TaskEnd events itself. */
+  private final class TaskTimes extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new scala.collection.concurrent.TrieMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val b = byStage.getOrElseUpdate(
+        e.stageId, scala.collection.mutable.ArrayBuffer.empty[Long])
+      b.synchronized { b += e.taskInfo.duration }
+    }
+    /** (max sec, median sec, task count) within the stage with the
+      * largest TOTAL task time — the stage that dominates wall clock;
+      * a ratio computed across all stages would dilute a straggler
+      * with thousands of unrelated 10 ms tasks. */
+    def heaviestStage: (Double, Double, Int) = {
+      val s = byStage.values.filter(_.nonEmpty).maxBy(_.sum)
+      val sorted = s.toIndexedSeq.sorted
+      (sorted.last / 1e3, sorted(sorted.size / 2) / 1e3, sorted.size)
+    }
+    /** Top-`n` stages by LONGEST SINGLE task — where a straggler hides
+      * even when its stage's total is small (the hot-cell gather task
+      * vs the uniformly-busy scoring stage). */
+    def topByMaxTask(n: Int): Seq[(Double, Double, Int)] =
+      byStage.values.filter(_.nonEmpty).toSeq
+        .map { s =>
+          val sorted = s.toIndexedSeq.sorted
+          (sorted.last / 1e3, sorted(sorted.size / 2) / 1e3, sorted.size)
+        }
+        .sortBy(-_._1).take(n)
+  }
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val nQueries = if (args.length > 1) args(1).toLong else 100000L
+    val skewPct = if (args.length > 2) args(2).toInt else 0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,6 +100,7 @@ object AnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
 
     // single-sourced corpus recipe (shared cache path with ScaleProbe —
     // the generator must be the same code, not a copy)
@@ -53,7 +108,21 @@ object AnnProbe {
     if (!graft.util.Fs.exists(path))
       ScaleProbe.replicatedEmbeddings(spark, sfDir, factor, cpus.toInt * 2)
         .write.parquet(path)
-    val emb = spark.read.parquet(path)
+    val embBase = spark.read.parquet(path)
+    val emb =
+      if (skewPct <= 0) embBase
+      else {
+        // ONE exact vector for the whole blob: k-means collapses exact
+        // duplicates into a single cell (identical points tie-break to
+        // the same centroid index), giving a deterministic planted hot
+        // cell of ~skewPct% without fighting Lloyd's natural tendency
+        // to split a merely-dense-but-jittered region across centroids
+        val blob = embBase.orderBy("vec_id")
+          .select("embedding").head().getSeq[Float](0).toArray
+        embBase.withColumn("embedding",
+          when(pmod(hash(col("vec_id")), lit(100)) < skewPct,
+            typedLit(blob)).otherwise(col("embedding")))
+      }
     val nDocs = emb.count()
     val dim = 64
     val kCent = math.min(4096, math.max(64, math.sqrt(nDocs.toDouble).toInt))
@@ -66,32 +135,105 @@ object AnnProbe {
     val assignP = assign.persist()
     rows("assign") = assignP.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
+    // the realized cell histogram — in skew mode this verifies the
+    // plant actually produced ONE hot cell, not k-means splitting it
+    val hot = assignP.groupBy("code").count()
+      .agg(max("count"), sum("count")).head()
+    val hotShare = hot.getLong(0).toDouble / hot.getLong(1)
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-    val t1 = System.nanoTime()
-    rows("ann_topk") = Bench.forcedCount(graft.pipeline.Similarity.annTopK(
-      spark, emb, cents, assignP, dim, queries, k = 10, nProbe = nProbe))
-    val annSec = (System.nanoTime() - t1) / 1e9
+
+    // Skew mode simulates the MINING regime, where the query side is
+    // the training corpus and nothing fits a broadcast: with the
+    // default 128m threshold AQE broadcasts the ×100 probe table and
+    // the gather never shuffles on `code` at all (broadcast-hash join
+    // spreads hot-cell pair generation across the assign scan — skew
+    // invisible). Forcing the shuffle path reproduces what a 100M-query
+    // job actually executes. Note AQE's OptimizeSkewedJoin stays ON and
+    // still does not save the unguarded run: its trigger is shuffle
+    // PARTITION BYTES (the hot cell's assign rows are ~1 MB), not join
+    // OUTPUT rows — a join explosion is exactly the skew it cannot see.
+    if (skewPct > 0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    final case class AnnRun(sec: Double, hash: Long,
+        stages: Seq[(Double, Double, Int)]) {
+      def json: String = {
+        val st = stages.map { case (mx, med, nt) =>
+          f"""{"max_task_sec":$mx%.1f,"median_task_sec":$med%.3f,""" +
+            f""""ratio":${mx / math.max(med, 1e-3)}%.1f,"tasks":$nt}"""
+        }.mkString("[", ",", "]")
+        f"""{"sec":$sec%.1f,"stages_by_max_task":$st}"""
+      }
+    }
+    def timedAnn(maxSalt: Int): AnnRun = {
+      val tt = new TaskTimes
+      spark.sparkContext.addSparkListener(tt)
+      val t = System.nanoTime()
+      val n = Bench.forcedCount(graft.pipeline.Similarity.annTopK(
+        spark, emb, cents, assignP, dim, queries, k = 10, nProbe = nProbe,
+        maxSalt = maxSalt))
+      val sec = (System.nanoTime() - t) / 1e9
+      Thread.sleep(2000) // let the listener bus drain TaskEnd events
+      spark.sparkContext.removeSparkListener(tt)
+      AnnRun(sec, n, tt.topByMaxTask(3))
+    }
+
+    val skewField =
+      if (skewPct <= 0) {
+        val t1 = System.nanoTime()
+        rows("ann_topk") = Bench.forcedCount(graft.pipeline.Similarity.annTopK(
+          spark, emb, cents, assignP, dim, queries, k = 10, nProbe = nProbe))
+        val annSec = (System.nanoTime() - t1) / 1e9
+        f""""ann_sec":$annSec%.1f"""
+      } else {
+        // A/B at equal everything: plain equi-join (maxSalt=1) vs the
+        // salt-and-replicate guard; the forcedCount hash doubles as the
+        // identity proof (bit_xor over every output column). TWO
+        // ALTERNATING rounds (off,on,off,on): this box's ambient speed
+        // drifts 2-4× between sessions, so a single sequential pair
+        // confounds the guard with whatever the machine was doing —
+        // interleaving cancels monotone drift, and the record keeps
+        // every run for provenance (bench qps_runs discipline).
+        val off1 = timedAnn(maxSalt = 1)
+        val on1 = timedAnn(maxSalt = 32)
+        val off2 = timedAnn(maxSalt = 1)
+        val on2 = timedAnn(maxSalt = 32)
+        require(Set(off1.hash, on1.hash, off2.hash, on2.hash).size == 1,
+          s"salting changed the ANN result hash: " +
+            s"${Seq(off1, on1, off2, on2).map(_.hash)}")
+        rows("ann_topk") = on1.hash
+        f""""ann_sec_guard_off":${math.min(off1.sec, off2.sec)}%.1f,""" +
+          f""""ann_sec_guard_on":${math.min(on1.sec, on2.sec)}%.1f,""" +
+          s""""runs_off":[${off1.json},${off2.json}],""" +
+          s""""runs_on":[${on1.json},${on2.json}],""" +
+          s""""skew_pct":$skewPct,"result_hash_equal":true"""
+      }
 
     // the mining entry point proper: same probe + label-mismatch filter
-    // (rebuilds its own IVF — timed as the full operator a user calls)
-    val queriesL = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        col("label").as("qlabel"))
-    val t2 = System.nanoTime()
-    rows("hard_negatives") = Bench.forcedCount(
-      graft.pipeline.Similarity.hardNegativesAnn(
-        spark, emb, queriesL, k = 10, dim = dim,
-        numCentroids = kCent, nProbe = nProbe))
-    val hnSec = (System.nanoTime() - t2) / 1e9
+    // (rebuilds its own IVF — timed as the full operator a user calls);
+    // skipped in skew mode (the gather A/B above is the skew question)
+    val hnField = if (skewPct > 0) "" else {
+      val queriesL = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+      val t2 = System.nanoTime()
+      rows("hard_negatives") = Bench.forcedCount(
+        graft.pipeline.Similarity.hardNegativesAnn(
+          spark, emb, queriesL, k = 10, dim = dim,
+          numCentroids = kCent, nProbe = nProbe))
+      f""","hardneg_sec":${(System.nanoTime() - t2) / 1e9}%.1f"""
+    }
 
+    val calibPost = Bench.calibrate(spark)
     val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       f"""{"metric":"ann_probe","factor":$factor,"docs":$nDocs,""" +
         f""""queries":$nQueries,"n_centroids":$kCent,"n_probe":$nProbe,""" +
-        f""""build_sec":$buildSec%.1f,"ann_sec":$annSec%.1f,""" +
-        f""""hardneg_sec":$hnSec%.1f,"rows":$rs,"sf_base":"$sfDir"}""")
+        f""""hot_cell_share":$hotShare%.3f,""" +
+        f""""build_sec":$buildSec%.1f,$skewField$hnField,"rows":$rs,""" +
+        Bench.calibJson(calibPre, calibPost) + s""","sf_base":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -465,9 +465,15 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
         def cnt(c: org.apache.spark.sql.Column) =
           org.apache.spark.sql.functions.count(c)
         val m = metadata.select(col("_subset_").cast("long").as("id"))
+        // a _subset_ that fails the long cast becomes null — count those
+        // as their OWN violation (meta_ids_castable) rather than letting
+        // them slip the range check (null predicate never counts) and
+        // surface only as a misleading uniqueness mismatch
         val a = m.agg(cnt(lit(1)).as("c"), countDistinct("id").as("d"),
-          cnt(when(col("id") < 0 || col("id") >= n, lit(1))).as("bad")).head()
+          cnt(when(col("id") < 0 || col("id") >= n, lit(1))).as("bad"),
+          cnt(when(col("id").isNull, lit(1))).as("nulls")).head()
         Seq(Seq(
+          ("meta_ids_castable", a.getLong(3) == 0L, 0L, a.getLong(3)),
           ("meta_ids_unique", a.getLong(1) == a.getLong(0), a.getLong(0), a.getLong(1)),
           ("meta_ids_in_range", a.getLong(2) == 0L, 0L, a.getLong(2)))
           .toDF("check", "ok", "expected", "actual")

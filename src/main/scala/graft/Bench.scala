@@ -24,6 +24,48 @@ object Bench {
       .collect()(0).getLong(0)
   }
 
+  /** Ambient-speed calibration: a FIXED synthetic workload (one
+    * single-threaded hash-mix loop + one 32-partition Spark hash-sum
+    * job). Identical committed code has read 103-436 s for the same
+    * scale probe across sessions — every judged record (bench AND the
+    * scale-probe mains) carries the machine's speed that day riding
+    * along so cross-round numbers can be normalized instead of argued
+    * about. Returns (single-thread sec, 32-thread sec); quiet-machine
+    * reference is ~0.085 / ~0.42. */
+  def calibrate(spark: org.apache.spark.sql.SparkSession): (Double, Double) = {
+    var acc = 0L
+    def mix(n: Long): Unit = {
+      var i = 0L
+      while (i < n) {
+        acc ^= java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 31); i += 1L
+      }
+    }
+    // untimed full-length warmup: C2 compiles on a BACKGROUND thread,
+    // so a short warmup lets the timed run race the compiler (pre_1t
+    // read 0.54-0.56 vs post_1t 0.09 with a 50M warmup)
+    mix(200000000L)
+    mix(200000000L)
+    val t0 = System.nanoTime()
+    mix(200000000L)
+    val st = (System.nanoTime() - t0) / 1e9
+    def job(n: Long): Long = spark.range(0L, n, 1L, 32)
+      .selectExpr("bit_xor(xxhash64(id))").collect()(0).getLong(0)
+    var r = job(2000000000L) // untimed: codegen + executor-thread warm
+    val t1 = System.nanoTime()
+    r ^= job(2000000000L)
+    val mt = (System.nanoTime() - t1) / 1e9
+    if (acc == 42L && r == 42L) println("calibration sink") // defeat DCE
+    (st, mt)
+  }
+
+  /** The calib JSON fragment probes append to their records:
+    * `"calib":{"pre_1t":...,"pre_32t":...,"post_1t":...,"post_32t":...}`. */
+  def calibJson(pre: (Double, Double), post: (Double, Double)): String = {
+    def d3(v: Double) = f"$v%.3f"
+    s""""calib":{"pre_1t":${d3(pre._1)},"pre_32t":${d3(pre._2)},""" +
+      s""""post_1t":${d3(post._1)},"post_32t":${d3(post._2)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,38 +88,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.range(100L).write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
 
-    // Ambient-speed calibration: a FIXED synthetic workload (one
-    // single-threaded hash-mix loop + one 32-partition Spark hash-sum
-    // job) timed before AND after the suite. Identical committed code
-    // has read 103-436 s for the same scale probe across sessions —
-    // the judged record needs the machine's speed that day riding along
-    // so cross-round totals can be normalized instead of argued about.
-    def calibrate(): (Double, Double) = {
-      var acc = 0L
-      def mix(n: Long): Unit = {
-        var i = 0L
-        while (i < n) {
-          acc ^= java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 31); i += 1L
-        }
-      }
-      // untimed full-length warmup: C2 compiles on a BACKGROUND thread,
-      // so a short warmup lets the timed run race the compiler (pre_1t
-      // read 0.54-0.56 vs post_1t 0.09 with a 50M warmup)
-      mix(200000000L)
-      mix(200000000L)
-      val t0 = System.nanoTime()
-      mix(200000000L)
-      val st = (System.nanoTime() - t0) / 1e9
-      def job(n: Long): Long = spark.range(0L, n, 1L, 32)
-        .selectExpr("bit_xor(xxhash64(id))").collect()(0).getLong(0)
-      var r = job(2000000000L) // untimed: codegen + executor-thread warm
-      val t1 = System.nanoTime()
-      r ^= job(2000000000L)
-      val mt = (System.nanoTime() - t1) / 1e9
-      if (acc == 42L && r == 42L) println("calibration sink") // defeat DCE
-      (st, mt)
-    }
-    val (calibPre1, calibPreN) = calibrate()
+    val (calibPre1, calibPreN) = calibrate(spark)
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -209,7 +220,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
     // post-suite calibration: ambient drift DURING the run rides along
-    val (calibPost1, calibPostN) = calibrate()
+    val (calibPost1, calibPostN) = calibrate(spark)
     val calibField = {
       def d3(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

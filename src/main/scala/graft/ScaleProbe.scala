@@ -56,6 +56,26 @@ object ScaleProbe {
         col("label"))
   }
 
+  /** THE ×factor documents replication recipe — every 10th replica
+    * keeps the base text (planted exact-dup families of factor/10, the
+    * LSH worst case), the rest get every 3rd word replaced by a
+    * hash-derived token (3-shingle Jaccard ≈ 0 vs the base). Shared
+    * with [[PipelineScaleProbe]] via the same /tmp cache path, so the
+    * recipe must be single-sourced like [[replicatedEmbeddings]]. */
+  def replicatedDocuments(
+      spark: SparkSession, sfDir: String, factor: Int, nPart: Int): DataFrame = {
+    val reps = spark.range(factor).select(col("id").as("r"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(nPart).crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") * factor + col("r")).as("doc_id"),
+        when(col("r") % 10 === 0, col("text")).otherwise(expr(
+          """array_join(zip_with(split(text, ' '), sequence(1, size(split(text, ' '))),
+            |  (w, i) -> if(i % 3 = 0, conv(abs(hash(doc_id, r, i)), 10, 36), w)), ' ')"""
+            .stripMargin)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Headline set: one representative per heavy layer — TPC-H-ish agg,
     * the four text-dedup paths, vector similarity join, FTS build +
     * BM25, IVF build, and the full funnel search (which also builds
@@ -100,17 +120,7 @@ object ScaleProbe {
     // (shingling, encode) straggle at exactly 1 task per core.
     val nPart = cpus.toInt * 2
     val tGen0 = System.nanoTime()
-    gen("documents") {
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .repartition(nPart).crossJoin(broadcast(reps))
-        .select(
-          (col("doc_id") * factor + col("r")).as("doc_id"),
-          when(col("r") % 10 === 0, col("text")).otherwise(expr(
-            """array_join(zip_with(split(text, ' '), sequence(1, size(split(text, ' '))),
-              |  (w, i) -> if(i % 3 = 0, conv(abs(hash(doc_id, r, i)), 10, 36), w)), ' ')"""
-              .stripMargin)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-    }
+    gen("documents") { replicatedDocuments(spark, sfDir, factor, nPart) }
     gen("embeddings") { replicatedEmbeddings(spark, sfDir, factor, nPart) }
     gen("events") {
       // replica r shifts the whole stream by r stream-lengths and uses a

@@ -82,7 +82,7 @@ object SparkEntry {
     * m_delete_reseq, u_append_ivf, b8_ivf_build). */
   val verifyOnly: Set[String] =
     Set("u_delete_renum", "u2_outliers", "b11_npy_roundtrip",
-      "u7_meta_sync", "u_fsck",
+      "u7_meta_sync", "u_fsck", "u_fsck_full",
       "u1_dispatch", "u3_expand", "f_lifecycle", "st_stream_ingest",
       "b2_partitions", "b3_codec", "b4_assign", "b6_bucketize",
       "c5_hybrid", "c7_reindex",
@@ -2507,6 +2507,67 @@ object SparkEntry {
       clean.union(dirty).select("phase", "check", "ok", "expected", "actual")
     }),
 
+    // Whole-directory fsck (GraftIndex.fsck: vector + FTS + metadata
+    // sections in one report): clean phase all-green over a full
+    // create() (index + JSON metadata + FTS built from the metadata
+    // text), then TWO planted corruptions in sequence — one FTS
+    // postings drift (a single tf bumped, which must flip exactly
+    // dl_vs_postings) and one metadata misalignment (one `_subset_`
+    // pushed out of [0, N), which must flip exactly meta_ids_in_range;
+    // corruption is cumulative, so phase c still shows the fts drift).
+    // The oracle RECOMPUTES every fts check from the dumped/live
+    // postings+doclens parquet (per-doc Σtf vs dl both ways, key
+    // uniqueness, positivity, id range) and the phase-c meta checks
+    // from the live meta parquet; the index section's count rows are
+    // derived from the embeddings table and its four structural
+    // zero-rows are pinned constants exactly as in u_fsck (their
+    // content is the b4/b6/b8 oracles' job).
+    "u_fsck_full" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") / 5).cast("long").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+        .toDF("doc_id", "vec_id", "embedding")
+        .filter(col("doc_id") < 25)
+      val docs = emb.groupBy("doc_id").agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("embeddings"))
+      val path = "/tmp/graft_fsckfull_" + dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+      graft.util.Fs.deleteRecursively(path)
+      val metaRows = docs.select(col("doc_id").as("order"),
+        concat(lit("{\"cat\": \"c"), (col("doc_id") % 4).cast("string"),
+          lit("\", \"score\": "), (col("doc_id") * 3 + 1).cast("string"),
+          lit("}")).as("json"))
+      val gi = graft.GraftIndex.create(s, path, docs, Some(metaRows))
+      val clean = gi.fsck().withColumn("phase", lit("a_clean"))
+      // preserve the clean postings for the oracle (phases corrupt the
+      // live table in place; the oracle replays phase a from this dump)
+      gi.ftsIndex.postings.coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/dump_postings_a")
+      // b: one tf bumped on the lexicographically-first (term, doc_id)
+      val p0 = gi.ftsIndex.postings
+      val tgt = p0.orderBy("term", "doc_id").select("term", "doc_id").head()
+      graft.util.Fs.rewrite(
+        p0.withColumn("tf",
+          when(col("term") === tgt.getString(0) &&
+            col("doc_id") === tgt.getLong(1), col("tf") + 1)
+            .otherwise(col("tf"))),
+        s"$path/fts/postings")
+      val drift = gi.fsck().withColumn("phase", lit("b_fts_drift"))
+      // c: one metadata id pushed out of [0, N)
+      val n = gi.index.numDocuments
+      graft.util.Fs.rewrite(
+        gi.metadata.withColumn("_subset_",
+          when(col("_subset_") === 1L, lit(n + 7L))
+            .otherwise(col("_subset_"))),
+        s"$path/meta")
+      val misalign = gi.fsck().withColumn("phase", lit("c_meta_misalign"))
+      clean.union(drift).union(misalign)
+        .select("phase", "section", "check", "ok", "expected", "actual")
+    }),
+
     // Per-node triangle count + degree + local clustering coefficient
     // over the part co-purchase graph (parts sharing an order) —
     // degree-ordered wedge join, 3 equi-join shuffles, hub-safe on
@@ -4799,13 +4860,116 @@ object SparkEntry {
         |UNION ALL SELECT 'a_clean', 'code_range', true, 0, 0
         |UNION ALL SELECT 'a_clean', 'ivf_pairs', true, 0, 0
         |UNION ALL SELECT 'b_corrupt', 'manifest_docs', false, nd, ns FROM s
-        |UNION ALL SELECT 'b_corrupt', 'dense_ids', false, ns, ns FROM s
+        |UNION ALL SELECT 'b_corrupt', 'dense_ids', false, ns - 1, ns FROM s
         |UNION ALL SELECT 'b_corrupt', 'manifest_embeddings', true, nt, nt FROM s
         |UNION ALL SELECT 'b_corrupt', 'doc_codes_rows', false, ns, nd FROM s
         |UNION ALL SELECT 'b_corrupt', 'tokens_vs_doclens', false, 0, 1
         |UNION ALL SELECT 'b_corrupt', 'codes_vs_doclens', false, 0, 1
         |UNION ALL SELECT 'b_corrupt', 'code_range', true, 0, 0
         |UNION ALL SELECT 'b_corrupt', 'ivf_pairs', true, 0, 0""".stripMargin,
+    // u_fsck_full: the fts section is RECOMPUTED from the dumped clean
+    // postings (phase a) and the live corrupted postings (b, c) plus
+    // the live doclens; the phase-c meta section is recomputed from
+    // the live meta parquet. The index section's counts derive from
+    // the embeddings table and its four structural zero-rows are
+    // pinned constants (same contract as u_fsck). Meta a/b rows derive
+    // from the create() contract (_subset_ dense 0..N-1).
+    "u_fsck_full" ->
+      """WITH emb AS (
+        |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id
+        |  FROM embeddings WHERE vec_id // 5 < 25),
+        |s AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS nt FROM emb),
+        |pa AS (SELECT term, doc_id, tf FROM read_parquet(
+        |  '/tmp/graft_fsckfull__root_testdata_sf0_01/dump_postings_a/*.parquet')),
+        |pb AS (SELECT term, doc_id, tf FROM read_parquet(
+        |  '/tmp/graft_fsckfull__root_testdata_sf0_01/fts/postings/*.parquet')),
+        |dl AS (SELECT doc_id, dl FROM read_parquet(
+        |  '/tmp/graft_fsckfull__root_testdata_sf0_01/fts/doclens/*.parquet')),
+        |mt AS (SELECT TRY_CAST(_subset_ AS BIGINT) AS id FROM read_parquet(
+        |  '/tmp/graft_fsckfull__root_testdata_sf0_01/meta/*.parquet')),
+        |fa AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM pa)) AS BIGINT) AS nk,
+        |  CAST(count(*) FILTER (tf < 1) AS BIGINT) AS bad_tf FROM pa),
+        |fb AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM pb)) AS BIGINT) AS nk,
+        |  CAST(count(*) FILTER (tf < 1) AS BIGINT) AS bad_tf FROM pb),
+        |dlpos AS (SELECT CAST(count(*) FILTER (dl < 1) AS BIGINT) AS bad FROM dl),
+        |dmis_a AS (SELECT CAST(count(*) AS BIGINT) AS m FROM (
+        |  SELECT 1 FROM dl d FULL OUTER JOIN
+        |    (SELECT doc_id, sum(tf) AS stf FROM pa GROUP BY doc_id) t USING (doc_id)
+        |  WHERE d.dl IS NULL OR t.stf IS NULL OR d.dl <> t.stf)),
+        |dmis_b AS (SELECT CAST(count(*) AS BIGINT) AS m FROM (
+        |  SELECT 1 FROM dl d FULL OUTER JOIN
+        |    (SELECT doc_id, sum(tf) AS stf FROM pb GROUP BY doc_id) t USING (doc_id)
+        |  WHERE d.dl IS NULL OR t.stf IS NULL OR d.dl <> t.stf)),
+        |rng_a AS (SELECT CAST(count(*) AS BIGINT) AS o FROM (
+        |  SELECT doc_id FROM pa UNION ALL SELECT doc_id FROM dl) u
+        |  WHERE doc_id < 0 OR doc_id >= (SELECT nd FROM s)),
+        |rng_b AS (SELECT CAST(count(*) AS BIGINT) AS o FROM (
+        |  SELECT doc_id FROM pb UNION ALL SELECT doc_id FROM dl) u
+        |  WHERE doc_id < 0 OR doc_id >= (SELECT nd FROM s)),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(count(DISTINCT id) AS BIGINT) AS d,
+        |  CAST(count(*) FILTER (id IS NULL) AS BIGINT) AS nulls,
+        |  CAST(count(*) FILTER (id < 0 OR id >= (SELECT nd FROM s)) AS BIGINT) AS bad
+        |  FROM mt),
+        |phases AS (SELECT * FROM (VALUES ('a_clean'), ('b_fts_drift'),
+        |  ('c_meta_misalign')) t(phase)),
+        |idx_checks AS (
+        |  SELECT 'manifest_docs' AS chk, (SELECT nd FROM s) AS e, (SELECT nd FROM s) AS a
+        |  UNION ALL SELECT 'dense_ids', (SELECT nd FROM s), (SELECT nd FROM s)
+        |  UNION ALL SELECT 'manifest_embeddings', (SELECT nt FROM s), (SELECT nt FROM s)
+        |  UNION ALL SELECT 'doc_codes_rows', (SELECT nd FROM s), (SELECT nd FROM s)
+        |  UNION ALL SELECT 'tokens_vs_doclens', 0, 0
+        |  UNION ALL SELECT 'codes_vs_doclens', 0, 0
+        |  UNION ALL SELECT 'code_range', 0, 0
+        |  UNION ALL SELECT 'ivf_pairs', 0, 0)
+        |SELECT p.phase, 'index' AS section, i.chk AS "check", true AS ok,
+        |  CAST(i.e AS BIGINT) AS expected, CAST(i.a AS BIGINT) AS actual
+        |FROM phases p, idx_checks i
+        |UNION ALL SELECT 'a_clean', 'fts', 'postings_keys',
+        |  (SELECT nk FROM fa) = (SELECT np FROM fa),
+        |  (SELECT np FROM fa), (SELECT nk FROM fa)
+        |UNION ALL SELECT 'a_clean', 'fts', 'tf_positive',
+        |  (SELECT bad_tf FROM fa) = 0, 0, (SELECT bad_tf FROM fa)
+        |UNION ALL SELECT 'a_clean', 'fts', 'dl_positive',
+        |  (SELECT bad FROM dlpos) = 0, 0, (SELECT bad FROM dlpos)
+        |UNION ALL SELECT 'a_clean', 'fts', 'dl_vs_postings',
+        |  (SELECT m FROM dmis_a) = 0, 0, (SELECT m FROM dmis_a)
+        |UNION ALL SELECT 'a_clean', 'fts', 'ids_in_range',
+        |  (SELECT o FROM rng_a) = 0, 0, (SELECT o FROM rng_a)
+        |UNION ALL SELECT ph, 'fts', 'postings_keys',
+        |  (SELECT nk FROM fb) = (SELECT np FROM fb),
+        |  (SELECT np FROM fb), (SELECT nk FROM fb)
+        |  FROM (VALUES ('b_fts_drift'), ('c_meta_misalign')) t(ph)
+        |UNION ALL SELECT ph, 'fts', 'tf_positive',
+        |  (SELECT bad_tf FROM fb) = 0, 0, (SELECT bad_tf FROM fb)
+        |  FROM (VALUES ('b_fts_drift'), ('c_meta_misalign')) t(ph)
+        |UNION ALL SELECT ph, 'fts', 'dl_positive',
+        |  (SELECT bad FROM dlpos) = 0, 0, (SELECT bad FROM dlpos)
+        |  FROM (VALUES ('b_fts_drift'), ('c_meta_misalign')) t(ph)
+        |UNION ALL SELECT ph, 'fts', 'dl_vs_postings',
+        |  (SELECT m FROM dmis_b) = 0, 0, (SELECT m FROM dmis_b)
+        |  FROM (VALUES ('b_fts_drift'), ('c_meta_misalign')) t(ph)
+        |UNION ALL SELECT ph, 'fts', 'ids_in_range',
+        |  (SELECT o FROM rng_b) = 0, 0, (SELECT o FROM rng_b)
+        |  FROM (VALUES ('b_fts_drift'), ('c_meta_misalign')) t(ph)
+        |UNION ALL SELECT ph, 'meta', 'meta_ids_castable', true, 0, 0
+        |  FROM (VALUES ('a_clean'), ('b_fts_drift')) t(ph)
+        |UNION ALL SELECT ph, 'meta', 'meta_ids_unique', true,
+        |  (SELECT nd FROM s), (SELECT nd FROM s)
+        |  FROM (VALUES ('a_clean'), ('b_fts_drift')) t(ph)
+        |UNION ALL SELECT ph, 'meta', 'meta_ids_in_range', true, 0, 0
+        |  FROM (VALUES ('a_clean'), ('b_fts_drift')) t(ph)
+        |UNION ALL SELECT 'c_meta_misalign', 'meta', 'meta_ids_castable',
+        |  (SELECT nulls FROM mc) = 0, 0, (SELECT nulls FROM mc)
+        |UNION ALL SELECT 'c_meta_misalign', 'meta', 'meta_ids_unique',
+        |  (SELECT d FROM mc) = (SELECT c FROM mc),
+        |  (SELECT c FROM mc), (SELECT d FROM mc)
+        |UNION ALL SELECT 'c_meta_misalign', 'meta', 'meta_ids_in_range',
+        |  (SELECT bad FROM mc) = 0, 0, (SELECT bad FROM mc)""".stripMargin,
     "u7_meta_sync" ->
       """WITH ids AS (
         |  SELECT DISTINCT CAST(vec_id // 5 AS BIGINT) AS doc_id

@@ -89,11 +89,17 @@ object ChunkLayout {
       .withColumn("_cl_gsum", col("_cl_sumoff") + col("_cl_lsum"))
       .withColumn("chunk_id", expr(s"doc_seq DIV $batchSize"))
       .withColumn("doc_offset", col("doc_seq") % batchSize)
-    // chunk base = global token offset of the chunk's first doc; one
-    // numChunks-row aggregate, broadcast back (chunks ≈ N/batchSize)
+    // chunk base = global token offset of the chunk's first doc — a
+    // numChunks-row aggregate joined back by chunk_id. NO forced
+    // broadcast hint here: numChunks = N/batchSize is unbounded (a
+    // degenerate batchSize at 100M docs makes bases corpus-sized), so
+    // the hint would bypass Catalyst's size guard; AQE broadcasts it
+    // whenever it actually fits and falls back to a shuffle join when
+    // it doesn't. The offsets join above keeps its hint — that side is
+    // ≤ numShufflePartitions rows by construction.
     val bases = withChunk.groupBy("chunk_id")
       .agg(min(col("_cl_gsum")).as("_cl_base"))
-    withChunk.join(broadcast(bases), Seq("chunk_id"))
+    withChunk.join(bases, Seq("chunk_id"))
       .withColumn("token_start", col("_cl_gsum") - col("_cl_base"))
       .drop("_cl_pid", "_cl_lrank0", "_cl_lsum", "_cl_rankoff",
         "_cl_sumoff", "_cl_gsum", "_cl_base")

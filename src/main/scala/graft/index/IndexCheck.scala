@@ -53,8 +53,16 @@ object IndexCheck {
       coalesce(max("doc_id"), lit(-1L)).as("hi"),
       countDistinct("doc_id").as("nd")).head()
     val nDocs = dl.getLong(0)
+    val (dlLo, dlHi, dlNd) = (dl.getLong(1), dl.getLong(2), dl.getLong(3))
     val denseOk = nDocs == 0 ||
-      (dl.getLong(1) == 0L && dl.getLong(2) == nDocs - 1 && dl.getLong(3) == nDocs)
+      (dlLo == 0L && dlHi == nDocs - 1 && dlNd == nDocs)
+    // report the bound that actually violated density: a gapped range
+    // with a matching distinct count would otherwise print
+    // expected == actual on a failing row, hiding the cause
+    val (denseExp, denseAct) =
+      if (denseOk || dlNd != nDocs) (nDocs, dlNd)
+      else if (dlLo != 0L) (0L, dlLo)
+      else (nDocs - 1, dlHi)
 
     val nTok = tokens.count()
     val nDocCodes = docCodes.count()
@@ -81,7 +89,7 @@ object IndexCheck {
 
     Seq(
       ("manifest_docs", nDocsManifest == nDocs, nDocsManifest, nDocs),
-      ("dense_ids", denseOk, nDocs, dl.getLong(3)),
+      ("dense_ids", denseOk, denseExp, denseAct),
       ("manifest_embeddings", nEmbManifest == nTok, nEmbManifest, nTok),
       ("doc_codes_rows", nDocCodes == nDocs, nDocs, nDocCodes),
       ("tokens_vs_doclens", tokMismatch == 0L, 0L, tokMismatch),

@@ -73,11 +73,17 @@ object Similarity {
     // all; otherwise ONE agg job decides dispatch (count + dim together,
     // so the ANN branch pays no second scan for the dimension)
     val stats = if (annThresholdDocs > 0)
-      Some(docs.agg(count(lit(1)), first(size(col("embedding")))).head())
+      Some(docs.agg(count(lit(1)),
+        first(size(col("embedding")), ignoreNulls = true)).head())
     else None
     val n = stats.fold(0L)(_.getLong(0))
     if (annThresholdDocs > 0 && n > annThresholdDocs) {
-      val dim = stats.get.getInt(1) // n > 0, so the first() is non-null
+      // ignoreNulls: a null embedding row must not be the sampled dim
+      // (size(null) = null → NPE on getInt); if EVERY embedding is
+      // null the first() is still null — fail with a message, not an NPE
+      require(!stats.get.isNullAt(1),
+        s"hardNegatives: corpus has $n rows but no non-null embedding")
+      val dim = stats.get.getInt(1)
       // same API signature, different contract: the IVF path is
       // APPROXIMATE (recall < 1 below full probing) — say so loudly
       log.warn(s"hardNegatives: corpus has $n docs > annThresholdDocs=" +
@@ -110,7 +116,8 @@ object Similarity {
     * `nProbe` to cover the same-label fraction of each probe set. */
   def hardNegativesAnn(
       spark: SparkSession, docs: DataFrame, queries: DataFrame, k: Int,
-      dim: Int, numCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+      dim: Int, numCentroids: Int = 64, nProbe: Int = 8,
+      maxSalt: Int = 32): DataFrame = {
     graft.functions.ArrayMath.register(spark)
     val (centroids, assign) = buildIvf(spark, docs, dim, numCentroids)
     // Distributed probe + UNHINTED joins: the query side of mining is
@@ -119,8 +126,7 @@ object Similarity {
     // force-broadcast. AQE still broadcasts both small sides at
     // serving-batch sizes from runtime stats.
     val probed = probeTopN(spark, queries, centroids, dim, nProbe)
-    val candidates = assign.join(probed, "code")
-      .select("query_id", "vec_id")
+    val candidates = gatherCandidates(assign, probed, maxSalt = maxSalt)
     val scored = candidates
       .join(docs.select("vec_id", "embedding", "label"), "vec_id")
       .join(queries.select("query_id", "qemb", "qlabel"), "query_id")
@@ -158,6 +164,54 @@ object Similarity {
       }
       .toDF("vec_id", "code")
     (centroids, assign)
+  }
+
+  /** Skew-safe IVF candidate gather: `assign(vec_id, code) ⋈
+    * probed(query_id, code)` with a salt-and-replicate guard for hot
+    * cells. Real corpora give Zipf-ish IVF cells (a pre-dedup web crawl
+    * can put 20-30% of its vectors in ONE cell of near-duplicates), and
+    * a plain equi-join on `code` then concentrates the per-key
+    * quadratic (queries-probing-cell × docs-in-cell) in a single task —
+    * AQE's skew split only rebalances SMJ *input* partitions, not the
+    * pair generation of one hot key. Mirrors the `maxBucketSize`
+    * discipline of the LSH paths and the reference's per-cell batched
+    * sparse scoring (next-plaid/src/search.rs:256-302, which never
+    * materializes one cell's pairs in a single arena either).
+    *
+    * Guard: one K-row aggregate of `assign` (K = numCentroids ≤ 4096)
+    * computes each cell's doc count; a cell above `hotCellFactor`× the
+    * mean cell size is split into `ceil(cnt / (hotCellFactor · mean))`
+    * salt shards (capped at `maxSalt`), docs sharded by
+    * `pmod(hash(vec_id), nsalt)` and the probe side replicated across
+    * the shard ids, joined on `(code, _salt)`. Each (doc, probing
+    * query) pair still matches EXACTLY once — the doc holds one salt
+    * value and the probe row covers all of them — so the candidate
+    * multiset (and every downstream gate hash) is byte-identical to
+    * the unguarded join; only the task layout changes. Balanced cells
+    * all get nsalt = 1, where the `(code, _salt)` key degenerates to
+    * the old single-key join. Probe-side replication cost is bounded:
+    * Σ extra rows = probe rows landing in hot cells × (nsalt-1), and
+    * only hot cells have nsalt > 1. */
+  private[graft] def gatherCandidates(
+      assign: DataFrame, probed: DataFrame,
+      hotCellFactor: Int = 4, maxSalt: Int = 32): DataFrame = {
+    // K-row histogram; the scalar mean comes from a window over ALL K
+    // rows (single tiny partition) so the whole guard stays in-plan —
+    // no driver collect, no second pass over assign
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nsalts = assign.groupBy("code").agg(count(lit(1)).as("_cell_n"))
+      .withColumn("_mean_n", avg("_cell_n").over(w))
+      .withColumn("_nsalt", least(lit(maxSalt), greatest(lit(1),
+        ceil(col("_cell_n") / (col("_mean_n") * hotCellFactor)))).cast("int"))
+      .select("code", "_nsalt")
+    val salted = assign.join(broadcast(nsalts), "code")
+      .withColumn("_salt", pmod(hash(col("vec_id")), col("_nsalt")))
+    val probedS = probed.join(broadcast(nsalts), "code")
+      .withColumn("_salt", explode(sequence(lit(0), col("_nsalt") - 1)))
+    salted.join(probedS, Seq("code", "_salt"))
+      .select("query_id", "vec_id")
   }
 
   /** Distributed IVF probe: per query score all K centroids (tiny,
@@ -215,11 +269,11 @@ object Similarity {
       dim: Int,
       queries: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      maxSalt: Int = 32): DataFrame = {
     graft.functions.ArrayMath.register(spark)
     val probed = probeTopN(spark, queries, centroids, dim, nProbe)
-    val candidates = assign.join(probed, "code")
-      .select("query_id", "vec_id")
+    val candidates = gatherCandidates(assign, probed, maxSalt = maxSalt)
     val scored = candidates
       .join(docs.select("vec_id", "embedding"), "vec_id")
       .join(queries.select("query_id", "qemb"), "query_id")
