@@ -73,12 +73,18 @@ object AnnProbe {
     }
     /** Top-`n` stages by LONGEST SINGLE task — where a straggler hides
       * even when its stage's total is small (the hot-cell gather task
-      * vs the uniformly-busy scoring stage). */
+      * vs the uniformly-busy scoring stage). Each entry carries
+      * (max task sec, ideal sec = stage total / 32 slots, task count):
+      * `max / ideal` is the balance ratio — 1.0 means the stage's work
+      * was perfectly spreadable across the machine, N means one task
+      * serialized N× the balanced wall clock. A median-based ratio
+      * misreads sparse stages (28 busy salt tasks + 36 near-idle ones
+      * median to ~0), so balance-vs-ideal is the judged metric. */
     def topByMaxTask(n: Int): Seq[(Double, Double, Int)] =
       byStage.values.filter(_.nonEmpty).toSeq
         .map { s =>
-          val sorted = s.toIndexedSeq.sorted
-          (sorted.last / 1e3, sorted(sorted.size / 2) / 1e3, sorted.size)
+          val snap = s.synchronized(s.toIndexedSeq)
+          (snap.max / 1e3, snap.sum / 32.0 / 1e3, snap.size)
         }
         .sortBy(-_._1).take(n)
   }
@@ -154,15 +160,22 @@ object AnnProbe {
     // still does not save the unguarded run: its trigger is shuffle
     // PARTITION BYTES (the hot cell's assign rows are ~1 MB), not join
     // OUTPUT rows — a join explosion is exactly the skew it cannot see.
-    if (skewPct > 0)
+    if (skewPct > 0) {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // also disable AQE's input-byte partition coalescing: the ×100
+      // probe inputs are KBs, so AQE fuses the gather stage down to
+      // 2-3 read tasks and the salt shards land in one task anyway —
+      // at the regime this simulates (corpus-sized query tables) the
+      // inputs are GBs and no coalescing happens. Skew-split stays ON.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    }
 
     final case class AnnRun(sec: Double, hash: Long,
         stages: Seq[(Double, Double, Int)]) {
       def json: String = {
-        val st = stages.map { case (mx, med, nt) =>
-          f"""{"max_task_sec":$mx%.1f,"median_task_sec":$med%.3f,""" +
-            f""""ratio":${mx / math.max(med, 1e-3)}%.1f,"tasks":$nt}"""
+        val st = stages.map { case (mx, ideal, nt) =>
+          f"""{"max_task_sec":$mx%.1f,"ideal_sec":$ideal%.3f,""" +
+            f""""balance_ratio":${mx / math.max(ideal, 1e-3)}%.1f,"tasks":$nt}"""
         }.mkString("[", ",", "]")
         f"""{"sec":$sec%.1f,"stages_by_max_task":$st}"""
       }

@@ -26,6 +26,7 @@ object ChunkScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
 
     // ragged lens 1..96, skewed-ish via a hash mix; doc ids NON-contiguous
     // (×3 + parity) so the rank is doing real work, not an identity
@@ -69,9 +70,11 @@ object ChunkScaleProbe {
       s""","write_sec":${math.round(wSec * 10) / 10.0},"write_chunks":$nChunks,""" +
         s""""write_dirs":$dirs,"write_rows":$nBack"""
     } else ""
+    val calibPost = Bench.calibrate(spark)
     println(s"""{"metric":"chunk_scale","docs":$numDocs,"batch":$batch,""" +
       s""""chunks":${agg.getLong(3)},"total_tokens":${agg.getLong(4)},""" +
-      s""""sec":${math.round(sec * 10) / 10.0},"invariants_ok":$ok$writeField}""")
+      s""""sec":${math.round(sec * 10) / 10.0},"invariants_ok":$ok$writeField,""" +
+      Bench.calibJson(calibPre, calibPost) + "}")
     spark.stop()
     if (!ok) sys.exit(1)
   }

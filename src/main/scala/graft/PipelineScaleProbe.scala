@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composed end-to-end pipeline rehearsal (r15 verdict item 2): the
-  * 100 TB deployment shape is ONE job chain — ingest → C4 clean →
-  * Gopher quality → exact dedup → MinHash dedup → decontaminate →
+  * 100 TB deployment shape is ONE job chain — ingest → exact dedup →
+  * C4 clean → Gopher quality → MinHash dedup → decontaminate →
   * index + FTS build → hybrid search — sharing DataFrames across
   * stages, not the per-operator probes (which each re-read parquet and
   * so can never catch cross-operator issues: lineage growth across
   * stages, persist/unpersist leaks, cumulative shuffle-partition
   * misconfiguration, a stage silently recomputing its upstream).
+  * Dedup precedes the clean: see the stage-1 comment — the reversed
+  * order lets C4's line-df rule delete mirror families before dedup
+  * counts them, at any fixed threshold (caught by this probe).
   *
   * Stage discipline (the deployment pattern under test):
   *   - each stage's output is persisted and forced ONCE; the next
@@ -77,16 +80,36 @@ object PipelineScaleProbe {
       * upstream in-memory relation instead of recomputing it. */
     def stage(name: String, df: DataFrame, expectCached: Boolean,
         prev: Option[DataFrame], allowRawScan: Boolean = false): DataFrame = {
-      val plan = df.queryExecution.executedPlan.toString
+      // walk the LIVE plan tree, not its string: InMemoryRelation
+      // PRINTS its cached child plan (including the original FileScan
+      // text) — a substring check false-positives — and the physical
+      // tree hides under AdaptiveSparkPlanExec (no children), so the
+      // walk runs on the optimized LOGICAL plan, where cache use is an
+      // InMemoryRelation node and a real corpus re-read is a
+      // LogicalRelation over the raw parquet (a cached plan is not a
+      // child node, so collect() only reaches scans that would execute)
+      val lp = df.queryExecution.optimizedPlan
       if (expectCached) {
-        require(plan.contains("InMemoryTableScan"),
-          s"stage $name recomputes its upstream (no InMemoryTableScan):\n" +
-            plan.take(4000))
+        val hasCache = lp.collectWithSubqueries {
+          case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
+        }.nonEmpty
+        require(hasCache,
+          s"stage $name recomputes its upstream (no InMemoryRelation):\n" +
+            lp.toString.take(4000))
         // allowRawScan: the decontaminate stage legitimately scans the
         // raw corpus ONCE MORE for its held-out eval sample — that scan
         // is the eval ingest, not a recompute of the train chain
-        require(allowRawScan || !plan.contains(docsPath),
-          s"stage $name re-reads the raw corpus parquet:\n" + plan.take(4000))
+        val raw = lp.collectWithSubqueries {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              l.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(docsPath)) => l
+        }
+        require(allowRawScan || raw.isEmpty,
+          s"stage $name re-reads the raw corpus parquet:\n" +
+            lp.toString.take(4000))
         reused += 1
       }
       val p = df.persist()
@@ -99,10 +122,29 @@ object PipelineScaleProbe {
 
     val tAll = System.nanoTime()
 
-    // ---- stage 1: ingest + C4 line rules + boilerplate df ----
+    // ---- stage 1: ingest + EXACT dedup on the raw text ----
+    // Dedup runs BEFORE the boilerplate clean — the standard
+    // production order, and this probe demonstrated why it is not a
+    // style choice: with clean-first, C4's line-df rule sees every
+    // line of a whole-document mirror family as "recurring across
+    // docs" and silently deletes the duplicates before dedup runs
+    // (exact_dedup removed 0 rows at ×100 with the default
+    // maxLineDf = 2; raising it to 25 fixed ×100's 10-copy families
+    // and then broke IDENTICALLY at ×1000's 100-copy families — no
+    // fixed threshold coexists with corpus-scaled mirror counts).
+    // Dedup-first removes the mirrors, which also makes the df
+    // statistic honest: what recurs afterwards is genuine boilerplate.
+    val raw = spark.read.parquet(docsPath).select("doc_id", "text")
+    val ex = graft.pipeline.Dedup.exactDedup(raw, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exact = stage("exact_dedup",
+      raw.join(ex, Seq("doc_id"), "left_semi"),
+      expectCached = false, prev = None)
+
+    // ---- stage 2: C4 line rules + boilerplate df ----
     // line synthesis as in the p_c4_clean gate (the corpus is
     // single-line); ×3 so the cleaned docs clear Gopher's 50-word floor
-    val lined = spark.read.parquet(docsPath)
+    val lined = exact
       .withColumn("tk", expr(
         "regexp_extract_all(lower(concat(text, ' ', text, ' ', text)), '[a-z0-9]+', 0)"))
       .withColumn("chunks", expr(
@@ -116,35 +158,35 @@ object PipelineScaleProbe {
       graft.pipeline.Boilerplate.c4Clean(lined, "doc_id", "text2")
         .filter(col("page_pass"))
         .select(col("doc_id"), col("clean_text").as("text")),
-      expectCached = false, prev = None)
+      expectCached = true, prev = None)
 
-    // ---- stage 2: Gopher quality (6 structural rules; see header) ----
+    // ---- stage 3: Gopher quality (6 structural rules; see header) ----
     val gq = graft.pipeline.TextStats.gopherRules(c4, "doc_id", "text")
       .filter(col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
         col("r_symbol") && col("r_bullet") && col("r_ellipsis"))
       .select("doc_id")
     val quality = stage("gopher",
-      c4.join(gq, Seq("doc_id"), "left_semi"), expectCached = true, prev = None)
+      c4.join(gq, Seq("doc_id"), "left_semi"),
+      expectCached = true, prev = Some(exact))
     c4.unpersist()
-
-    // ---- stage 3: exact dedup (the ScaleProbe corpus plants exact
-    // families of factor/10 — every 10th replica keeps the base text) ----
-    val ex = graft.pipeline.Dedup.exactDedup(quality, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val exact = stage("exact_dedup",
-      quality.join(ex, Seq("doc_id"), "left_semi"),
-      expectCached = true, prev = None)
 
     // ---- stage 4: MinHash/LSH near-dedup + connected components ----
     val pairs = graft.pipeline.Dedup.minhashDedupPairs(
-      exact, "doc_id", "text",
+      quality, "doc_id", "text",
       shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
-    val clusters = graft.pipeline.Dedup.duplicateClusters(exact, "doc_id", pairs)
+    // pairs count rides the record: the ScaleProbe mutation breaks all
+    // 3-shingles vs the base (Jaccard ≈ 0 by design), so after exact
+    // dedup the NEAR-dup count is expected ~0 — this stage's honest
+    // role in the rehearsal is the signature/LSH scan cost over the
+    // surviving corpus, not removal (removal is proven by the
+    // per-operator ×1000 LSH points with planted families)
+    rows("lsh_pairs") = pairs.count()
+    val clusters = graft.pipeline.Dedup.duplicateClusters(quality, "doc_id", pairs)
     val surv = graft.pipeline.Dedup.clusterSurvivors(
-      clusters, exact.select(col("doc_id"), length(col("text")).as("score")))
+      clusters, quality.select(col("doc_id"), length(col("text")).as("score")))
       .filter(col("keep")).select("doc_id")
     val deduped = stage("minhash_dedup",
-      exact.join(surv, Seq("doc_id"), "left_semi"),
+      quality.join(surv, Seq("doc_id"), "left_semi"),
       expectCached = true, prev = Some(quality))
 
     // ---- stage 5: decontaminate vs a held-out eval sample ----
@@ -156,7 +198,7 @@ object PipelineScaleProbe {
       .filter(!col("contaminated")).select("doc_id")
     val clean = stage("decontaminate",
       deduped.join(decon, Seq("doc_id"), "left_semi"),
-      expectCached = true, prev = Some(exact), allowRawScan = true)
+      expectCached = true, prev = Some(deduped), allowRawScan = true)
 
     // ---- stage 6: FTS + vector index build over the survivors ----
     val outDir = s"/tmp/graft_pipe_x$factor"
@@ -194,7 +236,7 @@ object PipelineScaleProbe {
     rows("hybrid_hits") = Bench.forcedCount(hits)
     stages("hybrid_search") = (System.nanoTime() - t7) / 1e9
     val totalSec = (System.nanoTime() - tAll) / 1e9
-    clean.unpersist(); deduped.unpersist()
+    clean.unpersist()
 
     val calibPost = Bench.calibrate(spark)
     def jmap(m: scala.collection.Map[String, Any]): String =

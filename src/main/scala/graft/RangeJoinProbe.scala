@@ -54,6 +54,7 @@ object RangeJoinProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -121,7 +122,8 @@ object RangeJoinProbe {
         f""""clicks":${clicks.length},"purchases":${buys.length},""" +
         f""""pairs":${pairs.get()},"sec":$sec%.1f,"max_state_rows":$maxState,""" +
         f""""batches":$nBatches,"parts":$cpus,"provider":"$provider",""" +
-        f""""watermark":"24h window + 1h delay"}""")
+        f""""watermark":"24h window + 1h delay",""" +
+        Bench.calibJson(calibPre, Bench.calibrate(spark)) + "}")
     spark.stop()
   }
 }

@@ -24,17 +24,28 @@ object RecallCalibrate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the full serving-parameter curve (r15 verdict item 5): nProbe
+    // sweep at the default 0.4 threshold, the threshold's own effect,
+    // and the exhaustive point (all centroids, no threshold, cut wide)
+    // which must reach recall = 1.0 — asserted in RecallSpec
+    val nQ = 200
     val sets = Seq(
-      "default(probe=8,thr=0.4)" -> SearchParams(),
       "probe=1" -> SearchParams(nIvfProbe = 1),
       "probe=2" -> SearchParams(nIvfProbe = 2),
+      "probe=4" -> SearchParams(nIvfProbe = 4),
+      "default(probe=8,thr=0.4)" -> SearchParams(),
       "probe=16" -> SearchParams(nIvfProbe = 16),
-      "thr=0.6" -> SearchParams(centroidScoreThreshold = Some(0.6f)))
-    val results = RecallHarness.hardQuality(
-      spark, "/tmp/graft_recall_calibrate", numDocs, 200, sets.map(_._2))
-    println(s"RECALL_CALIBRATE docs=$numDocs")
-    sets.zip(results).foreach { case ((name, _), (r, n)) =>
-      println(f"RECALL_CALIBRATE $name%-24s recall@10=$r%.4f ndcg@10=$n%.4f")
+      "probe=32" -> SearchParams(nIvfProbe = 32),
+      "probe=64" -> SearchParams(nIvfProbe = 64),
+      "thr=0.6" -> SearchParams(centroidScoreThreshold = Some(0.6f)),
+      "full(all-cent,no-thr)" -> SearchParams(nIvfProbe = Int.MaxValue,
+        nFullScores = 1 << 22, centroidScoreThreshold = None))
+    val results = RecallHarness.hardQualityTimed(
+      spark, "/tmp/graft_recall_calibrate", numDocs, nQ, sets.map(_._2))
+    println(s"RECALL_CALIBRATE docs=$numDocs queries=$nQ")
+    sets.zip(results).foreach { case ((name, _), (r, n, sec)) =>
+      println(f"RECALL_CALIBRATE $name%-26s recall@10=$r%.4f ndcg@10=$n%.4f " +
+        f"sec=$sec%.2f qps=${nQ / sec}%.1f")
     }
     spark.stop()
   }

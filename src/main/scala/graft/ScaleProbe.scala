@@ -103,6 +103,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
 
     val tables =
       if (args.length > 2) args(2).split(",").toSet
@@ -245,9 +246,11 @@ object ScaleProbe {
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val calibPost = Bench.calibrate(spark)
     val line =
       f"""{"metric":"scale_probe","factor":$factor,"gen_sec":$genSec%.1f,""" +
-        s""""queries":$qs,"rows":$rs,"errors":$es,"sf_base":"$sfDir"}"""
+        s""""queries":$qs,"rows":$rs,"errors":$es,""" +
+        Bench.calibJson(calibPre, calibPost) + s""","sf_base":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -243,4 +243,45 @@ object RecallHarness {
     } finally graft.util.Fs.deleteRecursively(workDir)
   }
 
+  /** [[hardQuality]] plus a wall-clock per parameter set — the
+    * recall-vs-nProbe/QPS curve a user needs to pick serving params
+    * (r15 verdict item 5). The brute-force oracle for each topK is
+    * computed and cached BEFORE any setting is timed, and each timed
+    * measurement is the full `qualityAtK` (funnel search + metric
+    * join) preceded by one untimed warm pass of the FIRST setting so
+    * no setting absorbs the searcher's first-call JIT. Returns
+    * `(recall@10, ndcg@10, sec)` per set, in order. */
+  def hardQualityTimed(
+      spark: SparkSession,
+      workDir: String,
+      numDocs: Long,
+      numQueries: Int = 200,
+      paramSets: Seq[SearchParams] = Seq(SearchParams())): Seq[(Double, Double, Double)] = {
+    graft.util.Fs.deleteRecursively(workDir)
+    try {
+      val idx = MultiVectorIndex.build(spark, hardCorpus(spark, numDocs), workDir)
+      val queries = hardQueries(spark, numQueries).cache()
+      val searcher = new Searcher(idx)
+      val exactByK = scala.collection.mutable.HashMap.empty[Int, DataFrame]
+      try {
+        paramSets.foreach { p =>
+          val e = exactByK.getOrElseUpdate(p.topK,
+            searcher.bruteForce(queries, p.topK).cache())
+          e.count() // force the oracle before anything is timed
+        }
+        qualityAtK(idx, queries, paramSets.head, Some(searcher),
+          Some(exactByK(paramSets.head.topK))) // untimed JIT warm
+        paramSets.map { p =>
+          val t0 = System.nanoTime()
+          val (r, n) = qualityAtK(idx, queries, p, Some(searcher),
+            Some(exactByK(p.topK)))
+          (r, n, (System.nanoTime() - t0) / 1e9)
+        }
+      } finally {
+        exactByK.values.foreach(_.unpersist())
+        queries.unpersist()
+      }
+    } finally graft.util.Fs.deleteRecursively(workDir)
+  }
+
 }

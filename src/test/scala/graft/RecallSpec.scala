@@ -43,4 +43,36 @@ class RecallSpec extends AnyFunSuite {
     assert(ndcg1 < HardNdcgBaseline - HardGateDrift,
       f"probe=1 ndcg@10 $ndcg1%.4f did not degrade — the gate is not sensitive to pruning")
   }
+
+  test("recall-vs-nProbe curve is monotone-ish and exact at the exhaustive point") {
+    import RecallHarness._
+    // smaller corpus than the gate (spec budget); the curve SHAPE is
+    // what's pinned — the committed 50k curve lives in SCALE.md via
+    // RecallCalibrate. Strict per-step monotonicity is NOT guaranteed
+    // mid-curve (a larger probe set can push a true hit below the
+    // nFullScores cut on approx scores), so the assertion allows a
+    // small epsilon per step; end-to-end the curve must rise, and the
+    // exhaustive point (all centroids, no threshold, cut wider than
+    // the corpus) must equal brute force exactly.
+    val probes = Seq(
+      SearchParams(nIvfProbe = 1),
+      SearchParams(nIvfProbe = 4),
+      SearchParams(), // probe=8 default
+      SearchParams(nIvfProbe = 16),
+      SearchParams(nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+        centroidScoreThreshold = None))
+    val rs = hardQuality(spark, "/tmp/graft_recall_curve",
+      numDocs = 8000L, numQueries = 60, paramSets = probes).map(_._1)
+    info(s"recall curve (probe 1,4,8,16,full): " +
+      rs.map(r => f"$r%.4f").mkString(", "))
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 0.02,
+        f"recall dropped along the probe curve: $a%.4f -> $b%.4f")
+    }
+    assert(rs.last > rs.head,
+      s"curve is flat: widening the probe from 1 to full changed nothing")
+    assert(rs.last == 1.0,
+      f"exhaustive funnel recall ${rs.last}%.4f != 1.0 — the full-probe " +
+        "path is not exact")
+  }
 }
