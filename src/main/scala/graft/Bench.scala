@@ -88,22 +88,17 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.range(100L).write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
 
-    // Graph-family codegen/JIT warm (excluded, recorded — the
-    // qps_warmup_run discipline): the three iterative graph gates are
-    // the suite's top line items and carry ~2.5 s of first-execution
-    // janino-compile + C2 tax each (isolated-cold g_triangles 6.7 s vs
-    // 9.3 in-suite, r15 triage). A 40-node synthetic run compiles and
-    // JITs the same operator machinery (wedge join, peel loop, the
-    // integer PageRank kernels) at job-overhead cost, so the timed
-    // gates measure the operators, not the compiler. Real deployments
-    // are warm here too: nobody runs one graph query per JVM.
-    val tGw = System.nanoTime()
-    val warmEdges = spark.range(300L)
-      .selectExpr("id % 40 AS src", "(id * 7 + 1) % 40 AS dst")
-    forcedCount(graft.operators.Graph.clusteringCoeff(warmEdges))
-    forcedCount(graft.operators.Graph.kCore(warmEdges, k = 2, peels = 2))
-    forcedCount(graft.operators.Graph.pageRank(spark, warmEdges, iterations = 2))
-    val graphWarmSec = (System.nanoTime() - tGw) / 1e9
+    // NOTE (r16, closing the r15 "codegen tax" item with a negative
+    // result): a graph-family JIT/codegen warm (clusteringCoeff +
+    // kCore + pageRank on a 40-node synthetic, excluded and recorded
+    // as graph_warm_sec=5.15) was added and A/B'd here — in-suite
+    // g_triangles did NOT move (9.52 vs 9.28 r15 at equal calib), so
+    // the warm was removed again. Isolated same-session measurements:
+    // the operator is 2.2 s warm / 6.5 s first-execution; the ~3 s
+    // in-suite premium survives operator warm-up and is suite-heap/GC
+    // environment (r15 already A/B-rejected periodic-GC, heap size,
+    // and zombie-unpersist fixes). The inherent cost is the 2.2 s
+    // wedge join; the in-suite number is an honest suite artifact.
 
     val (calibPre1, calibPreN) = calibrate(spark)
 
@@ -242,8 +237,7 @@ object Bench {
       def d3(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       s""","calib":{"pre_1t":${d3(calibPre1)},"pre_32t":${d3(calibPreN)},""" +
-        s""""post_1t":${d3(calibPost1)},"post_32t":${d3(calibPostN)}}""" +
-        s""","graph_warm_sec":${d3(graphWarmSec)}"""
+        s""""post_1t":${d3(calibPost1)},"post_32t":${d3(calibPostN)}}"""
     }
     def lineWith(queriesJson: String, extra: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size},"rerun_slowest":${rerunSlowest.size},"rerun":$rerunJson$recallField$qpsField$calibField,"sf":"$sfDir"}"""
