@@ -331,6 +331,24 @@ class ApiSpec extends AnyFunSuite {
     val bad = gi.fsck().collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toMap
     assert(!bad("meta_ids_in_range"), s"planted bad id must trip: $bad")
+    // a _subset_ that fails the long cast is its OWN violation
+    // (meta_ids_castable, actual = the null count) — pre-r16 it slipped
+    // the range check (null predicate) and surfaced only as a
+    // misleading uniqueness mismatch (advisor finding)
+    locally {
+      import org.apache.spark.sql.functions.{when, col}
+      graft.util.Fs.rewrite(
+        gi.metadata.withColumn("_subset_",
+          when(col("_subset_") === 1L, lit("oops"))
+            .otherwise(col("_subset_").cast("string"))),
+        s"$path/meta")
+      val rows = gi.fsck().filter(col("check") === "meta_ids_castable")
+        .collect()
+      assert(rows.length === 1 && !rows.head.getBoolean(2) &&
+        rows.head.getLong(4) === 1L,
+        s"non-castable id must trip meta_ids_castable with actual=1: " +
+          rows.mkString(","))
+    }
     gi.drop()
   }
 

@@ -120,6 +120,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall too low: $recall")
   }
 
+  test("gatherCandidates: hot-cell salting never changes the candidate multiset") {
+    import spark.implicits._
+    // three seeded skewed corpora: ~40% of the vectors are ONE exact
+    // vector, so k-means collapses them into a single hot cell and the
+    // guard's nsalt > 1 branch is genuinely exercised (asserted on the
+    // realized histogram, not assumed)
+    for (seed <- Seq(1L, 7L, 23L)) {
+      val rnd = new java.util.Random(seed)
+      val blob = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val docs = (0L until 1500L).map { i =>
+        val v =
+          if (i % 5 < 2) blob.clone()
+          else Array.fill(16)(rnd.nextFloat() * 2 - 1)
+        (i, v)
+      }.toDF("vec_id", "embedding")
+      // K = 32 so the mean cell is ~47 docs and the ~600-doc blob sits
+      // far above the 4×-mean hot threshold (at K = 8 the mean is 187
+      // and a 40% blob can never reach 4× — the guard would never fire)
+      val (cents, assign) = Similarity.buildIvf(
+        spark, docs, dim = 16, numCentroids = 32, seed = seed)
+      val hist = assign.groupBy("code").count()
+        .agg(max("count"), avg("count")).head()
+      assert(hist.getLong(0) > 4 * hist.getDouble(1),
+        s"seed $seed: corpus not skewed enough to engage the guard " +
+          s"(max ${hist.getLong(0)} vs mean ${hist.getDouble(1)})")
+      val probed = Similarity.probeTopN(
+        spark, docs.limit(200).select(col("vec_id").as("query_id"),
+          col("embedding").as("qemb")), cents, 16, nProbe = 3)
+      def gathered(maxSalt: Int): Seq[(Long, Long)] =
+        Similarity.gatherCandidates(assign, probed, maxSalt = maxSalt)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // identity is the guard's whole contract: same multiset, any salt
+      val plain = gathered(1)
+      assert(gathered(8) === plain, s"seed $seed: maxSalt=8 diverged")
+      assert(gathered(32) === plain, s"seed $seed: maxSalt=32 diverged")
+    }
+  }
+
   test("cosineDedupPairs finds planted duplicate vectors via bucketed join") {
     import spark.implicits._
     // duplicate vec 0 and 1 under new ids

@@ -443,4 +443,22 @@ class UpdaterSpec extends AnyFunSuite {
       s"untouched tables must stay green: $rows")
     assert(!IndexCheck.isConsistent(spark, bad))
   }
+
+  test("fsck dense_ids reports the violated bound, not a matching pair") {
+    import graft.index.IndexCheck
+    val path = freshPath("fsck_bound")
+    val idx0 = MultiVectorIndex.build(spark, docs.filter(col("doc_id") < 10), path)
+    // shift every id +1: count and distinct both still equal nDocs, so
+    // the pre-r16 report printed expected == actual on the FAILING row
+    // (the advisor finding); the row must now carry (0, lo)
+    graft.util.Fs.rewrite(
+      idx0.doclens.withColumn("doc_id", col("doc_id") + 1), s"$path/doclens")
+    val bad = new MultiVectorIndex(spark, path)
+    val dense = IndexCheck.validate(spark, bad).collect()
+      .find(_.getString(0) == "dense_ids").get
+    assert(!dense.getBoolean(1), "shifted range must fail density")
+    assert(dense.getLong(2) === 0L && dense.getLong(3) === 1L,
+      s"failing dense_ids row must name the violated lower bound, got " +
+        s"(${dense.getLong(2)}, ${dense.getLong(3)})")
+  }
 }
