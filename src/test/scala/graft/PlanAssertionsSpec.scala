@@ -403,6 +403,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"ANN gather degenerated to a product:\n$plan")
+    // the top-k cut must stay PARTIAL per map partition (Spark 4
+    // WindowGroupLimit pushdown): at mining scale the scored candidate
+    // set is O(queries × nProbe × cellSize) and a full-window plan
+    // would shuffle all of it just to keep k rows per query
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k lost the WindowGroupLimit pushdown:\n$plan")
     // same invariants for the mining entry point (label-filtered)
     val qsl = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
