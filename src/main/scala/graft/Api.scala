@@ -464,11 +464,16 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       if (graft.util.Fs.exists(metaPath)) {
         def cnt(c: org.apache.spark.sql.Column) =
           org.apache.spark.sql.functions.count(c)
-        val m = metadata.select(col("_subset_").cast("long").as("id"))
-        // a _subset_ that fails the long cast becomes null — count those
-        // as their OWN violation (meta_ids_castable) rather than letting
-        // them slip the range check (null predicate never counts) and
-        // surface only as a misleading uniqueness mismatch
+        // try_cast, NOT cast: under ANSI mode (Spark 4 default) a plain
+        // cast THROWS on the first malformed id — an fsck that crashes
+        // on the corruption it exists to diagnose is useless. try_cast
+        // yields null, and nulls are counted as their OWN violation
+        // (meta_ids_castable) rather than slipping the range check
+        // (null predicate never counts) and surfacing only as a
+        // misleading uniqueness mismatch (caught by ApiSpec's planted
+        // 'oops' id — the ADVICE fix with a bare cast died here)
+        val m = metadata.select(
+          expr("try_cast(_subset_ AS BIGINT)").as("id"))
         val a = m.agg(cnt(lit(1)).as("c"), countDistinct("id").as("d"),
           cnt(when(col("id") < 0 || col("id") >= n, lit(1))).as("bad"),
           cnt(when(col("id").isNull, lit(1))).as("nulls")).head()
