@@ -38,6 +38,8 @@ object QuoraProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
+    println(f"QUORA_PROBE calib_pre 1t=${calibPre._1}%.3f 32t=${calibPre._2}%.3f")
 
     val workDir = "/tmp/graft_quora_522k"
     val t0 = System.nanoTime()
@@ -131,6 +133,8 @@ object QuoraProbe {
         .select("query_id", "doc_id", "rank").collect().map(_.toString).toSet
       println(s"QUORA_PROBE sharded == distributed: ${a == b} (${a.size} rows)")
     }
+    val calibPost = Bench.calibrate(spark)
+    println(f"QUORA_PROBE calib_post 1t=${calibPost._1}%.3f 32t=${calibPost._2}%.3f")
     spark.stop()
   }
 }
