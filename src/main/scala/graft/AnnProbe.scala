@@ -53,7 +53,8 @@ object AnnProbe {
   /** Per-stage task-duration listener for the straggler ratio. Spark's
     * statusTracker exposes live stage info but not completed task
     * durations, so the probe records TaskEnd events itself. */
-  private final class TaskTimes extends org.apache.spark.scheduler.SparkListener {
+  private final class TaskTimes(slots: Int)
+      extends org.apache.spark.scheduler.SparkListener {
     val byStage = new scala.collection.concurrent.TrieMap[
       Int, scala.collection.mutable.ArrayBuffer[Long]]()
     override def onTaskEnd(
@@ -74,17 +75,20 @@ object AnnProbe {
     /** Top-`n` stages by LONGEST SINGLE task — where a straggler hides
       * even when its stage's total is small (the hot-cell gather task
       * vs the uniformly-busy scoring stage). Each entry carries
-      * (max task sec, ideal sec = stage total / 32 slots, task count):
+      * (max task sec, ideal sec = stage total / `slots`, task count):
       * `max / ideal` is the balance ratio — 1.0 means the stage's work
       * was perfectly spreadable across the machine, N means one task
-      * serialized N× the balanced wall clock. A median-based ratio
-      * misreads sparse stages (28 busy salt tasks + 36 near-idle ones
-      * median to ~0), so balance-vs-ideal is the judged metric. */
+      * serialized N× the balanced wall clock. `slots` is the session's
+      * real parallelism (r16 advice: a hardcoded 32 made the judged
+      * ratio systematically wrong on any other SPARK_GRAFT_CPUS). A
+      * median-based ratio misreads sparse stages (28 busy salt tasks +
+      * 36 near-idle ones median to ~0), so balance-vs-ideal is the
+      * judged metric. */
     def topByMaxTask(n: Int): Seq[(Double, Double, Int)] =
       byStage.values.filter(_.nonEmpty).toSeq
         .map { s =>
           val snap = s.synchronized(s.toIndexedSeq)
-          (snap.max / 1e3, snap.sum / 32.0 / 1e3, snap.size)
+          (snap.max / 1e3, snap.sum / slots.toDouble / 1e3, snap.size)
         }
         .sortBy(-_._1).take(n)
   }
@@ -170,7 +174,7 @@ object AnnProbe {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     }
 
-    final case class AnnRun(sec: Double, hash: Long,
+    final case class AnnRun(sec: Double, rows: Long, hash: Long,
         stages: Seq[(Double, Double, Int)]) {
       def json: String = {
         val st = stages.map { case (mx, ideal, nt) =>
@@ -181,16 +185,16 @@ object AnnProbe {
       }
     }
     def timedAnn(maxSalt: Int): AnnRun = {
-      val tt = new TaskTimes
+      val tt = new TaskTimes(spark.sparkContext.defaultParallelism)
       spark.sparkContext.addSparkListener(tt)
       val t = System.nanoTime()
-      val n = Bench.forcedCount(graft.pipeline.Similarity.annTopK(
+      val (n, h) = Bench.forcedCountHash(graft.pipeline.Similarity.annTopK(
         spark, emb, cents, assignP, dim, queries, k = 10, nProbe = nProbe,
         maxSalt = maxSalt))
       val sec = (System.nanoTime() - t) / 1e9
       Thread.sleep(2000) // let the listener bus drain TaskEnd events
       spark.sparkContext.removeSparkListener(tt)
-      AnnRun(sec, n, tt.topByMaxTask(3))
+      AnnRun(sec, n, h, tt.topByMaxTask(3))
     }
 
     val skewField =
@@ -202,21 +206,24 @@ object AnnProbe {
         f""""ann_sec":$annSec%.1f"""
       } else {
         // A/B at equal everything: plain equi-join (maxSalt=1) vs the
-        // salt-and-replicate guard; the forcedCount hash doubles as the
-        // identity proof (bit_xor over every output column). TWO
-        // ALTERNATING rounds (off,on,off,on): this box's ambient speed
-        // drifts 2-4× between sessions, so a single sequential pair
-        // confounds the guard with whatever the machine was doing —
+        // salt-and-replicate guard; identity proof = BOTH row count and
+        // the bit_xor content hash over every output column (r16 advice:
+        // the previous require compared forcedCount values — count-only;
+        // a guard that reordered/corrupted scores could have passed).
+        // TWO ALTERNATING rounds (off,on,off,on): this box's ambient
+        // speed drifts 2-4× between sessions, so a single sequential
+        // pair confounds the guard with whatever the machine was doing —
         // interleaving cancels monotone drift, and the record keeps
         // every run for provenance (bench qps_runs discipline).
         val off1 = timedAnn(maxSalt = 1)
         val on1 = timedAnn(maxSalt = 32)
         val off2 = timedAnn(maxSalt = 1)
         val on2 = timedAnn(maxSalt = 32)
-        require(Set(off1.hash, on1.hash, off2.hash, on2.hash).size == 1,
-          s"salting changed the ANN result hash: " +
-            s"${Seq(off1, on1, off2, on2).map(_.hash)}")
-        rows("ann_topk") = on1.hash
+        val all = Seq(off1, on1, off2, on2)
+        require(all.map(r => (r.rows, r.hash)).toSet.size == 1,
+          s"salting changed the ANN result: " +
+            s"${all.map(r => (r.rows, r.hash))}")
+        rows("ann_topk") = on1.rows
         f""""ann_sec_guard_off":${math.min(off1.sec, off2.sec)}%.1f,""" +
           f""""ann_sec_guard_on":${math.min(on1.sec, on2.sec)}%.1f,""" +
           s""""runs_off":[${off1.json},${off2.json}],""" +

@@ -17,12 +17,27 @@ object Bench {
     * measured round 11, `p_dup_ngram` at ×1000 "ran" in 0.34 s because
     * the whole gram pipeline was optimized away. Hashing every column
     * into an aggregate defeats the pruning at ~ns/row cost. */
-  def forcedCount(df: org.apache.spark.sql.DataFrame): Long = {
+  def forcedCount(df: org.apache.spark.sql.DataFrame): Long =
+    forcedCountHash(df)._1
+
+  /** (row count, order-insensitive content hash). The hash leg is
+    * bit_xor over xxhash64(every column) — equal hashes mean equal
+    * multisets-up-to-xor of full rows, which is what equivalence gates
+    * (npy roundtrip, salt-guard A/B) actually need; `forcedCount`
+    * alone only proves equal CARDINALITY (r16 advice: two judged
+    * "hash identical" claims were silently count-only). Empty input
+    * hashes to 0 via coalesce (bit_xor of zero rows is NULL). */
+  def forcedCountHash(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     import org.apache.spark.sql.functions._
-    df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)"))
-      .collect()(0).getLong(0)
+    val r = df
+      .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
+      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(_h)"), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
+
+  def forcedHash(df: org.apache.spark.sql.DataFrame): Long =
+    forcedCountHash(df)._2
 
   /** Ambient-speed calibration: a FIXED synthetic workload (one
     * single-threaded hash-mix loop + one 32-partition Spark hash-sum
@@ -30,9 +45,17 @@ object Bench {
     * scale probe across sessions — every judged record (bench AND the
     * scale-probe mains) carries the machine's speed that day riding
     * along so cross-round numbers can be normalized instead of argued
-    * about. Returns (single-thread sec, 32-thread sec); quiet-machine
-    * reference is ~0.085 / ~0.42. */
-  def calibrate(spark: org.apache.spark.sql.SparkSession): (Double, Double) = {
+    * about. Quiet-machine reference is ~0.085 (1t) / ~0.42 (32t).
+    *
+    * r16 lesson: the CPU-only calib was BLIND to whatever inflated the
+    * driver's suite 211.7 s vs the builder's 165.4 s at near-identical
+    * 1t/32t readings — the contention was IO/page-cache shaped. So the
+    * calib now carries an IO leg too: a fixed 8M-row parquet write to a
+    * fresh temp dir (committer + disk write under whatever contention
+    * exists right now) and a cold-path read→shuffle→agg over it. */
+  final case class Calib(t1: Double, tN: Double, ioW: Double, ioR: Double)
+
+  def calibrate(spark: org.apache.spark.sql.SparkSession): Calib = {
     var acc = 0L
     def mix(n: Long): Unit = {
       var i = 0L
@@ -55,15 +78,39 @@ object Bench {
     r ^= job(2000000000L)
     val mt = (System.nanoTime() - t1) / 1e9
     if (acc == 42L && r == 42L) println("calibration sink") // defeat DCE
-    (st, mt)
+    // IO leg: 8M rows × 3 cols ≈ 65 MB parquet. Fresh dir per call so
+    // the write cost is real every time; the read half still mostly
+    // hits page cache on a quiet box (reference ~0.6 w / ~0.3 r) — an
+    // elevated ioR therefore specifically flags cache/IO pressure.
+    val ioDir = java.nio.file.Files
+      .createTempDirectory("graft_calib_io").toString
+    import org.apache.spark.sql.functions._
+    val tw = System.nanoTime()
+    spark.range(0L, 8000000L, 1L, 32)
+      .select(col("id"), xxhash64(col("id")).as("h"),
+        sha1(col("id").cast("string")).as("s"))
+      .write.mode("overwrite").parquet(ioDir)
+    val ioW = (System.nanoTime() - tw) / 1e9
+    val tr = System.nanoTime()
+    val got = spark.read.parquet(ioDir)
+      .groupBy(pmod(col("h"), lit(1024)).as("b"))
+      .agg(count(lit(1)), sum(length(col("s"))))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val ioR = (System.nanoTime() - tr) / 1e9
+    require(got > 0L)
+    graft.util.Fs.deleteRecursively(ioDir)
+    Calib(st, mt, ioW, ioR)
   }
 
   /** The calib JSON fragment probes append to their records:
-    * `"calib":{"pre_1t":...,"pre_32t":...,"post_1t":...,"post_32t":...}`. */
-  def calibJson(pre: (Double, Double), post: (Double, Double)): String = {
+    * `"calib":{"pre_1t":...,"pre_32t":...,"pre_iow":...,"pre_ior":...,
+    *  "post_1t":...,...}`. */
+  def calibJson(pre: Calib, post: Calib): String = {
     def d3(v: Double) = f"$v%.3f"
-    s""""calib":{"pre_1t":${d3(pre._1)},"pre_32t":${d3(pre._2)},""" +
-      s""""post_1t":${d3(post._1)},"post_32t":${d3(post._2)}}"""
+    s""""calib":{"pre_1t":${d3(pre.t1)},"pre_32t":${d3(pre.tN)},""" +
+      s""""pre_iow":${d3(pre.ioW)},"pre_ior":${d3(pre.ioR)},""" +
+      s""""post_1t":${d3(post.t1)},"post_32t":${d3(post.tN)},""" +
+      s""""post_iow":${d3(post.ioW)},"post_ior":${d3(post.ioR)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,7 +147,7 @@ object Bench {
     // and zombie-unpersist fixes). The inherent cost is the 2.2 s
     // wedge join; the in-suite number is an honest suite artifact.
 
-    val (calibPre1, calibPreN) = calibrate(spark)
+    val calibPre = calibrate(spark)
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -232,12 +279,14 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
     // post-suite calibration: ambient drift DURING the run rides along
-    val (calibPost1, calibPostN) = calibrate(spark)
+    val calibPost = calibrate(spark)
     val calibField = {
       def d3(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      s""","calib":{"pre_1t":${d3(calibPre1)},"pre_32t":${d3(calibPreN)},""" +
-        s""""post_1t":${d3(calibPost1)},"post_32t":${d3(calibPostN)}}"""
+      s""","calib":{"pre_1t":${d3(calibPre.t1)},"pre_32t":${d3(calibPre.tN)},""" +
+        s""""pre_iow":${d3(calibPre.ioW)},"pre_ior":${d3(calibPre.ioR)},""" +
+        s""""post_1t":${d3(calibPost.t1)},"post_32t":${d3(calibPost.tN)},""" +
+        s""""post_iow":${d3(calibPost.ioW)},"post_ior":${d3(calibPost.ioR)}}"""
     }
     def lineWith(queriesJson: String, extra: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size},"rerun_slowest":${rerunSlowest.size},"rerun":$rerunJson$recallField$qpsField$calibField,"sf":"$sfDir"}"""

@@ -68,9 +68,13 @@ object NpyScaleProbe {
     val idxB = graft.sources.NpyImport.importIndex(spark, s"$work/npy", s"$work/b")
     val importSec = (System.nanoTime() - t2) / 1e9
 
-    // content equality per table (column-order-insensitive xor hash)
-    def tableHash(df: org.apache.spark.sql.DataFrame): Long =
-      Bench.forcedCount(df.select(df.columns.sorted.map(col).toIndexedSeq: _*))
+    // content equality per table: (row count, column-order-insensitive
+    // xor CONTENT hash). r16 advice caught that forcedCount alone only
+    // proved equal cardinality — a roundtrip corrupting every residual
+    // byte would still have "passed". forcedCountHash closes that.
+    def tableHash(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      Bench.forcedCountHash(
+        df.select(df.columns.sorted.map(col).toIndexedSeq: _*))
     val tables = Seq(
       "tokens" -> ((i: graft.index.MultiVectorIndex) =>
         i.tokens.select("doc_id", "tok", "code", "residual")),
@@ -86,8 +90,9 @@ object NpyScaleProbe {
     val queries = docs.filter(col("doc_id") < 100)
       .select(col("doc_id").as("query_id"), col("embeddings"))
     val params = graft.search.SearchParams(topK = 10)
-    def searchHash(idx: graft.index.MultiVectorIndex): Long =
-      Bench.forcedCount(new graft.search.Searcher(idx).search(queries, params))
+    def searchHash(idx: graft.index.MultiVectorIndex): (Long, Long) =
+      Bench.forcedCountHash(
+        new graft.search.Searcher(idx).search(queries, params))
     val hA = searchHash(idxA)
     val hB = searchHash(idxB)
 

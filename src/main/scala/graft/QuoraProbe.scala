@@ -39,7 +39,8 @@ object QuoraProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val calibPre = Bench.calibrate(spark)
-    println(f"QUORA_PROBE calib_pre 1t=${calibPre._1}%.3f 32t=${calibPre._2}%.3f")
+    println(f"QUORA_PROBE calib_pre 1t=${calibPre.t1}%.3f 32t=${calibPre.tN}%.3f" +
+      f" iow=${calibPre.ioW}%.3f ior=${calibPre.ioR}%.3f")
 
     val workDir = "/tmp/graft_quora_522k"
     val t0 = System.nanoTime()
@@ -134,7 +135,8 @@ object QuoraProbe {
       println(s"QUORA_PROBE sharded == distributed: ${a == b} (${a.size} rows)")
     }
     val calibPost = Bench.calibrate(spark)
-    println(f"QUORA_PROBE calib_post 1t=${calibPost._1}%.3f 32t=${calibPost._2}%.3f")
+    println(f"QUORA_PROBE calib_post 1t=${calibPost.t1}%.3f 32t=${calibPost.tN}%.3f" +
+      f" iow=${calibPost.ioW}%.3f ior=${calibPost.ioR}%.3f")
     spark.stop()
   }
 }

@@ -119,7 +119,17 @@ object Similarity {
       dim: Int, numCentroids: Int = 64, nProbe: Int = 8,
       maxSalt: Int = 32): DataFrame = {
     graft.functions.ArrayMath.register(spark)
-    val (centroids, assign) = buildIvf(spark, docs, dim, numCentroids)
+    val (centroids, assignRaw) = buildIvf(spark, docs, dim, numCentroids)
+    // Persist the corpus assignment: gatherCandidates consumes it TWICE
+    // (K-row salt histogram + the candidate join), and unpersisted the
+    // NearestKernel nearest-centroid pass over the whole corpus ran
+    // twice per mining call (r16 advice — the 'no second pass' comment
+    // in gatherCandidates only holds when the input is materialized,
+    // which AnnProbe did for annTopK but this entry point did not).
+    // Stays cached for the lifetime of the returned lazy plan; Spark
+    // evicts LRU under memory pressure (MEMORY_AND_DISK).
+    val assign = assignRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Distributed probe + UNHINTED joins: the query side of mining is
     // the training corpus (r14 verdict finding 1) — it must stream
     // through executors, never collect to the driver, and never be
