@@ -93,7 +93,12 @@ object SparkEntry {
       // benching it would double-count the LSH chain + CC rounds
       "p_dedup_survivors",
       // decontaminate is contamination (benched) + a per-doc rollup
-      "p_decontaminate")
+      "p_decontaminate",
+      // the composed chain re-runs stages each benched individually
+      // (exact dedup, C4, Gopher, LSH chain, decontaminate, BM25,
+      // MaxSim) — benching it would double-count all of them; the
+      // composed-at-scale measurement is PipelineScaleProbe (SCALE.md)
+      "pl_e2e")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation baseline (B-layer shape checks) ----
@@ -848,6 +853,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
     }),
+    // composed end-to-end curation chain (r16 verdict item 1): the
+    // PipelineScaleProbe rehearsal promoted to an oracle gate — stage
+    // ORDER (dedup before clean) and cross-stage dataflow are the
+    // correctness surface here; each stage alone has its own gate.
+    // Output = final survivor set UNION hybrid top-10 over it.
+    "pl_e2e" -> ((s, dir) =>
+      graft.pipeline.CurationPipeline.run(
+        s, t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "/tmp/graft_pl_e2e_fts_" +
+          dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_"))),
     // brute-force cosine top-k — the correctness baseline the ANN paths
     // are unit-verified against (IVF probing + SRP buckets in
     // Similarity; p_srp_join is the bucketed oracle-checked form)
@@ -3232,6 +3247,166 @@ object SparkEntry {
         |  coalesce(a.max_shared, 0) AS max_shared
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // composed chain: each block below is the (gate-proven) per-stage
+    // oracle, chained on the previous stage's survivors instead of the
+    // raw table — exact dedup → C4 (tripled text, no planted extras) →
+    // Gopher structural rules → MinHash/LSH + recursive CC → decontam
+    // vs the raw %20 eval split → BM25 + MaxSim hybrid over survivors
+    "pl_e2e" ->
+      """WITH RECURSIVE
+        |ek AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |ex AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
+        |ctk AS (SELECT doc_id, regexp_extract_all(
+        |  lower(text || ' ' || text || ' ' || text), '[a-z0-9]+') AS t FROM ex),
+        |cln AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN []::VARCHAR[] ELSE
+        |    list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+        |      i -> array_to_string(t[i*8+1 : i*8+8], ' ') ||
+        |        CASE WHEN i % 2 = 0 THEN '.' ELSE '' END) END AS ls
+        |  FROM ctk),
+        |clp AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS pos FROM cln),
+        |cl AS (SELECT doc_id, pos,
+        |  contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum') AS has_lorem,
+        |  contains(array_to_string(ls, chr(10)), '{') AS has_brace,
+        |  trim(ls[CAST(pos AS INT) + 1]) AS lt FROM clp),
+        |cr AS (SELECT *,
+        |  (regexp_matches(lt, '[.!?"”]$')
+        |    AND len(regexp_extract_all(lower(lt), '[a-z0-9]+')) >= 5
+        |    AND NOT contains(lower(lt), 'javascript')) AS rule_keep,
+        |  ('0x' || substr(md5(regexp_replace(lower(trim(lt)), '\s+', ' ', 'g') || '#0'), 1, 15))::BIGINT AS lh
+        |  FROM cl),
+        |cdf AS (SELECT lh, count(*) AS line_df FROM
+        |  (SELECT DISTINCT lh, doc_id FROM cr WHERE rule_keep) GROUP BY 1),
+        |ck AS (SELECT cr.*, (rule_keep AND coalesce(line_df, 0) <= 2) AS keep
+        |  FROM cr LEFT JOIN cdf USING (lh)),
+        |c4 AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN lt END, chr(10) ORDER BY pos), '') AS text
+        |  FROM ck GROUP BY doc_id
+        |  HAVING NOT bool_or(has_lorem) AND NOT bool_or(has_brace)
+        |    AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3),
+        |gb AS (SELECT doc_id, text AS t,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+        |  string_split(text, chr(10)) AS lls
+        |  FROM c4),
+        |gm AS (SELECT doc_id,
+        |  len(w)::BIGINT AS n_words,
+        |  greatest(len(w), 1)::DOUBLE AS nw,
+        |  len(lls)::DOUBLE AS nl,
+        |  coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE AS wlen,
+        |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS alpha,
+        |  (length(t) - length(replace(t, '#', '')))::DOUBLE
+        |    + (length(t) - length(replace(t, '...', '')))::DOUBLE / 3.0
+        |    + (length(t) - length(replace(t, '…', '')))::DOUBLE AS sym,
+        |  len(list_filter(lls, x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE AS bul,
+        |  len(list_filter(lls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::DOUBLE AS ell
+        |  FROM gb),
+        |gq AS (SELECT c4.doc_id, c4.text FROM c4 JOIN gm USING (doc_id)
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND wlen / nw >= 3.0 AND wlen / nw <= 10.0
+        |    AND alpha / nw >= 0.8 AND sym / nw <= 0.1
+        |    AND bul / greatest(nl, 1) <= 0.9 AND ell / greatest(nl, 1) <= 0.3),
+        |mtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM gq),
+        |mg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM mtk),
+        |msh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM mg),
+        |mp AS (SELECT r AS perm,
+        |  ('0x' || substr(md5('mh_a' || r), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |  ('0x' || substr(md5('mh_b' || r), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS r)),
+        |mh AS (SELECT doc_id, perm,
+        |  (a * (sh % 2147483647) + b) % 2147483647 AS h
+        |  FROM msh CROSS JOIN mp),
+        |msig AS (SELECT doc_id, perm, min(h) AS minhash FROM mh GROUP BY 1, 2),
+        |mband AS (SELECT doc_id, perm // 4 AS band,
+        |  ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm) || '#0'), 1, 15))::BIGINT AS band_sig
+        |  FROM msig GROUP BY 1, 2),
+        |mcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM mband x JOIN mband y USING (band, band_sig) WHERE x.doc_id < y.doc_id),
+        |msize AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY 1),
+        |mint AS (SELECT c.a, c.b, count(*) AS inter FROM mcand c
+        |  JOIN msh sa ON sa.doc_id = c.a JOIN msh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |mj AS (SELECT a, b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        |  FROM mint JOIN msize sa ON sa.doc_id = a JOIN msize sb ON sb.doc_id = b),
+        |mpr AS (SELECT a, b FROM mj WHERE jaccard >= 0.5),
+        |me AS (SELECT a, b FROM mpr UNION SELECT b AS a, a AS b FROM mpr),
+        |reach(s, t) AS (SELECT a, b FROM me
+        |  UNION SELECT r.s, e2.b FROM reach r JOIN me e2 ON r.t = e2.a),
+        |mlbl AS (SELECT s AS doc_id, min(t) AS mn FROM reach GROUP BY s),
+        |surv AS (SELECT g.doc_id, g.text FROM gq g LEFT JOIN mlbl l USING (doc_id)
+        |  WHERE coalesce(least(l.mn, g.doc_id), g.doc_id) = g.doc_id),
+        |tr AS (SELECT doc_id, text FROM surv WHERE doc_id % 20 <> 0),
+        |ttk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM tr),
+        |tg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS g FROM ttk),
+        |tsh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM tg),
+        |etk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |eg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS g FROM etk),
+        |esh AS (SELECT DISTINCT doc_id AS eval_id,
+        |  ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS sh FROM eg),
+        |rare AS (SELECT sh FROM esh GROUP BY sh HAVING count(*) <= 100),
+        |hit AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT t.doc_id FROM esh e JOIN rare USING (sh) JOIN tsh t USING (sh)
+        |  GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2)),
+        |fin AS (SELECT doc_id, text FROM tr
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM fin)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(['spark','join']) AS term),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM post
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |sc AS (SELECT p.doc_id,
+        |  greatest(ln((s.n_docs - f.df + 0.5)/(f.df + 0.5)), 1e-6)
+        |    * (p.tf * 2.2)
+        |    / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sco
+        |  FROM post p JOIN qt USING(term) JOIN dfq f USING(term)
+        |  JOIN dl d USING(doc_id) CROSS JOIN stats s),
+        |kwagg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nm
+        |          FROM sc GROUP BY doc_id),
+        |kw AS (SELECT doc_id, score FROM kwagg WHERE nm = 2
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 30),
+        |dtok AS (SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id, embedding
+        |  FROM embeddings
+        |  WHERE CAST(vec_id // 5 AS BIGINT) IN (SELECT doc_id FROM fin)),
+        |qtok AS (SELECT vec_id AS qv, embedding AS qemb FROM embeddings
+        |  WHERE vec_id // 5 = 0),
+        |spair AS (SELECT d.doc_id, q.qv,
+        |  list_sum(list_transform(range(1, len(q.qemb) + 1),
+        |    i -> q.qemb[i]::DOUBLE * d.embedding[i]::DOUBLE)) AS sim
+        |  FROM qtok q CROSS JOIN dtok d),
+        |sem0 AS (SELECT doc_id, sum(best) AS score FROM (
+        |  SELECT doc_id, qv, max(sim) AS best FROM spair GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |sem AS (SELECT doc_id, score FROM sem0
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 30),
+        |ns AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |  THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |       (max(score) OVER () - min(score) OVER ()) END AS s_sem FROM sem),
+        |nk AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+        |  THEN 1.0 ELSE (score - min(score) OVER ()) /
+        |       (max(score) OVER () - min(score) OVER ()) END AS s_kw FROM kw),
+        |fused AS (SELECT doc_id,
+        |  0.75 * coalesce(s_sem, 0) + 0.25 * coalesce(s_kw, 0) AS score
+        |  FROM ns FULL OUTER JOIN nk USING (doc_id)),
+        |topk AS (SELECT doc_id, round(score, 5) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused QUALIFY rank <= 10)
+        |SELECT 'survivor' AS part, doc_id, NULL::DOUBLE AS score,
+        |  NULL::BIGINT AS rank FROM fin
+        |UNION ALL
+        |SELECT 'topk' AS part, doc_id, score, rank FROM topk""".stripMargin,
     "p_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |g AS (SELECT doc_id,

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed end-to-end curation chain — the `pl_e2e` gate operator.
+  *
+  * The per-operator gates prove each stage in isolation; this operator
+  * is the CHAIN, declared once so the oracle replays the whole thing:
+  * ingest → exact dedup → C4 line clean → Gopher quality → MinHash/LSH
+  * near-dedup (connected components, min-id survivor) → decontaminate
+  * vs a held-out eval split → FTS build over the survivors → hybrid
+  * (MaxSim + BM25) search. The ×100/×1000 rehearsal of this exact
+  * composition (PipelineScaleProbe) caught a real cross-operator
+  * ordering bug no per-operator gate could see — C4-before-dedup lets
+  * the line-df rule silently delete whole mirror families before dedup
+  * counts them — so the composition itself is now a correctness
+  * surface: this operator pins the stage ORDER (dedup strictly before
+  * the clean) and the cross-stage dataflow (each stage consumes the
+  * previous stage's surviving rows, decontamination sees CLEANED train
+  * text vs RAW eval text, the index is built over exactly the final
+  * survivor set).
+  *
+  * Scale shape: every stage is the same bucketed/keyed plan its
+  * per-operator gate runs (no new shuffles are introduced by the
+  * composition); `fin` is persisted because four consumers (FTS build,
+  * survivor output, semantic corpus filter, and the dump itself) would
+  * otherwise each replay the LSH + connected-components lineage
+  * (verify-skill rollup rule). The deployment-scale twin of this chain
+  * — stage-by-stage persist/unpersist discipline, InMemoryRelation
+  * plan assertions, real MultiVectorIndex build — is
+  * [[graft.PipelineScaleProbe]]; this operator is its oracle-checked
+  * correctness twin at gate scale.
+  *
+  * Semantic side of the search is the oracle-exact MaxSim (same choice
+  * and rationale as the `h_hybrid_search` gate: the IVF funnel's
+  * correctness has its own recon-dump gates), restricted to documents
+  * that survived the chain. Query = doc 0's token vectors — doc 0 is
+  * eval-split (0 % 20 == 0), so the query is never a corpus member.
+  *
+  * Output: one row per final survivor (`part='survivor'`, null
+  * score/rank) UNION the hybrid top-10 (`part='topk'`). */
+object CurationPipeline {
+
+  def run(spark: SparkSession, docsRaw: DataFrame, embeddings: DataFrame,
+      ftsDir: String): DataFrame = {
+    val raw = docsRaw.select("doc_id", "text")
+
+    // stage 1: exact dedup FIRST (keep min doc_id per normalized text).
+    // Order is load-bearing — see the scaladoc and SCALE.md:327.
+    val keep = Dedup.exactDedup(raw, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exact = raw.join(keep, Seq("doc_id"), "left_semi")
+
+    // stage 2: C4 line rules. The synthetic corpus is single-line, so
+    // lines are synthesized exactly as in the p_c4_clean gate (8-word
+    // chunks, terminal '.' on even lines); text is tripled first so the
+    // ~60% that C4 keeps still clears Gopher's 50-word floor (the same
+    // deviation PipelineScaleProbe documents).
+    val lined = exact
+      .withColumn("tk", expr(
+        "regexp_extract_all(lower(concat(text, ' ', text, ' ', text)), '[a-z0-9]+', 0)"))
+      .withColumn("chunks", expr(
+        "CASE WHEN size(tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
+          "transform(sequence(0, CAST(ceil(size(tk) / 8.0) AS INT) - 1), i -> " +
+          "concat(concat_ws(' ', slice(tk, i * 8 + 1, 8)), " +
+          "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"))
+      .withColumn("text2", concat_ws("\n", col("chunks")))
+      .select("doc_id", "text2")
+    val c4 = Boilerplate.c4Clean(lined, "doc_id", "text2")
+      .filter(col("page_pass"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+
+    // stage 3: Gopher quality — the six structural rules (the synthetic
+    // vocabulary contains none of the stop words, so r_stop reports but
+    // does not gate; same fence as the scale rehearsal).
+    val gq = TextStats.gopherRules(c4, "doc_id", "text")
+      .filter(col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
+        col("r_symbol") && col("r_bullet") && col("r_ellipsis"))
+      .select("doc_id")
+    val quality = c4.join(gq, Seq("doc_id"), "left_semi")
+
+    // stage 4: MinHash/LSH near-dedup over the CLEANED text, connected
+    // components, min-id survivor per family (gate parameters).
+    val pairs = Dedup.minhashDedupPairs(quality, "doc_id", "text",
+      shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5)
+    val clusters = Dedup.duplicateClusters(quality, "doc_id", pairs)
+    val surv = quality.join(
+      clusters.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // stage 5: decontaminate — train = surviving non-eval docs (cleaned
+    // text), eval = the RAW held-out split (doc_id % 20 == 0), i.e. the
+    // benchmark text as published, not as cleaned.
+    val train = surv.filter(col("doc_id") % 20 =!= 0)
+    val evalDocs = raw.filter(col("doc_id") % 20 === 0)
+    val ok = Mixing.decontaminate(train, evalDocs, "doc_id", "text",
+      shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
+      .filter(!col("contaminated")).select("doc_id")
+    val fin = train.join(ok, Seq("doc_id"), "left_semi").persist()
+
+    // stage 6: FTS build over exactly the final survivor corpus.
+    graft.util.Fs.deleteRecursively(ftsDir)
+    val fts = graft.fts.FtsIndex.build(spark, fin, "doc_id", "text", ftsDir)
+    val kw = fts.search("spark join", topK = 30).select("doc_id", "score")
+
+    // stage 7: hybrid search — exact MaxSim restricted to survivors,
+    // fused with the BM25 list (alpha 0.75, top-10).
+    graft.functions.ArrayMath.register(spark)
+    val dtok = embeddings
+      .select((col("vec_id") / 5).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+    val qtok = embeddings
+      .filter((col("vec_id") / 5).cast("long") === 0)
+      .select(col("vec_id").as("qv"), col("embedding").as("qemb"))
+    val sem = broadcast(qtok).crossJoin(dtok)
+      .withColumn("sim", expr("dot_f(qemb, embedding)"))
+      .groupBy("doc_id", "qv").agg(max("sim").as("best"))
+      .groupBy("doc_id").agg(sum("best").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(30)
+      .select("doc_id", "score")
+    val topk = graft.fts.Hybrid.relativeScore(sem, kw, alpha = 0.75, topK = 10)
+
+    fin.select(lit("survivor").as("part"), col("doc_id"),
+        lit(null).cast("double").as("score"), lit(null).cast("long").as("rank"))
+      .unionByName(topk.select(lit("topk").as("part"), col("doc_id"),
+        round(col("score"), 5).as("score"), col("rank").cast("long").as("rank")))
+  }
+}
