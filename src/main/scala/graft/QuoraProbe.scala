@@ -80,20 +80,18 @@ object QuoraProbe {
         f"qps=${Batch / times.min}%.1f  (${times.map(t => f"$t%.2f").mkString(", ")})")
     }
 
-    // single-query latency on the distributed plan (P95-comparable shape)
+    // single-query latency: distributed and sharded INTERLEAVED (r16
+    // verdict item 6 — the r16 sharded p90 read 285 ms vs r15's 152 at
+    // similar CPU calib; sequential blocks confound the plan with
+    // whatever the machine was doing during that block, so each round
+    // now times one distributed call then one sharded call and ambient
+    // drift hits both series equally)
     locally {
       val q1 = RecallHarness.queriesFrom(spark, 1,
         tokensPerDoc = QueryTokens, dim = Dim, numClusters = 5000).cache()
       q1.count()
       val p = SearchParams(localIndexBudgetBytes = 0)
-      searcher.search(q1, p).count()
-      val t1 = (1 to 10).map { _ =>
-        val s = System.nanoTime()
-        searcher.search(q1, p).count()
-        (System.nanoTime() - s) / 1e9
-      }.sorted
-      println(f"QUORA_PROBE batch=1 best=${t1.head * 1000}%.0f ms  " +
-        f"median=${(t1(4) + t1(5)) / 2 * 1000}%.0f ms  p90=${t1(8) * 1000}%.0f ms")
+      searcher.search(q1, p).count() // warm distributed
 
       // SHARDED serving fast path at the same corpus: the ~1 GB packed
       // image exceeds the local collect budget, so serving dispatches to
@@ -106,13 +104,31 @@ object QuoraProbe {
       searcher.search(q1, sp).count() // builds + caches resident slices
       println(f"QUORA_PROBE sharded slice build+first call " +
         f"${(System.nanoTime() - tSlice0) / 1e9}%.1f s")
-      val ts = (1 to 10).map { _ =>
-        val s = System.nanoTime()
+
+      val n = 20
+      val dist = new Array[Double](n)
+      val shard = new Array[Double](n)
+      (0 until n).foreach { i =>
+        val s0 = System.nanoTime()
+        searcher.search(q1, p).count()
+        dist(i) = (System.nanoTime() - s0) / 1e9
+        val s1 = System.nanoTime()
         searcher.search(q1, sp).count()
-        (System.nanoTime() - s) / 1e9
-      }.sorted
-      println(f"QUORA_PROBE sharded batch=1 best=${ts.head * 1000}%.0f ms  " +
-        f"median=${(ts(4) + ts(5)) / 2 * 1000}%.0f ms  p90=${ts(8) * 1000}%.0f ms")
+        shard(i) = (System.nanoTime() - s1) / 1e9
+      }
+      def stats(raw: Array[Double]): (Double, Double, Double) = {
+        val t = raw.sorted
+        (t.head, (t(n / 2 - 1) + t(n / 2)) / 2, t(n * 9 / 10 - 1))
+      }
+      val (db, dm, dp) = stats(dist)
+      val (sb, sm, sp90) = stats(shard)
+      println(f"QUORA_PROBE batch=1 best=${db * 1000}%.0f ms  " +
+        f"median=${dm * 1000}%.0f ms  p90=${dp * 1000}%.0f ms  (interleaved n=$n)")
+      println(f"QUORA_PROBE sharded batch=1 best=${sb * 1000}%.0f ms  " +
+        f"median=${sm * 1000}%.0f ms  p90=${sp90 * 1000}%.0f ms  (interleaved n=$n)")
+      println("QUORA_PROBE interleaved runs d/s ms: " +
+        dist.zip(shard).map { case (d, s) =>
+          f"${d * 1000}%.0f/${s * 1000}%.0f" }.mkString(" "))
       val qb = RecallHarness.queriesFrom(spark, Batch,
         tokensPerDoc = QueryTokens, dim = Dim, numClusters = 5000).cache()
       qb.count()
