@@ -179,6 +179,19 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
             e.getMessage.contains("changed on disk") =>
         cachedSearcher = null
         retryingStale(attempts - 1)(f)
+      // A torn or mid-replace manifest read is the SAME race in a
+      // different window: manifest.json replaced between handle
+      // construction and first use. replaceBytes makes the local-FS
+      // window atomic, but non-local rename still has an absent-file
+      // instant (FileNotFound), and an old handle can hold a manifest
+      // map parsed before keys were added (key not found) or a torn
+      // body (Jackson). All are retried on a fresh handle.
+      case e @ (_: java.util.NoSuchElementException |
+          _: java.io.FileNotFoundException |
+          _: com.fasterxml.jackson.core.JacksonException)
+          if attempts > 1 =>
+        cachedSearcher = null
+        retryingStale(attempts - 1)(f)
     }
   }
 

@@ -320,7 +320,10 @@ object MultiVectorIndex {
     // granularity with a same-length manifest (coarse object-store
     // mtimes, same digit-width counts).
     node.put("build_id", java.util.UUID.randomUUID().toString)
-    graft.util.Fs.writeBytes(s"$path/manifest.json", jsonMapper.writeValueAsBytes(node))
+    // replaceBytes, not writeBytes: a concurrent search may read the
+    // manifest at any moment (async updates); truncate-then-write can
+    // serve it a torn JSON
+    graft.util.Fs.replaceBytes(s"$path/manifest.json", jsonMapper.writeValueAsBytes(node))
   }
 
   /** The current on-disk build id at `path`, read fresh (no caching) —

@@ -103,6 +103,42 @@ object Fs {
     finally out.close()
   }
 
+  /** Replace a small side file so a CONCURRENT reader never observes a
+    * truncated/partial body (`create(overwrite)` truncates first, so a
+    * racing `readBytes` can see 0..n of the new bytes — caught live by
+    * ApiSpec's async-update test as a `key not found: num_partitions`
+    * from a torn manifest.json). Local filesystems get a true atomic
+    * NIO move; other Hadoop filesystems get tmp + delete + rename,
+    * whose only bad window is ABSENT-file (retried by readers as
+    * stale), never partial content. */
+  def replaceBytes(path: String, bytes: Array[Byte]): Unit = {
+    val (f, p) = fs(path)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      // Hadoop's ChecksumFileSystem keeps a `.name.crc` sidecar that an
+      // NIO move bypasses — a later Hadoop read of the moved file would
+      // fail ChecksumException against the stale sidecar. Deleting the
+      // sidecar FIRST leaves no bad window: old-data+no-crc and
+      // new-data+no-crc both read fine (absent checksum = unverified).
+      java.nio.file.Files.deleteIfExists(
+        target.resolveSibling("." + target.getFileName.toString + ".crc"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new HPath(path + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      if (f.exists(p)) f.delete(p, false): Unit
+      f.rename(tmp, p): Unit
+    }
+  }
+
   /** Content fingerprint of a file or directory tree: MD5 over the
     * sorted (name, length, mtime) triples of every file under `path`.
     * Status-only — no data is read — so it is cheap even for 100 TB
