@@ -24,13 +24,22 @@ import org.apache.spark.sql.functions._
   * within-family pairs are recoverable by closure over the dedup
   * groups — the correct decomposition at any scale.
   *
+  * Third mode `atscale` runs `Dedup.prefixFilterPairsAtScale` — the
+  * r18 first-class operator form of the dedup-first decomposition,
+  * which additionally reconstitutes the within-family closure pairs
+  * the hand-composition (`dedup` mode) leaves implicit, so its pair
+  * count is the TRUE raw-form multiset (quadratic per mirror family —
+  * ~C(100,2) per base doc at ×1000) where `dedup` mode records only
+  * the representative pairs.
+  *
   * Usage: `SPARK_DRIVER_MEM=24g sbt "runMain graft.PrefixJoinProbe 100"`
   * (expects /tmp/graft_scale_x<factor>/documents.parquet from ScaleProbe).
   */
 object PrefixJoinProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
-    val dedupFirst = args.length > 1 && args(1) == "dedup"
+    val mode = if (args.length > 1) args(1) else "raw"
+    val dedupFirst = mode == "dedup"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -61,14 +70,19 @@ object PrefixJoinProbe {
     val dedupSec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val (nPairs, hPairs) = Bench.forcedCountHash(
-      graft.pipeline.Dedup.prefixFilterPairs(
-        docs, "doc_id", "text", shingleSize = 3, minJaccard = 0.5))
+    val pairsDf =
+      if (mode == "atscale")
+        graft.pipeline.Dedup.prefixFilterPairsAtScale(
+          docs, "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+      else
+        graft.pipeline.Dedup.prefixFilterPairs(
+          docs, "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+    val (nPairs, hPairs) = Bench.forcedCountHash(pairsDf)
     val sec = (System.nanoTime() - t1) / 1e9
 
     val calibPost = Bench.calibrate(spark)
     println(
-      f"""{"metric":"prefix_join_probe","factor":$factor,""" +
+      f"""{"metric":"prefix_join_probe","factor":$factor,"mode":"$mode",""" +
         f""""dedup_first":$dedupFirst,"docs_raw":$nRaw,"docs_in":$nDocs,""" +
         f""""dedup_sec":$dedupSec%.1f,""" +
         f""""pairs":$nPairs,"pairs_hash":$hPairs,"sec":$sec%.1f,""" +

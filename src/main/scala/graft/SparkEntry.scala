@@ -785,6 +785,15 @@ object SparkEntry {
       graft.pipeline.Dedup.prefixFilterPairs(
         t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)),
+    // the SAME pair contract via the dedup-first decomposition (exact
+    // dedup -> PPJoin over family representatives -> closure back over
+    // the families) — the corpus-scale form that survives mirror
+    // families; the oracle is the RAW form's SQL, so this gate IS the
+    // output-identity proof on real data
+    "p_prefix_join_scale" -> ((s, dir) =>
+      graft.pipeline.Dedup.prefixFilterPairsAtScale(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)),
     "p_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 48)),
     // hamming-space near-dedup: block-agreement candidates (pigeonhole,
@@ -862,7 +871,11 @@ object SparkEntry {
       graft.pipeline.CurationPipeline.run(
         s, t(s, dir, "documents"), t(s, dir, "embeddings"),
         "/tmp/graft_pl_e2e_fts_" +
-          dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_"))),
+          dir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_"),
+        // content-fingerprint reuse key: re-planning this gate (the
+        // PlanAssertionsSpec sweep plans all of them) must not rewrite
+        // the FTS dir when the source data hasn't changed
+        sourceFp = graft.util.Fs.fingerprint(s"$dir/documents.parquet"))),
     // brute-force cosine top-k — the correctness baseline the ANN paths
     // are unit-verified against (IVF probing + SRP buckets in
     // Similarity; p_srp_join is the bucketed oracle-checked form)
@@ -2895,6 +2908,42 @@ object SparkEntry {
     })
   )
 
+  /** Raw-form PPJoin oracle (basic prefix filter only — candidates are
+    * a superset, the exact-intersection verify makes it exact). Shared
+    * by `p_prefix_join` (raw operator) and `p_prefix_join_scale` (the
+    * dedup-first decomposition, whose contract is output identity with
+    * the raw form — one SQL proves both). */
+  private val prefixJoinOracle: String =
+    """WITH t0 AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+      |      i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM t0),
+      |toks AS (SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS tok FROM g),
+      |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
+      |o AS (SELECT t.doc_id, t.tok,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS pos,
+      |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+      |  FROM toks t JOIN dft d USING (tok)),
+      |pre AS (SELECT doc_id, tok, sz FROM o
+      |  WHERE pos <= sz - ceil(0.5 * sz) + 1),
+      |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+      |  FROM pre p1 JOIN pre p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id
+      |  WHERE p1.sz >= ceil(0.5 * p2.sz) AND p2.sz >= ceil(0.5 * p1.sz)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |inter AS (SELECT c.a, c.b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.a
+      |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      |  GROUP BY c.a, c.b)
+      |SELECT i.a, i.b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+      |  (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) AS jaccard_bp
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.a
+      |JOIN sizes sb ON sb.doc_id = i.b
+      |WHERE (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) >= 5000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4156,36 +4205,10 @@ object SparkEntry {
         |    CAST(x.target - x.cum_before AS DOUBLE) / CAST(x.cnt AS DOUBLE))) * 1000000) AS BIGINT) AS est_micro
         |FROM x CROSS JOIN s
         |WHERE x.cum >= x.target AND x.cum_before < x.target""".stripMargin,
-    "p_prefix_join" ->
-      """WITH t0 AS (SELECT doc_id,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
-        |      i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM t0),
-        |toks AS (SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(g || '#0'), 1, 15))::BIGINT AS tok FROM g),
-        |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
-        |o AS (SELECT t.doc_id, t.tok,
-        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS pos,
-        |    count(*) OVER (PARTITION BY t.doc_id) AS sz
-        |  FROM toks t JOIN dft d USING (tok)),
-        |pre AS (SELECT doc_id, tok, sz FROM o
-        |  WHERE pos <= sz - ceil(0.5 * sz) + 1),
-        |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
-        |  FROM pre p1 JOIN pre p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id
-        |  WHERE p1.sz >= ceil(0.5 * p2.sz) AND p2.sz >= ceil(0.5 * p1.sz)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-        |inter AS (SELECT c.a, c.b, count(*) AS n_shared
-        |  FROM cand c
-        |  JOIN toks ta ON ta.doc_id = c.a
-        |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
-        |  GROUP BY c.a, c.b)
-        |SELECT i.a, i.b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
-        |  (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) AS jaccard_bp
-        |FROM inter i
-        |JOIN sizes sa ON sa.doc_id = i.a
-        |JOIN sizes sb ON sb.doc_id = i.b
-        |WHERE (i.n_shared * 10000) // (sa.n + sb.n - i.n_shared) >= 5000""".stripMargin,
+    "p_prefix_join" -> prefixJoinOracle,
+    // the dedup-first operator must be output-identical to the raw
+    // form, so its oracle IS the raw form's SQL
+    "p_prefix_join_scale" -> prefixJoinOracle,
     "p_chi2_indep" ->
       """WITH c AS (SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
         |    count(*) AS o

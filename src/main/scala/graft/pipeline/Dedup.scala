@@ -373,7 +373,7 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wSz))
     val jt = minJaccard
     val probe = ordered.filter(
-      col("pos") <= col("sz") - ceil(lit(jt) * col("sz")) + lit(1L))
+      col("pos") <= col("sz") - ceil(lit(jt) * col("sz") - lit(1e-6)) + lit(1L))
     val index = ordered.filter(
       col("pos") <= col("sz") -
         ceil(lit(2.0 * jt / (1.0 + jt)) * col("sz") - lit(1e-6)) + lit(1L))
@@ -407,6 +407,86 @@ object Dedup {
         expr("n_shared * 10000 div (n_a + n_b - n_shared)"))
       .filter(col("jaccard_bp") >= (minJaccard * 10000).toLong)
       .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp")
+  }
+
+  /** [[prefixFilterPairs]] at corpus scale: exact-dedup-first
+    * decomposition with the SAME output contract as the raw form —
+    * every pair of docs whose shingle-set Jaccard is ≥ `minJaccard`,
+    * with identical columns/values `(a, b, n_a, n_b, n_shared,
+    * jaccard_bp)`.
+    *
+    * Why this exists: on corpora with exact-duplicate families the
+    * TRUE all-pairs output is quadratic in family size, and in the raw
+    * form every family is one giant prefix-join bucket — the ×1000
+    * ScaleProbe corpus (100-member mirror families) aborted the raw
+    * form at >74 GB of shuffle spill (SCALE.md, PrefixJoinProbe r17)
+    * while this decomposition completes. Three legs:
+    *
+    *  1. exact dedup by normalized text ([[normText]]): equal
+    *     normalized text ⇒ identical token sequence (the shingle
+    *     tokenizer lowercases and splits on `[a-z0-9]+`, both of which
+    *     are normText-invariant) ⇒ identical shingle SET — so the
+    *     family relation refines shingle-set equality and collapsing
+    *     to one representative per family is lossless;
+    *  2. [[prefixFilterPairs]] over representatives only — the PPJoin
+    *     machinery (Xiao et al. WWW'08 §3) never sees a duplicate
+    *     bucket;
+    *  3. closure back over the families: a rep-pair expands to all
+    *     member cross pairs (Jaccard depends only on the shingle set,
+    *     which is family-invariant), and each family of k ≥ 2 members
+    *     with a NON-EMPTY shingle set contributes its C(k,2)
+    *     within-family pairs at Jaccard exactly 1 (empty-set families —
+    *     docs shorter than `shingleSize` tokens — are excluded, because
+    *     the raw form never generates a candidate for a doc with no
+    *     prefix tokens).
+    *
+    * The within-family self-join on `keep_id` is the one
+    * output-quadratic step; its volume IS the contract (the pairs
+    * exist), and it is a plain sort-merge equi-join that spills rather
+    * than OOMs. md5(normText) collisions would merge two distinct-text
+    * docs into one family — cryptographically negligible, and the same
+    * md5 already underpins [[exactDedup]]'s oracle. Output identity
+    * with the raw form (mirror families, case/whitespace variants,
+    * sub-shingle-length dup families) is spec-asserted brute-force in
+    * PipelineSpec, and the `p_prefix_join_scale` gate replays THIS
+    * operator against the raw form's DuckDB SQL. */
+  def prefixFilterPairsAtScale(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus shuffle (by text hash) carries doc_id+text; identical
+    // exchange subtrees below are deduped by ReuseExchange, not persist
+    val fam = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        md5(normText(col(textCol))).as("_th"))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("_th")))
+    val repDocs = fam.filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("_text"))
+    val repPairs = prefixFilterPairs(
+      repDocs, "doc_id", "_text", shingleSize, minJaccard)
+    val members = fam.select(col("keep_id"), col("doc_id"))
+    // cross-family: member pairs inherit their reps' sizes/overlap;
+    // n_a/n_b swap with the (least, greatest) re-orientation
+    val cross = repPairs
+      .join(members.select(col("keep_id").as("a"), col("doc_id").as("_da")), "a")
+      .join(members.select(col("keep_id").as("b"), col("doc_id").as("_db")), "b")
+      .select(
+        least(col("_da"), col("_db")).as("a"),
+        greatest(col("_da"), col("_db")).as("b"),
+        when(col("_da") < col("_db"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("_da") < col("_db"), col("n_b")).otherwise(col("n_a")).as("n_b"),
+        col("n_shared"), col("jaccard_bp"))
+    val repN = shingles(repDocs, "doc_id", "_text", shingleSize)
+      .groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      .withColumnRenamed("doc_id", "keep_id")
+    val within = members.select(col("keep_id"), col("doc_id").as("_d1"))
+      .join(members.select(col("keep_id"), col("doc_id").as("_d2")), "keep_id")
+      .filter(col("_d1") < col("_d2"))
+      .join(repN, "keep_id") // inner join drops empty-shingle families
+      .select(col("_d1").as("a"), col("_d2").as("b"),
+        col("_n").as("n_a"), col("_n").as("n_b"), col("_n").as("n_shared"),
+        lit(10000L).as("jaccard_bp"))
+    cross.unionByName(within)
   }
 
   /** Per-document LSH band signatures computed locally — the

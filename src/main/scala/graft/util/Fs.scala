@@ -134,8 +134,14 @@ object Fs {
       val out = f.create(tmp, true)
       try out.write(bytes)
       finally out.close()
-      if (f.exists(p)) f.delete(p, false): Unit
-      f.rename(tmp, p): Unit
+      // Hadoop delete/rename signal failure by returning false, not by
+      // throwing. An unchecked false here loses the target permanently
+      // (readers' absent-file retries can never succeed) while the .tmp
+      // lingers — so both are checked and escalated.
+      if (f.exists(p) && !f.delete(p, false))
+        throw new java.io.IOException(s"replaceBytes: delete failed for $p")
+      if (!f.rename(tmp, p))
+        throw new java.io.IOException(s"replaceBytes: rename $tmp -> $p failed")
     }
   }
 

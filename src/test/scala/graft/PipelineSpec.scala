@@ -1305,6 +1305,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted families must qualify")
   }
 
+  test("prefixFilterPairsAtScale == prefixFilterPairs (mirror families, all columns)") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 50).map(i => s"w$i")
+    def seqOf(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    // exact mirror families (the shape that makes the raw form quadratic
+    // at corpus scale), incl. case/whitespace variants that normText —
+    // but not raw string equality — collapses
+    val mirrors = (0 until 5).flatMap { f =>
+      val base = seqOf(14 + rnd.nextInt(6)).mkString(" ")
+      Seq((f * 100).toLong -> base,
+        (f * 100 + 1).toLong -> base,
+        (f * 100 + 2).toLong -> ("  " + base.toUpperCase + " "),
+        (f * 100 + 3).toLong -> base.replace(" ", "   "))
+    }
+    // near-dup cross-family pairs: members of one mirror family must pair
+    // with members of a DIFFERENT family at 0.5 <= J < 1
+    val nears = (0 until 5).map { f =>
+      val famBase = mirrors(f * 4)._2
+      (f * 100 + 50).toLong ->
+        (famBase.split(" ").dropRight(2) ++ seqOf(2)).mkString(" ")
+    }
+    // a duplicated SHORT family (< shingleSize tokens -> empty shingle
+    // set): the raw form never pairs these, so neither may atScale
+    val shorts = Seq(9000L -> "tiny doc", 9001L -> "tiny doc", 9002L -> "TINY  DOC")
+    val noise = (500 until 530).map(i => i.toLong -> seqOf(12).mkString(" "))
+    val docs = (mirrors ++ nears ++ shorts ++ noise).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val raw = rows(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5))
+    val scaled = rows(Dedup.prefixFilterPairsAtScale(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5))
+    assert(scaled === raw)
+    // the planted structure actually exercised every leg
+    val within = raw.filter { case (a, b, _, _, _, bp) =>
+      a / 100 == b / 100 && bp == 10000L }
+    assert(within.size >= 5 * 6, "mirror families must all-pair at J=1")
+    assert(raw.exists { case (a, b, _, _, _, bp) =>
+      (a % 100 == 50 || b % 100 == 50) && bp < 10000L },
+      "near-dup members must cross-pair below J=1")
+    assert(!raw.exists { case (a, b, _, _, _, _) => a >= 9000L || b >= 9000L },
+      "sub-shingle-length dup family must never pair")
+  }
+
   test("weightedSample: deterministic, k per stratum, weight-proportional inclusion") {
     import spark.implicits._
     import graft.pipeline.Mixing
