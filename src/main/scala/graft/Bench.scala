@@ -85,21 +85,28 @@ object Bench {
     val ioDir = java.nio.file.Files
       .createTempDirectory("graft_calib_io").toString
     import org.apache.spark.sql.functions._
-    val tw = System.nanoTime()
-    spark.range(0L, 8000000L, 1L, 32)
-      .select(col("id"), xxhash64(col("id")).as("h"),
-        sha1(col("id").cast("string")).as("s"))
-      .write.mode("overwrite").parquet(ioDir)
-    val ioW = (System.nanoTime() - tw) / 1e9
-    val tr = System.nanoTime()
-    val got = spark.read.parquet(ioDir)
-      .groupBy(pmod(col("h"), lit(1024)).as("b"))
-      .agg(count(lit(1)), sum(length(col("s"))))
-      .agg(count(lit(1))).collect()(0).getLong(0)
-    val ioR = (System.nanoTime() - tr) / 1e9
-    require(got > 0L)
-    graft.util.Fs.deleteRecursively(ioDir)
-    Calib(st, mt, ioW, ioR)
+    try {
+      def ioFrame(n: Long) = spark.range(0L, n, 1L, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"),
+          sha1(col("id").cast("string")).as("s"))
+      // untimed writer warmup (1/8 volume, all 32 tasks): the FIRST
+      // parquet write of a session pays writer/committer JIT, which made
+      // pre_iow read 2-3× post_iow within one record (r17 verdict item
+      // 4) — warming here restores pre-vs-post comparability ("did the
+      // box change mid-run")
+      ioFrame(1000000L).write.mode("overwrite").parquet(ioDir)
+      val tw = System.nanoTime()
+      ioFrame(8000000L).write.mode("overwrite").parquet(ioDir)
+      val ioW = (System.nanoTime() - tw) / 1e9
+      val tr = System.nanoTime()
+      val got = spark.read.parquet(ioDir)
+        .groupBy(pmod(col("h"), lit(1024)).as("b"))
+        .agg(count(lit(1)), sum(length(col("s"))))
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      val ioR = (System.nanoTime() - tr) / 1e9
+      require(got > 0L)
+      Calib(st, mt, ioW, ioR)
+    } finally graft.util.Fs.deleteRecursively(ioDir)
   }
 
   /** The calib JSON fragment probes append to their records:

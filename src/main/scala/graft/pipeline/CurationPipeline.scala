@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
 object CurationPipeline {
 
   def run(spark: SparkSession, docsRaw: DataFrame, embeddings: DataFrame,
-      ftsDir: String): DataFrame = {
+      ftsDir: String, sourceFp: String = ""): DataFrame = {
     val raw = docsRaw.select("doc_id", "text")
 
     // stage 1: exact dedup FIRST (keep min doc_id per normalized text).
@@ -57,16 +57,30 @@ object CurationPipeline {
     // chunks, terminal '.' on even lines); text is tripled first so the
     // ~60% that C4 keeps still clears Gopher's 50-word floor (the same
     // deviation PipelineScaleProbe documents).
-    val lined = exact
+    //
+    // Lambda-free chunking (the transform(sequence(...)) shape runs its
+    // body INTERPRETED — the repo's measured 8× rule, NGrams.scala):
+    // posexplode the tokens, group into 8-word lines keyed by
+    // floor(pos/8), restore order with array_sort over (pos, word)
+    // structs, and extract the word arrays via struct-field projection
+    // (GetArrayStructFields — codegen'd, no lambda anywhere). Both
+    // rollups are (doc, line)- / doc-keyed with bounded groups.
+    val toks2 = exact
       .withColumn("tk", expr(
         "regexp_extract_all(lower(concat(text, ' ', text, ' ', text)), '[a-z0-9]+', 0)"))
-      .withColumn("chunks", expr(
-        "CASE WHEN size(tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
-          "transform(sequence(0, CAST(ceil(size(tk) / 8.0) AS INT) - 1), i -> " +
-          "concat(concat_ws(' ', slice(tk, i * 8 + 1, 8)), " +
-          "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"))
-      .withColumn("text2", concat_ws("\n", col("chunks")))
-      .select("doc_id", "text2")
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "w")))
+    val synth = toks2
+      .groupBy(col("doc_id"), floor(col("p") / 8).as("ln"))
+      .agg(array_sort(collect_list(struct(col("p"), col("w")))).as("sw"))
+      .select(col("doc_id"), col("ln"),
+        concat(concat_ws(" ", col("sw.w")),
+          when(col("ln") % 2 === 0, lit(".")).otherwise(lit(""))).as("line"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("ln"), col("line")))).as("sl"))
+      .select(col("doc_id"), concat_ws("\n", col("sl.line")).as("text2"))
+    val lined = exact.select("doc_id")
+      .join(synth, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text2"), lit("")).as("text2"))
     val c4 = Boilerplate.c4Clean(lined, "doc_id", "text2")
       .filter(col("page_pass"))
       .select(col("doc_id"), col("clean_text").as("text"))
@@ -96,11 +110,25 @@ object CurationPipeline {
     val ok = Mixing.decontaminate(train, evalDocs, "doc_id", "text",
       shingleSize = 5, minShared = 2, maxEvalShingleDf = 100)
       .filter(!col("contaminated")).select("doc_id")
-    val fin = train.join(ok, Seq("doc_id"), "left_semi").persist()
+    // localCheckpoint, NOT persist: one eager materialization feeding
+    // the FTS build and both downstream consumers, but the blocks are
+    // ContextCleaner-collected once the plan is unreferenced — persist()
+    // here leaked one CacheManager entry per invocation (every
+    // PlanAssertionsSpec sweep plans this gate; r17 advice)
+    val fin = train.join(ok, Seq("doc_id"), "left_semi").localCheckpoint()
 
     // stage 6: FTS build over exactly the final survivor corpus.
-    graft.util.Fs.deleteRecursively(ftsDir)
-    val fts = graft.fts.FtsIndex.build(spark, fin, "doc_id", "text", ftsDir)
+    // Keyed on the SOURCE data's fingerprint when the caller provides
+    // one, so re-planning the gate doesn't rewrite the index dir (the
+    // survivor set is a deterministic function of the source + code;
+    // the version tag invalidates on pipeline-semantics changes).
+    val fts =
+      if (sourceFp.isEmpty) { // no reuse key -> always a fresh build
+        graft.util.Fs.deleteRecursively(ftsDir)
+        graft.fts.FtsIndex.build(spark, fin, "doc_id", "text", ftsDir)
+      } else graft.fts.FtsIndex.buildIfMissing(
+        spark, fin, "doc_id", "text", ftsDir,
+        sourceFp = s"pl_e2e_v2:$sourceFp")
     val kw = fts.search("spark join", topK = 30).select("doc_id", "score")
 
     // stage 7: hybrid search — exact MaxSim restricted to survivors,

@@ -31,6 +31,10 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The one live cached mining assignment (see [[hardNegativesAnn]]) —
+    * replaced, never accumulated, across calls. */
+  private var lastMiningAssign: Option[DataFrame] = None
+
   /** Cosine via the native codegen'd `dot_f` expression
     * (graft.functions.DotF — no intermediate product arrays, same
     * left-to-right double accumulation as the DuckDB twin). */
@@ -126,10 +130,18 @@ object Similarity {
     // twice per mining call (r16 advice — the 'no second pass' comment
     // in gatherCandidates only holds when the input is materialized,
     // which AnnProbe did for annTopK but this entry point did not).
-    // Stays cached for the lifetime of the returned lazy plan; Spark
-    // evicts LRU under memory pressure (MEMORY_AND_DISK).
-    val assign = assignRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded cache, not an unbounded one (r17 advice): each mining
+    // call unpersists the PREVIOUS call's assignment, so at most one
+    // cached plan is live per session instead of one per call. An
+    // earlier returned plan stays correct after eviction — it just
+    // recomputes its assignment lineage on next use.
+    val assign = Similarity.synchronized {
+      lastMiningAssign.foreach(_.unpersist(false))
+      val a = assignRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastMiningAssign = Some(a)
+      a
+    }
     // Distributed probe + UNHINTED joins: the query side of mining is
     // the training corpus (r14 verdict finding 1) — it must stream
     // through executors, never collect to the driver, and never be

@@ -453,42 +453,102 @@ class PlanAssertionsSpec extends AnyFunSuite {
     *   - a Limit (TakeOrdered-shaped top-k: the window ranks ≤ k rows),
     *   - or a literal Range / LocalRelation (driver-chosen size).
     * Anything else fails the suite with the offending query + subtree. */
-  test("sweep: every unpartitioned window in every gate query is bounded") {
+  /** Partition-id offset keys: tables generated per-partition by the
+    * GlobalRank/grouping machinery, bounded by construction at
+    * spark.sql.shuffle.partitions rows — name-based acceptance is safe
+    * because the `_` prefix is repo-internal. */
+  private val pidAggKeys = Set("_gr_pid", "_gp_pid", "_cl_pid")
+
+  /** The `code` grouping key (K-centroid salt histogram,
+    * Similarity.gatherCandidates) is only bounded because `code` is a
+    * nearest-CENTROID assignment — K distinct values — so unlike the
+    * pid keys it must NOT be accepted by name (r17 verdict: any future
+    * corpus-sized aggregate on a column merely NAMED `code` would slip
+    * through). Structural requirement instead: walk to the deepest
+    * plan node still carrying the grouping attribute's exprId (alias
+    * boundaries stop the exprId chain, so that frontier node OWNS the
+    * value's origin) and require the centroid-assignment MapPartitions
+    * kernel inside its subtree. A parquet column renamed to `code`
+    * has a scan-only origin subtree and fails. */
+  private def centroidBounded(
+      att: org.apache.spark.sql.catalyst.expressions.Attribute,
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MapPartitions}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // a persisted assignment cuts the logical lineage at an
+    // InMemoryRelation leaf — the kernel then lives in the cached
+    // PHYSICAL plan (possibly under an AQE wrapper)
+    def physKernel(sp: SparkPlan): Boolean =
+      sp.find {
+        case a: AdaptiveSparkPlanExec => physKernel(a.executedPlan)
+        case p => p.nodeName.contains("MapPartitions")
+      }.nonEmpty
+    def kernelIn(p: LogicalPlan): Boolean =
+      p.find {
+        case _: MapPartitions => true
+        case imr: InMemoryRelation => physKernel(imr.cachedPlan)
+        case _ => false
+      }.nonEmpty
+    if (!child.output.exists(_.exprId == att.exprId)) return false
+    val carriers =
+      scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    def walk(p: LogicalPlan): Unit = {
+      val kids = p.children.filter(_.output.exists(_.exprId == att.exprId))
+      if (kids.isEmpty) carriers += p else kids.foreach(walk)
+    }
+    walk(child)
+    carriers.nonEmpty && carriers.forall(kernelIn)
+  }
+
+  private def windowBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            pidAggKeys.contains(att.name) ||
+              (att.name == "code" && centroidBounded(att, a.child))
+          case _ => false
+        }
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: Range | _: LocalRelation | _: OneRowRelation => true
+      case u: UnaryNode => windowBounded(u.child)
+      case _ => false
+    }
+  }
+
+  /** (#offending subtree strings, #unpartitioned windows seen). */
+  private def sweepUnpartitionedWindows(df: org.apache.spark.sql.DataFrame)
+      : (Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val ws = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }
+    (ws.filterNot(w => windowBounded(w.child))
+      .map(_.treeString.take(2000)), ws.size)
+  }
+
+  test("sweep: every unpartitioned window in every gate query is bounded") {
     val sfDir = "/root/testdata/sf0.001"
     assume(graft.util.Fs.exists(s"$sfDir/documents.parquet"))
-    val boundedAggKeys = Set("_gr_pid", "_gp_pid", "_cl_pid", "code")
     // toy-corpus verify-only queries whose window input is bounded by a
     // literal id filter the structural walk can't prove (each ≤ 300
     // rows by construction)
     val nameWhitelist = Set("f_lifecycle")
 
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case a: Aggregate =>
-        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
-          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            boundedAggKeys.contains(att.name)
-          case _ => false
-        }
-      case _: GlobalLimit | _: LocalLimit => true
-      case _: Range | _: LocalRelation | _: OneRowRelation => true
-      case u: UnaryNode => bounded(u.child)
-      case _ => false
-    }
-
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     var seen = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.optimizedPlan
+      val df =
+        try fn(spark, sfDir)
         catch { case e: Exception => fail(s"$name failed to plan: $e") }
-      plan.collectWithSubqueries {
-        case w: Window if w.partitionSpec.isEmpty => w
-      }.foreach { w =>
-        seen += 1
-        if (!nameWhitelist.contains(name) && !bounded(w.child))
-          offenders += s"$name:\n${w.treeString.take(2000)}"
-      }
+      val (bad, n) = sweepUnpartitionedWindows(df)
+      seen += n
+      if (!nameWhitelist.contains(name))
+        bad.foreach(s => offenders += s"$name:\n$s")
     }
     assert(offenders.isEmpty,
       s"unbounded unpartitioned windows:\n${offenders.mkString("\n---\n")}")
@@ -497,5 +557,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // blind (e.g. an optimizer rewrite renamed the node), not that the
     // repo is window-free
     assert(seen >= 2, s"sweep found only $seen unpartitioned windows — walk broken?")
+  }
+
+  test("sweep negative: corpus aggregate merely NAMED code must fail") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(graft.util.Fs.exists(s"$sfDir/documents.parquet"))
+    // a corpus-sized column renamed to `code`, aggregated, under an
+    // unpartitioned window — exactly the r17-flagged hole
+    val fake = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("code"))
+      .groupBy("code").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(W.partitionBy().orderBy("code")))
+    val (bad, n) = sweepUnpartitionedWindows(fake)
+    assert(n === 1)
+    assert(bad.nonEmpty, "name-alone `code` aggregate must be flagged")
+    // and the REAL centroid histogram still passes: the gatherCandidates
+    // shape (assignment kernel -> groupBy(code) -> scalar window), in
+    // BOTH the raw and the persisted-assignment (InMemoryRelation) form
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val (cents, assign) =
+      graft.pipeline.Similarity.buildIvf(spark, emb, 64, numCentroids = 16)
+    val ann = graft.pipeline.Similarity.annTopK(
+      spark, emb, cents, assign, 64, qs, k = 5, nProbe = 4)
+    val (badReal, nReal) = sweepUnpartitionedWindows(ann)
+    assert(nReal >= 1, "expected the salt-histogram scalar window in the ANN plan")
+    assert(badReal.isEmpty,
+      s"centroid-bounded histogram wrongly flagged:\n${badReal.mkString("\n")}")
+    val hn = graft.pipeline.Similarity.hardNegativesAnn(
+      spark, emb, qs.withColumn("qlabel", col("query_id") % 3),
+      k = 5, dim = 64, numCentroids = 16, nProbe = 4)
+    val (badHn, nHn) = sweepUnpartitionedWindows(hn)
+    assert(nHn >= 1, "expected the salt-histogram window in the mining plan")
+    assert(badHn.isEmpty,
+      s"persisted-assignment histogram wrongly flagged:\n${badHn.mkString("\n")}")
   }
 }
