@@ -192,6 +192,23 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
           if attempts > 1 =>
         cachedSearcher = null
         retryingStale(attempts - 1)(f)
+      // An update's table rewrite (Fs.rewrite dir swap) racing an
+      // in-flight scan surfaces as a WRAPPED task failure
+      // (SparkException FAILED_READ_FILE / FileNotFoundException in
+      // the cause chain), which the bare FileNotFoundException case
+      // above never sees — caught live by ConcurrencyStressSpec's
+      // interleave (r18). Same remedy: fresh handle, fresh listings.
+      case e: org.apache.spark.SparkException if attempts > 1 && {
+          def staleRead(t: Throwable): Boolean = t != null && (
+            (t.getMessage != null &&
+              (t.getMessage.contains("FAILED_READ_FILE") ||
+                t.getMessage.contains("FILE_NOT_EXIST"))) ||
+            t.isInstanceOf[java.io.FileNotFoundException] ||
+            staleRead(t.getCause))
+          staleRead(e)
+        } =>
+        cachedSearcher = null
+        retryingStale(attempts - 1)(f)
     }
   }
 

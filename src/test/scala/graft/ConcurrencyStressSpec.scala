@@ -1,0 +1,195 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.SearchParams
+
+/** Systematic concurrency coverage (r17 verdict item 2). The r17
+  * torn-manifest race (search racing an async update read a
+  * truncate-in-progress manifest.json — fixed by `Fs.replaceBytes`,
+  * commit 2578a38) was found by an INCIDENTALLY racing ApiSpec test;
+  * this spec makes the interleave deliberate, mirroring the
+  * reference's concurrent-search stress
+  * (next-plaid-api/test_api.py:1228-1329, 75-cycle baseline):
+  *
+  *  1. a direct reader/writer stress on the atomic side-file replace
+  *     itself — the REVERT DETECTOR: flipping `Fs.replaceBytes` back
+  *     to truncate+write (`writeBytes`) makes readers observe
+  *     empty/torn bodies within a few hundred iterations, failing
+  *     this test deterministically;
+  *  2. N threads of search / manifest-read / fsck interleaved with a
+  *     driver performing real add/delete update cycles on ONE
+  *     GraftIndex, asserting every search completes, every manifest
+  *     observation is complete (all keys present — the r17 symptom
+  *     was `key not found: num_partitions`), and the doc count
+  *     matches the expected value after every step.
+  */
+class ConcurrencyStressSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") / 5).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (d, v, e) => (d, v, graft.core.MaxSim.l2Normalize(e)) }
+      .toDF("doc_id", "vec_id", "embedding")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("embeddings"))
+      .cache()
+  }
+
+  private def exhaustive = SearchParams(
+    topK = 3, nIvfProbe = Int.MaxValue, nFullScores = 1 << 22,
+    centroidScoreThreshold = None)
+
+  test("replaceBytes: readers never observe a torn side file (revert detector)") {
+    val dir = "/tmp/graft_stress_manifest"
+    graft.util.Fs.deleteRecursively(dir)
+    val path = s"$dir/manifest.json"
+    // fixed-length payloads: version zero-padded, constant filler — a
+    // torn observation is detectable by length alone, a truncate
+    // window by emptiness
+    val pad = "x" * 4096
+    def payload(v: Int): Array[Byte] =
+      f"""{"v": $v%08d, "pad": "$pad"}""".getBytes("UTF-8")
+    val expectLen = payload(0).length
+    graft.util.Fs.replaceBytes(path, payload(0))
+
+    val bad = new ConcurrentLinkedQueue[String]()
+    val done = new AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readers = (0 until 6).map { _ =>
+      new Thread(() => {
+        var last = -1L
+        while (!done.get()) {
+          val s =
+            try new String(graft.util.Fs.readBytes(path), "UTF-8")
+            catch { case e: Exception => bad.add(s"read threw: $e"); "" }
+          reads.incrementAndGet()
+          if (s.length != expectLen)
+            bad.add(s"torn body (len ${s.length}): ${s.take(60)}")
+          else {
+            val v = s.substring(s.indexOf(':') + 2, s.indexOf(',')).trim.toLong
+            // single writer + atomic replace => per-reader monotone
+            if (v < last) bad.add(s"version went backwards: $v after $last")
+            last = v
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to 1500).foreach(i => graft.util.Fs.replaceBytes(path, payload(i)))
+    done.set(true)
+    readers.foreach(_.join())
+    assert(bad.isEmpty,
+      s"${bad.size} torn observations, e.g.: ${bad.peek()}")
+    assert(reads.get() > 1000L, s"only ${reads.get()} reads — no real contention")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("one index, N threads: search/manifest/fsck interleave real update cycles") {
+    val path = "/tmp/graft_stress_idx"
+    graft.util.Fs.deleteRecursively(path)
+    UpdateJobs.reset()
+    val gi = GraftIndex.create(spark, path, docs.filter(col("doc_id") < 20))
+    val qs = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("embeddings"))
+    val upCfg = graft.index.UpdateConfig(startFromScratch = 0, bufferSize = 1000)
+
+    val errs = new ConcurrentLinkedQueue[String]()
+    val stop = new AtomicBoolean(false)
+    val searches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val fscks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    // 2 search threads: every search must COMPLETE with full result
+    // sets (the facade's bounded stale-handle retry absorbs build
+    // flips; exhausting it is a real robustness failure)
+    val searchThreads = (0 until 2).map { t =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val n = gi.search(qs, exhaustive).count()
+            if (n <= 0) errs.add(s"searcher $t: empty result set")
+            searches.incrementAndGet()
+          } catch {
+            case e: Throwable => errs.add(s"searcher $t: $e"); stop.set(true)
+          }
+        }
+      })
+    }
+    // manifest observer: every read must be a COMPLETE manifest — the
+    // r17 torn read surfaced exactly here as a missing num_partitions
+    val manifestThread = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val m = gi.info
+          for (k <- Seq("num_partitions", "num_documents", "embedding_dim"))
+            if (!m.contains(k)) errs.add(s"manifest missing $k: ${m.keys}")
+          manifestReads.incrementAndGet()
+        } catch {
+          case e: Throwable => errs.add(s"manifest reader: $e"); stop.set(true)
+        }
+      }
+    })
+    // fsck thread: interleaved integrity sweeps; mid-update a rewrite
+    // swap can legitimately race a table read, so only completions are
+    // counted here — the quiesced fsck at the end is the hard assert
+    val fsckThread = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          gi.fsck().collect()
+          fscks.incrementAndGet()
+        } catch { case _: Throwable => () }
+        Thread.sleep(50)
+      }
+    })
+    (searchThreads :+ manifestThread :+ fsckThread).foreach(_.start())
+
+    // driver: real update cycles — async append, then synchronous
+    // delete with dense renumbering; doc count asserted at EVERY step
+    var expected = 20L
+    try {
+      for (c <- 0 until 4) {
+        val lo = 20 + 5 * c
+        val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 5)
+          .withColumn("doc_id", col("doc_id") - lo)
+        gi.addDocumentsAsync(batch, cfg = upCfg).get()
+        expected += 5
+        assert(gi.count === expected, s"cycle $c after add")
+        gi.deleteDocuments(ids = Some(Seq(expected - 1, expected - 3)))
+        expected -= 2
+        assert(gi.count === expected, s"cycle $c after delete")
+        assert(errs.isEmpty, s"cycle $c: ${errs.peek()}")
+      }
+    } finally {
+      stop.set(true)
+      (searchThreads :+ manifestThread :+ fsckThread).foreach(_.join())
+    }
+    assert(errs.isEmpty, s"${errs.size} concurrent failures, e.g.: ${errs.peek()}")
+    assert(searches.get() > 0L, "searches never ran concurrently")
+    assert(manifestReads.get() > 0L, "manifest observer never ran")
+    // quiesced: full integrity must hold after the interleaved storm
+    val checks = gi.fsck().collect()
+    val failed = checks.filterNot(_.getAs[Boolean]("ok"))
+    assert(failed.isEmpty,
+      s"fsck failures after stress: ${failed.mkString("; ")}")
+    assert(gi.search(qs, exhaustive).count() > 0)
+    gi.drop()
+    UpdateJobs.reset()
+  }
+}
