@@ -198,15 +198,8 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       // the cause chain), which the bare FileNotFoundException case
       // above never sees — caught live by ConcurrencyStressSpec's
       // interleave (r18). Same remedy: fresh handle, fresh listings.
-      case e: org.apache.spark.SparkException if attempts > 1 && {
-          def staleRead(t: Throwable): Boolean = t != null && (
-            (t.getMessage != null &&
-              (t.getMessage.contains("FAILED_READ_FILE") ||
-                t.getMessage.contains("FILE_NOT_EXIST"))) ||
-            t.isInstanceOf[java.io.FileNotFoundException] ||
-            staleRead(t.getCause))
-          staleRead(e)
-        } =>
+      case e: org.apache.spark.SparkException
+          if attempts > 1 && GraftIndex.isStaleRead(e) =>
         cachedSearcher = null
         retryingStale(attempts - 1)(f)
     }
@@ -479,7 +472,28 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
     * (metadata may legitimately cover only some docs, so completeness
     * is NOT required). One row per check, `(section, check, ok,
     * expected, actual)`; aggregate-only, corpus-scale safe. */
+  /** Whole-directory integrity sweep. The result is TINY (a dozen check
+    * rows), so it is materialized HERE inside a stale-read retry: an
+    * admin fsck racing an update's dir swap (Fs.rewrite) previously
+    * died with a wrapped FAILED_READ_FILE on whichever table flipped
+    * mid-scan (seen live in ConcurrencyStressSpec's interleave) — now
+    * it re-reads from fresh listings like the search facade does. */
   def fsck(): DataFrame = {
+    var attempts = 3
+    while (true) {
+      try {
+        val plan = fsckPlan()
+        return spark.createDataFrame(
+          java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+      } catch {
+        case e: Throwable if attempts > 1 && GraftIndex.isStaleRead(e) =>
+          attempts -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def fsckPlan(): DataFrame = {
     import spark.implicits._
     val idx = index
     val n = idx.numDocuments
@@ -536,6 +550,20 @@ object GraftIndex {
   /** Tombstone fraction of the physical corpus at which a deferred
     * delete triggers automatic compaction. */
   val AutoCompactRatio: Double = 0.25
+
+  /** True when `t`'s message/cause chain carries the stale-file-listing
+    * shape (an update's `Fs.rewrite` dir swap racing an in-flight scan:
+    * Spark wraps the task failure as FAILED_READ_FILE / FILE_NOT_EXIST,
+    * or a bare FileNotFoundException sits in the chain). Shared by the
+    * search facade's retry and fsck. */
+  @annotation.tailrec
+  private[graft] def isStaleRead(t: Throwable): Boolean =
+    if (t == null) false
+    else if ((t.getMessage != null &&
+        (t.getMessage.contains("FAILED_READ_FILE") ||
+          t.getMessage.contains("FILE_NOT_EXIST"))) ||
+      t.isInstanceOf[java.io.FileNotFoundException]) true
+    else isStaleRead(t.getCause)
 
   /** POST /indices — create from an initial doc batch. */
   def create(
