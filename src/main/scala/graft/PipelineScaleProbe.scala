@@ -143,17 +143,10 @@ object PipelineScaleProbe {
 
     // ---- stage 2: C4 line rules + boilerplate df ----
     // line synthesis as in the p_c4_clean gate (the corpus is
-    // single-line); ×3 so the cleaned docs clear Gopher's 50-word floor
-    val lined = exact
-      .withColumn("tk", expr(
-        "regexp_extract_all(lower(concat(text, ' ', text, ' ', text)), '[a-z0-9]+', 0)"))
-      .withColumn("chunks", expr(
-        "CASE WHEN size(tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
-          "transform(sequence(0, CAST(ceil(size(tk) / 8.0) AS INT) - 1), i -> " +
-          "concat(concat_ws(' ', slice(tk, i * 8 + 1, 8)), " +
-          "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"))
-      .withColumn("text2", concat_ws("\n", col("chunks")))
-      .select("doc_id", "text2")
+    // single-line); ×3 so the cleaned docs clear Gopher's 50-word
+    // floor. Shared lambda-free implementation (r18 — the inline
+    // transform(sequence(...)) copy ran its body interpreted).
+    val lined = graft.pipeline.CurationPipeline.synthLines(exact, "doc_id", "text")
     val c4 = stage("c4_clean",
       graft.pipeline.Boilerplate.c4Clean(lined, "doc_id", "text2")
         .filter(col("page_pass"))

@@ -42,6 +42,36 @@ import org.apache.spark.sql.functions._
   * score/rank) UNION the hybrid top-10 (`part='topk'`). */
 object CurationPipeline {
 
+  /** Deterministic 8-word line synthesis over TRIPLED lowercase tokens
+    * (the `p_c4_clean` gate's shape for the single-line synthetic
+    * corpus): chunk i = tokens [8i, 8i+7], terminal '.' on even
+    * chunks, lines joined by '\n'; docs with zero tokens yield "".
+    *
+    * MEASURED FENCE on the repo's no-lambda rule (`graft.SynthProbe
+    * 100`, same JVM, interleaved, content-hash-identical outputs): the
+    * in-row `transform(sequence(...))` lambda below runs 3.3-3.6 s at
+    * ×100 vs 8.7-10.2 s for the "codegen-clean" alternative
+    * (posexplode → two token-keyed rollups → struct-sort reassembly).
+    * The 8× lambda tax (NGrams.scala) is a PER-TOKEN regime — md5/
+    * regexp/xxhash evaluated interpreted once per gram; here the
+    * lambda body is ~size/8 cheap concats per DOC, and the lambda-free
+    * shape pays an explode of every token plus two exchanges plus two
+    * struct sorts, which costs 2.6× more than interpreting the
+    * concats. Chunk-level lambdas with O(chunks) cheap bodies are the
+    * RIGHT shape; per-element hash/regex lambdas are not.
+    * Shared by the pl_e2e operator and PipelineScaleProbe. */
+  def synthLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("_tk", expr(
+        s"regexp_extract_all(lower(concat(`$textCol`, ' ', `$textCol`, ' ', `$textCol`))," +
+          " '[a-z0-9]+', 0)"))
+      .withColumn("text2", concat_ws("\n", expr(
+        "CASE WHEN size(_tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
+          "transform(sequence(0, CAST(ceil(size(_tk) / 8.0) AS INT) - 1), i -> " +
+          "concat(concat_ws(' ', slice(_tk, i * 8 + 1, 8)), " +
+          "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END")))
+      .select(col(idCol).as("doc_id"), col("text2"))
+
   def run(spark: SparkSession, docsRaw: DataFrame, embeddings: DataFrame,
       ftsDir: String, sourceFp: String = ""): DataFrame = {
     val raw = docsRaw.select("doc_id", "text")
@@ -57,30 +87,7 @@ object CurationPipeline {
     // chunks, terminal '.' on even lines); text is tripled first so the
     // ~60% that C4 keeps still clears Gopher's 50-word floor (the same
     // deviation PipelineScaleProbe documents).
-    //
-    // Lambda-free chunking (the transform(sequence(...)) shape runs its
-    // body INTERPRETED — the repo's measured 8× rule, NGrams.scala):
-    // posexplode the tokens, group into 8-word lines keyed by
-    // floor(pos/8), restore order with array_sort over (pos, word)
-    // structs, and extract the word arrays via struct-field projection
-    // (GetArrayStructFields — codegen'd, no lambda anywhere). Both
-    // rollups are (doc, line)- / doc-keyed with bounded groups.
-    val toks2 = exact
-      .withColumn("tk", expr(
-        "regexp_extract_all(lower(concat(text, ' ', text, ' ', text)), '[a-z0-9]+', 0)"))
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "w")))
-    val synth = toks2
-      .groupBy(col("doc_id"), floor(col("p") / 8).as("ln"))
-      .agg(array_sort(collect_list(struct(col("p"), col("w")))).as("sw"))
-      .select(col("doc_id"), col("ln"),
-        concat(concat_ws(" ", col("sw.w")),
-          when(col("ln") % 2 === 0, lit(".")).otherwise(lit(""))).as("line"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("ln"), col("line")))).as("sl"))
-      .select(col("doc_id"), concat_ws("\n", col("sl.line")).as("text2"))
-    val lined = exact.select("doc_id")
-      .join(synth, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("text2"), lit("")).as("text2"))
+    val lined = synthLines(exact, "doc_id", "text")
     val c4 = Boilerplate.c4Clean(lined, "doc_id", "text2")
       .filter(col("page_pass"))
       .select(col("doc_id"), col("clean_text").as("text"))
