@@ -125,6 +125,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
   }
 
+  test("prefixFilterPairsAtScale: equi-joins only, keyed closure, partial aggs") {
+    val df = spark.read.parquet(tablePath)
+    val plan = planOf(graft.pipeline.Dedup.prefixFilterPairsAtScale(
+      df, "doc_id", "text", shingleSize = 3, minJaccard = 0.5))
+    // every stage — dedup window, PPJoin candidate join, verify join,
+    // and BOTH closure legs (cross expansion + within-family
+    // self-join) — must be keyed; a product here is the 100-TB killer
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in the atScale plan:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-materialized rows in the atScale plan:\n$plan")
+    // df rollup, positional aggregate, intersection counts, family
+    // sizes: all must combine map-side before their shuffles
+    assert(plan.contains("partial"), s"no partial aggregation:\n$plan")
+  }
+
   test("c4Clean: boilerplate df joins back on the line hash, unused columns pruned") {
     val df = spark.read.parquet(tablePath)
     val plan = planOf(graft.pipeline.Boilerplate.c4Clean(df, "doc_id", "text"))
