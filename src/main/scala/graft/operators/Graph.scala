@@ -200,7 +200,16 @@ object Graph {
     // joins broadcast and only the degree rollup shuffles (at a
     // billion-node graph the bound correctly falls back to shuffles)
     val n0 = adj.select("u").distinct().count()
-    for (_ <- 1 to peels) {
+    // Early exit at the fixpoint: the adjacency only SHRINKS, so an
+    // unchanged edge count means an unchanged edge SET and every
+    // remaining peel is a no-op — identical output to the fixed-peel
+    // loop (and to the oracle's unrolled CTEs, whose extra rounds are
+    // no-ops for the same reason), at a fraction of the
+    // materializations when convergence is early. The count is nearly
+    // free: adj is already localCheckpoint-materialized each round.
+    var prevEdges = adj.count()
+    var continue = true
+    for (_ <- 1 to peels if continue) {
       val alive = Plan.broadcastIfBounded(
         adj.groupBy("u").agg(count(lit(1)).as("_d"))
           .filter(col("_d") >= k).select("u"),
@@ -210,6 +219,9 @@ object Graph {
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
+      val cur = adj.count()
+      if (cur == prevEdges) continue = false
+      prevEdges = cur
     }
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
   }
