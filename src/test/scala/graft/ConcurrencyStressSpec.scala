@@ -183,6 +183,10 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"${errs.size} concurrent failures, e.g.: ${errs.peek()}")
     assert(searches.get() > 0L, "searches never ran concurrently")
     assert(manifestReads.get() > 0L, "manifest observer never ran")
+    // with the stale-read retry in fsck, at least some interleaved
+    // sweeps must COMPLETE (not merely be tolerated) — zero completions
+    // would mean fsck cannot run at all against a live index
+    assert(fscks.get() > 0L, "no concurrent fsck ever completed")
     // quiesced: full integrity must hold after the interleaved storm
     val checks = gi.fsck().collect()
     val failed = checks.filterNot(_.getAs[Boolean]("ok"))

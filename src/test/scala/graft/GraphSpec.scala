@@ -121,6 +121,13 @@ class GraphSpec extends AnyFunSuite {
     assert(run(2).keySet === Set(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L))
     // k above max degree: empty core
     assert(run(5) === Map.empty)
+    // fixpoint early-exit equivalence: this graph converges within a
+    // few peels, so a huge peel budget must give the IDENTICAL core
+    // (the r18 early exit stops on an unchanged edge count — sound
+    // because the adjacency only shrinks)
+    val generous = Graph.kCore(edges.toDF("src", "dst"), 3, peels = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(generous === run(3))
   }
 
   test("clusteringCoeff: K4 nodes are 10000 bp, pendant and low-degree are 0") {
