@@ -1353,6 +1353,57 @@ class PipelineSpec extends AnyFunSuite {
       "sub-shingle-length dup family must never pair")
   }
 
+  test("prefixFilterPairsAtScale == raw on randomized corpora (6 seeds)") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // randomized structure: per seed, a corpus mixing random docs,
+    // exact-dup families of random size (with whitespace/case
+    // mutations), partial-overlap near-dups, and short docs — the
+    // closure's edge cases drawn fresh each time instead of from one
+    // hand-planted layout
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 1000 + 7)
+      val vocab = (0 until 20 + rnd.nextInt(40)).map(i => s"w$i")
+      def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      var id = 0L
+      def nextId() = { id += 1; id }
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      for (_ <- 0 until 6 + rnd.nextInt(6)) {
+        rnd.nextInt(4) match {
+          case 0 => // exact family, size 2-5, with variants
+            val base = words(3 + rnd.nextInt(18)).mkString(" ")
+            for (j <- 0 until 2 + rnd.nextInt(4)) {
+              val v = rnd.nextInt(3) match {
+                case 0 => base
+                case 1 => " " + base.toUpperCase + "  "
+                case 2 => base.replace(" ", if (j % 2 == 0) "  " else " ")
+              }
+              docs += nextId() -> v
+            }
+          case 1 => // near-dup pair (suffix swapped)
+            val base = words(8 + rnd.nextInt(12))
+            docs += nextId() -> base.mkString(" ")
+            docs += nextId() ->
+              (base.dropRight(1 + rnd.nextInt(2)) ++ words(2)).mkString(" ")
+          case 2 => // short docs (possibly duplicated, < shingle len)
+            val s = words(1 + rnd.nextInt(2)).mkString(" ")
+            docs += nextId() -> s
+            if (rnd.nextBoolean()) docs += nextId() -> s
+          case 3 => // noise
+            docs += nextId() -> words(5 + rnd.nextInt(10)).mkString(" ")
+        }
+      }
+      val df = docs.toSeq.toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) = d
+        .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val raw = rows(Dedup.prefixFilterPairs(df, "doc_id", "text", 3, 0.5))
+      val scaled = rows(Dedup.prefixFilterPairsAtScale(df, "doc_id", "text", 3, 0.5))
+      assert(scaled === raw, s"seed $seed diverged (corpus ${docs.size} docs)")
+    }
+  }
+
   test("weightedSample: deterministic, k per stratum, weight-proportional inclusion") {
     import spark.implicits._
     import graft.pipeline.Mixing
