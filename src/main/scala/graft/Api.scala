@@ -488,6 +488,12 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       } catch {
         case e: Throwable if attempts > 1 && GraftIndex.isStaleRead(e) =>
           attempts -= 1
+          // pace the retry past the update's swap window: an immediate
+          // re-attempt under a sustained update storm can land all
+          // three tries inside the same Fs.rewrite swap (r18 advice) —
+          // tens of ms is longer than a rewrite's delete+rename gap
+          // but invisible to an interactive admin call
+          Thread.sleep(40L * (3 - attempts))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -95,6 +95,16 @@ object Bench {
       // 4) — warming here restores pre-vs-post comparability ("did the
       // box change mid-run")
       ioFrame(1000000L).write.mode("overwrite").parquet(ioDir)
+      // untimed READER warmup over the warmup files (1/8 volume): the
+      // first parquet read of a session pays footer/vectorized-reader
+      // JIT just like the writer side pays committer JIT — BENCH_r18
+      // still read pre_ior 2.4× post_ior after the writer warmup fixed
+      // iow. Warming both legs makes pre-vs-post self-comparable
+      // ("did the box change mid-run") on reads too.
+      require(spark.read.parquet(ioDir)
+        .groupBy(pmod(col("h"), lit(1024)).as("b"))
+        .agg(count(lit(1)), sum(length(col("s"))))
+        .agg(count(lit(1))).collect()(0).getLong(0) > 0L)
       val tw = System.nanoTime()
       ioFrame(8000000L).write.mode("overwrite").parquet(ioDir)
       val ioW = (System.nanoTime() - tw) / 1e9

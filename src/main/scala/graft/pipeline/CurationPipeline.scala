@@ -124,19 +124,29 @@ object CurationPipeline {
     // PlanAssertionsSpec sweep plans this gate; r17 advice)
     val fin = train.join(ok, Seq("doc_id"), "left_semi").localCheckpoint()
 
-    // stage 6: FTS build over exactly the final survivor corpus.
-    // Keyed on the SOURCE data's fingerprint when the caller provides
-    // one, so re-planning the gate doesn't rewrite the index dir (the
-    // survivor set is a deterministic function of the source + code;
-    // the version tag invalidates on pipeline-semantics changes).
-    val fts =
-      if (sourceFp.isEmpty) { // no reuse key -> always a fresh build
-        graft.util.Fs.deleteRecursively(ftsDir)
-        graft.fts.FtsIndex.build(spark, fin, "doc_id", "text", ftsDir)
-      } else graft.fts.FtsIndex.buildIfMissing(
-        spark, fin, "doc_id", "text", ftsDir,
-        sourceFp = s"pl_e2e_v2:$sourceFp")
-    val kw = fts.search("spark join", topK = 30).select("doc_id", "score")
+    // stage 6: BM25 over exactly the final survivor corpus.
+    // With a fingerprint (the gate path): a persisted FtsIndex keyed on
+    // the SOURCE data's content, so re-planning the gate doesn't
+    // rewrite the index dir (the survivor set is a deterministic
+    // function of the source + code; the version tag invalidates on
+    // pipeline-semantics changes). WITHOUT a fingerprint: score the
+    // in-memory postings/doclens frames directly — same Fts.search
+    // math over the same tf/dl integers, but constructing this
+    // DataFrame performs ZERO filesystem writes (r18 verdict item 2:
+    // the old bare path deleted + rebuilt ftsDir at PLAN time, a
+    // side effect no un-actioned DataFrame should have). Both legs
+    // hang off the localCheckpoint'ed `fin`, so neither replays the
+    // LSH/components lineage.
+    val kw = (if (sourceFp.isEmpty)
+        graft.fts.Fts.search(spark,
+          graft.fts.Fts.buildPostings(fin, "doc_id", "text", "unicode61"),
+          "spark join", topK = 30,
+          doclensOpt = Some(graft.fts.Fts.docLengthsOf(fin, "doc_id", "text", "unicode61")))
+      else graft.fts.FtsIndex.buildIfMissing(
+          spark, fin, "doc_id", "text", ftsDir,
+          sourceFp = s"pl_e2e_v2:$sourceFp")
+        .search("spark join", topK = 30))
+      .select("doc_id", "score")
 
     // stage 7: hybrid search — exact MaxSim restricted to survivors,
     // fused with the BM25 list (alpha 0.75, top-10).

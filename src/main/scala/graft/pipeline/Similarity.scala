@@ -32,8 +32,29 @@ object Similarity {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The one live cached mining assignment (see [[hardNegativesAnn]]) —
-    * replaced, never accumulated, across calls. */
-  private var lastMiningAssign: Option[DataFrame] = None
+    * replaced, never accumulated, across calls. An atomic
+    * replace-and-evict (`getAndSet`): every displaced plan is
+    * unpersisted exactly once and at most ONE cached assignment is
+    * live at any instant even under concurrent mining calls
+    * (ConcurrencyStressSpec's mining interleave + the swap-semantics
+    * unit). A displaced plan stays CORRECT mid-job —
+    * `unpersist(false)` never cancels running work, the loser's
+    * lineage just recomputes on next use. Reference analogue:
+    * per-index concurrency discipline, next-plaid-api/src/state.rs:31-48. */
+  private val lastMiningAssign =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Atomically install `a` as the one live cached assignment and
+    * evict whatever it displaced. Eviction SKIPS (never throws) when
+    * the displaced plan's owning SparkContext has been stopped — a new
+    * session in the same JVM must not fail its first mining call on a
+    * dead predecessor's unpersist (r18 advice). */
+  private[graft] def swapMiningAssign(a: DataFrame): Unit =
+    lastMiningAssign.getAndSet(Some(a)).foreach { prev =>
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+      } catch { case _: Exception => () }
+    }
 
   /** Cosine via the native codegen'd `dot_f` expression
     * (graft.functions.DotF — no intermediate product arrays, same
@@ -131,17 +152,13 @@ object Similarity {
     // in gatherCandidates only holds when the input is materialized,
     // which AnnProbe did for annTopK but this entry point did not).
     // Bounded cache, not an unbounded one (r17 advice): each mining
-    // call unpersists the PREVIOUS call's assignment, so at most one
-    // cached plan is live per session instead of one per call. An
-    // earlier returned plan stays correct after eviction — it just
-    // recomputes its assignment lineage on next use.
-    val assign = Similarity.synchronized {
-      lastMiningAssign.foreach(_.unpersist(false))
-      val a = assignRaw
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastMiningAssign = Some(a)
-      a
-    }
+    // call evicts the PREVIOUS call's assignment via the atomic swap
+    // above, so at most one cached plan is live per JVM instead of one
+    // per call. An earlier returned plan stays correct after eviction —
+    // it just recomputes its assignment lineage on next use.
+    val assign = assignRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapMiningAssign(assign)
     // Distributed probe + UNHINTED joins: the query side of mining is
     // the training corpus (r14 verdict finding 1) — it must stream
     // through executors, never collect to the driver, and never be

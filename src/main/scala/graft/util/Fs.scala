@@ -154,11 +154,23 @@ object Fs {
   def fingerprint(path: String): String = {
     val (f, p) = fs(path)
     if (!f.exists(p)) return "absent"
+    // entries key on the path RELATIVE TO THE ROOT, not the basename:
+    // nested files with equal (name, length, mtime) in different
+    // subdirectories (two partition dirs holding identically-sized
+    // part files written in the same millisecond — routine for a
+    // parallel parquet write) must not collide into one entry, or a
+    // subdirectory swap reads as "unchanged" and buildIfMissing serves
+    // a stale index (r18 advice).
+    val rootUri = f.makeQualified(p).toUri.getPath.stripSuffix("/")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = f.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      entries += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+      val full = st.getPath.toUri.getPath
+      val rel =
+        if (full.startsWith(rootUri)) full.substring(rootUri.length).stripPrefix("/")
+        else st.getPath.getName
+      entries += s"$rel|${st.getLen}|${st.getModificationTime}"
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))

@@ -38,6 +38,13 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  /** Testdata guard, matching the other specs' assume() discipline: a
+    * machine without /root/testdata must CANCEL these tests, not fail
+    * the suite (r18 advice). */
+  private def requireTestdata(): Unit =
+    assume(graft.util.Fs.exists("/root/testdata/sf0.001/embeddings.parquet"),
+      "/root/testdata/sf0.001 not present — cancelling concurrency stress")
+
   lazy val docs: DataFrame = {
     import spark.implicits._
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -101,7 +108,64 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("mining cache swap: at most one live cached assignment under N concurrent swaps") {
+    import org.apache.spark.storage.StorageLevel
+    val n = 16
+    val dfs = (0 until n).map { i =>
+      val df = spark.range(100L * i, 100L * i + 100).toDF("id")
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    val threads = dfs.map(df =>
+      new Thread(() => graft.pipeline.Similarity.swapMiningAssign(df)))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // the AtomicReference getAndSet forms a total order of swaps: every
+    // displaced plan is unpersisted exactly once, the final winner (and
+    // ONLY the final winner) stays cached — a lost-update race (the r18
+    // verdict's unsynchronized-var hazard) leaves 2+ live entries here
+    val live = dfs.count(_.storageLevel != StorageLevel.NONE)
+    assert(live === 1, s"$live live cached assignments after $n concurrent swaps")
+    dfs.foreach(_.unpersist(false))
+  }
+
+  test("concurrent hard-negative mining: every call completes and equals brute force") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // deterministic synthetic corpus (PipelineSpec's hardNegatives shape)
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val mdocs = (0 until 100).map(i =>
+      (i.toLong, vec(), s"lab${i % 4}")).toDF("vec_id", "embedding", "label")
+      .cache()
+    val qs = mdocs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("label").as("qlabel"))
+    val expect = Similarity.hardNegatives(mdocs, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 3 threads × 3 exhaustive-probe mining calls each: every call's
+    // assignment evicts the previous caller's mid-job (unpersist(false)
+    // — the displaced plan must recompute, never corrupt), so EVERY
+    // call must still equal the brute-force ranking exactly
+    val errs = new ConcurrentLinkedQueue[String]()
+    val miners = (0 until 3).map { t =>
+      new Thread(() => (0 until 3).foreach { c =>
+        try {
+          val got = Similarity.hardNegativesAnn(spark, mdocs, qs, 5,
+              dim = 16, numCentroids = 8, nProbe = 8)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          if (got != expect) errs.add(s"miner $t call $c: diverged from brute force")
+        } catch { case e: Throwable => errs.add(s"miner $t call $c: $e") }
+      })
+    }
+    miners.foreach(_.start())
+    miners.foreach(_.join())
+    assert(errs.isEmpty, s"${errs.size} mining failures, e.g.: ${errs.peek()}")
+    mdocs.unpersist()
+  }
+
   test("one index, N threads: search/manifest/fsck interleave real update cycles") {
+    requireTestdata()
     val path = "/tmp/graft_stress_idx"
     graft.util.Fs.deleteRecursively(path)
     UpdateJobs.reset()

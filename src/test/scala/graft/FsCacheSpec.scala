@@ -46,6 +46,31 @@ class FsCacheSpec extends AnyFunSuite {
     assert(fp1 === fp3) // same files, same sizes, same mtimes → same key
   }
 
+  test("fingerprint keys on the relative path, not the basename") {
+    spark
+    // two layouts whose file sets are identical under (basename, length,
+    // mtime) but differ in WHERE a file sits — a subdirectory swap that
+    // a basename-keyed fingerprint reads as "unchanged" (r18 advice)
+    val src = tmpDir("graft_fp_rel")
+    Files.createDirectories(src.resolve("a"))
+    Files.createDirectories(src.resolve("b"))
+    Files.writeString(src.resolve("a/part-0"), "aaaa")
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Files.setLastModifiedTime(src.resolve("a/part-0"), t)
+    val fp1 = Fs.fingerprint(src.toString)
+    // move the same file (same name, length, pinned mtime) to b/
+    Files.move(src.resolve("a/part-0"), src.resolve("b/part-0"))
+    Files.setLastModifiedTime(src.resolve("b/part-0"), t)
+    assert(Fs.fingerprint(src.toString) !== fp1,
+      "subdirectory move with identical (name, length, mtime) must change the fingerprint")
+    // and same-named files in BOTH subdirs are two entries, not one
+    Files.writeString(src.resolve("a/part-0"), "aaaa")
+    Files.setLastModifiedTime(src.resolve("a/part-0"), t)
+    val fpBoth = Fs.fingerprint(src.toString)
+    assert(fpBoth !== fp1)
+    assert(fpBoth !== Fs.fingerprint(src.resolve("b").toString))
+  }
+
   test("fingerprint is 'absent' for a missing path") {
     spark
     assert(Fs.fingerprint("/tmp/graft_fp_does_not_exist_xyz") === "absent")
