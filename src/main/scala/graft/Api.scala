@@ -56,7 +56,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   def addDocuments(
       docs: DataFrame,
       metaJson: Option[DataFrame] = None,
-      cfg: UpdateConfig = UpdateConfig()): GraftIndex = {
+      cfg: UpdateConfig = UpdateConfig()): GraftIndex = graft.util.Journal.bracket(path) {
     // append offset is the PHYSICAL id space (tombstones still occupy ids
     // until compact)
     val before = if (graft.util.Fs.exists(s"$path/manifest.json")) index.numDocuments else 0L
@@ -74,10 +74,11 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
           // O(batch) fast path: align to the existing column order (new
           // batch may omit columns) and parquet-append — existing files
           // untouched
-          created.select(existing.columns.toIndexedSeq.map(c =>
-            (if (created.columns.contains(c)) col(c)
-             else lit(null).cast(existingTypes(c))).as(c)): _*)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metaPath)
+          graft.util.Fs.appendTable(
+            created.select(existing.columns.toIndexedSeq.map(c =>
+              (if (created.columns.contains(c)) col(c)
+               else lit(null).cast(existingTypes(c))).as(c)): _*),
+            metaPath)
         } else {
           // schema evolution (new column or widened type): full rewrite
           val allCols = (existing.columns ++ created.columns.filterNot(existing.columns.contains)).toSeq
@@ -331,7 +332,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
       ids: Option[Seq[Long]] = None,
       cond: Option[(String, Seq[Where.Param])] = None,
       deferred: Boolean = false,
-      autoCompactRatio: Double = GraftIndex.AutoCompactRatio): GraftIndex = {
+      autoCompactRatio: Double = GraftIndex.AutoCompactRatio): GraftIndex = graft.util.Journal.bracket(path) {
     import spark.implicits._
     val delDf: Option[DataFrame] = (ids, cond) match {
       case (Some(list), _) =>
@@ -349,9 +350,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
             tombstones.toDouble >= autoCompactRatio * index.numDocuments)
           compact()
       }
-      return this
-    }
-    delDf.filterNot(_.isEmpty).foreach { del =>
+    } else delDf.filterNot(_.isEmpty).foreach { del =>
       // materialize the set once: the metadata table it may derive from
       // is rewritten below
       graft.util.Fs.rewrite(del.select("doc_id"), s"$path/pending_delete")
@@ -375,7 +374,7 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
   /** Apply pending deferred deletes as one physical renumbering delete;
     * metadata and FTS follow the same mapping. No-op without
     * tombstones. */
-  def compact(): GraftIndex = {
+  def compact(): GraftIndex = graft.util.Journal.bracket(path) {
     if (index.tombstonesOpt.isDefined) {
       Updater.compact(spark, index)
       if (graft.util.Fs.exists(metaPath)) {
@@ -534,8 +533,29 @@ final class GraftIndex private (val spark: SparkSession, val path: String) {
           .toDF("check", "ok", "expected", "actual")
           .withColumn("section", lit("meta")))
       } else Seq.empty
-    (Seq(vec) ++ fts ++ meta).reduce(_ union _)
+    // crashed-update residue (update_inflight marker, _tmp/_prev
+    // strays): rows appear ONLY when residue exists, so a healthy
+    // index's fsck output is unchanged. Detection only — repair is
+    // [[recover]] / the next update's bracket preamble.
+    val rec = graft.util.Journal.residue(path)
+    val recRows =
+      if (rec.isEmpty) Seq.empty
+      else Seq(Seq(("crashed_update_residue", false, 0L, rec.size.toLong))
+        .toDF("check", "ok", "expected", "actual")
+        .withColumn("section", lit("recovery")))
+    (Seq(vec) ++ fts ++ meta ++ recRows).reduce(_ union _)
       .select("section", "check", "ok", "expected", "actual")
+  }
+
+  /** Repair a crashed update: marker-driven rollback to the last
+    * committed state + stray sweep ([[graft.util.Journal.recover]]).
+    * No-op on a healthy index. Every update entry point runs this
+    * automatically before starting — this method exists for an admin
+    * who wants the repair WITHOUT queueing new work (the
+    * fsck-detects → recover → re-submit drill in CrashRecoverySpec). */
+  def recover(): GraftIndex = {
+    graft.util.Journal.recover(path)
+    this
   }
 
   // ---- npy interchange (B11, both directions) ----

@@ -121,10 +121,10 @@ object FtsIndex {
     * text_search.rs:579-686). */
   def appendRows(idx: FtsIndex, docs: DataFrame, idCol: String, textCol: String): FtsIndex = {
     val fresh = Fts.buildPostings(docs, idCol, textCol, idx.tokenizerName)
-    fresh.sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Append).parquet(s"${idx.path}/postings")
-    Fts.docLengthsOf(docs, idCol, textCol, idx.tokenizerName)
-      .write.mode(SaveMode.Append).parquet(s"${idx.path}/doclens")
+    Fs.appendTable(fresh.sortWithinPartitions("term", "doc_id"),
+      s"${idx.path}/postings")
+    Fs.appendTable(Fts.docLengthsOf(docs, idCol, textCol, idx.tokenizerName),
+      s"${idx.path}/doclens")
     new FtsIndex(idx.spark, idx.path)
   }
 

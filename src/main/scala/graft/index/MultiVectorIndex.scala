@@ -220,18 +220,20 @@ object MultiVectorIndex {
     // single-partition output skips repartitionByRange's extra
     // range-boundary sampling job (tiny indexes); multi-partition keeps
     // the range layout that makes the rerank gather a range read
-    (if (tokenParts == 1) encoded.coalesce(1)
-     else encoded.repartitionByRange(tokenParts, col("doc_id")))
-      .sortWithinPartitions("doc_id", "tok")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/tokens")
+    graft.util.Fs.rewrite(
+      (if (tokenParts == 1) encoded.coalesce(1)
+       else encoded.repartitionByRange(tokenParts, col("doc_id")))
+        .sortWithinPartitions("doc_id", "tok"),
+      s"$path/tokens")
 
     val tokensOut = spark.read.parquet(s"$path/tokens")
 
     // --- B8: IVF posting lists (sort+dedup, index.rs:479-508) ------------
-    tokensOut
-      .groupBy("code")
-      .agg(sort_array(collect_set("doc_id")).as("doc_ids"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/ivf")
+    graft.util.Fs.rewrite(
+      tokensOut
+        .groupBy("code")
+        .agg(sort_array(collect_set("doc_id")).as("doc_ids")),
+      s"$path/ivf")
 
     // --- doclens + doc_codes: one per-doc aggregation (single shuffle)
     // feeds both artifacts. doc_codes is persisted at build time so
@@ -249,10 +251,8 @@ object MultiVectorIndex {
     // AQE coalesces the small shuffle partitions of these aggregations
     // on its own — no manual coalesce (which would collapse the agg's
     // compute parallelism too)
-    perDoc.select("doc_id", "len")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
-    perDoc.select("doc_id", "codes")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doc_codes")
+    graft.util.Fs.rewrite(perDoc.select("doc_id", "len"), s"$path/doclens")
+    graft.util.Fs.rewrite(perDoc.select("doc_id", "codes"), s"$path/doc_codes")
     perDoc.unpersist()
 
     // --- codec + manifest -------------------------------------------------
@@ -344,10 +344,11 @@ object MultiVectorIndex {
     // search path's distributed centroid pass parallelizes
     val nParts = math.max(1L, k.toLong * codec.dim * 4 / (32L << 20)).toInt
     val codeRows = (0 until k).map(c => (c, codec.centroid(c))).toDF("code", "vec")
-    (if (nParts == 1) codeRows.coalesce(1)
-     else codeRows.repartitionByRange(nParts, col("code")))
-      .sortWithinPartitions("code")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
+    graft.util.Fs.rewrite(
+      (if (nParts == 1) codeRows.coalesce(1)
+       else codeRows.repartitionByRange(nParts, col("code")))
+        .sortWithinPartitions("code"),
+      s"$path/codec")
     val q = codec.quantizer
     val node = jsonMapper.createObjectNode()
     node.put("nbits", q.nbits)

@@ -91,7 +91,17 @@ object Updater {
       idx: MultiVectorIndex,
       newDocs: DataFrame,
       codecOverride: Option[Codec] = None,
-      refreshThreshold: Boolean = false): MultiVectorIndex = {
+      refreshThreshold: Boolean = false): MultiVectorIndex =
+    graft.util.Journal.bracket(idx.path) {
+      appendImpl(spark, idx, newDocs, codecOverride, refreshThreshold)
+    }
+
+  private def appendImpl(
+      spark: SparkSession,
+      idx: MultiVectorIndex,
+      newDocs: DataFrame,
+      codecOverride: Option[Codec],
+      refreshThreshold: Boolean): MultiVectorIndex = {
     import spark.implicits._
     val path = idx.path
     val codec = codecOverride.getOrElse(idx.codec)
@@ -144,14 +154,15 @@ object Updater {
       }
     val finalCodec = refreshedCodec.getOrElse(codec)
 
-    newTokens.select("doc_id", "tok", "code", "residual")
-      .write.mode(SaveMode.Append).parquet(s"$path/tokens")
-    newTokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      .write.mode(SaveMode.Append).parquet(s"$path/doclens")
-    newTokens.groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("tok"), col("code")))),
-        x => x.getField("code")).as("codes"))
-      .write.mode(SaveMode.Append).parquet(s"$path/doc_codes")
+    graft.util.Fs.appendTable(
+      newTokens.select("doc_id", "tok", "code", "residual"), s"$path/tokens")
+    graft.util.Fs.appendTable(
+      newTokens.groupBy("doc_id").agg(count(lit(1)).as("len")), s"$path/doclens")
+    graft.util.Fs.appendTable(
+      newTokens.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("tok"), col("code")))),
+          x => x.getField("code")).as("codes")),
+      s"$path/doc_codes")
 
     // IVF patch: merge new postings into affected codes (update.rs IVF
     // patch semantics — untouched codes pass through unchanged).
@@ -173,8 +184,9 @@ object Updater {
     // table would make a later mode-1 rebuild silently lose these docs.
     if (exists(s"$path/raw_docs")) {
       if (offset + nNew <= UpdateConfigDefaults.StartFromScratch)
-        newDocs.select((col("doc_id") + lit(offset)).as("doc_id"), col("embeddings"))
-          .write.mode(SaveMode.Append).parquet(s"$path/raw_docs")
+        graft.util.Fs.appendTable(
+          newDocs.select((col("doc_id") + lit(offset)).as("doc_id"), col("embeddings")),
+          s"$path/raw_docs")
       else deleteRecursively(s"$path/raw_docs")
     }
 
@@ -207,7 +219,11 @@ object Updater {
     * driver, and the old→new mapping joins are planned by size (the
     * mapping is re-read from parquet, so Catalyst broadcasts it only
     * when it actually fits). `del(doc_id)`. */
-  def deleteFrom(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
+  def deleteFrom(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex =
+    graft.util.Journal.bracket(idx.path) { deleteFromImpl(spark, idx, del) }
+
+  private def deleteFromImpl(
+      spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
     val path = idx.path
     val survivors = idx.doclens.select("doc_id")
       .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -273,7 +289,7 @@ object Updater {
     if (exists(staged)) {
       val df = spark.read.parquet(staged).select("doc_id")
       if (!df.isEmpty)
-        df.write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+        graft.util.Fs.appendTable(df, s"$path/tombstones")
       deleteRecursively(staged)
     }
   }
@@ -287,9 +303,10 @@ object Updater {
     * rewrite per delete, which at 100 TB turns every small delete into a
     * corpus-sized write — tombstones amortize N deletes into one
     * compaction rewrite while keeping the invariant at commit points. */
-  def deleteDeferred(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex = {
+  def deleteDeferred(spark: SparkSession, idx: MultiVectorIndex, del: DataFrame): MultiVectorIndex =
+    graft.util.Journal.bracket(idx.path) {
     recoverStagedTombstones(spark, idx.path)
-    del.select("doc_id").write.mode(SaveMode.Append).parquet(s"${idx.path}/tombstones")
+    graft.util.Fs.appendTable(del.select("doc_id"), s"${idx.path}/tombstones")
     idx
   }
 
@@ -297,7 +314,10 @@ object Updater {
     * renumber included); no-op without tombstones. The old→new mapping
     * lands in `<path>/last_delete_map` exactly like an eager delete, so
     * metadata/FTS sync works the same way. */
-  def compact(spark: SparkSession, idx: MultiVectorIndex): MultiVectorIndex = {
+  def compact(spark: SparkSession, idx: MultiVectorIndex): MultiVectorIndex =
+    graft.util.Journal.bracket(idx.path) { compactImpl(spark, idx) }
+
+  private def compactImpl(spark: SparkSession, idx: MultiVectorIndex): MultiVectorIndex = {
     val path = idx.path
     recoverStagedTombstones(spark, path)
     idx.tombstonesOpt match {
@@ -349,7 +369,14 @@ object Updater {
       spark: SparkSession,
       path: String,
       newDocs0: DataFrame,
-      cfg: UpdateConfig = UpdateConfig()): MultiVectorIndex = {
+      cfg: UpdateConfig = UpdateConfig()): MultiVectorIndex =
+    graft.util.Journal.bracket(path) { updateImpl(spark, path, newDocs0, cfg) }
+
+  private def updateImpl(
+      spark: SparkSession,
+      path: String,
+      newDocs0: DataFrame,
+      cfg: UpdateConfig): MultiVectorIndex = {
     if (!exists(s"$path/manifest.json")) {
       return MultiVectorIndex.build(spark, newDocs0, path,
         IndexConfig(nbits = cfg.nbits, seed = cfg.seed,
@@ -407,7 +434,7 @@ object Updater {
         val idx2 = append(spark, idx, newDocs)
         val newGlobal = newDocs.select((col("doc_id") + lit(idx.numDocuments)).as("doc_id"),
           col("embeddings"))
-        newGlobal.write.mode(SaveMode.Append).parquet(bufPath)
+        graft.util.Fs.appendTable(newGlobal, bufPath)
         idx2
       } else {
         // mode 3: buffer full — delete buffered docs, expand centroids on
@@ -459,8 +486,8 @@ object Updater {
           codecOverride = if (codec2.numCentroids != idxDel.codec.numCentroids) Some(codec2) else None,
           refreshThreshold = true)
         if (bufTombStaged)
-          spark.read.parquet(s"$path/pending_tomb")
-            .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+          graft.util.Fs.appendTable(
+            spark.read.parquet(s"$path/pending_tomb"), s"$path/tombstones")
         if (exists(s"$path/pending_tomb")) deleteRecursively(s"$path/pending_tomb")
         deleteRecursively(bufPath)
         deleteRecursively(s"$path/pending")

@@ -41,9 +41,49 @@ object Fs {
     else f.listStatus(p).toIndexedSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Delete, consulting the update journal: inside a [[Journal]]
+    * bracket the old dir is RETAINED as `_prev` for crash rollback
+    * (commit drops it); outside, a plain recursive delete. */
   def deleteRecursively(path: String): Unit = {
+    Journal.checkpoint(s"delete:$path")
+    if (!Journal.onDelete(path)) deleteRecursivelyRaw(path)
+  }
+
+  /** The journal-blind delete — journal internals and non-index
+    * cleanup paths that must never self-journal. */
+  private[util] def deleteRecursivelyRaw(path: String): Unit = {
     val (f, p) = fs(path)
     if (f.exists(p)) f.delete(p, true): Unit
+  }
+
+  /** Immediate child entry names of `path` (files AND dirs; empty if
+    * absent) — the journal's append-listing / stray-sweep primitive. */
+  private[graft] def listEntryNames(path: String): Seq[String] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+  }
+
+  /** Rename `src` onto `dst`, clearing any existing `dst` first (a
+    * Hadoop rename onto an existing dir would nest instead). Throws on
+    * failure — an unchecked false here would silently lose the swap. */
+  private[util] def renameOverwrite(src: String, dst: String): Unit = {
+    val (f, s) = fs(src)
+    val d = new HPath(dst)
+    if (f.exists(d) && !f.delete(d, true))
+      throw new java.io.IOException(s"renameOverwrite: failed to clear $dst")
+    if (!f.rename(s, d))
+      throw new java.io.IOException(s"renameOverwrite: rename $src -> $dst failed")
+  }
+
+  /** Parquet append, consulting the update journal: the dir's
+    * pre-append file listing is recorded first so a crash rolls the
+    * append back by pruning — nothing is copied. All index-table
+    * appends go through here, never raw `df.write.mode(Append)`. */
+  def appendTable(df: DataFrame, dir: String): Unit = {
+    Journal.onAppend(dir)
+    Journal.checkpoint(s"append:$dir")
+    df.write.mode(SaveMode.Append).parquet(dir)
   }
 
   /** Total byte footprint of `path` (recursive; 0 if absent) — the
@@ -95,8 +135,12 @@ object Fs {
     } finally in.close()
   }
 
-  /** Small side-file write (overwrite). Parent dirs are created. */
+  /** Small side-file write (overwrite). Parent dirs are created.
+    * Journal-aware: inside an update bracket the pre-image is recorded
+    * for crash rollback. */
   def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    Journal.onSideWrite(path)
+    Journal.checkpoint(s"write:$path")
     val (f, p) = fs(path)
     val out = f.create(p, true)
     try out.write(bytes)
@@ -112,6 +156,8 @@ object Fs {
     * whose only bad window is ABSENT-file (retried by readers as
     * stale), never partial content. */
   def replaceBytes(path: String, bytes: Array[Byte]): Unit = {
+    Journal.onSideWrite(path)
+    Journal.checkpoint(s"replace:$path")
     val (f, p) = fs(path)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
@@ -194,11 +240,19 @@ object Fs {
     * here would silently drop the table after the old version was
     * already deleted, so both are checked and escalated. */
   def rewrite(df: DataFrame, dir: String): Unit = {
+    Journal.checkpoint(s"rewrite:stage:$dir")
     val tmp = dir + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    Journal.checkpoint(s"rewrite:staged:$dir")
     val (f, p) = fs(dir)
-    if (f.exists(p) && !f.delete(p, true))
-      throw new java.io.IOException(s"rewrite: failed to delete old version at $dir")
+    // journaled swap retains the old version as `_prev` for rollback;
+    // non-journaled keeps the original delete+rename (the delete→rename
+    // window is rolled FORWARD by Journal.sweepStrays via `_SUCCESS`)
+    if (!Journal.onRewriteSwap(dir)) {
+      if (f.exists(p) && !f.delete(p, true))
+        throw new java.io.IOException(s"rewrite: failed to delete old version at $dir")
+    }
+    Journal.checkpoint(s"rewrite:swap:$dir")
     if (!f.rename(new HPath(tmp), p))
       throw new java.io.IOException(s"rewrite: failed to rename $tmp to $dir")
   }
