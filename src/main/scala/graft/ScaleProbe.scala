@@ -85,41 +85,25 @@ object ScaleProbe {
     "p_simhash", "p_ngram_jaccard", "p_srp_join", "f_bm25",
     "b8_ivf_build", "v_index_search")
 
-  def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(100)
-    val names =
-      if (args.length > 1) args(1).split(",").toSeq else DefaultQueries
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val base = s"/tmp/graft_scale_x$factor"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 64))
-      .config("spark.sql.session.timeZone", "UTC")
-      // 10 MB default is sized for small executors; at local[32]/128 GiB a
-      // 64 MB broadcast beats shuffling a 10^8-row probe side (and AQE
-      // still falls back from stats at runtime)
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val calibPre = Bench.calibrate(spark)
-
-    val tables =
-      if (args.length > 2) args(2).split(",").toSet
-      else Set("documents", "embeddings", "lineitem")
+  /** Generate the ×factor tables into `base` (cached — existing
+    * parquet is reused), single-sourcing every replication recipe for
+    * ScaleProbe, SweepProbe, and the pipeline rehearsals. Returns the
+    * generation wall seconds (0 when fully cached). */
+  def generateTables(
+      spark: SparkSession, sfDir: String, factor: Int, base: String,
+      tables: Set[String]): Double = {
+    val cpus = spark.sparkContext.defaultParallelism
     val reps = spark.range(factor).select(col("id").as("r"))
     def gen(name: String)(df: => DataFrame): Unit =
       if (tables(name) && !graft.util.Fs.exists(s"$base/$name.parquet"))
         df.write.parquet(s"$base/$name.parquet")
-
     // repartition the SOURCE (KBs) before the multiplying crossJoin, not
     // the multiplied output (GBs): the single-file source otherwise
     // leaves the whole generation single-partition. 2 tasks per core:
     // the output files (~40 MB) sit under the parquet split size, so
     // file count IS the read parallelism, and CPU-heavy consumers
     // (shingling, encode) straggle at exactly 1 task per core.
-    val nPart = cpus.toInt * 2
+    val nPart = cpus * 2
     val tGen0 = System.nanoTime()
     gen("documents") { replicatedDocuments(spark, sfDir, factor, nPart) }
     gen("embeddings") { replicatedEmbeddings(spark, sfDir, factor, nPart) }
@@ -182,6 +166,34 @@ object ScaleProbe {
           col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }
     val genSec = (System.nanoTime() - tGen0) / 1e9
+    genSec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq else DefaultQueries
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 64))
+      .config("spark.sql.session.timeZone", "UTC")
+      // 10 MB default is sized for small executors; at local[32]/128 GiB a
+      // 64 MB broadcast beats shuffling a 10^8-row probe side (and AQE
+      // still falls back from stats at runtime)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val calibPre = Bench.calibrate(spark)
+
+    val tables =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("documents", "embeddings", "lineitem")
+    val genSec = generateTables(spark, sfDir, factor, base, tables)
+
 
     // same warm-up as Bench so first-query numbers are comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()

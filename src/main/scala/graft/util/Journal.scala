@@ -201,7 +201,13 @@ object Journal {
           j.rewrites(k) = true
           persist(j)
         }
-        if (!Fs.exists(dir + "_prev")) Fs.renameOverwrite(dir, dir + "_prev")
+        // retention only preserves PRE-UPDATE state: a dir this journal
+        // itself created (existed-before=false — e.g. the compact
+        // scratch pending_compact) has nothing to retain; renaming it
+        // to _prev would make recovery resurrect an intra-update
+        // artifact (the drill's compact k=38 caught exactly that)
+        if (j.rewrites(k) && !Fs.exists(dir + "_prev"))
+          Fs.renameOverwrite(dir, dir + "_prev")
         else Fs.deleteRecursivelyRaw(dir)
       }
       true
@@ -284,11 +290,14 @@ object Journal {
         //    the live dir is still the pre-update version.
         rw.fieldNames().forEachRemaining { k =>
           val dir = s"$root/$k"
-          if (Fs.exists(dir + "_prev")) {
+          if (!rw.get(k).asBoolean()) {
+            // created by the crashed update: nothing pre-update to
+            // restore — drop it (and any _prev, defensively)
+            Fs.deleteRecursivelyRaw(dir)
+            Fs.deleteRecursivelyRaw(dir + "_prev")
+          } else if (Fs.exists(dir + "_prev")) {
             Fs.deleteRecursivelyRaw(dir)
             Fs.renameOverwrite(dir + "_prev", dir)
-          } else if (!rw.get(k).asBoolean()) {
-            Fs.deleteRecursivelyRaw(dir)
           }
         }
         // 3. prune appends back to the recorded listing (after step 2:
@@ -315,8 +324,13 @@ object Journal {
             java.util.Base64.getDecoder.decode(sd.get(k).asText()))
         }
         Fs.deleteRecursivelyRaw(mp)
-      }
-      sweepStrays(root)
+        // a marker means every stray belongs to the update just rolled
+        // back — _tmp stagings are pre-swap garbage here, NEVER a
+        // crashed non-journaled swap to roll forward (the drill's
+        // delete k=7 caught exactly that misclassification: the sweep
+        // promoted a staged last_delete_map into a phantom table)
+        sweepStrays(root, rollForwardTmp = false)
+      } else sweepStrays(root, rollForwardTmp = true)
     }
   }
 
@@ -346,16 +360,21 @@ object Journal {
     * target is somehow gone); `_tmp` from a crashed NON-journaled
     * rewrite → roll FORWARD when the swap died between delete and
     * rename (target gone, staging complete per `_SUCCESS`), else drop. */
-  private def sweepStrays(root: String): Unit = {
+  private def sweepStrays(root: String, rollForwardTmp: Boolean): Unit = {
     strayNames(root).foreach { n =>
       val p = s"$root/$n"
       if (n.endsWith("_prev")) {
-        val target = p.stripSuffix("_prev")
-        if (!Fs.exists(target)) Fs.renameOverwrite(p, target)
-        else Fs.deleteRecursivelyRaw(p)
+        // _prev strays exist only POST-commit (mid-journal retention is
+        // consumed by the marker-driven restore above): the committed
+        // state is authoritative, so residue is ALWAYS dropped — a
+        // missing target here means the update DELETED that table
+        // (compact's tombstone cleanup), not that restore is needed
+        // (the drill's compact k=53 caught the restore resurrecting a
+        // committed-away tombstone table)
+        Fs.deleteRecursivelyRaw(p)
       } else if (n.endsWith("_tmp")) {
         val target = p.stripSuffix("_tmp")
-        if (!Fs.exists(target) && Fs.exists(s"$p/_SUCCESS"))
+        if (rollForwardTmp && !Fs.exists(target) && Fs.exists(s"$p/_SUCCESS"))
           Fs.renameOverwrite(p, target)
         else Fs.deleteRecursivelyRaw(p)
       } else {
