@@ -124,6 +124,74 @@ object OptProbe {
           .as("lift_micro"))
   }
 
+  /** prefixFilterPairs with the shingle table localCheckpointed so the
+    * tokenize+explode+hash pipeline runs once instead of per consumer
+    * (probe/index legs, sizes, both verify joins). */
+  def prefixPairsCkpt(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.5,
+      ckptOrdered: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Dedup
+    val toks = Dedup.shingles(docs, idCol, textCol, shingleSize)
+      .select(col("doc_id"), col("sh").as("tok")).localCheckpoint()
+    val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val wPos = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
+    val wSz = Window.partitionBy("doc_id")
+    val ordered0 = toks.join(dfTbl, "tok")
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("sz", count(lit(1)).over(wSz))
+    val ordered = if (ckptOrdered) ordered0.localCheckpoint() else ordered0
+    val jt = minJaccard
+    val probe = ordered.filter(
+      col("pos") <= col("sz") - ceil(lit(jt) * col("sz") - lit(1e-6)) + lit(1L))
+    val index = ordered.filter(
+      col("pos") <= col("sz") -
+        ceil(lit(2.0 * jt / (1.0 + jt)) * col("sz") - lit(1e-6)) + lit(1L))
+    val cand = index.select(col("doc_id").as("a0"), col("sz").as("_n0"),
+        col("pos").as("_p0"), col("tok"))
+      .join(probe.select(col("doc_id").as("b0"), col("sz").as("_n1"),
+        col("pos").as("_p1"), col("tok")), "tok")
+      .filter(col("_n0") < col("_n1") ||
+        (col("_n0") === col("_n1") && col("a0") < col("b0")))
+      .filter(col("_n0") >= ceil(lit(jt) * col("_n1") - lit(1e-6)))
+      .groupBy("a0", "b0")
+      .agg(count(lit(1)).as("_m"),
+        max("_p0").as("_mp0"), max("_p1").as("_mp1"),
+        first("_n0").as("_fn0"), first("_n1").as("_fn1"))
+      .filter(col("_m") +
+        least(col("_fn0") - col("_mp0"), col("_fn1") - col("_mp1")) >=
+        ceil(lit(jt / (1.0 + jt)) * (col("_fn0") + col("_fn1")) - lit(1e-6)))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("a"), col("tok")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .withColumn("jaccard_bp",
+        expr("n_shared * 10000 div (n_a + n_b - n_shared)"))
+      .filter(col("jaccard_bp") >= (minJaccard * 10000).toLong)
+      .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp")
+  }
+
+  /** Co-occurrence pair edges by per-group collect+zip-explode instead
+    * of the groupwise self-join (the candidatePairs finding applied to
+    * the co-purchase edge build): one exchange on the group key, pairs
+    * enumerated from the sorted in-group array. Emits src < dst with
+    * the same multiset as the self-join form. */
+  def pairsByGroup(items: DataFrame, grpCol: String, itemCol: String): DataFrame =
+    items
+      .groupBy(col(grpCol).as("_g"))
+      .agg(sort_array(collect_set(col(itemCol))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ps) - 2), i -> struct(ps[i] AS src, slice(ps, i + 2, size(ps)) AS rest))")).as("e"))
+      .select(col("e.src").as("src"), explode(col("e.rest")).as("dst"))
+
   def main(args: Array[String]): Unit = {
     val exps = args.headOption.getOrElse("all")
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -219,6 +287,46 @@ object OptProbe {
       spark.stop()
       return
     }
+
+    if (want("prefix1")) ab("prefix1",
+      () => graft.pipeline.Dedup.prefixFilterPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5),
+      () => prefixPairsCkpt(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5))
+
+    if (want("prefix2")) ab("prefix2",
+      () => graft.pipeline.Dedup.prefixFilterPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5),
+      () => prefixPairsCkpt(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
+        ckptOrdered = true))
+
+    if (want("triedge")) ab("triedge",
+      () => {
+        val lp = Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val e = lp.select(col("ok"), col("pk").as("src"))
+          .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst")).select("src", "dst")
+        graft.operators.Graph.clusteringCoeff(e)
+      },
+      () => graft.operators.Graph.clusteringCoeff(
+        pairsByGroup(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")))
+
+    if (want("kcoreedge")) ab("kcoreedge",
+      () => {
+        val lp = Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val e = lp.select(col("ok"), col("pk").as("src"))
+          .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst")).select("src", "dst")
+        graft.operators.Graph.kCore(e, k = 80, peels = 8)
+      },
+      () => graft.operators.Graph.kCore(
+        pairsByGroup(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
+        k = 80, peels = 8))
 
     if (want("assoc")) ab("assoc",
       () => graft.operators.Assoc.rules(

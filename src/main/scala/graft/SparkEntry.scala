@@ -2600,25 +2600,25 @@ object SparkEntry {
     // over the part co-purchase graph (parts sharing an order) —
     // degree-ordered wedge join, 3 equi-join shuffles, hub-safe on
     // power-law graphs; one wedge join serves all three measures
-    "g_triangles" -> ((s, dir) => {
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = lp.select(col("ok"), col("pk").as("src"))
-        .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst")).select("src", "dst")
-      graft.operators.Graph.clusteringCoeff(e)
-    }),
+    "g_triangles" -> ((s, dir) =>
+      // r19: co-purchase edges via one group exchange + zip-explode
+      // instead of the lp self-join — same edge multiset (A/B
+      // hash-identical through clusteringCoeff), one less shuffle
+      graft.operators.Graph.clusteringCoeff(
+        graft.operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey"))),
     // k-core peeling of the part co-purchase graph (graph-quality
     // filter): 8 fixed peels at k=80 (converges by peel 7; ~7% of the
     // graph peels away), shrinking checkpointed edge set
-    "g_kcore" -> ((s, dir) => {
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = lp.select(col("ok"), col("pk").as("src"))
-        .join(lp.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst")).select("src", "dst")
-      graft.operators.Graph.kCore(e, k = 80, peels = 8)
-    }),
+    "g_kcore" -> ((s, dir) =>
+      // r19: same zip-explode edge build as g_triangles (A/B
+      // hash-identical through kCore)
+      graft.operators.Graph.kCore(
+        graft.operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey"),
+        k = 80, peels = 8)),
     // A-priori association rules over order baskets (items =
     // l_partkey): integer ppm/micro measures, bit-replayable
     "a_assoc_rules" -> ((s, dir) =>

@@ -26,6 +26,31 @@ import graft.util.Plan
   */
 object Graph {
 
+  /** Co-occurrence edges `(src, dst)` with `src < dst` from an
+    * item-in-group table: every unordered pair of distinct items
+    * sharing a group, once per group. Replaces the groupwise
+    * SELF-JOIN (`lp.join(lp, grp).filter(src < dst)`) with one
+    * exchange on the group key + per-group collect_set and a
+    * zip-of-slices pair explode — the same restructure that won 2.6×
+    * in `Dedup.candidatePairs` (the bands relation is exchanged once
+    * and never hash-probed against itself); here the interleaved A/B
+    * (OptProbe `triedge`/`kcoreedge`, hash-identical end-to-end) wins
+    * every rep at sf0.1. Groups are basket-sized (co-purchase orders),
+    * so the per-group quadratic is bounded exactly as in the join
+    * form; the lambda body is cheap per-CHUNK slicing (the measured
+    * non-trap regime). */
+  def coOccurrenceEdges(
+      items: DataFrame, grpCol: String, itemCol: String): DataFrame =
+    items
+      .groupBy(col(grpCol).as("_g"))
+      .agg(sort_array(collect_set(col(itemCol))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ps) - 2), " +
+          "i -> struct(ps[i] AS src, slice(ps, i + 2, size(ps)) AS rest))"))
+        .as("e"))
+      .select(col("e.src").as("src"), explode(col("e.rest")).as("dst"))
+
   /** `iterations` rounds of damped PageRank over directed
     * `edges(src, dst)` (pass both directions for an undirected graph).
     * Nodes = distinct edge endpoints. Output `(node, rank_micro)`. */

@@ -363,14 +363,26 @@ object Dedup {
       shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1], got $minJaccard")
     import org.apache.spark.sql.expressions.Window
+    // toks feeds FIVE consumers with non-identical exchange subtrees
+    // (df rollup, the ordered join, sizes, both verify joins) —
+    // ReuseExchange can't dedupe them, so without a barrier the
+    // tokenize+explode+hash pipeline re-runs per consumer (the r19
+    // before-plan showed 8 parquet scans). localCheckpoint materializes
+    // the shingle table once; same for `ordered`, whose probe/index
+    // legs differ only in the filter threshold and otherwise re-derive
+    // the df join + both windows twice each. Interleaved A/B at sf0.1
+    // (OptProbe prefix1/prefix2, hash-identical): ~10% per barrier.
     val toks = shingles(docs, idCol, textCol, shingleSize)
-      .select(col("doc_id"), col("sh").as("tok"))
+      .select(col("doc_id"), col("sh").as("tok")).localCheckpoint()
     val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
     val wPos = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
     val wSz = Window.partitionBy("doc_id")
+    // deterministic: tok is distinct per doc, so (tdf, tok) is a total
+    // order and row_number is reproducible — checkpoint-safe
     val ordered = toks.join(dfTbl, "tok")
       .withColumn("pos", row_number().over(wPos).cast("long"))
       .withColumn("sz", count(lit(1)).over(wSz))
+      .localCheckpoint()
     val jt = minJaccard
     val probe = ordered.filter(
       col("pos") <= col("sz") - ceil(lit(jt) * col("sz") - lit(1e-6)) + lit(1L))
