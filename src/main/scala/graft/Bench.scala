@@ -166,6 +166,15 @@ object Bench {
 
     val calibPre = calibrate(spark)
 
+    // GC accounting for the whole run: suite slowdowns that the CPU/IO
+    // calib can't see (r15-r18 "in-suite premium" on the graph family)
+    // show up here if they are collector pressure — making the heap
+    // question (SPARK_DRIVER_MEM) measurable instead of argued.
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val gcStart = gcMillis
+
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -303,7 +312,9 @@ object Bench {
       s""","calib":{"pre_1t":${d3(calibPre.t1)},"pre_32t":${d3(calibPre.tN)},""" +
         s""""pre_iow":${d3(calibPre.ioW)},"pre_ior":${d3(calibPre.ioR)},""" +
         s""""post_1t":${d3(calibPost.t1)},"post_32t":${d3(calibPost.tN)},""" +
-        s""""post_iow":${d3(calibPost.ioW)},"post_ior":${d3(calibPost.ioR)}}"""
+        s""""post_iow":${d3(calibPost.ioW)},"post_ior":${d3(calibPost.ioR)}}""" +
+        s""","gc_sec":${d3((gcMillis - gcStart) / 1000.0)}""" +
+        s""","heap_gb":${d3(Runtime.getRuntime.maxMemory / 1e9)}"""
     }
     def lineWith(queriesJson: String, extra: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson$extra,"errors":$es,"n_errors":${errors.size},"rerun_slowest":${rerunSlowest.size},"rerun":$rerunJson$recallField$qpsField$calibField,"sf":"$sfDir"}"""

@@ -178,6 +178,257 @@ object OptProbe {
       .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp")
   }
 
+  /** minhashDedupPairs with the shingle table localCheckpointed (it
+    * feeds the signature chain + three verify consumers). */
+  def minhashPairsCkpt(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize).localCheckpoint()
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, numPerm), rowsPerBand))
+    Dedup.jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** ngramJaccardPairs with the shingle table localCheckpointed. */
+  def ngramPairsCkpt(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxShingleDf: Int, minJaccard: Double,
+      minSharedRare: Int = 2): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize).localCheckpoint()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+      .select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val pairs = rareSh.groupBy("sh")
+      .agg(array_sort(collect_list("doc_id")).as("sids"))
+      .select(explode(expr(
+        "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+      .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minSharedRare)
+      .select("a", "b")
+    Dedup.jaccardVerify(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** duplicateClusters with the node-sized star minima broadcast into
+    * their edge-sized joins (bounded by 2x the checkpointed edge
+    * count, known each round) and the convergence `except` replaced by
+    * a left_anti over the already-distinct edge sets. */
+  def clustersBcast(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    var edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrs = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+      val mins = graft.util.Plan.broadcastIfBounded(
+        nbrs.groupBy("v").agg(least(min("u"), first("v")).as("m")),
+        2L * edgeCount, 24L)
+      val large = nbrs.join(mins, "v")
+        .filter(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val dir = large.select(greatest(col("a"), col("b")).as("v"),
+        least(col("a"), col("b")).as("u"))
+      val smins = graft.util.Plan.broadcastIfBounded(
+        dir.groupBy("v").agg(min("u").as("m")), 2L * edgeCount, 24L)
+      val small = dir.join(smins, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .union(smins.select(col("v").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
+        small.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = small
+      edgeCount = smallCount
+      it += 1
+    }
+    require(converged, s"clustersBcast did not converge in $maxIters rounds")
+    val labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("lbl"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** cosineDedupPairsWith restructured per guide §8: pair generation
+    * and the (a,b) dedup run over id-only rows (the multi-probe join
+    * key + 16 bytes), and the embeddings are attached afterwards by
+    * two joins against the (bounded, broadcastable) embedding table —
+    * the heavy payload never rides the pair-gen or dedup exchanges. */
+  def cosineDedupPairsLight(
+      spark: SparkSession, docs: DataFrame, centroids: Array[Float],
+      dim: Int, minCosine: Double, probes: Int): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.functions.ArrayMath.register(spark)
+    val assign = Similarity.assignTopP(spark, docs, centroids, dim, probes)
+    val aIds = assign.select(col("code"), col("vec_id").as("a"))
+    val bIds = assign.select(col("code"), col("vec_id").as("b"))
+    val pairs = aIds.join(bIds, "code")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates(Seq("a", "b"))
+    val emb = docs.select("vec_id", "embedding")
+    val nVec = emb.count()
+    val embB = graft.util.Plan.broadcastIfBounded(emb, nVec, 300L)
+    pairs
+      .join(embB.select(col("vec_id").as("a"), col("embedding").as("qemb")), "a")
+      .join(embB.select(col("vec_id").as("b"), col("embedding")), "b")
+      .withColumn("cosine",
+        expr("dot_f(qemb, embedding)") / greatest(
+          expr("sqrt(dot_f(qemb, qemb))") * expr("sqrt(dot_f(embedding, embedding))"), lit(1e-12)))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+
+  /** semDedup with id+simc pair generation and post-filter embedding
+    * attach (the cosineDedupPairsLight restructure). */
+  def semDedupLight(
+      spark: SparkSession, docs: DataFrame, centroids: Array[Float],
+      dim: Int, tau: Double, maxClusterSize: Int = 10000): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.functions.ArrayMath.register(spark)
+    import spark.implicits._
+    val centDf = broadcast(
+      centroids.grouped(dim).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("code", "centroid"))
+    val assign = Similarity.assignTopP(spark, docs, centroids, dim, p = 1)
+    val emb = docs.select("vec_id", "embedding")
+    val embB = graft.util.Plan.broadcastIfBounded(
+      emb, emb.count(), bytesPerRow = dim.toLong * 4L + 64L)
+    val members = assign
+      .join(embB, "vec_id")
+      .join(centDf, "code")
+      .withColumn("simc",
+        expr("dot_f(embedding, centroid)") /
+          greatest(expr("sqrt(dot_f(embedding, embedding))") *
+            expr("sqrt(dot_f(centroid, centroid))"), lit(1e-12)))
+      .select("code", "vec_id", "simc")
+    val okClusters = members.groupBy("code")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxClusterSize)
+      .select("code")
+    val a = members.join(okClusters, Seq("code"), "left_semi")
+      .select(col("code"), col("vec_id").as("a"), col("simc").as("simc_a"))
+    val b = members.join(okClusters, Seq("code"), "left_semi")
+      .select(col("code"), col("vec_id").as("b"), col("simc").as("simc_b"))
+    val dropped = a.join(b, "code")
+      .filter(col("simc_a") < col("simc_b") ||
+        (col("simc_a") === col("simc_b") && col("a") < col("b")))
+      .join(embB.select(col("vec_id").as("a"), col("embedding").as("qemb")), "a")
+      .join(embB.select(col("vec_id").as("b"), col("embedding")), "b")
+      .withColumn("cosine",
+        expr("dot_f(qemb, embedding)") / greatest(
+          expr("sqrt(dot_f(qemb, qemb))") * expr("sqrt(dot_f(embedding, embedding))"),
+          lit(1e-12)))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(struct(col("simc_a"), col("a"))).as("_m"))
+      .select(col("vec_id"), col("_m.a").as("dup_of"))
+    assign.select("vec_id", "code")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("code").cast("long").as("code"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** incrementalDedupPairs with the two band tables localCheckpointed
+    * (each feeds the occupancy union + its semi-join + the pair join,
+    * re-deriving the full shingle->signature->band chain per consumer). */
+  def incrDedupCkpt(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+      minJaccard: Double, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.pipeline.Dedup
+    val shC = Dedup.shingles(corpus, idCol, textCol, shingleSize)
+    val shN = Dedup.shingles(incoming, idCol, textCol, shingleSize)
+    val bandsC = Dedup.lshBands(Dedup.minhashSignatures(shC, numPerm), rowsPerBand)
+      .localCheckpoint()
+    val bandsN = Dedup.lshBands(Dedup.minhashSignatures(shN, numPerm), rowsPerBand)
+      .localCheckpoint()
+    val occ = bandsC.select("band", "band_sig")
+      .union(bandsN.select("band", "band_sig"))
+      .groupBy("band", "band_sig").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize && col("_n") >= 2)
+      .select("band", "band_sig")
+    val nOk = bandsN.join(occ, Seq("band", "band_sig"), "left_semi")
+    val cOk = bandsC.join(occ, Seq("band", "band_sig"), "left_semi")
+    val newXold = nOk.select(col("band"), col("band_sig"), col("doc_id").as("x"))
+      .join(cOk.select(col("band"), col("band_sig"), col("doc_id").as("y")),
+        Seq("band", "band_sig"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val newXnew = Dedup.candidatePairs(nOk, maxBucketSize)
+    val pairs = newXold.union(newXnew).distinct()
+    Dedup.jaccardVerify(pairs, shC.union(shN)).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** triangleDegrees with wedges enumerated by per-head collect +
+    * zip-explode over the rank-sorted out-neighborhood instead of the
+    * e1-x-e2 self-join on u: out-neighborhoods are O(sqrt m) by the
+    * degree orientation, so the collected arrays stay bounded on
+    * power-law graphs. */
+  def triangleDegreesWedgeExplode(edges: DataFrame): DataFrame = {
+    import graft.util.Plan
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val degAll = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val deg = Plan.broadcastIfBounded(degAll, degAll.count(), 24L)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val directed = withDeg.select(
+      expr("IF(struct(da, a) < struct(db, b), a, b)").as("u"),
+      expr("IF(struct(da, a) < struct(db, b), b, a)").as("v"),
+      expr("IF(struct(da, a) < struct(db, b), struct(db AS d, b AS n), " +
+        "struct(da AS d, a AS n))").as("rv"))
+      .localCheckpoint()
+    // per-head sorted out-neighborhood (sort key = the (deg, node) rank
+    // struct; node ids are unique so the order is total), pairs by
+    // zip-of-slices — one exchange on u replaces the e1-x-e2 self-join
+    val wedges = directed
+      .groupBy("u")
+      .agg(sort_array(collect_list(col("rv"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .select(col("u"), explode(expr(
+        "transform(sequence(0, size(ns) - 2), " +
+          "i -> struct(ns[i].n AS v1, transform(slice(ns, i + 2, size(ns)), x -> x.n) AS rest))"))
+        .as("e"))
+      .select(col("u"), col("e.v1").as("v1"), explode(col("e.rest")).as("v2"))
+    val closing = Plan.broadcastIfBounded(
+      directed.select(col("u").as("v1"), col("v").as("v2")),
+      directed.count(), bytesPerRow = 24L)
+    val tri = wedges.join(closing, Seq("v1", "v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    degAll.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  def clusteringCoeffWedgeExplode(edges: DataFrame): DataFrame =
+    triangleDegreesWedgeExplode(edges).select(col("node"), col("deg"), col("n_tri"),
+      when(col("deg") >= 2,
+        expr("(20000L * n_tri) div (deg * (deg - 1L))"))
+        .otherwise(lit(0L)).as("cc_bp"))
+
   /** Co-occurrence pair edges by per-group collect+zip-explode instead
     * of the groupwise self-join (the candidatePairs finding applied to
     * the co-purchase edge build): one exchange on the group key, pairs
@@ -254,7 +505,7 @@ object OptProbe {
     // prints per-job wall time + call site, and split construction
     // (eager work inside the query fn) from the final forced action.
     args.headOption.filter(_.startsWith("phase:")).foreach { a =>
-      val name = a.stripPrefix("phase:")
+      a.stripPrefix("phase:").split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       val done = scala.collection.mutable.ListBuffer.empty[(Int, Double, String)]
@@ -284,6 +535,7 @@ object OptProbe {
         }
       }
       spark.sparkContext.removeSparkListener(listener)
+      }
       spark.stop()
       return
     }
@@ -327,6 +579,97 @@ object OptProbe {
         pairsByGroup(Tables(spark, sfDir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
         k = 80, peels = 8))
+
+    if (want("cosdedup")) {
+      def arts() = {
+        val path = "/tmp/graft_cosdedup_" + sfDir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+        val vectors = spark.read.parquet(s"$path/vectors")
+        val centroids = spark.read.parquet(s"$path/centroids")
+          .orderBy("code").collect()
+          .flatMap(_.getAs[scala.collection.Seq[Float]]("centroid"))
+        (vectors, centroids)
+      }
+      ab("cosdedup",
+        () => {
+          val (v, c) = arts()
+          graft.pipeline.Similarity.cosineDedupPairsWith(spark, v, c,
+              singleAssign = None, dim = 64, minCosine = 0.95, probes = 2)
+            .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
+        },
+        () => {
+          val (v, c) = arts()
+          cosineDedupPairsLight(spark, v, c, dim = 64, minCosine = 0.95, probes = 2)
+            .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
+        })
+    }
+
+    if (want("incr")) ab("incr",
+      () => {
+        val d = Tables(spark, sfDir, "documents")
+        graft.pipeline.Dedup.incrementalDedupPairs(
+          d.filter(col("doc_id") % 10 < 8), d.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", 3, 16, 4, 0.5)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      () => {
+        val d = Tables(spark, sfDir, "documents")
+        incrDedupCkpt(
+          d.filter(col("doc_id") % 10 < 8), d.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", 3, 16, 4, 0.5)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      })
+
+    if (want("semdedup")) {
+      def arts2() = {
+        val path = "/tmp/graft_cosdedup_" + sfDir.stripSuffix("/").replaceAll("[^a-zA-Z0-9]", "_")
+        val vectors = spark.read.parquet(s"$path/vectors")
+        val centroids = spark.read.parquet(s"$path/centroids")
+          .orderBy("code").collect()
+          .flatMap(_.getAs[scala.collection.Seq[Float]]("centroid"))
+        (vectors, centroids)
+      }
+      ab("semdedup",
+        () => {
+          val (v, c) = arts2()
+          graft.pipeline.Similarity.semDedup(spark, v, c, dim = 64, tau = 0.95)
+        },
+        () => {
+          val (v, c) = arts2()
+          semDedupLight(spark, v, c, dim = 64, tau = 0.95)
+        })
+    }
+
+    if (want("wedge")) ab("wedge",
+      () => graft.operators.Graph.clusteringCoeff(
+        graft.operators.Graph.coOccurrenceEdges(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")),
+      () => clusteringCoeffWedgeExplode(
+        graft.operators.Graph.coOccurrenceEdges(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")))
+
+    if (want("lsh")) ab("lsh",
+      () => graft.pipeline.Dedup.minhashDedupPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5),
+      () => minhashPairsCkpt(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5))
+
+    if (want("ngram")) ab("ngram",
+      () => graft.pipeline.Dedup.ngramJaccardPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5),
+      () => ngramPairsCkpt(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5))
+
+    if (want("clusters")) ab("clusters",
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        graft.pipeline.Dedup.duplicateClusters(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
+      },
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        clustersBcast(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
+      })
 
     if (want("assoc")) ab("assoc",
       () => graft.operators.Assoc.rules(

@@ -754,8 +754,17 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val shC = shingles(corpus, idCol, textCol, shingleSize)
     val shN = shingles(incoming, idCol, textCol, shingleSize)
+    // each band table feeds THREE consumers with non-identical exchange
+    // subtrees (occupancy union, its own semi-join, the cross pair
+    // join) — without a barrier the whole shingle->signature->band
+    // chain re-derives per consumer (the r19 before-plan read the
+    // corpus 20x). localCheckpoint materializes each side once;
+    // interleaved A/B (OptProbe `incr`, hash-identical): wins warm
+    // (~9%) and removes the cold-path recompute cliff (22s -> 6s).
     val bandsC = lshBands(minhashSignatures(shC, numPerm), rowsPerBand)
+      .localCheckpoint()
     val bandsN = lshBands(minhashSignatures(shN, numPerm), rowsPerBand)
+      .localCheckpoint()
     // bucket cap over TOTAL occupancy (corpus + incoming), as in batch
     val occ = bandsC.select("band", "band_sig")
       .union(bandsN.select("band", "band_sig"))

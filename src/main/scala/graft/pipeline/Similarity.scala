@@ -451,15 +451,30 @@ object Similarity {
       case Some(a) if probes <= 1 => a
       case _ => assignTopP(spark, docs, centroids, dim, probes)
     }
-    val withEmb = assign.join(docs.select("vec_id", "embedding"), "vec_id")
-    val a = withEmb.select(col("code"), col("vec_id").as("a"), col("embedding").as("qemb"))
-    val b = withEmb.select(col("code"), col("vec_id").as("b"), col("embedding"))
-    a.join(b, "code")
+    // Guide §8 shape (r19): pair generation and the (a,b) dedup run
+    // over ID-ONLY rows; the embedding payload is attached AFTER by two
+    // joins against the (size-bounded, broadcastable) embedding table.
+    // The first formulation carried qemb+embedding through the cell
+    // self-join AND the dedup exchange — ~2 x dim x 4 bytes per
+    // candidate pair row moved twice for a decision that only needs the
+    // ids. Interleaved A/B at sf0.1 (OptProbe `cosdedup`): 2.6x, wins
+    // every rep, hash-identical. At corpus scale the broadcast bound
+    // falls back to plain equi-joins — still one payload attach per
+    // side instead of payload-through-dedup.
+    val aIds = assign.select(col("code"), col("vec_id").as("a"))
+    val bIds = assign.select(col("code"), col("vec_id").as("b"))
+    val pairs = aIds.join(bIds, "code")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("qemb"), col("embedding"))
+      .select("a", "b")
       // multi-probe can surface the same pair in several cells; the
       // embeddings are functionally determined by (a, b)
       .dropDuplicates(Seq("a", "b"))
+    val emb = docs.select("vec_id", "embedding")
+    val embB = graft.util.Plan.broadcastIfBounded(
+      emb, emb.count(), bytesPerRow = dim.toLong * 4L + 64L)
+    pairs
+      .join(embB.select(col("vec_id").as("a"), col("embedding").as("qemb")), "a")
+      .join(embB.select(col("vec_id").as("b"), col("embedding")), "b")
       .withColumn("cosine",
         dotExpr / greatest(normExpr("qemb") * normExpr("embedding"), lit(1e-12)))
       .filter(col("cosine") >= minCosine)
