@@ -86,8 +86,13 @@ object Graph {
       val contrib = e.join(shares, "src")
         .select(col("dst").as("node"), col("share"))
         .groupBy("node").agg(sum("share").as("inflow"))
+      // contrib is node-sized and already aggregated: broadcast the
+      // rank refresh too when it fits (r19 A/B `pagerank`: wins 3/4
+      // interleaved reps, 12.3->6.6 s cold, hash-identical) — the
+      // nodes spine then never re-sorts per iteration; billion-node
+      // graphs fall back to the shuffle join via the same bound
       rank = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(Plan.broadcastIfBounded(contrib, n, 16L), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_micro"))
     }
