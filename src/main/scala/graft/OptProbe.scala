@@ -344,6 +344,33 @@ object OptProbe {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** ed1Pairs with the deletion-neighborhood bucket pairs enumerated by
+    * collect+zip-explode (the candidatePairs shape): one exchange on
+    * `v` replaces the cap aggregation join AND the bucket self-join;
+    * the cap becomes a size filter on the collected array. */
+  def ed1PairsExplode(
+      df: DataFrame, tokCol: String,
+      minLen: Int = 4, maxLen: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val toks = df.select(col(tokCol).as("tok")).distinct()
+      .filter(length(col("tok")).between(minLen, maxLen))
+    val variants = toks
+      .select(col("tok"), explode(expr("sequence(0, length(tok))")).as("i"))
+      .select(col("tok"), when(col("i") === 0, col("tok"))
+        .otherwise(concat(
+          expr("substring(tok, 1, i - 1)"),
+          expr("substring(tok, i + 1, length(tok))"))).as("v"))
+      .distinct()
+    variants
+      .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
+      .filter(size(col("ts")).between(2, maxBucket))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS ta, slice(ts, i + 2, size(ts)) AS rest))")).as("e"))
+      .select(col("e.ta").as("tok_a"), explode(col("e.rest")).as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+  }
+
   /** incrementalDedupPairs with the two band tables localCheckpointed
     * (each feeds the occupancy union + its semi-join + the pair join,
     * re-deriving the full shingle->signature->band chain per consumer). */
@@ -601,6 +628,100 @@ object OptProbe {
           cosineDedupPairsLight(spark, v, c, dim = 64, minCosine = 0.95, probes = 2)
             .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
         })
+    }
+
+    if (want("dupspans")) ab("dupspans",
+      () => graft.pipeline.Dedup.duplicateSpans(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", windowTokens = 15),
+      () => {
+        // variant: window-hash table checkpointed (feeds the cross-doc
+        // df rollup + the semi-join probe)
+        import org.apache.spark.sql.expressions.Window
+        import graft.pipeline.NGrams
+        val L = 15
+        val w = Tables(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            expr(s"regexp_extract_all(lower(`text`), '[a-z0-9]+', 0)").as("toks"))
+          .select(col("doc_id"), posexplode(NGrams.zipExpr("toks", L)).as(Seq("pos", "pr")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            xxhash64(NGrams.fields("pr", L): _*).as("g"))
+          .localCheckpoint()
+        val crossDoc = w.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("g")
+        val dup = w.join(crossDoc, Seq("g"), "left_semi")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        dup
+          .withColumn("prev", lag("pos", 1).over(byDoc))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") > col("prev") + L, 1).otherwise(0))
+          .withColumn("island",
+            sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg(min("pos").as("start_pos"),
+            (max("pos") + L).as("end_pos"),
+            count(lit(1)).as("n_windows"))
+          .select("doc_id", "start_pos", "end_pos", "n_windows")
+      })
+
+    if (want("simhash")) ab("simhash",
+      () => graft.pipeline.Dedup.simhashDedupPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text"),
+      () => {
+        // variant: fingerprint table checkpointed (feeds the block
+        // tables + both verification joins)
+        import graft.pipeline.Dedup
+        val docs = Tables(spark, sfDir, "documents")
+        val bits = 60; val nBlocks = 6; val maxHamming = 3; val maxBucketSize = 1000
+        val bw = bits / nBlocks
+        val comboSize = nBlocks - maxHamming
+        val combos = (0 until nBlocks).combinations(comboSize).toSeq
+        val fp = Dedup.simhash(docs, "doc_id", "text", bits).localCheckpoint()
+        def bval(b: Int) = s"((simhash div shiftleft(1L, ${b * bw})) % shiftleft(1L, $bw))"
+        val keyStructs = combos.zipWithIndex.map { case (cs, tid) =>
+          val key = cs.zipWithIndex.map { case (b, j) =>
+            s"${bval(b)} * shiftleft(1L, ${(comboSize - 1 - j) * bw})"
+          }.mkString(" + ")
+          s"struct(${tid}L AS tid, $key AS bval)"
+        }
+        val tables = fp
+          .select(col("doc_id"), col("simhash"),
+            explode(expr(s"array(${keyStructs.mkString(", ")})")).as("e"))
+          .select(col("doc_id"), col("e.tid").as("tid"), col("e.bval").as("bval"))
+        val ok = tables.groupBy("tid", "bval").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize && col("_n") >= 2)
+          .select("tid", "bval")
+        val pairs = tables.join(ok, Seq("tid", "bval"), "left_semi")
+          .groupBy("tid", "bval")
+          .agg(collect_list("doc_id").as("ids"))
+          .select(array_sort(col("ids")).as("sids"))
+          .select(explode(expr(
+            "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+          .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+          .distinct()
+        pairs
+          .join(fp.select(col("doc_id").as("a"), col("simhash").as("fa")), "a")
+          .join(fp.select(col("doc_id").as("b"), col("simhash").as("fb")), "b")
+          .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+          .filter(col("hamming") <= maxHamming)
+          .select("a", "b", "hamming")
+      })
+
+    if (want("fuzzy")) {
+      def fuzzyToks() = {
+        val toks = Tables(spark, sfDir, "documents")
+          .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 7)").as("tok"))
+          .distinct()
+        val typos = toks
+          .filter(expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4 = 0"))
+          .select(concat(expr("substring(tok, 1, 2)"), lit("q"),
+            expr("substring(tok, 4, length(tok))")).as("tok"))
+        toks.unionAll(typos)
+      }
+      ab("fuzzy",
+        () => graft.pipeline.Fuzzy.ed1Pairs(fuzzyToks(), "tok"),
+        () => ed1PairsExplode(fuzzyToks(), "tok"))
     }
 
     if (want("incr")) ab("incr",

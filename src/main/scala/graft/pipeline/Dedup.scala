@@ -248,7 +248,12 @@ object Dedup {
     val bw = bits / nBlocks
     val comboSize = nBlocks - maxHamming
     val combos = (0 until nBlocks).combinations(comboSize).toSeq
-    val fp = simhash(docs, idCol, textCol, bits)
+    // fp (a 3-aggregation chain over the doc x term x bit explode)
+    // feeds the block tables AND both verification joins with
+    // non-identical exchanges — checkpoint so it computes once (r19
+    // A/B `simhash`: wins every rep, ~16% warm, 11.4s->4.8s cold,
+    // hash-identical)
+    val fp = simhash(docs, idCol, textCol, bits).localCheckpoint()
     def bval(b: Int) = s"((simhash div shiftleft(1L, ${b * bw})) % shiftleft(1L, $bw))"
     val keyStructs = combos.zipWithIndex.map { case (cs, tid) =>
       val key = cs.zipWithIndex.map { case (b, j) =>
@@ -598,12 +603,17 @@ object Dedup {
     // posexplode of zipped slices: pos comes from the explode itself and
     // the window hash runs POST-explode, codegen'd (the transform shape
     // evaluated xxhash64 interpreted per window — NGrams.scala)
+    // w feeds the cross-doc df rollup AND the semi-join probe with
+    // non-identical exchanges — checkpoint so the tokenize + window
+    // explode + hash runs once (r19 A/B `dupspans`: wins every rep,
+    // ~14% warm, 7.7s->2.6s cold, hash-identical)
     val w = docs
       .select(col(idCol).as("doc_id"),
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)").as("toks"))
       .select(col("doc_id"), posexplode(NGrams.zipExpr("toks", L)).as(Seq("pos", "pr")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(NGrams.fields("pr", L): _*).as("g"))
+      .localCheckpoint()
     val crossDoc = w.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

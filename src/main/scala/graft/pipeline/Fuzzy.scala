@@ -57,14 +57,21 @@ object Fuzzy {
           expr("substring(tok, 1, i - 1)"),
           expr("substring(tok, i + 1, length(tok))"))).as("v"))
       .distinct() // adjacent equal chars produce identical deletions
-    val capped = variants
-      .join(
-        variants.groupBy("v").agg(count(lit(1)).as("_occ"))
-          .filter(col("_occ") <= maxBucket).select("v"),
-        Seq("v"), "leftsemi")
-    capped.as("a").join(capped.as("b"),
-        col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
-      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+    // bucket pairs by collect+zip-explode (the candidatePairs shape,
+    // r19): ONE exchange on `v` replaces both the occupancy-cap
+    // aggregation join and the bucket self-join, and the skew cap
+    // becomes a size filter on the collected array (a hot neighborhood
+    // key is dropped before its quadratic pair fan-out, same guard
+    // semantics as the `_occ` form — singletons produced no pairs
+    // there either). Interleaved A/B at sf0.1 (OptProbe `fuzzy`):
+    // 1.6x warm, wins every rep, hash-identical (1220 rows).
+    variants
+      .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
+      .filter(size(col("ts")).between(2, maxBucket))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS ta, slice(ts, i + 2, size(ts)) AS rest))")).as("e"))
+      .select(col("e.ta").as("tok_a"), explode(col("e.rest")).as("tok_b"))
       .distinct()
       .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
   }
