@@ -630,6 +630,90 @@ object OptProbe {
         })
     }
 
+    if (want("popneg")) {
+      def inter0() = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+        .hint("merge")
+        .join(Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      ab("popneg",
+        () => graft.pipeline.Similarity.popularityNegatives(
+          inter0(), "o_custkey", "l_partkey", k = 5),
+        () => graft.pipeline.Similarity.popularityNegatives(
+          inter0().localCheckpoint(), "o_custkey", "l_partkey", k = 5))
+    }
+
+    if (want("negsample")) {
+      def inter1() = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+        .hint("merge")
+        .join(Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      val nItems = Tables(spark, sfDir, "part").count()
+      ab("negsample",
+        () => graft.pipeline.Similarity.uniformNegatives(
+          inter1(), "o_custkey", "l_partkey", nItems, k = 5, idBase = 1L),
+        () => graft.pipeline.Similarity.uniformNegatives(
+          inter1().localCheckpoint(), "o_custkey", "l_partkey", nItems, k = 5, idBase = 1L))
+    }
+
+    if (want("tfidf")) {
+      def tfidfQ(ckpt: Boolean) = {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(spark, sfDir, "documents")
+        val nDocs = docs.count()
+        val post0 = graft.fts.Fts.buildPostings(docs, "doc_id", "text")
+        val post = if (ckpt) post0.localCheckpoint() else post0
+        val dfTbl = post.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term"))
+        post.join(dfTbl, "term")
+          .withColumn("score_micro", col("tf") *
+            expr(s"CAST(round(ln(($nDocs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("doc_id", "rank", "term", "score_micro")
+      }
+      ab("tfidf", () => tfidfQ(false), () => tfidfQ(true))
+    }
+
+    if (want("repetition")) {
+      def repQ(ckpt: Boolean) = {
+        val docs = Tables(spark, sfDir, "documents")
+        val w0 = docs.select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+        val w = if (ckpt) w0.localCheckpoint() else w0
+        def grams(n: Int): DataFrame =
+          if (n == 1)
+            w.select(col("doc_id"), lit(1).as("n"), explode(col("ws")).as("t"))
+              .select(col("doc_id"), col("n"), xxhash64(col("t")).as("gram"))
+          else
+            w.select(col("doc_id"), lit(n).as("n"),
+                explode(graft.pipeline.NGrams.zipExpr("ws", n)).as("pr"))
+              .select(col("doc_id"), col("n"),
+                xxhash64(graft.pipeline.NGrams.fields("pr", n): _*).as("gram"))
+        val g = (1 to 3).map(grams).reduce(_ unionAll _)
+        val agg = g.groupBy("doc_id", "n", "gram").count()
+          .groupBy("doc_id", "n")
+          .agg(max("count").as("maxc"), sum("count").as("tot"),
+            count(lit(1)).as("ndist"))
+        def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+        val piv = agg.groupBy("doc_id").agg(
+          pick(1, "maxc").as("maxc1"), pick(1, "tot").as("tot1"), pick(1, "ndist").as("ndist1"),
+          pick(2, "maxc").as("maxc2"), pick(2, "tot").as("tot2"),
+          pick(3, "maxc").as("maxc3"), pick(3, "tot").as("tot3"))
+        docs.select(col("doc_id")).join(piv, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            round(coalesce(lit(1.0) - col("ndist1") / col("tot1"), lit(0.0)), 4)
+              .as("dup_word_frac"),
+            round(coalesce(col("maxc1") / col("tot1"), lit(0.0)), 4).as("top_word_frac"),
+            round(coalesce(col("maxc2") / col("tot2"), lit(0.0)), 4).as("top_bigram_frac"),
+            round(coalesce(col("maxc3") / col("tot3"), lit(0.0)), 4).as("top_trigram_frac"))
+      }
+      ab("repetition", () => repQ(false), () => repQ(true))
+    }
+
     if (want("dupspans")) ab("dupspans",
       () => graft.pipeline.Dedup.duplicateSpans(
         Tables(spark, sfDir, "documents"), "doc_id", "text", windowTokens = 15),

