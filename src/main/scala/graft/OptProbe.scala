@@ -54,6 +54,46 @@ object OptProbe {
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** kCore with checkpoint+count every SECOND peel: the intermediate
+    * peel's survivor set still broadcasts, but its edge set stays lazy
+    * (recomputed once inside the next peel's aggregate and once in the
+    * checkpoint — cheap broadcast semi-joins), halving the
+    * materialization/count job pairs. */
+  def kCoreStride2(edges: DataFrame, k: Int, peels: Int): DataFrame = {
+    import graft.util.Plan
+    val und0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var adj = und0.select(col("a").as("u"), col("b").as("v"))
+      .union(und0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val n0 = adj.select("u").distinct().count()
+    var prevEdges = adj.count()
+    var continue = true
+    var done = 0
+    while (continue && done < peels) {
+      val stride = math.min(2, peels - done)
+      var cur = adj
+      for (_ <- 1 to stride) {
+        val alive = Plan.broadcastIfBounded(
+          cur.groupBy("u").agg(count(lit(1)).as("_d"))
+            .filter(col("_d") >= k).select("u"),
+          n0)
+        cur = cur
+          .join(alive, Seq("u"), "left_semi")
+          .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+      }
+      adj = cur.localCheckpoint()
+      done += stride
+      val c = adj.count()
+      if (c == prevEdges) continue = false
+      prevEdges = c
+    }
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** pageRank with the per-iteration rank refresh as a broadcast hash
     * join (contrib is node-sized and already aggregated) instead of a
     * sort-merge left join that exchanges `nodes` every iteration. */
@@ -629,6 +669,16 @@ object OptProbe {
             .select(col("a"), col("b"), round(col("cosine"), 5).as("cosine"))
         })
     }
+
+    if (want("kcore2")) ab("kcore2",
+      () => graft.operators.Graph.kCore(
+        graft.operators.Graph.coOccurrenceEdges(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
+        k = 80, peels = 8),
+      () => kCoreStride2(
+        graft.operators.Graph.coOccurrenceEdges(Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
+        k = 80, peels = 8))
 
     if (want("popneg")) {
       def inter0() = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
