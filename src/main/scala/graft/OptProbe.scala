@@ -510,6 +510,367 @@ object OptProbe {
         "transform(sequence(0, size(ps) - 2), i -> struct(ps[i] AS src, slice(ps, i + 2, size(ps)) AS rest))")).as("e"))
       .select(col("e.src").as("src"), explode(col("e.rest")).as("dst"))
 
+  // ---- r20 candidates ----
+
+  /** prefixFilterPairs with the final verify as the array-intersect
+    * shape (the jaccardVerify r20 form): per-doc token arrays collected
+    * once from the already-checkpointed `toks`, attached to the
+    * candidate pairs by two doc_id-keyed joins over the SAME set-table
+    * subtree, intersection in the projection. Replaces the (b, tok)
+    * re-shuffle of Σ|A|-per-pair rows + pair-count aggregate + two
+    * size joins. */
+  def prefixPairsArrVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Dedup
+    val toks = Dedup.shingles(docs, idCol, textCol, shingleSize)
+      .select(col("doc_id"), col("sh").as("tok")).localCheckpoint()
+    val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val wPos = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
+    val wSz = Window.partitionBy("doc_id")
+    val ordered = toks.join(dfTbl, "tok")
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .localCheckpoint()
+    val jt = minJaccard
+    val probe = ordered.filter(
+      col("pos") <= col("sz") - ceil(lit(jt) * col("sz") - lit(1e-6)) + lit(1L))
+    val index = ordered.filter(
+      col("pos") <= col("sz") -
+        ceil(lit(2.0 * jt / (1.0 + jt)) * col("sz") - lit(1e-6)) + lit(1L))
+    val cand = index.select(col("doc_id").as("a0"), col("sz").as("_n0"),
+        col("pos").as("_p0"), col("tok"))
+      .join(probe.select(col("doc_id").as("b0"), col("sz").as("_n1"),
+        col("pos").as("_p1"), col("tok")), "tok")
+      .filter(col("_n0") < col("_n1") ||
+        (col("_n0") === col("_n1") && col("a0") < col("b0")))
+      .filter(col("_n0") >= ceil(lit(jt) * col("_n1") - lit(1e-6)))
+      .groupBy("a0", "b0")
+      .agg(count(lit(1)).as("_m"),
+        max("_p0").as("_mp0"), max("_p1").as("_mp1"),
+        first("_n0").as("_fn0"), first("_n1").as("_fn1"))
+      .filter(col("_m") +
+        least(col("_fn0") - col("_mp0"), col("_fn1") - col("_mp1")) >=
+        ceil(lit(jt / (1.0 + jt)) * (col("_fn0") + col("_fn1")) - lit(1e-6)))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+    val sets = toks.groupBy("doc_id")
+      .agg(collect_list("tok").as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ss").as("sa"),
+        col("n").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ss").as("sb"),
+        col("n").as("n_b")), "b")
+      .withColumn("n_shared",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_bp",
+        expr("n_shared * 10000 div (n_a + n_b - n_shared)"))
+      .filter(col("jaccard_bp") >= (minJaccard * 10000).toLong)
+      .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_bp")
+  }
+
+  /** Assoc.rules with the basket self-join replaced by collect+
+    * zip-explode over the already-checkpointed capped item table (the
+    * candidatePairs shape): one basket-keyed exchange emits each
+    * unordered pair once, instead of the self-join's B·B stream
+    * filtered to a < b. Arrays are bounded by maxBasketSize — and only
+    * already-capped baskets are collected, so the ed1Pairs
+    * aggregation-buffer hazard does not apply. */
+  def assocRulesZip(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxBasketSize: Int = 64): DataFrame = {
+    import graft.operators.Assoc
+    val ok = Assoc.cappedItems(baskets, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint()
+    val nb = ok.agg(countDistinct("basket").as("n_baskets"))
+    val ic = ok.groupBy("item").agg(count(lit(1)).as("n"))
+    val pc = ok.groupBy("basket")
+      .agg(sort_array(collect_list("item")).as("is"))
+      .filter(size(col("is")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(is) - 2), " +
+          "i -> struct(is[i] AS ia, slice(is, i + 2, size(is)) AS rest))")).as("e"))
+      .select(col("e.ia").as("item_a"), explode(col("e.rest")).as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pc
+      .join(ic.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(ic.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .crossJoin(broadcast(nb))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST((1000000L * n_ab) div n_baskets AS BIGINT)").as("support_ppm"),
+        expr("CAST((1000000L * n_ab) div n_a AS BIGINT)").as("conf_ab_ppm"),
+        expr("CAST((1000000L * n_ab) div n_b AS BIGINT)").as("conf_ba_ppm"),
+        expr("CAST((1000000L * n_ab * n_baskets) div (n_a * n_b) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
+  /** JsonMeta.append with `existing` localCheckpointed: the current
+    * form computes `existing` TWICE (the offset count and the final
+    * union leg re-derive its whole create() pipeline — from_json parse
+    * + dense resequence); the checkpoint materializes it once and the
+    * count reads the checkpoint. */
+  def jsonAppendCkpt(spark: SparkSession, existing: DataFrame,
+      rows: DataFrame): DataFrame = {
+    import graft.meta.JsonMeta
+    if (rows.isEmpty) return existing
+    val ex = existing.localCheckpoint()
+    val newTable = JsonMeta.create(spark, rows)
+    val offset = ex.count()
+    val shifted = newTable.withColumn("_subset_", col("_subset_") + lit(offset))
+    import org.apache.spark.sql.types._
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case _ => StringType
+    }
+    val existingTypes = ex.schema.fields.map(f => f.name -> f.dataType).toMap
+    val newTypes = shifted.schema.fields.map(f => f.name -> f.dataType).toMap
+    val allCols = (ex.schema.fieldNames ++
+      shifted.schema.fieldNames.filterNot(existingTypes.contains)).toSeq
+    def aligned(df: DataFrame, types: Map[String, DataType]): DataFrame =
+      df.select(allCols.map { c =>
+        val target = (existingTypes.get(c), newTypes.get(c)) match {
+          case (Some(a), Some(b)) => widen(a, b)
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case _                  => StringType
+        }
+        (if (types.contains(c)) col(c).cast(target)
+         else lit(null).cast(target)).as(c)
+      }: _*)
+    aligned(ex, existingTypes).unionByName(aligned(shifted, newTypes))
+  }
+
+  /** jaccardVerify with per-doc shingle-set ARRAYS: collect each
+    * endpoint doc's (distinct) shingle set once, attach both arrays to
+    * the candidate pairs by two doc_id-keyed joins (identical subtrees
+    * — one exchange, ReuseExchange dedupes), and compute
+    * |A∩B| = size(array_intersect(sa, sb)) in the projection. The
+    * join-based verify shuffles |pairs| x |A| intersection rows on
+    * (b, sh); this shuffles each pair's two arrays exactly once. Same
+    * jaccard doubles: sizes are the array sizes, inter counts distinct
+    * matches (sh is distinct per doc on both paths). */
+  def jaccardVerifyArrays(
+      pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list("sh").as("ss"), count(lit(1)).as("n"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("ss").as("sa"),
+        col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ss").as("sb"),
+        col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+
+  /** ngramJaccardPairs with the array-based verify. */
+  def ngramPairsArrVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxShingleDf: Int, minJaccard: Double,
+      minSharedRare: Int = 2): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+      .select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val pairs = rareSh.groupBy("sh")
+      .agg(array_sort(collect_list("doc_id")).as("sids"))
+      .select(explode(expr(
+        "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+      .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minSharedRare)
+      .select("a", "b")
+    jaccardVerifyArrays(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** minhashDedupPairs with the array-based verify. */
+  def minhashPairsArrVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, numPerm), rowsPerBand))
+    jaccardVerifyArrays(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** c4Clean with the regex-heavy `lines` table localCheckpointed (it
+    * feeds the boilerplate-df rollup AND the join probe with
+    * non-identical exchanges — the dupspans/simhash r19 pattern). */
+  def c4CleanCkpt(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, maxLineDf: Int = 2,
+      minKeptLines: Int = 3): DataFrame = {
+    import graft.pipeline.Dedup
+    val lines = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .select(col("doc_id"), lower(col("_t")).contains("lorem ipsum").as("has_lorem"),
+        col("_t").contains("{").as("has_brace"),
+        posexplode(split(col("_t"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lt", trim(col("line")))
+      .withColumn("rule_keep",
+        col("lt").rlike("[.!?\"”]$") &&
+          size(expr("regexp_extract_all(lower(lt), '[a-z0-9]+', 0)")) >= minLineWords &&
+          !lower(col("lt")).contains("javascript"))
+      .withColumn("lh", Dedup.hash60(Dedup.normText(col("lt")), lit(0)))
+      .drop("line")
+      .localCheckpoint()
+    val df = lines.filter(col("rule_keep"))
+      .select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_df"))
+    lines
+      .join(df, Seq("lh"), "left")
+      .withColumn("keep",
+        col("rule_keep") && coalesce(col("line_df"), lit(0L)) <= maxLineDf)
+      .groupBy("doc_id")
+      .agg(
+        coalesce(concat_ws("\n",
+          expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, lt) END)), x -> x.lt)")),
+          lit("")).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("rule_keep"), 1L).otherwise(0L)).as("n_dropped_rule"),
+        sum(when(col("rule_keep") && !col("keep"), 1L).otherwise(0L))
+          .as("n_dropped_boiler"),
+        (!first(col("has_lorem")) && !first(col("has_brace"))).as("_pp"))
+      .withColumn("page_pass", col("_pp") && col("n_kept") >= minKeptLines)
+      .select("doc_id", "clean_text", "n_lines", "n_kept",
+        "n_dropped_rule", "n_dropped_boiler", "page_pass")
+  }
+
+  /** The p_c4_clean gate's synthetic line structure, replicated for the
+    * A/B (SparkEntry builds it inline). */
+  def c4LinedInput(docs: DataFrame): DataFrame = docs
+    .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    .withColumn("chunks", expr(
+      "CASE WHEN size(tk) = 0 THEN CAST(array() AS array<string>) ELSE " +
+        "transform(sequence(0, CAST(ceil(size(tk) / 8.0) AS INT) - 1), i -> " +
+        "concat(concat_ws(' ', slice(tk, i * 8 + 1, 8)), " +
+        "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"))
+    .withColumn("extra", expr(
+      "concat(" +
+        "CASE WHEN doc_id % 3 = 0 THEN array('sign up for our newsletter today.') ELSE CAST(array() AS array<string>) END, " +
+        "CASE WHEN doc_id % 7 = 0 THEN array('all rights reserved by example corp.') ELSE CAST(array() AS array<string>) END, " +
+        "CASE WHEN doc_id % 89 = 0 THEN array('lorem ipsum dolor sit amet.') ELSE CAST(array() AS array<string>) END, " +
+        "CASE WHEN doc_id % 97 = 0 THEN array('function render() {') ELSE CAST(array() AS array<string>) END)"))
+    .withColumn("text2", concat_ws("\n", concat(col("chunks"), col("extra"))))
+    .select("doc_id", "text2")
+
+  /** ed1Pairs with the occupancy-cap restored as an allocation-free
+    * count prepass + left_semi on the SAME exchange (the candidatePairs
+    * guard shape): a hot deletion-variant key is dropped before
+    * collect_list ever materializes its array. */
+  def ed1PairsOccGuard(
+      df: DataFrame, tokCol: String,
+      minLen: Int = 4, maxLen: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val toks = df.select(col(tokCol).as("tok")).distinct()
+      .filter(length(col("tok")).between(minLen, maxLen))
+    val variants = toks
+      .select(col("tok"), explode(expr("sequence(0, length(tok))")).as("i"))
+      .select(col("tok"), when(col("i") === 0, col("tok"))
+        .otherwise(concat(
+          expr("substring(tok, 1, i - 1)"),
+          expr("substring(tok, i + 1, length(tok))"))).as("v"))
+      .distinct()
+    val ok = variants.groupBy("v").agg(count(lit(1)).as("_n"))
+      .filter(col("_n").between(2, maxBucket))
+      .select("v")
+    variants.join(ok, Seq("v"), "left_semi")
+      .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS ta, slice(ts, i + 2, size(ts)) AS rest))")).as("e"))
+      .select(col("e.ta").as("tok_a"), explode(col("e.rest")).as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+  }
+
+  /** ed1Pairs with the occupancy cap as a WINDOW count over the same
+    * v-keyed exchange: one derivation of `variants`, one exchange —
+    * vs the applied count-prepass + left_semi, whose broadcast side
+    * re-derives the whole deletion-variant subtree (the after-plan
+    * shows variants twice). Still allocation-free in the ADVICE sense:
+    * WindowExec buffers a hot key's ROWS with disk spill, never an
+    * aggregation-buffer array, and the filter drops the bucket before
+    * collect_list sees it. */
+  def ed1PairsWindowGuard(
+      df: DataFrame, tokCol: String,
+      minLen: Int = 4, maxLen: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(tokCol).as("tok")).distinct()
+      .filter(length(col("tok")).between(minLen, maxLen))
+    val variants = toks
+      .select(col("tok"), explode(expr("sequence(0, length(tok))")).as("i"))
+      .select(col("tok"), when(col("i") === 0, col("tok"))
+        .otherwise(concat(
+          expr("substring(tok, 1, i - 1)"),
+          expr("substring(tok, i + 1, length(tok))"))).as("v"))
+      .distinct()
+    variants
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("v")))
+      .filter(col("_n").between(2, maxBucket))
+      .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS ta, slice(ts, i + 2, size(ts)) AS rest))")).as("e"))
+      .select(col("e.ta").as("tok_a"), explode(col("e.rest")).as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+  }
+
+  /** duplicateClusters with the per-round count of the PREVIOUS edge
+    * set carried in a driver variable instead of re-counted from its
+    * checkpointed blocks every round (exact same convergence test). */
+  def clustersCarriedCount(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrs = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+      val mins = nbrs.groupBy("v").agg(least(min("u"), first("v")).as("m"))
+      val large = nbrs.join(mins, "v")
+        .filter(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val dir = large.select(greatest(col("a"), col("b")).as("v"),
+        least(col("a"), col("b")).as("u"))
+      val smins = dir.groupBy("v").agg(min("u").as("m"))
+      val small = dir.join(smins, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .union(smins.select(col("v").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
+      edges = small
+      edgeCount = smallCount
+      it += 1
+    }
+    require(converged, s"clustersCarriedCount did not converge in $maxIters rounds")
+    val labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("lbl"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val exps = args.headOption.getOrElse("all")
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -926,12 +1287,120 @@ object OptProbe {
           graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
       })
 
+    if (want("jacng")) ab("jacng",
+      () => graft.pipeline.Dedup.ngramJaccardPairs(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      () => ngramPairsArrVerify(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")))
+
+    if (want("jaclsh")) ab("jaclsh",
+      () => graft.pipeline.Dedup.minhashDedupPairs(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      () => minhashPairsArrVerify(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")))
+
+    if (want("c4clean")) ab("c4clean",
+      () => graft.pipeline.Boilerplate.c4Clean(
+          c4LinedInput(Tables(spark, sfDir, "documents")), "doc_id", "text2")
+        .select(col("doc_id"), md5(col("clean_text")).as("md5_clean"),
+          length(col("clean_text")).cast("long").as("n_clean_chars"),
+          col("n_lines"), col("n_kept"), col("n_dropped_rule"),
+          col("n_dropped_boiler"), col("page_pass")),
+      () => c4CleanCkpt(
+          c4LinedInput(Tables(spark, sfDir, "documents")), "doc_id", "text2")
+        .select(col("doc_id"), md5(col("clean_text")).as("md5_clean"),
+          length(col("clean_text")).cast("long").as("n_clean_chars"),
+          col("n_lines"), col("n_kept"), col("n_dropped_rule"),
+          col("n_dropped_boiler"), col("page_pass")))
+
+    if (want("fuzzy2")) {
+      def fuzzyToks2() = {
+        val toks = Tables(spark, sfDir, "documents")
+          .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 7)").as("tok"))
+          .distinct()
+        val typos = toks
+          .filter(expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4 = 0"))
+          .select(concat(expr("substring(tok, 1, 2)"), lit("q"),
+            expr("substring(tok, 4, length(tok))")).as("tok"))
+        toks.unionAll(typos)
+      }
+      ab("fuzzy2",
+        () => graft.pipeline.Fuzzy.ed1Pairs(fuzzyToks2(), "tok"),
+        () => ed1PairsOccGuard(fuzzyToks2(), "tok"))
+    }
+
+    if (want("clusters2")) ab("clusters2",
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        graft.pipeline.Dedup.duplicateClusters(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
+      },
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        clustersCarriedCount(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
+      })
+
+    if (want("prefixv")) ab("prefixv",
+      () => graft.pipeline.Dedup.prefixFilterPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5),
+      () => prefixPairsArrVerify(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5))
+
+    if (want("mcreate")) {
+      def batches() = {
+        val c = Tables(spark, sfDir, "customer")
+        val batch1 = c.filter(col("c_custkey") < 750)
+          .select(col("c_custkey").as("order"),
+            to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              (col("c_acctbal") > 0).as("active"))).as("json"))
+        val batch2 = c.filter(col("c_custkey") >= 750)
+          .select(col("c_custkey").as("order"),
+            to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              (col("c_acctbal") > 0).as("active"), col("c_mktsegment"),
+              array(col("c_mktsegment")).as("tags"))).as("json"))
+        (batch1, batch2)
+      }
+      def out(appended: DataFrame) = {
+        val withEvolved = Seq("c_mktsegment", "tags").foldLeft(appended) { (df, c) =>
+          if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+        }
+        withEvolved.select("_subset_", "c_custkey", "c_name", "c_acctbal",
+          "active", "c_mktsegment", "tags")
+      }
+      ab("mcreate",
+        () => {
+          val (b1, b2) = batches()
+          val base = graft.meta.JsonMeta.create(spark, b1)
+          out(graft.meta.JsonMeta.append(spark, base, b2))
+        },
+        () => {
+          val (b1, b2) = batches()
+          val base = graft.meta.JsonMeta.create(spark, b1)
+          out(jsonAppendCkpt(spark, base, b2))
+        })
+    }
+
     if (want("assoc")) ab("assoc",
       () => graft.operators.Assoc.rules(
         Tables(spark, sfDir, "lineitem")
           .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
         "basket", "item", minPairCount = 2L, maxBasketSize = 8),
       () => assocRulesShared(
+        Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        "basket", "item", minPairCount = 2L, maxBasketSize = 8))
+
+    if (want("assoc2")) ab("assoc2",
+      () => graft.operators.Assoc.rules(
+        Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        "basket", "item", minPairCount = 2L, maxBasketSize = 8),
+      () => assocRulesZip(
         Tables(spark, sfDir, "lineitem")
           .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
         "basket", "item", minPairCount = 2L, maxBasketSize = 8))

@@ -31,8 +31,18 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    // evidence-only subplans that are not declared queries
+    val subplans: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "a_assoc_cappeditems" -> ((s, dir) =>
+        graft.operators.Assoc.cappedItems(
+          Tables(s, dir, "lineitem")
+            .select(org.apache.spark.sql.functions.col("l_orderkey").as("basket"),
+              org.apache.spark.sql.functions.col("l_partkey").as("item")),
+          "basket", "item", maxBasketSize = 8)))
     names.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+      val fn = SparkEntry.queries.getOrElse(name,
+        subplans.getOrElse(name, sys.error(s"unknown query: $name")))
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(

@@ -37,13 +37,15 @@ object Assoc {
     val it = baskets
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
-    // size-cap as a window over the SAME basket partitioning the
-    // distinct just established — one exchange total, where the
-    // aggregate+join form re-shuffled `it` a second time for the join
-    // probe side (guide §2.4: two operations keyed the same way share
-    // one exchange). Interleaved A/B at sf0.1 (OptProbe `assoc`,
-    // hash-identical): wins every rep, ~15-30%. The window is
-    // basket-partitioned (bounded groups), never corpus-wide.
+    // size-cap as a window count over `basket`. The distinct hash-
+    // partitions on (basket, item) so the window still adds its own
+    // basket-keyed exchange — the win over the aggregate+join form is
+    // SINGLE CONSUMPTION of `it` (the old shape fed it to both the
+    // groupBy-count rollup and the join probe side, re-deriving the
+    // distinct per consumer), not exchange sharing. Interleaved A/B at
+    // sf0.1 (OptProbe `assoc`, hash-identical): wins every rep,
+    // ~15-30%. The window is basket-partitioned (bounded groups),
+    // never corpus-wide.
     it.withColumn("_bsize", count(lit(1)).over(Window.partitionBy("basket")))
       .filter(col("_bsize") <= maxBasketSize)
       .select("basket", "item")

@@ -181,7 +181,14 @@ object Graph {
     // self-join's two-sided exchange. The collected arrays are the
     // out-neighborhoods, O(sqrt m) by the degree orientation — bounded
     // on power-law graphs, which is the same bound that kept the
-    // self-join's per-key fan-out safe. Sort key = the (deg, node)
+    // self-join's per-key fan-out safe. NOTE the bound is now also a
+    // PER-ROW MEMORY bound, not just a fan-out bound: the hottest
+    // head's whole neighborhood materializes as one struct array
+    // (~16 B/entry — ~16 MB at m = 10^12 edges where the old self-join
+    // streamed the same pairs); acceptable because O(sqrt m) growth is
+    // far below executor row budgets at any plausible m, but it is the
+    // first thing to revisit if heads ever stop being degree-bounded.
+    // Sort key = the (deg, node)
     // rank struct (node ids unique => total order), so ns[i] < ns[j]
     // for i < j replays the r1 < r2 wedge orientation exactly.
     // Interleaved A/B (OptProbe `wedge`, 9 reps over two sessions):

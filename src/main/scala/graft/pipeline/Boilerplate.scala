@@ -49,6 +49,18 @@ object Boilerplate {
           size(expr("regexp_extract_all(lower(lt), '[a-z0-9]+', 0)")) >= minLineWords &&
           !lower(col("lt")).contains("javascript"))
       .withColumn("lh", Dedup.hash60(Dedup.normText(col("lt")), lit(0)))
+      // the raw `line` column is never read past the trim — drop it so
+      // the checkpoint below stores one copy of the text, not two
+      .drop("line")
+      // `lines` feeds the boilerplate-df rollup AND the join probe with
+      // non-identical exchange subtrees ReuseExchange cannot dedupe —
+      // without a barrier the regex-heavy projection (rlike +
+      // regexp_extract_all + posexplode) runs once per consumer.
+      // localCheckpoint materializes it once (the dupspans/simhash r19
+      // pattern); interleaved A/B at sf0.1 (OptProbe `c4clean`,
+      // hash-identical, 5000 rows): wins all 4 reps, 1.58 -> 1.26 s
+      // warm, 2.77 -> 1.69 s cold.
+      .localCheckpoint()
     // boilerplate df: distinct docs per normalized line hash, counted
     // over rule-eligible lines only (a dropped nav line shouldn't
     // poison a legitimate sentence that happens to share its text)

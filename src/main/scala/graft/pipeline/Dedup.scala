@@ -154,30 +154,40 @@ object Dedup {
   }
 
   /** Exact Jaccard over shingle sets for given pairs:
-    * `|A ∩ B| / (|A| + |B| − |A ∩ B|)`. Intersections come from an
-    * equi-join on the shingle value restricted to candidate docs.
+    * `|A ∩ B| / (|A| + |B| − |A ∩ B|)`.
     *
-    * Plan-shape note (measured at sf0.1, 32 cores): this formulation
-    * re-references the `pairs` and `sh` subtrees, but Spark's
-    * ReuseExchange materializes each identical shuffle once, so it
-    * beats every "optimization" tried against it — pre-restricting
-    * `sh` to pair endpoints via semi-join (+10%: the extra `pairs`
-    * consumer and the restriction shuffle cost more than the join
-    * savings), caching the intermediates (+50%: InMemoryRelation
-    * breaks exchange reuse and stalls on materialization), and raw
-    * duplicate-tolerant shingles with post-restriction dedup (+40% on
-    * the n-gram path: countDistinct df costs more than distinct+count).
-    * Keep it declarative and let the optimizer dedupe. */
+    * Shape (r20): each endpoint doc's (distinct) shingle set is
+    * collected into ONE array row, both arrays attach to the candidate
+    * pairs by two doc_id-keyed joins, and the intersection is
+    * `size(array_intersect(sa, sb))` in the projection (codegen'd
+    * collection expression). vs the r1-r19 join-based verify (pairs ⋈
+    * sh on a, re-shuffled on (b, sh), then a groupBy(a,b) count): the
+    * Σ|A|-per-pair intersection rows never exist, the (b, sh) exchange
+    * and the pair-count aggregation disappear, the per-doc sizes ride
+    * the same array rows (size = n, sh is distinct per doc), and both
+    * attach joins exchange the SAME set-table subtree so ReuseExchange
+    * materializes it once. Interleaved A/Bs at sf0.1 (hash-identical):
+    * `jacng` (n-gram path) 4.40 → 3.19 s warm, wins all 4 reps
+    * (14.3 → 6.7 cold); `jaclsh` (LSH path) wins all 4 reps pairwise,
+    * warm wash (1.53/1.52). Per-row memory is bounded by one doc's
+    * set (8 B/shingle), the same bound the collect-based candidate
+    * generation already carries.
+    *
+    * Historical negatives that still hold against the OLD form and were
+    * not retried (r17, measured): pre-restricting `sh` to pair
+    * endpoints via semi-join (+10%), caching intermediates (+50%,
+    * InMemoryRelation breaks exchange reuse), duplicate-tolerant
+    * shingles with countDistinct (+40%). */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list("sh").as("ss"), count(lit(1)).as("n"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("ss").as("sa"),
+        col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ss").as("sb"),
+        col("n").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select("a", "b", "jaccard")
@@ -699,7 +709,14 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty
+    // carry the edge count across rounds (r20): the old loop re-counted
+    // the PREVIOUS round's checkpointed edge set every round to feed
+    // the convergence test — one redundant job per round. Same exact
+    // test (count equality short-circuits the except). Interleaved A/B
+    // (OptProbe `clusters2`, hash-identical, 5000 rows): wins all 4
+    // reps, 3.58 -> 3.42 s warm, 6.71 -> 4.96 s cold.
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var it = 0
     while (!converged && it < maxIters) {
       // large-star: key each edge by BOTH endpoints (symmetric
@@ -725,9 +742,10 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // converged when the edge set is stable (stars pointing at roots)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       it += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIters rounds")

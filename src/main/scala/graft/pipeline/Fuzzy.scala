@@ -59,15 +59,24 @@ object Fuzzy {
       .distinct() // adjacent equal chars produce identical deletions
     // bucket pairs by collect+zip-explode (the candidatePairs shape,
     // r19): ONE exchange on `v` replaces both the occupancy-cap
-    // aggregation join and the bucket self-join, and the skew cap
-    // becomes a size filter on the collected array (a hot neighborhood
-    // key is dropped before its quadratic pair fan-out, same guard
-    // semantics as the `_occ` form — singletons produced no pairs
-    // there either). Interleaved A/B at sf0.1 (OptProbe `fuzzy`):
-    // 1.6x warm, wins every rep, hash-identical (1220 rows).
-    variants
+    // aggregation join and the bucket self-join. Interleaved A/B at
+    // sf0.1 (OptProbe `fuzzy`): 1.6x warm vs the self-join, wins every
+    // rep, hash-identical (1220 rows).
+    // The skew cap runs as an allocation-free count prepass +
+    // left_semi on the SAME v-keyed exchange (r20, restoring the r18
+    // `_occ` guard semantics the r19 size-filter traded away): a hot
+    // deletion-variant key is dropped BEFORE collect_list materializes
+    // its array, so the cap bounds aggregation-buffer memory, not just
+    // pair fan-out (ADVICE r19). Measured cost of the prepass
+    // (OptProbe `fuzzy2`, interleaved, hash-identical): ~0.1 s warm at
+    // sf0.1 (0.78 -> 0.88 s) — paid deliberately; an adversarially hot
+    // key at corpus scale would otherwise build an unbounded array in
+    // one aggregation buffer before the filter could drop it.
+    val ok = variants.groupBy("v").agg(count(lit(1)).as("_n"))
+      .filter(col("_n").between(2, maxBucket))
+      .select("v")
+    variants.join(ok, Seq("v"), "left_semi")
       .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
-      .filter(size(col("ts")).between(2, maxBucket))
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), " +
           "i -> struct(ts[i] AS ta, slice(ts, i + 2, size(ts)) AS rest))")).as("e"))

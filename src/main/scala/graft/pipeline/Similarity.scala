@@ -461,6 +461,13 @@ object Similarity {
     // every rep, hash-identical. At corpus scale the broadcast bound
     // falls back to plain equi-joins — still one payload attach per
     // side instead of payload-through-dedup.
+    // CONTRACT: `docs` must be unique per vec_id (every caller derives
+    // it from a vector table keyed by vec_id). The attach joins
+    // multiply by the number of matching emb rows, so a duplicated
+    // vec_id would re-multiply pairs the (a,b) dedup above already
+    // collapsed — where the pre-r19 dedup-after-attach shape absorbed
+    // it. The emb.count() below is one column-pruned scan feeding the
+    // broadcast-bound decision; it is intentional, not an oversight.
     val aIds = assign.select(col("code"), col("vec_id").as("a"))
     val bIds = assign.select(col("code"), col("vec_id").as("b"))
     val pairs = aIds.join(bIds, "code")
