@@ -1333,6 +1333,22 @@ object OptProbe {
         () => ed1PairsOccGuard(fuzzyToks2(), "tok"))
     }
 
+    if (want("fuzzy3")) {
+      def fuzzyToks3() = {
+        val toks = Tables(spark, sfDir, "documents")
+          .select(expr("substring(md5(CAST(doc_id AS STRING)), 1, 7)").as("tok"))
+          .distinct()
+        val typos = toks
+          .filter(expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4 = 0"))
+          .select(concat(expr("substring(tok, 1, 2)"), lit("q"),
+            expr("substring(tok, 4, length(tok))")).as("tok"))
+        toks.unionAll(typos)
+      }
+      ab("fuzzy3",
+        () => graft.pipeline.Fuzzy.ed1Pairs(fuzzyToks3(), "tok"),
+        () => ed1PairsWindowGuard(fuzzyToks3(), "tok"))
+    }
+
     if (want("clusters2")) ab("clusters2",
       () => {
         val docs = Tables(spark, sfDir, "documents")

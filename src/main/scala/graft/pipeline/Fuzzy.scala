@@ -62,20 +62,22 @@ object Fuzzy {
     // aggregation join and the bucket self-join. Interleaved A/B at
     // sf0.1 (OptProbe `fuzzy`): 1.6x warm vs the self-join, wins every
     // rep, hash-identical (1220 rows).
-    // The skew cap runs as an allocation-free count prepass +
-    // left_semi on the SAME v-keyed exchange (r20, restoring the r18
-    // `_occ` guard semantics the r19 size-filter traded away): a hot
-    // deletion-variant key is dropped BEFORE collect_list materializes
-    // its array, so the cap bounds aggregation-buffer memory, not just
-    // pair fan-out (ADVICE r19). Measured cost of the prepass
-    // (OptProbe `fuzzy2`, interleaved, hash-identical): ~0.1 s warm at
-    // sf0.1 (0.78 -> 0.88 s) — paid deliberately; an adversarially hot
-    // key at corpus scale would otherwise build an unbounded array in
-    // one aggregation buffer before the filter could drop it.
-    val ok = variants.groupBy("v").agg(count(lit(1)).as("_n"))
+    // The skew cap runs as a WINDOW count over the same v-keyed
+    // exchange (r20): one derivation of `variants`, one exchange, and
+    // the groupBy below reuses the window's partitioning. Still
+    // allocation-free in the ADVICE-r19 sense — WindowExec buffers a
+    // hot key's ROWS with disk spill, never an aggregation-buffer
+    // array, and the filter drops the bucket before collect_list sees
+    // it. The first r20 shape (count prepass + left_semi, the
+    // candidatePairs guard) kept the same semantics but its semi
+    // broadcast side re-derived the whole deletion-variant subtree
+    // (the plan showed `variants` twice); interleaved A/B fuzzy3 vs
+    // that shape: wins all 4 reps, 1.95 -> 1.06 s warm,
+    // hash-identical (1220 rows).
+    variants
+      .withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("v")))
       .filter(col("_n").between(2, maxBucket))
-      .select("v")
-    variants.join(ok, Seq("v"), "left_semi")
       .groupBy("v").agg(sort_array(collect_list("tok")).as("ts"))
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), " +
