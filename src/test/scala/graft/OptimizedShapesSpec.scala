@@ -87,6 +87,69 @@ class OptimizedShapesSpec extends AnyFunSuite {
       s"embedding payload re-entered a pair-gen exchange:\n${badExchanges.mkString("\n")}")
   }
 
+  // ---- r20 pins ----
+
+  test("jaccardVerify: array-intersect form == join-form verify on randomized sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // distinct (doc_id, sh) rows — the shingles() contract — with
+    // overlapping sets so intersections are non-trivial
+    val sh = (0L until 30L).flatMap { d =>
+      (0 until 3 + rnd.nextInt(8)).map(_ => (d, rnd.nextInt(25).toLong))
+    }.distinct.toDF("doc_id", "sh")
+    val pairs = (0L until 30L).flatMap(a => (a + 1 until 30L).map(b => (a, b)))
+      .toDF("a", "b")
+    // the r1-r19 join-based verify, inlined as the independent spec
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val joinForm = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+    val got = graft.pipeline.Dedup.jaccardVerify(pairs, sh)
+      // the join form only emits pairs with inter >= 1; restrict the
+      // array form the same way for the comparison
+      .filter(col("jaccard") > 0.0)
+    assert(rows(got) === rows(joinForm.filter(col("jaccard") > 0.0)))
+    assert(rows(got).nonEmpty)
+    val plan = planOf(graft.pipeline.Dedup.jaccardVerify(pairs, sh))
+    assert(plan.contains("array_intersect"),
+      s"jaccardVerify lost the array-intersect projection:\n$plan")
+  }
+
+  test("prefixFilterPairs: verify tail is the array-intersect projection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely different text with other words entirely here"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val plan = planOf(
+      graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 0.5))
+    assert(plan.contains("array_intersect"),
+      s"PPJoin verify lost the array-intersect projection:\n$plan")
+  }
+
+  test("ed1Pairs: occupancy guard is a window count on ONE variant derivation") {
+    import spark.implicits._
+    val words = Seq("graft", "craft", "crate", "spark", "spork", "spoon")
+    val plan = planOf(graft.pipeline.Fuzzy.ed1Pairs(words.toDF("tok"), "tok"))
+    assert(plan.contains("Window"),
+      s"occupancy guard is no longer a window count:\n$plan")
+    // exactly one deletion-variant explode: the count-prepass semi-join
+    // shape re-derived the whole variant subtree on its build side
+    val variantDerivations = plan.linesIterator
+      .count(l => l.contains("sequence(0, length"))
+    assert(variantDerivations === 1,
+      s"deletion-variant subtree derived $variantDerivations times:\n$plan")
+  }
+
   test("pageRank rank refresh broadcasts when the node count is bounded") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
