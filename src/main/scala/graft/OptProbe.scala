@@ -644,6 +644,58 @@ object OptProbe {
     aligned(ex, existingTypes).unionByName(aligned(shifted, newTypes))
   }
 
+  /** The r1-r19 JOIN-form Jaccard verify, kept as the ×100 CONTROL arm
+    * for the applied array-intersect form (same output contract). */
+  def jaccardVerifyJoinForm(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+
+  /** ngramJaccardPairs with the join-form verify (control arm). */
+  def ngramPairsJoinVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxShingleDf: Int, minJaccard: Double,
+      minSharedRare: Int = 2): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+      .select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val pairs = rareSh.groupBy("sh")
+      .agg(array_sort(collect_list("doc_id")).as("sids"))
+      .select(explode(expr(
+        "transform(sequence(0, size(sids) - 2), i -> struct(sids[i] AS x, slice(sids, i + 2, size(sids)) AS rest))")).as("e"))
+      .select(col("e.x").as("a"), explode(col("e.rest")).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minSharedRare)
+      .select("a", "b")
+    jaccardVerifyJoinForm(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** minhashDedupPairs with the join-form verify (control arm). */
+  def minhashPairsJoinVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    import graft.pipeline.Dedup
+    val sh = Dedup.shingles(docs, idCol, textCol, shingleSize)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, numPerm), rowsPerBand))
+    jaccardVerifyJoinForm(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
   /** jaccardVerify with per-doc shingle-set ARRAYS: collect each
     * endpoint doc's (distinct) shingle set once, attach both arrays to
     * the candidate pairs by two doc_id-keyed joins (identical subtrees
@@ -1300,6 +1352,25 @@ object OptProbe {
           Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
       () => minhashPairsArrVerify(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")))
+
+    // ×100 control arms: APPLIED array verify (current) vs the r1-r19
+    // join-form verify (variant) — run with
+    // SPARK_GRAFT_SF_DIR=/tmp/graft_scale_x100 for the scale record
+    if (want("jacng100")) ab("jacng100",
+      () => graft.pipeline.Dedup.ngramJaccardPairs(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      () => ngramPairsJoinVerify(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 20, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")))
+
+    if (want("jaclsh100")) ab("jaclsh100",
+      () => graft.pipeline.Dedup.minhashDedupPairs(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      () => minhashPairsJoinVerify(
           Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4, 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")))
 
