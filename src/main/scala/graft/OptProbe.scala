@@ -496,6 +496,88 @@ object OptProbe {
         expr("(20000L * n_tri) div (deg * (deg - 1L))"))
         .otherwise(lit(0L)).as("cc_bp"))
 
+  /** Triangle counting by per-edge array_intersect of the two
+    * endpoints' out-neighborhoods (the jaccardVerify trick applied to
+    * the closing step): for each degree-directed edge (x, y), every
+    * w in N+(x) ∩ N+(y) closes the triangle (x, y, w) — counted exactly
+    * once at its two lowest-rank members' edge. x and y each gain |I|,
+    * each w gains 1. Removes the O(m^1.5) wedge materialization AND the
+    * closing join: the quadratic work happens inside a codegen'd array
+    * intersection per edge row instead of exploded rows through a
+    * hash-join probe. Exchanges are all edge- or node-sized. */
+  def triangleDegreesIntersect(edges: DataFrame): DataFrame = {
+    import graft.util.Plan
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val degAll = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nNodes = degAll.count()
+    val deg = Plan.broadcastIfBounded(degAll, nNodes, 24L)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val directed = withDeg.select(
+      expr("IF(struct(da, a) < struct(db, b), a, b)").as("u"),
+      expr("IF(struct(da, a) < struct(db, b), b, a)").as("v"))
+      .localCheckpoint()
+    val m = directed.count()
+    val ns = directed.groupBy("u").agg(collect_list(col("v")).as("ns"))
+    // ns total payload is m ids spread over <= nNodes rows
+    val nsB = Plan.broadcastIfBounded(ns, m + nNodes, 24L)
+    val withI = directed
+      .join(nsB.select(col("u").as("_x"), col("ns").as("nx")),
+        col("u") === col("_x"))
+      .join(nsB.select(col("u").as("_y"), col("ns").as("ny")),
+        col("v") === col("_y"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nx"), col("ny")).as("ii"))
+    // one explode emits all three contribution kinds so the intersect
+    // subtree is derived once (a union of two consumers re-derives it)
+    val perNode = withI
+      .select(explode(expr(
+        "concat(array(struct(u AS node, bigint(size(ii)) AS c), " +
+          "struct(v AS node, bigint(size(ii)) AS c)), " +
+          "transform(ii, w -> struct(w AS node, 1L AS c)))")).as("e"))
+      .select(col("e.node").as("node"), col("e.c").as("c"))
+      .groupBy("node").agg(sum("c").as("n_tri"))
+      .filter(col("n_tri") > 0)
+    degAll.join(Plan.broadcastIfBounded(perNode, nNodes, 24L),
+        Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  def clusteringCoeffIntersect(edges: DataFrame): DataFrame =
+    triangleDegreesIntersect(edges).select(col("node"), col("deg"), col("n_tri"),
+      when(col("deg") >= 2,
+        expr("(20000L * n_tri) div (deg * (deg - 1L))"))
+        .otherwise(lit(0L)).as("cc_bp"))
+
+  /** SimHash component sums as `bits` conditional sum-aggregates in ONE
+    * hash aggregate over the (doc, term, tf) table, instead of exploding
+    * every row `bits`-fold into a (doc, bit) aggregation: the same ±tf
+    * arithmetic per bit runs as a codegen'd CASE inside the aggregate
+    * update, and the fingerprint assembles in the projection. */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", graft.pipeline.Dedup.hash60(col("term"), lit(0)))
+    val comps = (0 until bits).map(b =>
+      sum(expr(s"IF((h div shiftleft(1L, $b)) % 2 = 1, tf, -tf)")).as(s"_s$b"))
+    val fp = (0 until bits).map(b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tf.groupBy("doc_id").agg(comps.head, comps.drop(1): _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
   /** Co-occurrence pair edges by per-group collect+zip-explode instead
     * of the groupwise self-join (the candidatePairs finding applied to
     * the co-purchase edge build): one exchange on the group key, pairs
@@ -1032,6 +1114,30 @@ object OptProbe {
       () => prefixPairsCkpt(
         Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
         ckptOrdered = true))
+
+    if (want("simagg")) ab("simagg",
+      () => graft.pipeline.Dedup.simhash(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 48),
+      () => simhashAgg(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 48))
+
+    if (want("simagg60")) ab("simagg60",
+      () => graft.pipeline.Dedup.simhash(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 60),
+      () => simhashAgg(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 60))
+
+    if (want("triint")) ab("triint",
+      () => graft.operators.Graph.clusteringCoeff(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables(spark, sfDir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")),
+      () => clusteringCoeffIntersect(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables(spark, sfDir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")))
 
     if (want("triedge")) ab("triedge",
       () => {

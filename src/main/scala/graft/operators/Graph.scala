@@ -168,52 +168,53 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-    // direct each edge low-rank → high-rank; carry the head's rank key
-    // so wedge enumeration can order the two spokes without re-joining
+    // direct each edge low-rank → high-rank by the (deg, node) struct
+    // (node ids unique ⇒ total order)
     val directed = withDeg.select(
       expr("IF(struct(da, a) < struct(db, b), a, b)").as("u"),
-      expr("IF(struct(da, a) < struct(db, b), b, a)").as("v"),
-      expr("IF(struct(da, a) < struct(db, b), struct(db AS d, b AS n), " +
-        "struct(da AS d, a AS n))").as("rv"))
+      expr("IF(struct(da, a) < struct(db, b), b, a)").as("v"))
       .localCheckpoint()
-    // wedges by per-head collect + zip-explode over the rank-sorted
-    // out-neighborhood (r19): ONE exchange on `u` replaces the e1-x-e2
-    // self-join's two-sided exchange. The collected arrays are the
-    // out-neighborhoods, O(sqrt m) by the degree orientation — bounded
-    // on power-law graphs, which is the same bound that kept the
-    // self-join's per-key fan-out safe. NOTE the bound is now also a
-    // PER-ROW MEMORY bound, not just a fan-out bound: the hottest
-    // head's whole neighborhood materializes as one struct array
-    // (~16 B/entry — ~16 MB at m = 10^12 edges where the old self-join
-    // streamed the same pairs); acceptable because O(sqrt m) growth is
-    // far below executor row budgets at any plausible m, but it is the
-    // first thing to revisit if heads ever stop being degree-bounded.
-    // Sort key = the (deg, node)
-    // rank struct (node ids unique => total order), so ns[i] < ns[j]
-    // for i < j replays the r1 < r2 wedge orientation exactly.
-    // Interleaved A/B (OptProbe `wedge`, 9 reps over two sessions):
-    // wins 8/9, ~10-15% warm, hash-identical end to end.
-    val wedges = directed
-      .groupBy("u")
-      .agg(sort_array(collect_list(col("rv"))).as("ns"))
-      .filter(size(col("ns")) >= 2)
-      .select(col("u"), explode(expr(
-        "transform(sequence(0, size(ns) - 2), " +
-          "i -> struct(ns[i].n AS v1, transform(slice(ns, i + 2, size(ns)), x -> x.n) AS rest))"))
-        .as("e"))
-      .select(col("u"), col("e.v1").as("v1"), explode(col("e.rest")).as("v2"))
-    // the closing probe side is edge-sized (m rows) while wedges are
-    // O(m^1.5): broadcast the edges when they fit the session threshold
-    // so the wedge stream never shuffles — a checkpointed relation has
-    // no stats, so the size-conditional hint must be explicit (count is
-    // cheap: the blocks are already materialized)
-    val closing = Plan.broadcastIfBounded(
-      directed.select(col("u").as("v1"), col("v").as("v2")),
-      directed.count(), bytesPerRow = 24L)
-    val tri = wedges.join(closing, Seq("v1", "v2"))
-    val perNode = tri
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val m = directed.count()
+    // Close triangles by per-edge intersection of the two endpoints'
+    // out-neighborhoods (r20; the array-verify trick from
+    // Dedup.jaccardVerify applied to the closing step): a triangle
+    // x<y<z in rank order has directed edges x→y, x→z, y→z, so for
+    // each directed edge (x, y) every w ∈ N+(x) ∩ N+(y) closes exactly
+    // one triangle (x, y, w), counted once at its two lowest-rank
+    // members' edge — x and y each gain |I|, each w gains 1. This
+    // replaces the r19 wedge zip-explode + closing join: the O(m^1.5)
+    // wedge stream never materializes as rows — the quadratic work
+    // runs inside one codegen'd array_intersect per edge — and every
+    // exchange is edge- or node-sized. Out-neighborhoods are O(√m) by
+    // the degree orientation (a per-row memory bound as before, now
+    // two arrays per edge row: ~16 B/entry ⇒ ~32 MB rows at m = 10^12).
+    // Interleaved A/B (OptProbe `triint`, 4 reps, hash-identical
+    // through clusteringCoeff): wins 4/4, 5.9 → 4.2 s warm,
+    // 18.4 → 10.7 s cold at sf0.1.
+    val ns = directed.groupBy("u").agg(collect_list(col("v")).as("ns"))
+    // ns total payload is m ids spread over ≤ nNodes rows: broadcast
+    // both attaches when that fits the session threshold; billion-edge
+    // graphs fall back to two edge-sized shuffle joins
+    val nsB = Plan.broadcastIfBounded(ns, m + nNodes, 24L)
+    val withI = directed
+      .join(nsB.select(col("u").as("_x"), col("ns").as("nx")),
+        col("u") === col("_x"))
+      .join(nsB.select(col("u").as("_y"), col("ns").as("ny")),
+        col("v") === col("_y"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nx"), col("ny")).as("ii"))
+    // one explode emits all three contribution kinds so the intersect
+    // subtree is derived once (a union of two consumers re-derives it;
+    // measured: fused explode wins 4/4 vs the union form, 4.7 → 3.9 s
+    // warm, 11.2 → 6.1 s cold)
+    val perNode = withI
+      .select(explode(expr(
+        "concat(array(struct(u AS node, bigint(size(ii)) AS c), " +
+          "struct(v AS node, bigint(size(ii)) AS c)), " +
+          "transform(ii, w -> struct(w AS node, 1L AS c)))")).as("e"))
+      .select(col("e.node").as("node"), col("e.c").as("c"))
+      .groupBy("node").agg(sum("c").as("n_tri"))
+      .filter(col("n_tri") > 0)
     // left side of a left-outer can't be the broadcast build side, but
     // the RIGHT side can: perNode is node-bounded (<= nNodes), so the
     // spine join broadcasts it when it fits (r19 — the plan's last
