@@ -126,6 +126,56 @@ object OptProbe {
     rank
   }
 
+  /** PageRank with the node-sized rank state iterated on the DRIVER
+    * (bounded, like popularityNegatives' maxLocalRanges path): rank and
+    * outdeg live in driver maps, shares re-enter each iteration as a
+    * broadcast LOCAL relation (no distributed build job — LocalTableScan
+    * evaluates without a Spark job), and only the edge-scan contribution
+    * rollup runs as a job (one per iteration, collected node-sized).
+    * Identical integer arithmetic to [[graft.operators.Graph.pageRank]]. */
+  def pageRankDriverLoop(
+      spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodesDf = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodeType = nodesDf.schema.fields(0).dataType
+    val nodes = nodesDf.collect().map(_.get(0))
+    val n = nodes.length.toLong
+    require(n > 0, "empty graph")
+    val outdeg: Map[Any, Long] = e.groupBy("src")
+      .agg(count(lit(1)).as("outdeg")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val base = (1000000000000L * 15L / 100L) / n
+    var rank: Map[Any, Long] =
+      nodes.iterator.map(v => v -> (1000000000000L / n)).toMap
+    val shareSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src", nodeType),
+      org.apache.spark.sql.types.StructField("share",
+        org.apache.spark.sql.types.LongType)))
+    var out: DataFrame = null
+    for (i <- 1 to iterations) {
+      val shareRows = nodes.iterator.flatMap { v =>
+        outdeg.get(v).map(d => org.apache.spark.sql.Row(
+          v, (rank(v) * 85L / 100L) / d))
+      }.toSeq
+      val shares = spark.createDataFrame(
+        java.util.Arrays.asList(shareRows: _*), shareSchema)
+      val inflow: Map[Any, Long] = e.join(broadcast(shares), "src")
+        .select(col("dst").as("node"), col("share"))
+        .groupBy("node").agg(sum("share").as("inflow")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      rank = nodes.iterator
+        .map(v => v -> (base + inflow.getOrElse(v, 0L))).toMap
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank_micro",
+        org.apache.spark.sql.types.LongType)))
+    out = spark.createDataFrame(java.util.Arrays.asList(
+      nodes.map(v => org.apache.spark.sql.Row(v, rank(v))).toSeq: _*), outSchema)
+    out
+  }
+
   /** Assoc.rules with ONE shared exchange: the capped item set is
     * repartitioned by basket right after the checkpoint so the size
     * rollup and both self-join sides reuse a single exchange. */
@@ -963,6 +1013,54 @@ object OptProbe {
   /** duplicateClusters with the per-round count of the PREVIOUS edge
     * set carried in a driver variable instead of re-counted from its
     * checkpointed blocks every round (exact same convergence test). */
+  /** duplicateClusters with the LARGE-star output checkpointed per
+    * round: `large` feeds two consumers (the small-star min aggregate's
+    * build and the re-point join's probe), so without a barrier its
+    * groupBy+join+distinct subtree derives twice per round. */
+  def clustersLargeCkpt(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    var edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrs = edges.select(col("a").as("v"), col("b").as("u"))
+        .union(edges.select(col("b").as("v"), col("a").as("u")))
+      val mins = nbrs.groupBy("v").agg(least(min("u"), first("v")).as("m"))
+      val large = nbrs.join(mins, "v")
+        .filter(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val dir = large.select(greatest(col("a"), col("b")).as("v"),
+        least(col("a"), col("b")).as("u"))
+      val smins = dir.groupBy("v").agg(min("u").as("m"))
+      val small = dir.join(smins, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .union(smins.select(col("v").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
+      edges = small
+      edgeCount = smallCount
+      it += 1
+    }
+    require(converged, s"clustersLargeCkpt did not converge in $maxIters rounds")
+    val labels = edges.groupBy(col("a").as("doc_id")).agg(min("b").as("lbl"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   def clustersCarriedCount(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     var edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
@@ -1114,6 +1212,33 @@ object OptProbe {
       () => prefixPairsCkpt(
         Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
         ckptOrdered = true))
+
+    if (want("clusters3")) ab("clusters3",
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        graft.pipeline.Dedup.duplicateClusters(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+            shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5))
+      },
+      () => {
+        val docs = Tables(spark, sfDir, "documents")
+        clustersLargeCkpt(docs, "doc_id",
+          graft.pipeline.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+            shingleSize = 3, numPerm = 16, rowsPerBand = 4, minJaccard = 0.5))
+      })
+
+    if (want("prlocal")) {
+      def prEdges = {
+        val pairs = Tables(spark, sfDir, "lineitem").select(
+          concat(lit("p"), col("l_partkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      }
+      ab("prlocal",
+        () => graft.operators.Graph.pageRank(spark, prEdges, iterations = 5),
+        () => pageRankDriverLoop(spark, prEdges, iterations = 5))
+    }
 
     if (want("simagg")) ab("simagg",
       () => graft.pipeline.Dedup.simhash(

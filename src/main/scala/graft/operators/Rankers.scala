@@ -136,7 +136,10 @@ object Rankers {
         case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
           sb.append(".*"); i += 1
         case '*' => sb.append("[^/]*")
-        case '?' => sb.append(".")
+        // one NON-separator char (glob semantics; `.` would match '/' —
+        // latent bug caught by the KernelProperties fuzz when the
+        // generator finally drew a bare "?", r20 continuation)
+        case '?' => sb.append("[^/]")
         case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append("\\").append(c)
         case c => sb.append(c)
       }

@@ -747,11 +747,17 @@ object Dedup {
       val nbrs = edges.select(col("a").as("v"), col("b").as("u"))
         .union(edges.select(col("b").as("v"), col("a").as("u")))
       val mins = nbrs.groupBy("v").agg(least(min("u"), first("v")).as("m"))
+      // large feeds TWO consumers (the small-star min aggregate and the
+      // re-point join's probe): checkpoint so its groupBy+join+distinct
+      // subtree runs once per round, not twice (r20; interleaved A/B
+      // `clusters3`, hash-identical: wins 4/4, 4.01 -> 3.72 s warm,
+      // 10.8 -> 4.5 s cold through the full p_dedup_groups chain)
       val large = nbrs.join(mins, "v")
         .filter(col("u") > col("v"))
         .select(col("u").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
+        .localCheckpoint()
       // small-star: key each edge by its LARGER endpoint only; the
       // center and all its smaller neighbors re-point to the minimum
       val dir = large.select(greatest(col("a"), col("b")).as("v"),

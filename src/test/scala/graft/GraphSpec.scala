@@ -48,6 +48,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum <= 1000000000000L)
   }
 
+  test("pageRank: driver-local path is bit-identical to the distributed loop") {
+    import spark.implicits._
+    // randomized directed graph with sinks, sources and multi-edges
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map(_ =>
+      ("n" + rnd.nextInt(40), "n" + rnd.nextInt(40)))
+    val df = edges.toDF("src", "dst")
+    val local = Graph.pageRank(spark, df, iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = Graph.pageRank(spark, df, iterations = 6, maxLocalNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+  }
+
   /** Brute-force triangle reference: count id-ordered closed triples. */
   private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }

@@ -93,7 +93,8 @@ class HybridColgrepSpec extends AnyFunSuite {
     assert(Rankers.pathScope(files, col("path"), excludeDirs = Seq("tests"))
       .count() === 4)
     assert(Rankers.globToRegex("a/*.py") === "a/[^/]*\\.py")
-    assert(Rankers.globToRegex("**/x?.md") === ".*/x.\\.md")
+    // `?` is one NON-separator char (fixed r20 — `.` matched '/')
+    assert(Rankers.globToRegex("**/x?.md") === ".*/x[^/]\\.md")
   }
 
   test("C3 regex prefilter literalizes non-quantifier braces; C6 helpers") {
