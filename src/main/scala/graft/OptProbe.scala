@@ -1213,6 +1213,27 @@ object OptProbe {
         Tables(spark, sfDir, "documents"), "doc_id", "text", 3, 0.5,
         ckptOrdered = true))
 
+    if (want("ccscale")) {
+      val nDocs = 500000L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      def pairs = {
+        val cliques = spark.range(5000)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, 8), i ->
+              |  transform(sequence(cast(i as int) + 1, 9), j ->
+              |    struct(id * 100 + i * 10 AS a, id * 100 + j * 10 AS b))))"""
+              .stripMargin)).as("e"))
+          .select(col("e.a"), col("e.b"))
+        val chain = spark.range(10000)
+          .select((lit(nDocs - 10001) + col("id")).as("a"),
+            (lit(nDocs - 10000) + col("id")).as("b"))
+        cliques.union(chain)
+      }
+      ab("ccscale",
+        () => clustersCarriedCount(docs, "doc_id", pairs),
+        () => graft.pipeline.Dedup.duplicateClusters(docs, "doc_id", pairs))
+    }
+
     if (want("clusters3")) ab("clusters3",
       () => {
         val docs = Tables(spark, sfDir, "documents")
