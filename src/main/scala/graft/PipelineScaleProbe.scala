@@ -79,7 +79,8 @@ object PipelineScaleProbe {
     /** Force a stage: persist, count, time; assert the plan reuses the
       * upstream in-memory relation instead of recomputing it. */
     def stage(name: String, df: DataFrame, expectCached: Boolean,
-        prev: Option[DataFrame], allowRawScan: Boolean = false): DataFrame = {
+        prev: Option[DataFrame], allowRawScan: Boolean = false,
+        acceptBarrier: Boolean = false): DataFrame = {
       // walk the LIVE plan tree, not its string: InMemoryRelation
       // PRINTS its cached child plan (including the original FileScan
       // text) — a substring check false-positives — and the physical
@@ -93,7 +94,16 @@ object PipelineScaleProbe {
         val hasCache = lp.collectWithSubqueries {
           case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
         }.nonEmpty
-        require(hasCache,
+        // acceptBarrier: an operator that internally localCheckpoints
+        // (c4Clean's line table, r20) truncates its lineage to a
+        // LogicalRDD — the checkpoint materialized FROM the cached
+        // upstream at construction (a checkpoint by definition never
+        // recomputes), it is just invisible in the final plan. The
+        // raw-corpus re-read assertion below still applies unchanged.
+        val hasBarrier = acceptBarrier && lp.collectWithSubqueries {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r
+        }.nonEmpty
+        require(hasCache || hasBarrier,
           s"stage $name recomputes its upstream (no InMemoryRelation):\n" +
             lp.toString.take(4000))
         // allowRawScan: the decontaminate stage legitimately scans the
@@ -151,7 +161,7 @@ object PipelineScaleProbe {
       graft.pipeline.Boilerplate.c4Clean(lined, "doc_id", "text2")
         .filter(col("page_pass"))
         .select(col("doc_id"), col("clean_text").as("text")),
-      expectCached = true, prev = None)
+      expectCached = true, prev = None, acceptBarrier = true)
 
     // ---- stage 3: Gopher quality (6 structural rules; see header) ----
     val gq = graft.pipeline.TextStats.gopherRules(c4, "doc_id", "text")
