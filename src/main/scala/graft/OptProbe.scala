@@ -1273,13 +1273,16 @@ object OptProbe {
       () => simhashAgg(
         Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 60))
 
+    // current = the PRESERVED r19 wedge shape, variant = the applied
+    // r20 intersect shape (Graph.clusteringCoeff at HEAD) — a standing
+    // old-vs-new A/B now that the intersect form is the operator
     if (want("triint")) ab("triint",
-      () => graft.operators.Graph.clusteringCoeff(
+      () => clusteringCoeffWedgeExplode(
         graft.operators.Graph.coOccurrenceEdges(
           Tables(spark, sfDir, "lineitem")
             .select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey")),
-      () => clusteringCoeffIntersect(
+      () => graft.operators.Graph.clusteringCoeff(
         graft.operators.Graph.coOccurrenceEdges(
           Tables(spark, sfDir, "lineitem")
             .select(col("l_orderkey"), col("l_partkey")),
