@@ -607,26 +607,24 @@ object OptProbe {
         expr("(20000L * n_tri) div (deg * (deg - 1L))"))
         .otherwise(lit(0L)).as("cc_bp"))
 
-  /** SimHash component sums as `bits` conditional sum-aggregates in ONE
-    * hash aggregate over the (doc, term, tf) table, instead of exploding
-    * every row `bits`-fold into a (doc, bit) aggregation: the same ±tf
-    * arithmetic per bit runs as a codegen'd CASE inside the aggregate
-    * update, and the fingerprint assembles in the projection. */
-  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 48): DataFrame = {
-    val tf = docs
+  /** The PRE-r20 simhash shape, preserved as the standing A/B control:
+    * doc×term×bit explode (`bits`-fold row multiplier) into a
+    * (doc, bit) aggregation, then the fingerprint rollup. */
+  def simhashExplode(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", graft.pipeline.Dedup.hash60(col("term"), lit(0)))
-    val comps = (0 until bits).map(b =>
-      sum(expr(s"IF((h div shiftleft(1L, $b)) % 2 = 1, tf, -tf)")).as(s"_s$b"))
-    val fp = (0 until bits).map(b =>
-      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    tf.groupBy("doc_id").agg(comps.head, comps.drop(1): _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("bit"),
+        expr("CASE WHEN (h div shiftleft(1L, bit)) % 2 = 1 THEN tf ELSE -tf END").as("c"))
+      .groupBy("doc_id", "bit")
+      .agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("simhash"))
 
   /** Co-occurrence pair edges by per-group collect+zip-explode instead
     * of the groupwise self-join (the candidatePairs finding applied to
@@ -1261,16 +1259,18 @@ object OptProbe {
         () => pageRankDriverLoop(spark, prEdges, iterations = 5))
     }
 
+    // current = the PRESERVED explode shape, variant = the applied
+    // wide-aggregate form (Dedup.simhash at HEAD)
     if (want("simagg")) ab("simagg",
-      () => graft.pipeline.Dedup.simhash(
+      () => simhashExplode(
         Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 48),
-      () => simhashAgg(
+      () => graft.pipeline.Dedup.simhash(
         Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 48))
 
     if (want("simagg60")) ab("simagg60",
-      () => graft.pipeline.Dedup.simhash(
+      () => simhashExplode(
         Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 60),
-      () => simhashAgg(
+      () => graft.pipeline.Dedup.simhash(
         Tables(spark, sfDir, "documents"), "doc_id", "text", bits = 60))
 
     // current = the PRESERVED r19 wedge shape, variant = the applied
